@@ -1,0 +1,48 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's distribution defaults.
+  *
+  * The reference exposes ~40 `with_distributed_*` builder knobs
+  * (`/root/reference/src/distributed_ext.rs:76-737`); in Spark nearly all of
+  * them map onto SQL conf, because Spark already ships the distribution layer
+  * the reference implements by hand (shuffle/broadcast/coalesce exchanges,
+  * stage formation, AQE). [[GraftConf]] documents the mapping.
+  */
+object GraftSession {
+
+  /** Reference knob -> Spark conf mapping
+    * (`/root/reference/src/distributed_planner/distributed_config.rs:8-71`):
+    *  - `files_scan_config_bytes_per_partition` (16 MiB) ->
+    *    `spark.sql.files.maxPartitionBytes`
+    *  - `broadcast_joins_enabled` -> `spark.sql.autoBroadcastJoinThreshold`
+    *  - `dynamic_task_count` (AQE) -> `spark.sql.adaptive.enabled`
+    *  - `compression` (lz4) -> `spark.io.compression.codec`
+    *  - `max_tasks_per_stage` -> `spark.sql.shuffle.partitions` + AQE coalesce
+    */
+  def defaultConf: Map[String, String] = Map(
+    "spark.sql.shuffle.partitions" -> "32",
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.autoBroadcastJoinThreshold" -> (32 * 1024 * 1024).toString,
+    "spark.sql.files.maxPartitionBytes" -> (16 * 1024 * 1024).toString,
+    "spark.io.compression.codec" -> "lz4",
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.parquet.filterPushdown" -> "true",
+    "spark.ui.enabled" -> "false",
+    "spark.sql.autoBroadcastJoinThreshold" -> (32 * 1024 * 1024).toString
+  )
+
+  def builder(master: String = "local[*]", appName: String = "graft"): SparkSession.Builder = {
+    val b = SparkSession.builder().master(master).appName(appName)
+    defaultConf.foreach { case (k, v) => b.config(k, v) }
+    b
+  }
+
+  def local(threads: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = builder(s"local[$threads]").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
