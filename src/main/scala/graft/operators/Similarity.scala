@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.VectorFunctions._
+import graft.functions.HashExpressions
+
+/** Approximate-nearest-neighbor search over an `array<float>` embedding
+  * column.
+  *
+  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query
+  *    set, one narrow pass over the corpus + a TopK per query
+  *    (`Window`+`row_number`, which Spark executes as partial top-k per
+  *    partition before the shuffle). Baseline and verifier.
+  *  - [[lshTopK]]: the 100 TB path — random-hyperplane LSH bucket join.
+  *    Corpus is bucketed once (narrow, cacheable); a query only scans its own
+  *    bucket (and optionally multi-probe neighbors), so cost per query is
+  *    corpus/2^nBits instead of corpus.
+  */
+object Similarity {
+
+  /** Exact cosine top-k for each query row. `queries` must be small enough to
+    * broadcast (it is sent to every executor).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     queryIdCol: String = "query_id"): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cos", round(cosineSimilarity(col("v"), col("qv")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rk"))
+  }
+
+  /** Bucket the corpus by random-hyperplane LSH. Deterministic in (nBits,
+    * seed) — no fitted model to ship; any executor recomputes the same
+    * bucket for the same vector.
+    */
+  def bucketed(corpus: DataFrame, nBits: Int = 12, seed: Long = 42L,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+      HashExpressions.hyperplaneLsh(col(vecCol), nBits, seed).as("bucket"))
+
+  /** ANN top-k via LSH bucket equi-join: each query scans only its bucket.
+    * Recall < 1 by construction; raise nBits for speed, lower for recall.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nBits: Int = 12, seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              queryIdCol: String = "query_id"): DataFrame = {
+    val c = bucketed(corpus, nBits, seed, idCol, vecCol)
+    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"),
+      HashExpressions.hyperplaneLsh(col(vecCol), nBits, seed).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .withColumn("cos", round(cosineSimilarity(col("v"), col("qv")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rk"))
+  }
+
+  /** All near-pairs above a cosine threshold via LSH buckets (embedding
+    * near-dup detection). One shuffle on bucket id; same skew guard rationale
+    * as [[Dedup.minhashPairs]].
+    */
+  def cosineNearDupPairs(corpus: DataFrame, minCos: Double,
+                         nBits: Int = 10, seed: Long = 42L,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = bucketed(corpus, nBits, seed, idCol, vecCol)
+    val a = c.select(col("bucket"), col("vec_id").as("id_a"), col("v").as("v_a"))
+    val b = c.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosineSimilarity(col("v_a"), col("v_b")), 4))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}
