@@ -31,7 +31,11 @@ object GraftSession {
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.parquet.filterPushdown" -> "true",
     "spark.ui.enabled" -> "false",
-    "spark.sql.autoBroadcastJoinThreshold" -> (32 * 1024 * 1024).toString
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    // reader rejects; read nanos as long session-wide (Tables.load
+    // truncates to microsecond timestamps). Session-level because the
+    // flag has no per-read DataFrameReader option.
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true"
   )
 
   def builder(master: String = "local[*]", appName: String = "graft"): SparkSession.Builder = {

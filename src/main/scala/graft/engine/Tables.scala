@@ -26,6 +26,9 @@ object Tables {
     // (integer `div`, not double division — ns-since-epoch exceeds double's
     // 53-bit mantissa).
     if (name == "events") {
+      // The nanosAsLong flag lives in GraftSession.defaultConf; set it
+      // here too for sessions not built through GraftSession (idempotent,
+      // but documented as session-global).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
       if (df.schema("ts").dataType == LongType)

@@ -70,6 +70,105 @@ object HashExpressions {
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
   }
 
+  private val GOLDEN = 0x9E3779B97F4A7C15L
+  private val SHINGLE_SEED = 0x2545F4914F6CDD1DL
+
+  /** Shared minhash kernel: token array -> k minima over word `shingleLen`-
+    * gram hashes. Token hashes are computed once; each shingle's base hash
+    * is an order-sensitive splitmix chain over its token hashes (no shingle
+    * strings are ever materialized); the k independent hashes derive from
+    * the base via `splitmix64(base + i*GOLDEN)` with a running min each.
+    *
+    * This exists because the declarative form (build shingle strings with
+    * `transform`+`slice`+`concat_ws`, then
+    * `transform(sequence(0,k-1), i -> array_min(transform(sh, hash(i,s))))`)
+    * never enters whole-stage codegen and re-materializes arrays per row —
+    * measured >40× slower at k=64. At 100 TB the signature pass is the
+    * dominant narrow stage of minhash dedup, so it must be tight.
+    */
+  private[graft] def minhashMinima(arr: ArrayData, shingleLen: Int, k: Int): Array[Long] = {
+    val n = arr.numElements()
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) = if (arr.isNullAt(i)) 0L else hash64(arr.getUTF8String(i).getBytes)
+      i += 1
+    }
+    val mins = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j <= n - shingleLen) {
+      var base = SHINGLE_SEED
+      var t = j
+      while (t < j + shingleLen) {
+        base = splitmix64(base ^ th(t))
+        t += 1
+      }
+      var acc = base
+      i = 0
+      while (i < k) {
+        val h = splitmix64(acc)
+        if (h < mins(i)) mins(i) = h
+        acc += GOLDEN
+        i += 1
+      }
+      j += 1
+    }
+    mins
+  }
+
+  /** MinHash signature over an array<string> of TOKENS (word shingles are
+    * formed internally — see [[minhashMinima]]). Returns array<long> length k.
+    * Rows with fewer than `shingleLen` tokens yield an all-Long.MaxValue
+    * signature — filter them out before LSH banding or they form one
+    * degenerate bucket.
+    */
+  case class MinHashSignature(child: Expression, shingleLen: Int, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(k >= 1 && k <= 1024, s"k=$k out of range [1,1024]")
+    require(shingleLen >= 1, s"shingleLen=$shingleLen must be >= 1")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_signature"
+
+    override def nullSafeEval(input: Any): Any =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        minhashMinima(input.asInstanceOf[ArrayData], shingleLen, k))
+
+    override protected def withNewChildInternal(c: Expression): MinHashSignature =
+      copy(child = c)
+  }
+
+  /** LSH band hashes straight from tokens: the k minima of
+    * [[minhashMinima]] folded into k/r band hashes (splitmix chain per
+    * band). Skips materializing the signature array when only banding is
+    * needed — the candidate-generation hot path.
+    */
+  case class MinHashBandHashes(child: Expression, shingleLen: Int, k: Int, r: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(k % r == 0, s"k=$k not divisible by band width r=$r")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_bands"
+
+    override def nullSafeEval(input: Any): Any = {
+      val mins = minhashMinima(input.asInstanceOf[ArrayData], shingleLen, k)
+      val bands = new Array[Long](k / r)
+      var b = 0
+      while (b < k / r) {
+        var acc = SHINGLE_SEED + b
+        var i = b * r
+        while (i < (b + 1) * r) {
+          acc = splitmix64(acc ^ mins(i))
+          i += 1
+        }
+        bands(b) = acc
+        b += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(bands)
+    }
+
+    override protected def withNewChildInternal(c: Expression): MinHashBandHashes =
+      copy(child = c)
+  }
+
   /** Random-hyperplane LSH bucket id for an array<float|double> embedding:
     * `nBits` pseudo-random ±1 hyperplanes (derived from (seed, bit, dim) via
     * splitmix64 — no stored model), bucket bit = sign of the projection.
@@ -119,6 +218,17 @@ object HashExpressions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+    def intArg(exprs: Seq[Expression], i: Int): Int =
+      exprs(i).eval(InternalRow.empty).asInstanceOf[Int]
+    reg.createOrReplaceTempFunction(
+      "minhash_signature",
+      exprs => MinHashSignature(exprs.head, intArg(exprs, 1), intArg(exprs, 2)),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "minhash_bands",
+      exprs => MinHashBandHashes(exprs.head,
+        intArg(exprs, 1), intArg(exprs, 2), intArg(exprs, 3)),
+      "scala_udf")
     reg.createOrReplaceTempFunction(
       "hyperplane_lsh",
       exprs => {
@@ -133,6 +243,17 @@ object HashExpressions {
   }
 
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+
+  def minhashSignature(tokens: Column, shingleLen: Int, k: Int): Column =
+    call_function("minhash_signature", tokens,
+      org.apache.spark.sql.functions.lit(shingleLen),
+      org.apache.spark.sql.functions.lit(k))
+
+  def minhashBands(tokens: Column, shingleLen: Int, k: Int, r: Int): Column =
+    call_function("minhash_bands", tokens,
+      org.apache.spark.sql.functions.lit(shingleLen),
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(r))
 
   def hyperplaneLsh(vec: Column, nBits: Int, seed: Long): Column =
     call_function("hyperplane_lsh", vec,

@@ -88,20 +88,14 @@ object TextFunctions {
           i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
-  /** MinHash signature (k affine transforms over one xxhash64 base hash, min
-    * per transform). Returns array<long> of length k. Per-row, shuffle-free;
-    * the standard minwise family `h_i(x) = a_i*h(x)+b_i` with wrapping 64-bit
-    * arithmetic.
-    */
-  def minhashSignature(shingles: Column, k: Int): Column = {
-    // Base hash masked to 31 bits and multipliers kept small so the affine
-    // transform can't overflow a long (Spark 4 runs ANSI mode: wrapping
-    // arithmetic throws instead of wrapping).
-    val base = transform(shingles, s => xxhash64(s).bitwiseAND(lit(0x7FFFFFFFL)))
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(base,
-        h => h * (i.cast("long") * 2L + 1L) + i.cast("long") * lit(2654435769L))))
-  }
+  // MinHash signatures live in HashExpressions.MinHashSignature (custom
+  // Catalyst expression). A declarative
+  // `transform(sequence(0,k-1), i -> array_min(transform(sh, hash(i,s))))`
+  // was tried and rejected: higher-order functions are interpreted, and the
+  // nested form re-materializes the shingle array k times per row (~100×
+  // slower at k=64). Also note an affine family `a_i*h(x)+b_i` WITHOUT
+  // modular wraparound is monotonic in h(x) and collapses the signature to
+  // the single min-hash shingle — a correctness trap, not just a perf one.
 
   /** LSH band hashes over a minhash signature: k/r bands of r rows each,
     * hashed to a long. Near-dup candidates = docs sharing any (band, hash).

@@ -75,8 +75,12 @@ object Multimodal {
   def sampleFrames(media: DataFrame, frameBytes: Int, everyN: Int): DataFrame =
     media
       .withColumn("frame_idx",
-        explode(sequence(lit(0),
-          greatest(lit(0), (length(col("data")) - 1) / (frameBytes * everyN)))))
+        // Integer division: `/` on Column is double division and sequence()
+        // rejects fractional bounds.
+        explode(sequence(lit(0L),
+          greatest(lit(0L),
+            ((length(col("data")) - 1).cast("long") / lit(frameBytes.toLong * everyN))
+              .cast("long")))))
       .withColumn("frame",
         col("data").substr(
           (col("frame_idx") * frameBytes * everyN + 1).cast("int"), lit(frameBytes)))

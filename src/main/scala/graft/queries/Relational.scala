@@ -156,13 +156,16 @@ object Relational {
         .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
     }),
 
-    // ---- correlated scalar aggregate via self-join (TPC-H q17 shape) ----
+    // ---- correlated scalar aggregate via self-join (TPC-H q17 shape).
+    // No broadcast hint on avgQty: it is an unbounded per-partkey aggregate
+    // over lineitem (~20M rows at SF100) — let AQE pick shuffle vs broadcast
+    // from runtime stats instead of forcing a driver OOM at scale. ----
     "q17_small_quantity_revenue" -> ((s, dir) => {
       val l = t(s, dir, "lineitem")
       val avgQty = l.groupBy(col("l_partkey").as("ap_partkey"))
         .agg((sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double") /
               count(lit(1))).as("avg_qty"))
-      l.join(broadcast(avgQty), col("l_partkey") === col("ap_partkey"))
+      l.join(avgQty, col("l_partkey") === col("ap_partkey"))
         .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
         .agg((dsum(col("l_extendedprice"), 2) / lit(7.0)).as("avg_yearly"))
     }),
