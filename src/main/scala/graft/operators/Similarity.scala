@@ -47,16 +47,34 @@ object Similarity {
     corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
       HashExpressions.hyperplaneLsh(col(vecCol), nBits, seed).as("bucket"))
 
-  /** ANN top-k via LSH bucket equi-join: each query scans only its bucket.
-    * Recall < 1 by construction; raise nBits for speed, lower for recall.
+  /** ANN top-k via multi-probe LSH bucket equi-join: each query scans its
+    * own bucket plus every bucket within hamming distance `probeHamming` of
+    * it (sign-flip probing — the standard recall lever for hyperplane LSH:
+    * the nearest misses sit in buckets differing by one or two hyperplane
+    * signs). Cost per query ≈ Σ_{i≤probeHamming} C(nBits, i) / 2^nBits of
+    * the corpus; recall < 1 by construction — raise probeHamming or lower
+    * nBits for recall, the reverse for speed.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nBits: Int = 12, seed: Long = 42L,
+              nBits: Int = 12, seed: Long = 42L, probeHamming: Int = 1,
               idCol: String = "vec_id", vecCol: String = "embedding",
               queryIdCol: String = "query_id"): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= 2, "probeHamming in [0,2]")
     val c = bucketed(corpus, nBits, seed, idCol, vecCol)
-    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"),
-      HashExpressions.hyperplaneLsh(col(vecCol), nBits, seed).as("bucket"))
+    val masks: Seq[Int] = {
+      val h0 = Seq(0)
+      val h1 = if (probeHamming >= 1) (0 until nBits).map(1 << _) else Nil
+      val h2 = if (probeHamming >= 2)
+        (for { i <- 0 until nBits; j <- (i + 1) until nBits }
+          yield (1 << i) | (1 << j))
+      else Nil
+      h0 ++ h1 ++ h2
+    }
+    val q = queries
+      .select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"),
+        HashExpressions.hyperplaneLsh(col(vecCol), nBits, seed).as("b0"))
+      .select(col("query_id"), col("qv"),
+        explode(array(masks.map(m => col("b0").bitwiseXOR(lit(m))): _*)).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .withColumn("cos", round(cosineSimilarity(col("v"), col("qv")), 4))
     val w = Window.partitionBy(col("query_id"))

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+import graft.operators.Dedup
+
+/** Semantic property tests for the sketch-hash dedup operators — the
+  * verification the DuckDB oracle can't express (probabilistic recall,
+  * planted-duplicate recovery). Pattern after the reference's property-based
+  * checks (`/root/reference/src/test_utils/property_based.rs:15-89`).
+  */
+class DedupPropertySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  /** Synthetic corpus with a DISTINCT vocabulary (no overlap with the 31-word
+    * testdata vocab): base docs of 40 random-ish tokens, plus planted
+    * near-dups made by swapping a controlled number of tokens.
+    */
+  private lazy val planted = {
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+      "oscar", "papa", "quebec", "romeo", "sierra", "tango")
+    val rnd = new scala.util.Random(7)
+    def doc(): Seq[String] = Seq.fill(40)(vocab(rnd.nextInt(vocab.size)))
+    val bases = (0 until 50).map(i => (i.toLong, doc()))
+    // Near-dups: ids 1000+i mutate one token near the end of base i (i < 10)
+    // — shingle overlap stays high (only shingleLen windows change).
+    val dups = (0 until 10).map { i =>
+      val b = bases(i)._2.toVector
+      (1000L + i, b.updated(35, "zulu").toSeq)
+    }
+    import spark.implicits._
+    (bases ++ dups).map { case (id, toks) => (id, toks.mkString(" ")) }
+      .toDF("doc_id", "text")
+  }
+
+  test("nearDupPairs recovers every planted near-dup and nothing random") {
+    val pairs = Dedup.nearDupPairs(planted, "doc_id", "text",
+      shingleLen = 5, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 10).map(i => (i.toLong, 1000L + i)).toSet
+    assert(expected.subsetOf(pairs),
+      s"missed planted pairs: ${expected -- pairs}")
+    // Random 40-token docs over a 20-word vocab share few 5-gram shingles:
+    // no pair of distinct bases should exceed the 0.5 jaccard threshold.
+    val falsePairs = pairs -- expected
+    assert(falsePairs.isEmpty, s"unexpected pairs: $falsePairs")
+  }
+
+  test("exact dedup keeps exactly one survivor per duplicated text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "aa bb cc"), (2L, "aa  bb cc"), (3L, "AA bb cc"), // same normalized
+      (4L, "dd ee ff")).toDF("doc_id", "text")
+    val survivors = Dedup.exact(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 4L))
+    val groups = Dedup.exactGroups(df, "doc_id", "text")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(groups == Map(1L -> 3L, 4L -> 1L))
+  }
+
+  test("minhash candidate recall >= 0.9 vs exact jaccard on a corpus slice") {
+    val docs = Tables.load(spark, sf01, "documents").filter(col("doc_id") < 500)
+    // Ground truth: all pairs with exact 5-shingle jaccard >= 0.5.
+    val truth = Dedup.nearDupPairs(docs, "doc_id", "text",
+      shingleLen = 5, threshold = 0.5, k = 256, r = 1, maxBucketSize = 100000)
+    // k=256,r=1 => every doc pair sharing ANY minhash collides => candidate
+    // set ⊇ any pair with a shared shingle => exact-verified output IS truth.
+    val truthSet = truth.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truthSet.nonEmpty, "slice has no near-dup pairs; test is vacuous")
+    val recall = truthSet.count(cand.contains).toDouble / truthSet.size
+    assert(recall >= 0.9, s"candidate recall $recall < 0.9 " +
+      s"(${truthSet.size} truth pairs, ${cand.size} candidates)")
+  }
+
+  test("lshBucketStats reports caps; no degenerate buckets on real corpus") {
+    val docs = Tables.load(spark, sf01, "documents")
+    val stats = Dedup.lshBucketStats(docs, "doc_id", "text", maxBucketSize = 100)
+      .collect()
+    val dropped = stats.filter(_.getBoolean(2)).map(_.getLong(1)).sum
+    assert(dropped == 0, s"$dropped buckets would be dropped by cap=100")
+  }
+
+  test("jaccardPairs refuses unbounded input") {
+    val docs = Tables.load(spark, sf01, "documents")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.jaccardPairs(docs, "doc_id", "text", 0.5, maxRows = 100)
+    }
+    assert(e.getMessage.contains("maxRows"))
+  }
+
+  test("simhash: identical normalized text gives identical signature; " +
+    "near-dups give low hamming") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "THE  quick Brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different words about spark catalyst expressions")
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.simhashSignatures(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L), "case/space-normalized dup changed simhash")
+    val ham = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    assert(ham > 10, s"unrelated docs hamming $ham suspiciously low")
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+import graft.operators.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def media = Multimodal.fromDocuments(
+    Tables.load(spark, sf01, "documents").limit(50))
+
+  test("fromDocuments: payload bytes round-trip the source text") {
+    val row = media.select(col("media_id"), col("data"))
+      .filter(col("media_id") === 0).head()
+    val src = Tables.load(spark, sf01, "documents")
+      .filter(col("doc_id") === 0).select("text").head().getString(0)
+    assert(new String(row.getAs[Array[Byte]]("data"), "UTF-8") == src)
+  }
+
+  test("fakeDecodeFeatures: histogram mass equals byte length") {
+    val rows = Multimodal.fakeDecodeFeatures(media)
+      .select("byte_len", "histogram4").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val total = r.getSeq[Long](1).sum
+      assert(total == r.getInt(0).toLong, "histogram mass != byte_len")
+    }
+  }
+
+  test("sampleFrames: frame count and stride are correct") {
+    val frames = Multimodal.sampleFrames(media, frameBytes = 100, everyN = 2)
+    val counts = frames.groupBy("media_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lens = media.select(col("media_id"), length(col("data")).as("len"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    lens.foreach { case (id, len) =>
+      val expected = (len - 1) / 200 + 1
+      assert(counts(id) == expected.toLong,
+        s"media $id len=$len frames=${counts(id)} expected=$expected")
+    }
+    // First frame starts at byte 1 (substr is 1-based) and holds real bytes.
+    val f0 = frames.filter(col("media_id") === 0 && col("frame_idx") === 0)
+      .select("frame").head().getAs[Array[Byte]](0)
+    assert(f0.nonEmpty && f0.length <= 100)
+  }
+}

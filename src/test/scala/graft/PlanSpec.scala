@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape snapshot tests (the reference's `tests/tpch_plans_test.rs`
+  * analog): assert the physical plans we rely on for scale — filter
+  * pushdown to the parquet scan, two-phase aggregation, broadcast vs
+  * shuffle join choice — so a regression (an unpushed filter, a lost
+  * broadcast) fails CI instead of silently costing 100× at scale.
+  */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf001)
+    df.collect() // materialize so AQE settles on the final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: two-phase hash aggregation with pushed scan filter") {
+    val plan = executedPlan("q01_pricing_summary")
+    assert(plan.contains("HashAggregate"), plan)
+    // partial + final pair
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      plan.contains("LessThanOrEqual(l_shipdate"), plan)
+  }
+
+  test("q03: predicate pushdown reaches every scan") {
+    val plan = executedPlan("q03_shipping_priority")
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q05: dimension tables broadcast; no cartesian anywhere") {
+    // At sf0.001 AQE legitimately broadcasts the small fact sides too, so
+    // asserting a shuffle join here would pin tiny-scale behavior. The
+    // scale-invariant properties: dims ARE broadcast, the agg shuffles on
+    // its keys, and nothing degenerates to a cartesian product.
+    val plan = executedPlan("q05_region_revenue")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q02 topk compiles to TakeOrderedAndProject (no global sort)") {
+    val plan = executedPlan("q02_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("GlobalSort"), plan)
+  }
+
+  test("p08 minhash: no cross join anywhere in the dedup plan") {
+    val plan = executedPlan("p08_minhash_pairs")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
