@@ -37,7 +37,14 @@ object Tables {
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Register selected tables as temp views named after the table —
+    * prefer this in query builders over [[registerAll]] so a query does not
+    * pay schema reads for the 10-table catalog it doesn't touch.
+    */
+  def register(spark: SparkSession, dir: String, names: String*): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
   /** Register every table as a temp view named after the table. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    register(spark, dir, all: _*)
 }

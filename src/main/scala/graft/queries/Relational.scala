@@ -27,16 +27,16 @@ object Relational {
     Tables.load(s, dir, name)
 
   /** Order-insensitive exact sum: cast to decimal, sum, cast back to double. */
-  private def dsum(c: Column, scale: Int = 4): Column =
+  private[queries] def dsum(c: Column, scale: Int = 4): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
-  private def davg(c: Column, scale: Int = 4): Column =
+  private[queries] def davg(c: Column, scale: Int = 4): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double") / count(lit(1))
 
   // Oracle-side twin of dsum/davg.
-  private def osum(e: String, scale: Int = 4): String =
+  private[queries] def osum(e: String, scale: Int = 4): String =
     s"cast(sum(cast(($e) as decimal(18,$scale))) as double)"
-  private def oavg(e: String, scale: Int = 4): String =
+  private[queries] def oavg(e: String, scale: Int = 4): String =
     s"cast(sum(cast(($e) as decimal(18,$scale))) as double)/count(*)"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
