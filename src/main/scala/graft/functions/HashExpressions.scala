@@ -210,6 +210,29 @@ object HashExpressions {
     override protected def withNewChildInternal(c: Expression): HyperplaneLsh = copy(child = c)
   }
 
+  /** Sum of UTF-8 byte values of a string — the simplest custom expression
+    * that can key a shuffle (the reference's UDF-keyed shuffle coverage,
+    * `/root/reference/tests/udfs.rs:18-76`) while staying DuckDB-mirrorable
+    * (`list_sum(list_transform(string_split(s,''), c -> ascii(c)))` for
+    * ASCII text). Grouping on an expression Spark cannot see through proves
+    * the engine shuffles correctly on computed keys.
+    */
+  case class AsciiSum(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "ascii_sum"
+
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+      var s = 0L
+      var i = 0
+      while (i < bytes.length) { s += (bytes(i) & 0xFF); i += 1 }
+      java.lang.Long.valueOf(s)
+    }
+
+    override protected def withNewChildInternal(c: Expression): AsciiSum = copy(c)
+  }
+
   /** Register SQL-callable forms on a session; `Column` accessors below go
     * through the registry so they work on any Spark build without relying on
     * non-public Column constructors.
@@ -224,6 +247,8 @@ object HashExpressions {
       "minhash_signature",
       exprs => MinHashSignature(exprs.head, intArg(exprs, 1), intArg(exprs, 2)),
       "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "ascii_sum", exprs => AsciiSum(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
       "minhash_bands",
       exprs => MinHashBandHashes(exprs.head,
@@ -243,6 +268,8 @@ object HashExpressions {
   }
 
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+
+  def asciiSum(text: Column): Column = call_function("ascii_sum", text)
 
   def minhashSignature(tokens: Column, shingleLen: Int, k: Int): Column =
     call_function("minhash_signature", tokens,

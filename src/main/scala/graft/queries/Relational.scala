@@ -239,7 +239,7 @@ object Relational {
     // one task (`normalize_collect_joins.rs:87-91`) — Spark handles the
     // single-copy semantics via BroadcastNestedLoopJoin natively. ----
     "q26_null_aware_anti" -> ((s, dir) => {
-      Tables.registerAll(s, dir)
+      Tables.register(s, dir, "customer", "orders")
       s.sql("""SELECT c_custkey, c_name FROM customer
                WHERE c_custkey NOT IN
                  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')

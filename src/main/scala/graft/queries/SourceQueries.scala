@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.functions.HashExpressions
+import graft.sources.DerivedSources
+import Relational.{dsum, osum}
+
+/** Source-format and custom-keyed-shuffle coverage:
+  *  - q48: CSV scan (explicit schema, header) must agree with the parquet
+  *    oracle on the same rows.
+  *  - q49: hive-partitioned scan with a partition-pruning filter (the plan
+  *    assertion lives in SourcesSpec; the result assertion lives here).
+  *  - q50: shuffle keyed by a custom Catalyst expression
+  *    (`ascii_sum(text) % 16`) — the engine must hash-partition on a key it
+  *    cannot see through (`/root/reference/tests/udfs.rs:18-76`).
+  */
+object SourceQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_csv_source" -> ((s, dir) => {
+      DerivedSources.supplierCsv(s, dir)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"),
+             dsum(col("s_acctbal"), 2).as("total_acctbal"))
+        .orderBy(col("s_nationkey"))
+    }),
+
+    "q49_hive_partitioned" -> ((s, dir) => {
+      DerivedSources.ordersHivePartitioned(s, dir)
+        .filter(col("o_year") === 1997)
+        .groupBy(month(col("o_orderdate")).as("o_month"))
+        .agg(count(lit(1)).as("n_orders"),
+             dsum(col("o_totalprice"), 2).as("total"))
+        .orderBy(col("o_month"))
+    }),
+
+    "q50_expr_keyed_shuffle" -> ((s, dir) => {
+      HashExpressions.register(s)
+      Tables.load(s, dir, "documents")
+        .groupBy((HashExpressions.asciiSum(col("text")) % 16).as("hk"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("hk"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q48_csv_source" ->
+      s"""SELECT s_nationkey, count(*) AS n_suppliers,
+          ${osum("s_acctbal", 2)} AS total_acctbal
+        FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
+
+    "q49_hive_partitioned" ->
+      s"""SELECT cast(extract(month FROM o_orderdate) AS integer) AS o_month,
+          count(*) AS n_orders, ${osum("o_totalprice", 2)} AS total
+        FROM orders WHERE extract(year FROM o_orderdate) = 1997
+        GROUP BY o_month ORDER BY o_month""",
+
+    "q50_expr_keyed_shuffle" ->
+      """SELECT list_sum(list_transform(string_split(text, ''), c -> ascii(c))) % 16 AS hk,
+              count(*) AS n_docs, sum(n_chars) AS total_chars
+         FROM documents GROUP BY hk ORDER BY hk"""
+  )
+}

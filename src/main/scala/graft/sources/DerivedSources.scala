@@ -1,0 +1,57 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Non-parquet source-format coverage (the reference reads CSV and
+  * hive-partitioned tables, `/root/reference/Cargo.toml` csv feature,
+  * `tests/join.rs:49-62`): deterministic CSV and hive-partitioned copies of
+  * the driver's parquet tables, written once per (sfDir, format) into a
+  * scratch directory and then read back through Spark's real CSV /
+  * partition-discovery scan paths — so partition pruning, schema
+  * application, and header handling are exercised against the same data the
+  * DuckDB oracle reads from parquet.
+  */
+object DerivedSources {
+
+  private def scratchRoot: String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_derived"
+
+  private def derivedDir(sfDir: String, kind: String): String = {
+    val sfName = Paths.get(sfDir).getFileName.toString
+    s"$scratchRoot/$sfName/$kind"
+  }
+
+  private def ensure(dir: String)(write: String => Unit): String = {
+    if (!Files.exists(Paths.get(dir, "_SUCCESS"))) write(dir)
+    dir
+  }
+
+  /** Supplier table as CSV with header; read back with the parquet schema
+    * (CSV carries no types — the explicit schema path is the one users hit).
+    */
+  def supplierCsv(spark: SparkSession, sfDir: String): DataFrame = {
+    val parquet = Tables.load(spark, sfDir, "supplier")
+    val dir = ensure(derivedDir(sfDir, "supplier_csv")) { d =>
+      parquet.coalesce(1).write.mode("overwrite").option("header", "true").csv(d)
+    }
+    spark.read.schema(parquet.schema).option("header", "true").csv(dir)
+  }
+
+  /** Orders hive-partitioned by order year: `o_year=YYYY/` directories.
+    * Reading back goes through partition discovery; a filter on `o_year`
+    * must prune at the PartitionFilters level (asserted in SourcesSpec).
+    */
+  def ordersHivePartitioned(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(derivedDir(sfDir, "orders_hive")) { d =>
+      Tables.load(spark, sfDir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(d)
+    }
+    spark.read.parquet(dir)
+  }
+}
