@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.functions.HashExpressions
-import graft.sources.DerivedSources
+import graft.sources.{feed, DerivedSources}
 import Relational.{dsum, osum}
 
 /** Source-format and custom-keyed-shuffle coverage:
@@ -37,6 +37,25 @@ object SourceQueries {
         .orderBy(col("o_month"))
     }),
 
+    // Read supplier through the work-unit-feed V2 source: the driver-side
+    // provider hands out CSV file paths at execution time (reference
+    // `src/work_unit_feed/`); result must equal the parquet oracle.
+    "q51_work_unit_feed" -> ((s, dir) => {
+      val files = DerivedSources.supplierCsvFiles(s, dir)
+      val feedId = s"supplier-$dir"
+      feed.WorkUnitFeedRegistry.register(feedId,
+        () => files.map(feed.CsvWorkUnit(_, header = true)))
+      s.read.format("graft.sources.feed.WorkUnitFeedTableProvider")
+        .option("feed.id", feedId)
+        .option("schema",
+          "s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
+        .load()
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"),
+             max(col("s_acctbal")).as("max_acctbal"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     "q50_expr_keyed_shuffle" -> ((s, dir) => {
       HashExpressions.register(s)
       Tables.load(s, dir, "documents")
@@ -62,6 +81,11 @@ object SourceQueries {
     "q50_expr_keyed_shuffle" ->
       """SELECT list_sum(list_transform(string_split(text, ''), c -> ascii(c))) % 16 AS hk,
               count(*) AS n_docs, sum(n_chars) AS total_chars
-         FROM documents GROUP BY hk ORDER BY hk"""
+         FROM documents GROUP BY hk ORDER BY hk""",
+
+    "q51_work_unit_feed" ->
+      """SELECT s_nationkey, count(*) AS n_suppliers,
+              max(s_acctbal) AS max_acctbal
+         FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""
   )
 }

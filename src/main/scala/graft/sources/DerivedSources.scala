@@ -31,15 +31,28 @@ object DerivedSources {
     dir
   }
 
+  /** Ensure the CSV copy of supplier exists; returns its directory. */
+  def supplierCsvDir(spark: SparkSession, sfDir: String): String = {
+    val parquet = Tables.load(spark, sfDir, "supplier")
+    ensure(derivedDir(sfDir, "supplier_csv")) { d =>
+      parquet.coalesce(1).write.mode("overwrite").option("header", "true").csv(d)
+    }
+  }
+
+  /** CSV part files of the supplier copy (the work units a feed hands out). */
+  def supplierCsvFiles(spark: SparkSession, sfDir: String): Seq[String] = {
+    val dir = supplierCsvDir(spark, sfDir)
+    Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(p => p.endsWith(".csv")).sorted.toSeq
+  }
+
   /** Supplier table as CSV with header; read back with the parquet schema
     * (CSV carries no types — the explicit schema path is the one users hit).
     */
   def supplierCsv(spark: SparkSession, sfDir: String): DataFrame = {
-    val parquet = Tables.load(spark, sfDir, "supplier")
-    val dir = ensure(derivedDir(sfDir, "supplier_csv")) { d =>
-      parquet.coalesce(1).write.mode("overwrite").option("header", "true").csv(d)
-    }
-    spark.read.schema(parquet.schema).option("header", "true").csv(dir)
+    val dir = supplierCsvDir(spark, sfDir)
+    spark.read.schema(Tables.load(spark, sfDir, "supplier").schema)
+      .option("header", "true").csv(dir)
   }
 
   /** Orders hive-partitioned by order year: `o_year=YYYY/` directories.

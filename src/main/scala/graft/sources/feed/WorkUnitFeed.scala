@@ -1,0 +1,141 @@
+package graft.sources.feed
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Work-unit-feed source — the Spark-native analog of the reference's
+  * driver-fed scan machinery (`/root/reference/src/work_unit_feed/`,
+  * `work_unit_feed.rs:125-180`, `work_unit_feed_provider.rs:24-96`):
+  * units of work (here: file addresses) that cannot be known at planning
+  * time are produced by a DRIVER-side provider at execution time and fanned
+  * out to workers.
+  *
+  * Mapping onto Spark's execution model:
+  *  - reference `WorkUnitFeedProvider.feed` (coordinator-only) →
+  *    [[WorkUnitFeedRegistry]] drained inside `Batch.planInputPartitions`,
+  *    which Spark guarantees runs on the driver;
+  *  - reference's coordinator→worker gRPC streaming of units →
+  *    Spark's serialization of each [[CsvWorkUnit]] `InputPartition` to the
+  *    executor that processes it;
+  *  - reference `RemoteWorkUnitFeed` on workers → the executor-side
+  *    [[CsvWorkUnitReader]] that materializes the unit's rows.
+  *
+  * Usage:
+  * {{{
+  *   WorkUnitFeedRegistry.register("my-feed", () => paths.map(CsvWorkUnit(_, header = true)))
+  *   spark.read.format("graft.sources.feed.WorkUnitFeedTableProvider")
+  *     .option("feed.id", "my-feed")
+  *     .option("schema", "a BIGINT, b STRING")
+  *     .load()
+  * }}}
+  */
+object WorkUnitFeedRegistry {
+  private val feeds = TrieMap.empty[String, () => Seq[CsvWorkUnit]]
+
+  /** Driver-side: register the provider closure for a feed id. The closure
+    * runs once per query execution, at `planInputPartitions` time.
+    */
+  def register(id: String, provider: () => Seq[CsvWorkUnit]): Unit =
+    feeds.put(id, provider)
+
+  def provide(id: String): Seq[CsvWorkUnit] =
+    feeds.getOrElse(id,
+      throw new IllegalStateException(s"no work-unit feed registered as '$id'"))()
+
+  def unregister(id: String): Unit = feeds.remove(id)
+}
+
+/** One unit of work: a CSV file (or a single split of one). Serializable —
+  * Spark ships it to whichever executor claims the partition.
+  */
+case class CsvWorkUnit(path: String, header: Boolean) extends InputPartition
+
+class WorkUnitFeedTableProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    StructType.fromDDL(options.get("schema"))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new WorkUnitFeedTable(schema, properties.get("feed.id"))
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+class WorkUnitFeedTable(schema: StructType, feedId: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"work_unit_feed($feedId)"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = schema
+        override def toBatch: Batch = new Batch {
+          // Driver-side: the provider is consulted HERE, at execution time —
+          // work units need not exist at planning time.
+          override def planInputPartitions(): Array[InputPartition] =
+            WorkUnitFeedRegistry.provide(feedId).toArray
+          override def createReaderFactory(): PartitionReaderFactory =
+            new CsvWorkUnitReaderFactory(schema)
+        }
+      }
+    }
+}
+
+class CsvWorkUnitReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new CsvWorkUnitReader(partition.asInstanceOf[CsvWorkUnit], schema)
+}
+
+/** Executor-side: materializes one work unit. Plain line-split CSV (no
+  * quoting) — enough for the engine's own derived files; a production unit
+  * type would delegate to a real reader.
+  */
+class CsvWorkUnitReader(unit: CsvWorkUnit, schema: StructType)
+    extends PartitionReader[InternalRow] {
+  private val lines = {
+    val src = scala.io.Source.fromFile(unit.path)
+    val it = src.getLines()
+    if (unit.header && it.hasNext) it.next()
+    (it, src)
+  }
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (!lines._1.hasNext) { false }
+    else {
+      val parts = lines._1.next().split(",", -1)
+      val values = schema.fields.zipWithIndex.map { case (f, i) =>
+        val raw = parts(i)
+        if (raw.isEmpty) null
+        else f.dataType match {
+          case LongType => java.lang.Long.valueOf(raw.toLong)
+          case IntegerType => java.lang.Integer.valueOf(raw.toInt)
+          case DoubleType => java.lang.Double.valueOf(raw.toDouble)
+          case StringType => UTF8String.fromString(raw)
+          case BooleanType => java.lang.Boolean.valueOf(raw.toBoolean)
+          case other => throw new UnsupportedOperationException(
+            s"CsvWorkUnitReader does not support $other")
+        }
+      }
+      current = new GenericInternalRow(values.asInstanceOf[Array[Any]])
+      true
+    }
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = lines._2.close()
+}

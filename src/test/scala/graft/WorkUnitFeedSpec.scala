@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.feed.{CsvWorkUnit, WorkUnitFeedRegistry}
+
+/** The work-unit-feed source must (a) produce exactly the rows of the fed
+  * files, (b) consult the driver-side provider at EXECUTION time — a feed
+  * whose contents change between runs yields different results for the same
+  * reader config (the defining property of the reference's
+  * `WorkUnitFeed`: units are discovered as the query runs, not at planning
+  * time), and (c) fan units out as one Spark partition each.
+  */
+class WorkUnitFeedSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def writeCsv(name: String, rows: Seq[String]): String = {
+    val p = Paths.get(sys.props("java.io.tmpdir"), s"graft_feed_$name.csv")
+    Files.write(p, ("k,v" +: rows).mkString("\n").getBytes)
+    p.toString
+  }
+
+  private def readFeed(id: String) =
+    spark.read.format("graft.sources.feed.WorkUnitFeedTableProvider")
+      .option("feed.id", id)
+      .option("schema", "k BIGINT, v STRING")
+      .load()
+
+  test("feed rows equal fed file contents; one partition per unit") {
+    val f1 = writeCsv("a", Seq("1,x", "2,y"))
+    val f2 = writeCsv("b", Seq("3,z"))
+    WorkUnitFeedRegistry.register("t1",
+      () => Seq(CsvWorkUnit(f1, header = true), CsvWorkUnit(f2, header = true)))
+    val df = readFeed("t1")
+    assert(df.rdd.getNumPartitions == 2, "one Spark partition per work unit")
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(rows.toSeq == Seq((1L, "x"), (2L, "y"), (3L, "z")))
+  }
+
+  test("provider is consulted at execution time, not planning time") {
+    val f1 = writeCsv("c", Seq("10,a"))
+    val f2 = writeCsv("d", Seq("20,b"))
+    @volatile var units = Seq(CsvWorkUnit(f1, header = true))
+    WorkUnitFeedRegistry.register("t2", () => units)
+    assert(readFeed("t2").count() == 1)
+    // New units appear AFTER the reader was configured — a fresh execution
+    // must see them.
+    units = Seq(CsvWorkUnit(f1, header = true), CsvWorkUnit(f2, header = true))
+    assert(readFeed("t2").count() == 2,
+      "execution did not pick up newly fed work units")
+  }
+
+  test("unregistered feed fails loudly") {
+    val e = intercept[Exception] { readFeed("nope").count() }
+    assert(e.getMessage != null)
+  }
+}
