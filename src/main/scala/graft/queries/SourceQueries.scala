@@ -63,6 +63,26 @@ object SourceQueries {
         .agg(count(lit(1)).as("n_docs"),
              sum(col("n_chars")).as("total_chars"))
         .orderBy(col("hk"))
+    }),
+
+    "q52_orc_source" -> ((s, dir) => {
+      DerivedSources.partOrc(s, dir)
+        .filter(col("p_size") >= 25)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"),
+             dsum(col("p_retailprice"), 2).as("total_price"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // Structured Streaming: the events file streamed through a watermarked
+    // hourly window agg, run to completion — must converge to the batch
+    // (DuckDB) answer over the same file.
+    "q53_stream_hourly" -> ((s, dir) => {
+      import graft.streaming.Streams
+      Streams.runToMemory(
+        Streams.hourlyEventCounts(Streams.eventsStream(s, dir)),
+        name = "q53_mem")
+        .orderBy(col("hour"), col("event_type"))
     })
   )
 
@@ -86,6 +106,17 @@ object SourceQueries {
     "q51_work_unit_feed" ->
       """SELECT s_nationkey, count(*) AS n_suppliers,
               max(s_acctbal) AS max_acctbal
-         FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""
+         FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
+
+    "q52_orc_source" ->
+      s"""SELECT p_brand, count(*) AS n_parts,
+          ${osum("p_retailprice", 2)} AS total_price
+        FROM part WHERE p_size >= 25
+        GROUP BY p_brand ORDER BY p_brand""",
+
+    "q53_stream_hourly" ->
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+          event_type, count(*) AS n, ${osum("value", 6)} AS total_value
+        FROM events GROUP BY hour, event_type ORDER BY hour, event_type"""
   )
 }

@@ -55,6 +55,17 @@ object DerivedSources {
       .option("header", "true").csv(dir)
   }
 
+  /** Part table as ORC (the bundled non-parquet columnar format; the
+    * reference's multi-format source surface, `Cargo.toml` csv/avro
+    * features — spark-avro isn't in this image, ORC is).
+    */
+  def partOrc(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensure(derivedDir(sfDir, "part_orc")) { d =>
+      Tables.load(spark, sfDir, "part").write.mode("overwrite").orc(d)
+    }
+    spark.read.orc(dir)
+  }
+
   /** Orders hive-partitioned by order year: `o_year=YYYY/` directories.
     * Reading back goes through partition discovery; a filter on `o_year`
     * must prune at the PartitionFilters level (asserted in SourcesSpec).

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.LongType
+
+/** Structured Streaming surface: watermarked windowed aggregation and
+  * custom session state — the streaming semantics the reference models in
+  * its cost layer (`SymmetricHashJoinExec` appears cost-model-only in the
+  * reference, SURVEY.md §2.4; here the executable streaming path is Spark's
+  * native one, which is the Spark-first answer).
+  *
+  * All transforms work identically on a batch DataFrame (Spark's unified
+  * API), which is how the DuckDB oracle verifies them: the streaming run
+  * must converge to the batch answer once all input is processed.
+  */
+object Streams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class Session(user_id: Long, session_start: Timestamp,
+                     n_events: Long, duration_s: Long)
+
+  private case class SessionState(startMs: Long, lastMs: Long, n: Long)
+
+  /** Watermarked hourly tumbling-window aggregation per event type. */
+  def hourlyEventCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+              col("event_type"), col("n"), col("total_value"))
+
+  /** Gap-based sessionization with explicit state
+    * (`flatMapGroupsWithState`): a session closes when `gapSeconds` pass
+    * with no event from that user. In streaming mode sessions emit on
+    * watermark advance (event-time timeout); in batch mode every group's
+    * final sessions emit at once — same output, which keeps it testable
+    * against the window-based batch sessionizer (q35).
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[List[SessionState]]) =>
+          // Batch-style evaluation: fold the (unsorted) iterator into gap
+          // sessions. Events arrive unordered — sort the chunk; state holds
+          // open sessions across chunks (streaming micro-batches).
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          // Head of the list is the open session; closed ones accumulate
+          // behind it.
+          var sessions = state.getOption.getOrElse(Nil)
+          for (e <- sorted) {
+            val t = e.ts.getTime
+            sessions = sessions match {
+              case cur :: rest if t - cur.lastMs <= gapSeconds * 1000 =>
+                cur.copy(lastMs = t, n = cur.n + 1) :: rest
+              case other =>
+                SessionState(t, t, 1) :: other
+            }
+          }
+          val all = sessions.sortBy(_.startMs)
+          state.update(Nil)
+          all.iterator.map(s => Session(userId, new Timestamp(s.startMs), s.n,
+            (s.lastMs - s.startMs) / 1000))
+      }
+  }
+
+  /** Read the events table as a FILE STREAM (the parquet file is the
+    * micro-batch source), matching `Tables.load`'s nanos handling.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    // The file stream source requires a DIRECTORY; stage the single events
+    // file into a scratch dir once (hardlink when possible, copy otherwise).
+    import java.nio.file.{Files, Paths}
+    val sfName = Paths.get(dir).getFileName.toString
+    val streamDir = Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_derived", sfName, "events_stream")
+    val target = streamDir.resolve("events.parquet")
+    if (!Files.exists(target)) {
+      Files.createDirectories(streamDir)
+      try Files.createLink(target, Paths.get(s"$dir/events.parquet"))
+      catch { case _: Exception =>
+        Files.copy(Paths.get(s"$dir/events.parquet"), target)
+      }
+    }
+    val stream = spark.readStream.schema(raw.schema).parquet(streamDir.toString)
+    if (raw.schema("ts").dataType == LongType)
+      stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else stream
+  }
+
+  /** Run a streaming DataFrame to completion into a named in-memory sink and
+    * return the final result table — how the oracle-gated entries execute a
+    * stream synchronously.
+    */
+  def runToMemory(df: DataFrame, name: String,
+                  mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val spark = df.sparkSession
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try { q.processAllAvailable() } finally q.stop()
+    spark.table(name)
+  }
+}

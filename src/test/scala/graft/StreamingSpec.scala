@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def ev(id: Long, t: String, user: Long, typ: String, v: Double) =
+    Event(id, Timestamp.valueOf(t), user, typ, v)
+
+  test("hourlyEventCounts over a MemoryStream across micro-batches equals " +
+    "the batch aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val agg = Streams.hourlyEventCounts(input.toDF(), watermark = "2 hours")
+    val q = agg.writeStream.format("memory").queryName("hourly_mem")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(
+        ev(1, "2025-01-01 10:05:00", 1, "click", 1.0),
+        ev(2, "2025-01-01 10:55:00", 2, "click", 2.0))
+      q.processAllAvailable()
+      input.addData(
+        ev(3, "2025-01-01 11:05:00", 1, "view", 3.0),
+        ev(4, "2025-01-01 10:30:00", 3, "click", 4.0)) // late but in watermark
+      q.processAllAvailable()
+      val rows = spark.table("hourly_mem")
+        .orderBy("hour", "event_type")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.toSeq == Seq(
+        ("2025-01-01 10:00:00", "click", 3L, 7.0),
+        ("2025-01-01 11:00:00", "view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionize agrees with the window-based " +
+    "batch sessionizer (q35) on the real events table") {
+    import spark.implicits._
+    val events = Tables.load(spark, sf001, "events").as[Event]
+    val sessions = Streams.sessionize(events)
+      .groupByKey(_.user_id)
+      .mapGroups((u, it) => (u, it.size.toLong))
+      .toDF("user_id", "n_sessions")
+    val expected = SparkEntry.queries("q35_sessionize")(spark, sf001)
+      .select("user_id", "n_sessions")
+    val got = sessions.orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = expected.orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sameElements(want),
+      s"state-based sessions diverge from window-based: got=${got.take(5).toSeq} want=${want.take(5).toSeq}")
+  }
+
+  test("sessionize emits correct session boundaries and durations") {
+    import spark.implicits._
+    val events = Seq(
+      ev(1, "2025-01-01 10:00:00", 7, "a", 0),
+      ev(2, "2025-01-01 10:10:00", 7, "a", 0), // same session (10 min gap)
+      ev(3, "2025-01-01 11:30:00", 7, "a", 0), // new session (80 min gap)
+      ev(4, "2025-01-01 09:00:00", 8, "a", 0)).toDS()
+    val out = Streams.sessionize(events, gapSeconds = 1800)
+      .collect().map(s => (s.user_id, s.session_start.toString, s.n_events, s.duration_s))
+      .sortBy(x => (x._1, x._2))
+    assert(out.toSeq == Seq(
+      (7L, "2025-01-01 10:00:00.0", 2L, 600L),
+      (7L, "2025-01-01 11:30:00.0", 1L, 0L),
+      (8L, "2025-01-01 09:00:00.0", 1L, 0L)))
+  }
+}
