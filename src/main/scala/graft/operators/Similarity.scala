@@ -84,6 +84,25 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos"), col("rk"))
   }
 
+  /** Exact all-pairs cosine near-dup detection over a SMALL corpus slice:
+    * the oracle anchor for [[cosineNearDupPairs]]. Quadratic — refuses
+    * inputs larger than `maxRows` (same guard rationale as
+    * [[Dedup.jaccardPairs]]).
+    */
+  def exactNearPairs(corpus: DataFrame, minCos: Double, maxRows: Long = 10000L,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    require(c.limit((maxRows + 1).toInt).count() <= maxRows,
+      s"exactNearPairs input exceeds maxRows=$maxRows (all-pairs is quadratic); " +
+        "use cosineNearDupPairs for corpus-scale sweeps")
+    val a = c.select(col("id").as("id_a"), col("v").as("v_a"))
+    val b = c.select(col("id").as("id_b"), col("v").as("v_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosineSimilarity(col("v_a"), col("v_b")), 4))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** All near-pairs above a cosine threshold via LSH buckets (embedding
     * near-dup detection). One shuffle on bucket id; same skew guard rationale
     * as [[Dedup.minhashPairs]].

@@ -153,6 +153,15 @@ object Pipeline {
         .select(col("vec_id").as("query_id"), col("embedding"))
       Similarity.lshTopK(e, q, k = 10, nBits = 6)
         .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // ---- embedding-cosine near-dup pairs, exact over a bounded slice
+    // (the LSH-bucketed scale path is cosineNearDupPairs, property-tested
+    // in SimilaritySpec; this exact variant is the oracle anchor) ----
+    "p13_embedding_near_pairs" -> ((s, dir) => {
+      val e = emb(s, dir).filter(col("vec_id") < 200)
+      Similarity.exactNearPairs(e, minCos = 0.3)
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -272,6 +281,18 @@ object Pipeline {
     // Histogram invariants: every embedding lands in exactly one bucket and
     // all buckets are in [0, 2^8).
     "p11_embedding_lsh_buckets" ->
-      """SELECT count(*) AS n_vecs, count(*) AS n_in_range FROM embeddings"""
+      """SELECT count(*) AS n_vecs, count(*) AS n_in_range FROM embeddings""",
+
+    "p13_embedding_near_pairs" ->
+      """WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+        s AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(
+                   list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                     x -> x[1]::DOUBLE * x[2]::DOUBLE)) /
+                   (sqrt(list_sum(list_transform(a.embedding, y -> y::DOUBLE * y::DOUBLE))) *
+                    sqrt(list_sum(list_transform(b.embedding, y -> y::DOUBLE * y::DOUBLE)))), 4) AS cos
+          FROM c a JOIN c b ON a.vec_id < b.vec_id)
+        SELECT id_a, id_b, cos FROM s WHERE cos >= 0.3 ORDER BY id_a, id_b"""
   )
 }

@@ -50,6 +50,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("GlobalSort"), plan)
   }
 
+  test("round-robin repartition balances partitions without changing results") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.engine.Tables.load(spark, sf001, "documents")
+    val rr = docs.repartition(6)
+    assert(rr.queryExecution.executedPlan.toString.contains("REPARTITION_BY_NUM") ||
+      rr.queryExecution.executedPlan.toString.contains("RoundRobinPartitioning"),
+      rr.queryExecution.executedPlan.toString)
+    val sizes = rr.groupBy(spark_partition_id()).count()
+      .collect().map(_.getLong(1))
+    assert(sizes.length == 6, s"expected 6 partitions, got ${sizes.length}")
+    assert(sizes.max - sizes.min <= 1, // round-robin is maximally balanced
+      s"round-robin produced skewed partitions: ${sizes.toSeq}")
+    assert(rr.count() == docs.count())
+  }
+
   test("p08 minhash: no cross join anywhere in the dedup plan") {
     val plan = executedPlan("p08_minhash_pairs")
     assert(!plan.contains("CartesianProduct"), plan)

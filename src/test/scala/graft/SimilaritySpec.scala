@@ -79,4 +79,31 @@ class SimilaritySpec extends AnyFunSuite {
       assert(r.getDouble(2) >= 0.95)
     }
   }
+
+  test("cosineNearDupPairs finds planted duplicate vectors (LSH bucket " +
+    "path: identical vectors always share a bucket)") {
+    HashExpressions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // Plant exact duplicates of vecs 0-4 under ids 10000-10004: cos = 1.0,
+    // same LSH bucket by construction — recall is deterministic, not
+    // probabilistic, for exact dups.
+    val dups = corpus.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"),
+        col("label"))
+    val planted = corpus.unionByName(dups)
+    val pairs = Similarity.cosineNearDupPairs(planted, minCos = 0.999, nBits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 5).foreach { i =>
+      assert(pairs.contains((i.toLong, 10000L + i)),
+        s"planted dup pair ($i, ${10000 + i}) not found")
+    }
+  }
+
+  test("exactNearPairs refuses unbounded input") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.exactNearPairs(corpus, minCos = 0.5, maxRows = 10)
+    }
+    assert(e.getMessage.contains("maxRows"))
+  }
 }
