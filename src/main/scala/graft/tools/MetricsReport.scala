@@ -1,0 +1,90 @@
+package graft.tools
+
+import scala.collection.mutable
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.sql.DataFrame
+
+import graft.engine.GraftSession
+import graft.SparkEntry
+
+/** Per-stage / per-task metrics report — the analog of the reference's
+  * task-metrics backhaul (`/root/reference/src/metrics/task_metrics_rewriter.rs:20-70`,
+  * `tests/metrics_collection.rs`): the reference ships task metrics from
+  * workers back to the coordinator over gRPC; in Spark the scheduler event
+  * bus delivers the same numbers to the driver, and this listener rolls
+  * them up per stage (tasks, records, shuffle bytes, spill, GC).
+  */
+object MetricsReport {
+
+  case class StageReport(stageId: Int, name: String, numTasks: Int,
+                         recordsRead: Long, shuffleReadBytes: Long,
+                         shuffleWriteBytes: Long, spillBytes: Long,
+                         gcTimeMs: Long, runTimeMs: Long)
+
+  /** Run the DataFrame to completion, collecting a per-stage rollup of task
+    * metrics observed during its execution.
+    */
+  def collect(df: DataFrame): Seq[StageReport] = {
+    val spark = df.sparkSession
+    val perStage = mutable.Map.empty[Int, Array[Long]] // metric sums
+    val stageNames = mutable.Map.empty[Int, (String, Int)]
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          val acc = perStage.getOrElseUpdate(t.stageId, new Array[Long](7))
+          acc(0) += 1
+          acc(1) += m.inputMetrics.recordsRead
+          acc(2) += m.shuffleReadMetrics.totalBytesRead
+          acc(3) += m.shuffleWriteMetrics.bytesWritten
+          acc(4) += m.memoryBytesSpilled + m.diskBytesSpilled
+          acc(5) += m.jvmGCTime
+          acc(6) += m.executorRunTime
+        }
+      }
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        stageNames(s.stageInfo.stageId) =
+          (s.stageInfo.name.takeWhile(_ != '\n'), s.stageInfo.numTasks)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      df.collect()
+      // The listener bus is async; give queued task-end events a moment to
+      // drain (the private waitUntilEmpty isn't accessible from here).
+      val deadline = System.nanoTime() + 10e9.toLong
+      var settled = false
+      while (!settled && System.nanoTime() < deadline) {
+        val before = perStage.values.map(_.sum).sum
+        Thread.sleep(100)
+        settled = perStage.values.map(_.sum).sum == before && perStage.nonEmpty
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    perStage.toSeq.sortBy(_._1).map { case (id, a) =>
+      val (name, _) = stageNames.getOrElse(id, ("?", 0))
+      StageReport(id, name, a(0).toInt, a(1), a(2), a(3), a(4), a(5), a(6))
+    }
+  }
+
+  def render(reports: Seq[StageReport]): String = {
+    val header = f"${"stage"}%-6s ${"tasks"}%5s ${"records"}%10s " +
+      f"${"shufRead"}%10s ${"shufWrite"}%10s ${"spill"}%8s ${"gcMs"}%6s ${"runMs"}%7s  name"
+    (header +: reports.map { r =>
+      f"${r.stageId}%-6d ${r.numTasks}%5d ${r.recordsRead}%10d " +
+        f"${r.shuffleReadBytes}%10d ${r.shuffleWriteBytes}%10d " +
+        f"${r.spillBytes}%8d ${r.gcTimeMs}%6d ${r.runTimeMs}%7d  ${r.name}"
+    }).mkString("\n")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("q03_shipping_priority")
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val spark = GraftSession.builder("local[8]", "graft-metrics")
+      .config("spark.sql.shuffle.partitions", "8")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println(s"=== TASK METRICS $name @ $sfDir ===")
+    println(render(collect(SparkEntry.queries(name)(spark, sfDir))))
+    spark.stop()
+  }
+}
