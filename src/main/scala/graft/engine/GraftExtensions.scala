@@ -1,0 +1,53 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.HashExpressions._
+
+/** `SparkSessionExtensions` injector for the engine's custom Catalyst
+  * expressions — the standard deployment path
+  * (`spark.sql.extensions=graft.engine.GraftExtensions` or
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`), mirroring
+  * how the reference packages its custom operators behind a single
+  * session-context builder (`/root/reference/src/distributed_ext.rs:76-120`).
+  * Sessions built this way get every `graft` SQL function without any
+  * explicit `HashExpressions.register` call.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(exprs: Seq[Expression], i: Int): Int =
+    exprs(i).eval(InternalRow.empty).asInstanceOf[Int]
+  private def longArg(exprs: Seq[Expression], i: Int): Long =
+    exprs(i).eval(InternalRow.empty) match {
+      case x: Int => x.toLong
+      case x: Long => x
+    }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.functions.HashExpressions", null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
+      exprs => SimHash64(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("minhash_signature"),
+      info("minhash_signature",
+        "minhash_signature(tokens, shingleLen, k) - k minhashes over word shingles"),
+      exprs => MinHashSignature(exprs.head, intArg(exprs, 1), intArg(exprs, 2))))
+    ext.injectFunction((FunctionIdentifier("minhash_bands"),
+      info("minhash_bands",
+        "minhash_bands(tokens, shingleLen, k, r) - k/r LSH band hashes"),
+      exprs => MinHashBandHashes(exprs.head,
+        intArg(exprs, 1), intArg(exprs, 2), intArg(exprs, 3))))
+    ext.injectFunction((FunctionIdentifier("hyperplane_lsh"),
+      info("hyperplane_lsh",
+        "hyperplane_lsh(vec, nBits, seed) - random-hyperplane LSH bucket"),
+      exprs => HyperplaneLsh(exprs.head, intArg(exprs, 1), longArg(exprs, 2))))
+    ext.injectFunction((FunctionIdentifier("ascii_sum"),
+      info("ascii_sum", "ascii_sum(str) - sum of UTF-8 byte values"),
+      exprs => AsciiSum(exprs.head)))
+  }
+}

@@ -40,6 +40,7 @@ object GraftSession {
 
   def builder(master: String = "local[*]", appName: String = "graft"): SparkSession.Builder = {
     val b = SparkSession.builder().master(master).appName(appName)
+      .withExtensions(new GraftExtensions)
     defaultConf.foreach { case (k, v) => b.config(k, v) }
     b
   }

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins whose key distribution is pathological (one
+  * hot key owning a double-digit percentage of a 100 TB fact table — AQE's
+  * skew-join split handles moderate skew automatically; salting is the
+  * explicit lever when one reducer would still drown).
+  */
+object Skew {
+
+  /** Salted equi-join of a skewed `large` table against a `small` table:
+    * the large side gets a deterministic per-row salt in [0, saltFactor),
+    * the small side is replicated once per salt value, and the join runs on
+    * (key, salt) — spreading each hot key over `saltFactor` reducers. The
+    * result is row-identical to the unsalted join (inner join only: salting
+    * replicates the small side, so outer semantics would need de-dup).
+    *
+    * The salt derives from a hash of the large row's key plus a
+    * monotonically increasing id — deterministic within a run, uniform
+    * across reducers.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+                 saltFactor: Int = 8): DataFrame = {
+    require(saltFactor >= 1, "saltFactor must be >= 1")
+    val salted = large.withColumn("_salt",
+      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(saltFactor.toLong))
+        .cast("int"))
+    val replicated = small
+      .withColumn("_salt", explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Top-N heavy-hitter keys with their share of the table — the
+    * diagnostic that decides whether salting is needed at all.
+    */
+  def keySkewProfile(df: DataFrame, key: String, topN: Int = 10): DataFrame = {
+    val total = df.count().toDouble
+    df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .withColumn("share", round(col("n") / total, 6))
+      .orderBy(col("n").desc)
+      .limit(topN)
+  }
+}
