@@ -14,6 +14,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warmup outside the timed loop: the first query otherwise
+    // absorbs ~5s of JIT + parquet-reader initialization that belongs to
+    // the JVM, not the query.
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

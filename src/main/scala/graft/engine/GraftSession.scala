@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   * (`/root/reference/src/distributed_ext.rs:76-737`); in Spark nearly all of
   * them map onto SQL conf, because Spark already ships the distribution layer
   * the reference implements by hand (shuffle/broadcast/coalesce exchanges,
-  * stage formation, AQE). [[GraftConf]] documents the mapping.
+  * stage formation, AQE). [[defaultConf]] documents the mapping.
   */
 object GraftSession {
 

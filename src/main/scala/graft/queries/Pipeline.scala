@@ -162,6 +162,16 @@ object Pipeline {
       val e = emb(s, dir).filter(col("vec_id") < 200)
       Similarity.exactNearPairs(e, minCos = 0.3)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- end-to-end near-dup dedup: corpus minus docs that near-dup a
+    // lower id (greedy keep-lowest). Oracle derives the same survivor set
+    // from the exact all-pairs jaccard. ----
+    "p14_minhash_dedup_survivors" -> ((s, dir) => {
+      Dedup.minhashDedup(docs(s, dir), "doc_id", "text",
+        shingleLen = 5, threshold = 0.5)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -282,6 +292,21 @@ object Pipeline {
     // all buckets are in [0, 2^8).
     "p11_embedding_lsh_buckets" ->
       """SELECT count(*) AS n_vecs, count(*) AS n_in_range FROM embeddings""",
+
+    "p14_minhash_dedup_survivors" ->
+      s"""WITH t AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-5+2),
+                   i -> array_to_string(list_slice(toks, i, i+4), ' '))) AS sh
+          FROM (SELECT doc_id, string_split($oNorm, ' ') AS toks FROM documents)
+          WHERE len(toks) >= 5),
+        losers AS (
+          SELECT DISTINCT b.doc_id AS id
+          FROM t a JOIN t b ON a.doc_id < b.doc_id
+          WHERE round(len(list_intersect(a.sh,b.sh))::double /
+                      len(list_distinct(a.sh || b.sh)), 6) >= 0.5)
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM losers)
+        ORDER BY doc_id""",
 
     "p13_embedding_near_pairs" ->
       """WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
