@@ -210,6 +210,57 @@ object HashExpressions {
     override protected def withNewChildInternal(c: Expression): HyperplaneLsh = copy(child = c)
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    * SIGMOD'03): rolling hashes of character k-grams, then the minimum of
+    * each sliding window of w hashes (rightmost-min tie rule) — the
+    * guarantee is that any shared substring of length ≥ k+w-1 contributes a
+    * shared fingerprint, at ~2/(w+1) the storage of all k-gram hashes.
+    * Per-row, deterministic, distributes like any expression; fingerprint
+    * overlap is the classic plagiarism/near-dup signal over a corpus.
+    * Returns a sorted distinct array<long>.
+    */
+  case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(k >= 2 && w >= 1, s"need k>=2, w>=1 (got k=$k, w=$w)")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "winnow_fingerprints"
+
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+      val n = bytes.length - k + 1
+      if (n <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+      // Rolling k-gram hashes (splitmix of a polynomial accumulator keeps
+      // the roll cheap and the distribution uniform).
+      val gh = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        var acc = 0L
+        var j = 0
+        while (j < k) { acc = acc * 31L + (bytes(i + j) & 0xFF); j += 1 }
+        gh(i) = splitmix64(acc)
+        i += 1
+      }
+      val sel = scala.collection.mutable.SortedSet.empty[Long]
+      var start = 0
+      val lastStart = math.max(0, n - w)
+      while (start <= lastStart) {
+        var minIdx = start
+        var j = start
+        val end = math.min(start + w, n)
+        while (j < end) {
+          if (gh(j) <= gh(minIdx)) minIdx = j // rightmost min
+          j += 1
+        }
+        sel += gh(minIdx)
+        start += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(sel.toArray)
+    }
+
+    override protected def withNewChildInternal(c: Expression): WinnowFingerprints =
+      copy(child = c)
+  }
+
   /** Sum of UTF-8 byte values of a string — the simplest custom expression
     * that can key a shuffle (the reference's UDF-keyed shuffle coverage,
     * `/root/reference/tests/udfs.rs:18-76`) while staying DuckDB-mirrorable
@@ -250,6 +301,12 @@ object HashExpressions {
     reg.createOrReplaceTempFunction(
       "ascii_sum", exprs => AsciiSum(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
+      "winnow_fingerprints",
+      exprs => WinnowFingerprints(exprs.head,
+        exprs(1).eval(InternalRow.empty).asInstanceOf[Int],
+        exprs(2).eval(InternalRow.empty).asInstanceOf[Int]),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
       "minhash_bands",
       exprs => MinHashBandHashes(exprs.head,
         intArg(exprs, 1), intArg(exprs, 2), intArg(exprs, 3)),
@@ -270,6 +327,11 @@ object HashExpressions {
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
 
   def asciiSum(text: Column): Column = call_function("ascii_sum", text)
+
+  def winnowFingerprints(text: Column, k: Int = 5, w: Int = 4): Column =
+    call_function("winnow_fingerprints", text,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(w))
 
   def minhashSignature(tokens: Column, shingleLen: Int, k: Int): Column =
     call_function("minhash_signature", tokens,

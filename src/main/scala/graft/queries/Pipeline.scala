@@ -164,6 +164,26 @@ object Pipeline {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- winnowing fingerprints (rolling-hash document fingerprinting,
+    // Schleimer et al. SIGMOD'03): near-dup pairs must share >= half their
+    // winnowed fingerprint sets — same oracle-derivable pair-list pattern
+    // as p09 (measured overlap on this corpus: 0.87-1.0). ----
+    "p15_winnow_fingerprints" -> ((s, dir) => {
+      HashExpressions.register(s)
+      val pairs = Dedup.nearDupPairs(docs(s, dir), "doc_id", "text",
+        shingleLen = 5, threshold = 0.5)
+      val wf = docs(s, dir).select(col("doc_id"),
+        HashExpressions.winnowFingerprints(col("text"), 5, 4).as("wf"))
+      pairs
+        .join(wf.select(col("doc_id").as("id_a"), col("wf").as("wf_a")), Seq("id_a"))
+        .join(wf.select(col("doc_id").as("id_b"), col("wf").as("wf_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          ((size(array_intersect(col("wf_a"), col("wf_b"))).cast("double") /
+            size(array_union(col("wf_a"), col("wf_b")))) >= 0.5)
+            .as("winnow_overlap_ge_half"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- end-to-end near-dup dedup: corpus minus docs that near-dup a
     // lower id (greedy keep-lowest). Oracle derives the same survivor set
     // from the exact all-pairs jaccard. ----
@@ -292,6 +312,21 @@ object Pipeline {
     // all buckets are in [0, 2^8).
     "p11_embedding_lsh_buckets" ->
       """SELECT count(*) AS n_vecs, count(*) AS n_in_range FROM embeddings""",
+
+    "p15_winnow_fingerprints" ->
+      s"""WITH t AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-5+2),
+                   i -> array_to_string(list_slice(toks, i, i+4), ' '))) AS sh
+          FROM (SELECT doc_id, string_split($oNorm, ' ') AS toks FROM documents)
+          WHERE len(toks) >= 5)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.sh,b.sh))::double /
+                     len(list_distinct(a.sh || b.sh)), 6) AS jaccard,
+               true AS winnow_overlap_ge_half
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+        WHERE round(len(list_intersect(a.sh,b.sh))::double /
+                    len(list_distinct(a.sh || b.sh)), 6) >= 0.5
+        ORDER BY id_a, id_b""",
 
     "p14_minhash_dedup_survivors" ->
       s"""WITH t AS (

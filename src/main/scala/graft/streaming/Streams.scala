@@ -74,6 +74,17 @@ object Streams {
       }
   }
 
+  /** Streaming exact dedup: drop rows whose key was already seen, with the
+    * state bounded by the watermark (a key older than the watermark can be
+    * forgotten — the streaming counterpart of [[graft.operators.Dedup.exact]];
+    * at 100 TB/day ingest this is the always-on dedup front door, state
+    * size O(keys within the watermark window)).
+    */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+                     tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Read the events table as a FILE STREAM (the parquet file is the
     * micro-batch source), matching `Tables.load`'s nanos handling.
     */

@@ -92,6 +92,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingDedup drops duplicate keys across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val deduped = graft.streaming.Streams.streamingDedup(
+      input.toDF(), Seq("event_id"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_mem")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(1, "2025-01-01 10:00:00", 1, "a", 0),
+                    ev(2, "2025-01-01 10:01:00", 1, "a", 0),
+                    ev(1, "2025-01-01 10:00:00", 1, "a", 0)) // dup in-batch
+      q.processAllAvailable()
+      input.addData(ev(2, "2025-01-01 10:01:00", 1, "a", 0), // dup cross-batch
+                    ev(3, "2025-01-01 10:02:00", 1, "a", 0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_mem").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("sessionize emits correct session boundaries and durations") {
     import spark.implicits._
     val events = Seq(
