@@ -84,6 +84,55 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos"), col("rk"))
   }
 
+  /** IVF (inverted-file) ANN: k-means cluster the corpus into `nLists`
+    * cells (the fit runs on the corpus — at 100 TB, fit on a sample; the
+    * model is just `nLists` centroid vectors, broadcast-sized by
+    * construction), assign every vector to its nearest centroid, and probe
+    * the `nProbe` nearest cells per query. Per-query cost ≈
+    * (nProbe/nLists) × corpus. Unlike hyperplane LSH, cell shapes adapt to
+    * the data distribution — better recall on clustered embeddings.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              queryIdCol: String = "query_id"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vector, Vectors}
+    import org.apache.spark.sql.Row
+    val spark = corpus.sparkSession
+    val toVec = org.apache.spark.sql.functions.udf(
+      (a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val feat = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .withColumn("features", toVec(col("v")))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
+      .fit(feat.select("features"))
+    val assigned = model.transform(feat)
+      .select(col("vec_id"), col("v"), col("prediction").as("cell"))
+    val centroids = model.clusterCenters
+    // Driver-side probe selection: centroids are tiny; each query row maps
+    // to its nProbe nearest cells, then the probe list explodes into an
+    // equi-join against the assigned corpus.
+    val probeUdf = org.apache.spark.sql.functions.udf { (qv: Seq[Float]) =>
+      val q = qv.map(_.toDouble).toArray
+      centroids.zipWithIndex.map { case (c, i) =>
+        var d = 0.0
+        var j = 0
+        val ca = c.toArray
+        while (j < ca.length) { val t = ca(j) - q(j); d += t * t; j += 1 }
+        (i, d)
+      }.sortBy(_._2).take(nProbe).map(_._1)
+    }
+    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell", explode(probeUdf(col("qv"))))
+    val scored = assigned.join(broadcast(q), Seq("cell"))
+      .withColumn("cos", round(cosineSimilarity(col("v"), col("qv")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rk"))
+  }
+
   /** Exact all-pairs cosine near-dup detection over a SMALL corpus slice:
     * the oracle anchor for [[cosineNearDupPairs]]. Quadratic — refuses
     * inputs larger than `maxRows` (same guard rationale as

@@ -100,6 +100,26 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivfTopK: self-match always found (query's own cell is probed) and " +
+    "scores agree exactly with the brute-force path") {
+    val k = 10
+    val exact = Similarity.bruteForceTopK(corpus, queries, k)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val ivf = Similarity.ivfTopK(corpus, queries, k, nLists = 16, nProbe = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // Self pair (q,q) has cos 1.0 and lives in the query's own nearest cell.
+    (0L until 10L).foreach { q =>
+      assert(ivf.get((q, q)).contains(1.0), s"query $q did not find itself")
+    }
+    ivf.keys.filter(exact.contains).foreach { key =>
+      assert(ivf(key) == exact(key), s"cos mismatch for $key")
+    }
+    val recall = exact.keys.count(ivf.contains).toDouble / exact.size
+    // Probing 4/16 cells scans ~25% of the corpus; on near-random
+    // embeddings recall ~ the scan fraction is the honest floor.
+    assert(recall >= 0.2, s"IVF recall $recall < 0.2")
+  }
+
   test("exactNearPairs refuses unbounded input") {
     val e = intercept[IllegalArgumentException] {
       Similarity.exactNearPairs(corpus, minCos = 0.5, maxRows = 10)
