@@ -25,6 +25,12 @@ object GraftSession {
     "spark.sql.shuffle.partitions" -> "32",
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    // Runtime skew-join splitting (the reference's dynamic task sizing
+    // handles skew the same way: oversized partitions are subdivided at
+    // stage boundaries). Explicit even though default-on: this engine
+    // RELIES on it for hot-key joins; Skew.saltedJoin is the manual lever
+    // beyond what AQE splits.
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
     "spark.sql.autoBroadcastJoinThreshold" -> (32 * 1024 * 1024).toString,
     "spark.sql.files.maxPartitionBytes" -> (16 * 1024 * 1024).toString,
     "spark.io.compression.codec" -> "lz4",

@@ -184,6 +184,18 @@ object Pipeline {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- multimodal frame sampling: fixed-stride slices of the binary
+    // payload (the demux stand-in); frame counts and byte mass are exactly
+    // derivable from payload length, so the plumbing is oracle-gated. ----
+    "p16_frame_sampling" -> ((s, dir) => {
+      Multimodal.sampleFrames(
+        Multimodal.fromDocuments(docs(s, dir)), frameBytes = 100, everyN = 2)
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+             sum(length(col("frame"))).as("total_frame_bytes"))
+        .orderBy(col("media_id"))
+    }),
+
     // ---- end-to-end near-dup dedup: corpus minus docs that near-dup a
     // lower id (greedy keep-lowest). Oracle derives the same survivor set
     // from the exact all-pairs jaccard. ----
@@ -312,6 +324,14 @@ object Pipeline {
     // all buckets are in [0, 2^8).
     "p11_embedding_lsh_buckets" ->
       """SELECT count(*) AS n_vecs, count(*) AS n_in_range FROM embeddings""",
+
+    "p16_frame_sampling" ->
+      """SELECT media_id, count(*) AS n_frames,
+              cast(sum(flen) AS bigint) AS total_frame_bytes FROM (
+           SELECT doc_id AS media_id,
+                  least(100, strlen(text) - i*200) AS flen
+           FROM documents, unnest(range(0, (strlen(text)-1)//200 + 1)) AS u(i))
+         GROUP BY media_id ORDER BY media_id""",
 
     "p15_winnow_fingerprints" ->
       s"""WITH t AS (
