@@ -194,6 +194,45 @@ object Relational2 {
                ORDER BY numorders DESC, n_name""")
     }),
 
+    // ---- set operations: INTERSECT / EXCEPT (distinct semantics) ----
+    "q57_intersect" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"), col("c_name"))
+        .intersect(c.filter(col("c_acctbal") > 5000).select(col("c_custkey"), col("c_name")))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q58_except" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"), col("c_name"))
+        .except(c.filter(col("c_acctbal") > 5000).select(col("c_custkey"), col("c_name")))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- LATERAL correlated subquery (per-nation top-2 suppliers) ----
+    "q59_lateral_topn" -> ((s, dir) => {
+      Tables.register(s, dir, "supplier", "nation")
+      s.sql("""SELECT n_name, s_name, s_acctbal
+               FROM nation,
+               LATERAL (SELECT s_name, s_acctbal FROM supplier
+                        WHERE s_nationkey = n_nationkey
+                        ORDER BY s_acctbal DESC, s_name LIMIT 2)
+               ORDER BY n_name, s_acctbal DESC, s_name""")
+    }),
+
+    // ---- PIVOT (status columns per order year) ----
+    "q60_pivot_status" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_year"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy(col("o_year"))
+    }),
+
     // ---- TPC-H q22 shape: substring class + scalar avg subquery +
     // NOT EXISTS anti join ----
     "q47_idle_rich_customers" -> ((s, dir) => {
@@ -325,6 +364,33 @@ object Relational2 {
                            WHERE l2.l_orderkey = o_orderkey
                              AND l2.l_quantity >= 49)
          GROUP BY n_name ORDER BY numorders DESC, n_name""",
+
+    "q57_intersect" ->
+      """SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+         INTERSECT
+         SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000
+         ORDER BY c_custkey""",
+
+    "q58_except" ->
+      """SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+         EXCEPT
+         SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000
+         ORDER BY c_custkey""",
+
+    "q59_lateral_topn" ->
+      """SELECT n_name, s_name, s_acctbal
+         FROM nation,
+         LATERAL (SELECT s_name, s_acctbal FROM supplier
+                  WHERE s_nationkey = n_nationkey
+                  ORDER BY s_acctbal DESC, s_name LIMIT 2)
+         ORDER BY n_name, s_acctbal DESC, s_name""",
+
+    "q60_pivot_status" ->
+      """SELECT cast(extract(year FROM o_orderdate) AS integer) AS o_year,
+              cast(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS bigint) AS n_f,
+              cast(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS bigint) AS n_o,
+              cast(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS bigint) AS n_p
+         FROM orders GROUP BY o_year ORDER BY o_year""",
 
     "q47_idle_rich_customers" ->
       s"""SELECT cntrycode, count(*) AS numcust,
