@@ -196,6 +196,38 @@ object Pipeline {
         .orderBy(col("media_id"))
     }),
 
+    // ---- group-level sketch via custom typed Aggregator: per-source
+    // MinHashUnion signature (map-side partial agg, order-independent
+    // elementwise-min merge); pairwise estimate must track the exact
+    // token-set jaccard within 0.1 (k=256 => ~9 sigma at this corpus's
+    // jaccard range — deterministic, measured 0.97-1.0). ----
+    "p17_source_similarity" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.Sketches
+      val d = docs(s, dir)
+      val toks = d.select(col("source"), TF.tokens(col("text")).as("toks"))
+        .as[(String, Seq[String])]
+      val sigs = toks.groupByKey(_._1).mapValues(_._2)
+        .agg(Sketches.MinHashUnion(256).toColumn.name("sig"))
+        .toDF("source", "sig")
+      val sets = d.select(col("source"), explode(TF.tokens(col("text"))).as("tok"))
+        .groupBy(col("source")).agg(collect_set(col("tok")).as("ts"))
+      val a = sigs.join(sets, "source")
+        .select(col("source").as("src_a"), col("sig").as("sig_a"), col("ts").as("ts_a"))
+      val b = sigs.join(sets, "source")
+        .select(col("source").as("src_b"), col("sig").as("sig_b"), col("ts").as("ts_b"))
+      a.join(b, col("src_a") < col("src_b"))
+        .withColumn("exact_jaccard",
+          round(size(array_intersect(col("ts_a"), col("ts_b"))).cast("double") /
+            size(array_union(col("ts_a"), col("ts_b"))), 6))
+        .withColumn("est",
+          size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+            m => m)).cast("double") / 256)
+        .select(col("src_a"), col("src_b"), col("exact_jaccard"),
+          (abs(col("est") - col("exact_jaccard")) <= 0.1).as("est_close"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // ---- end-to-end near-dup dedup: corpus minus docs that near-dup a
     // lower id (greedy keep-lowest). Oracle derives the same survivor set
     // from the exact all-pairs jaccard. ----
@@ -324,6 +356,17 @@ object Pipeline {
     // all buckets are in [0, 2^8).
     "p11_embedding_lsh_buckets" ->
       """SELECT count(*) AS n_vecs, count(*) AS n_in_range FROM embeddings""",
+
+    "p17_source_similarity" ->
+      s"""WITH s AS (SELECT source,
+              list_distinct(flatten(list(string_split($oNorm, ' ')))) AS ts
+            FROM documents GROUP BY source)
+        SELECT a.source AS src_a, b.source AS src_b,
+               round(len(list_intersect(a.ts,b.ts))::double /
+                     len(list_distinct(a.ts || b.ts)), 6) AS exact_jaccard,
+               true AS est_close
+        FROM s a JOIN s b ON a.source < b.source
+        ORDER BY src_a, src_b""",
 
     "p16_frame_sampling" ->
       """SELECT media_id, count(*) AS n_frames,
