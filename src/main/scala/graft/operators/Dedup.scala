@@ -183,6 +183,48 @@ object Dedup {
     df.join(losers, col(idCol) === col("_loser"), "left_anti")
   }
 
+  /** Duplicate clusters = connected components over the near-dup pair
+    * graph: every doc labeled with the min id reachable through near-dup
+    * edges (singletons label themselves). Iterative min-label propagation —
+    * each round is one join + aggregate, rounds ≤ graph diameter (near-dup
+    * components are shallow: exact-dup stars have diameter 2). The loop is
+    * driver-coordinated but all data work is distributed joins; at 100 TB
+    * this is the standard big-data CC pattern (large-star/small-star is the
+    * same idea with better skew behavior).
+    */
+  def dupClusters(df: DataFrame, idCol: String, textCol: String,
+                  shingleLen: Int = 5, threshold: Double = 0.5,
+                  k: Int = 64, r: Int = 4,
+                  maxIters: Int = 20): DataFrame = {
+    val pairs = nearDupPairs(df, idCol, textCol, shingleLen, threshold, k, r)
+      .select(col("id_a"), col("id_b")).persist()
+    // Symmetric edge list: propagate labels both directions.
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = df.select(col(idCol).as("id"))
+      .withColumn("label", col("id")).persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+      val next = labels.join(neighborMin, labels("id") === neighborMin("src"), "left_outer")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .persist()
+      val changed = next.join(labels.select(col("id"), col("label").as("_old")), "id")
+        .filter(col("label") =!= col("_old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    pairs.unpersist()
+    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
+
   /** Per-doc 64-bit SimHash signatures. */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),

@@ -228,6 +228,16 @@ object Pipeline {
         .orderBy(col("src_a"), col("src_b"))
     }),
 
+    // ---- duplicate clusters: connected components over the near-dup
+    // graph (iterative distributed min-label propagation); the oracle
+    // recomputes components from the exact pair list with a recursive
+    // CTE. ----
+    "p18_dup_clusters" -> ((s, dir) => {
+      Dedup.dupClusters(docs(s, dir), "doc_id", "text",
+        shingleLen = 5, threshold = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- end-to-end near-dup dedup: corpus minus docs that near-dup a
     // lower id (greedy keep-lowest). Oracle derives the same survivor set
     // from the exact all-pairs jaccard. ----
@@ -356,6 +366,26 @@ object Pipeline {
     // all buckets are in [0, 2^8).
     "p11_embedding_lsh_buckets" ->
       """SELECT count(*) AS n_vecs, count(*) AS n_in_range FROM embeddings""",
+
+    "p18_dup_clusters" ->
+      s"""WITH RECURSIVE t AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-5+2),
+                   i -> array_to_string(list_slice(toks, i, i+4), ' '))) AS sh
+          FROM (SELECT doc_id, string_split($oNorm, ' ') AS toks FROM documents)
+          WHERE len(toks) >= 5),
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM t a JOIN t b ON a.doc_id < b.doc_id
+          WHERE round(len(list_intersect(a.sh,b.sh))::double /
+                      len(list_distinct(a.sh || b.sh)), 6) >= 0.5),
+        e AS (SELECT id_a AS s, id_b AS d FROM p
+              UNION ALL SELECT id_b, id_a FROM p),
+        rec AS (
+          SELECT doc_id AS id, doc_id AS reach FROM documents
+          UNION
+          SELECT e.s, rec.reach FROM e JOIN rec ON e.d = rec.id)
+        SELECT id AS doc_id, min(reach) AS cluster_id
+        FROM rec GROUP BY id ORDER BY doc_id""",
 
     "p17_source_similarity" ->
       s"""WITH s AS (SELECT source,

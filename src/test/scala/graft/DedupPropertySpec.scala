@@ -49,6 +49,25 @@ class DedupPropertySpec extends AnyFunSuite {
     assert(falsePairs.isEmpty, s"unexpected pairs: $falsePairs")
   }
 
+  test("dupClusters merges a transitive chain into one component") {
+    import spark.implicits._
+    // a~b and b~c are near-dups but a~c may fall under threshold —
+    // connected components must still place all three in one cluster.
+    val base = (0 until 40).map(i => s"w$i")
+    val a = base
+    val b = base.updated(5, "zz")               // near-dup of a
+    val c = base.updated(5, "zz").updated(35, "yy") // near-dup of b
+    val far = (100 until 140).map(i => s"v$i")  // unrelated
+    val df = Seq(1L -> a, 2L -> b, 3L -> c, 4L -> far)
+      .map { case (id, toks) => (id, toks.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val clusters = Dedup.dupClusters(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L,
+      s"chain not merged: $clusters")
+    assert(clusters(4L) == 4L, "singleton got absorbed")
+  }
+
   test("exact dedup keeps exactly one survivor per duplicated text") {
     import spark.implicits._
     val df = Seq(
