@@ -209,14 +209,15 @@ object Dedup {
     while (!converged && iter < maxIters) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+      // Carry the previous label through so convergence is read off the
+      // same persisted pass — one join per round, not two.
       val next = labels.join(neighborMin, labels("id") === neighborMin("src"), "left_outer")
-        .select(col("id"),
+        .select(col("id"), col("label").as("_old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .persist()
-      val changed = next.join(labels.select(col("id"), col("label").as("_old")), "id")
-        .filter(col("label") =!= col("_old")).count()
+      val changed = next.filter(col("label") =!= col("_old")).count()
       labels.unpersist()
-      labels = next
+      labels = next.select(col("id"), col("label"))
       converged = changed == 0
       iter += 1
     }
