@@ -261,6 +261,29 @@ object HashExpressions {
       copy(child = c)
   }
 
+  /** Every n-th byte of a binary payload — the deterministic RESIZE stub
+    * for multimodal columns (`???` real codec: an image resample would
+    * decode, filter, and re-encode; the Spark-side contract — narrow
+    * per-row binary-in/binary-out expression, no shuffle participation —
+    * is what this pins down for 100 TB pipelines).
+    */
+  case class ByteStride(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(n >= 1, s"stride n=$n must be >= 1")
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "byte_stride"
+
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[Array[Byte]]
+      val out = new Array[Byte]((bytes.length + n - 1) / n)
+      var i = 0
+      while (i < out.length) { out(i) = bytes(i * n); i += 1 }
+      out
+    }
+
+    override protected def withNewChildInternal(c: Expression): ByteStride = copy(c)
+  }
+
   /** Sum of UTF-8 byte values of a string — the simplest custom expression
     * that can key a shuffle (the reference's UDF-keyed shuffle coverage,
     * `/root/reference/tests/udfs.rs:18-76`) while staying DuckDB-mirrorable
@@ -301,6 +324,11 @@ object HashExpressions {
     reg.createOrReplaceTempFunction(
       "ascii_sum", exprs => AsciiSum(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
+      "byte_stride",
+      exprs => ByteStride(exprs.head,
+        exprs(1).eval(InternalRow.empty).asInstanceOf[Int]),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
       "winnow_fingerprints",
       exprs => WinnowFingerprints(exprs.head,
         exprs(1).eval(InternalRow.empty).asInstanceOf[Int],
@@ -327,6 +355,9 @@ object HashExpressions {
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
 
   def asciiSum(text: Column): Column = call_function("ascii_sum", text)
+
+  def byteStride(data: Column, n: Int): Column =
+    call_function("byte_stride", data, org.apache.spark.sql.functions.lit(n))
 
   def winnowFingerprints(text: Column, k: Int = 5, w: Int = 4): Column =
     call_function("winnow_fingerprints", text,

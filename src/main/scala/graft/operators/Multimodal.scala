@@ -68,6 +68,23 @@ object Multimodal {
     }(enc)
   }
 
+  /** RESIZE stub: downsample the binary payload by taking every `factor`-th
+    * byte, scaling the metadata dimensions to match. A real implementation
+    * would decode + resample + re-encode (codecs unavailable here — see the
+    * `???` note on [[fakeDecodeFeatures]]); the Spark contract is the
+    * narrow binary-in/binary-out expression with metadata kept consistent.
+    */
+  def resizeStub(media: DataFrame, factor: Int): DataFrame = {
+    graft.functions.HashExpressions.register(media.sparkSession)
+    media
+      .withColumn("data", graft.functions.HashExpressions.byteStride(col("data"), factor))
+      .withColumn("meta", struct(
+        (col("meta.width") / factor).cast(IntegerType).as("width"),
+        (col("meta.height") / factor).cast(IntegerType).as("height"),
+        col("meta.sample_rate").as("sample_rate"),
+        col("meta.format").as("format")))
+  }
+
   /** Frame-sampling stub for video-like payloads: fixed-stride byte slices
     * standing in for frames — real implementation would demux; the
     * partitioning/explode shape is the part that transfers.

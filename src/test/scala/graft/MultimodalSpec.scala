@@ -30,6 +30,20 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resizeStub: payload strided, metadata scaled, no shuffle in plan") {
+    val resized = Multimodal.resizeStub(media, factor = 4)
+    val r = resized.filter(col("media_id") === 0)
+      .select(col("data"), col("meta.width")).head()
+    val orig = media.filter(col("media_id") === 0)
+      .select(col("data")).head().getAs[Array[Byte]](0)
+    val out = r.getAs[Array[Byte]](0)
+    assert(out.length == (orig.length + 3) / 4)
+    out.zipWithIndex.foreach { case (b, i) => assert(b == orig(i * 4)) }
+    assert(r.getInt(1) == 16) // 64 / 4
+    assert(!resized.queryExecution.executedPlan.toString.contains("Exchange"),
+      "resize must stay a narrow transform")
+  }
+
   test("sampleFrames: frame count and stride are correct") {
     val frames = Multimodal.sampleFrames(media, frameBytes = 100, everyN = 2)
     val counts = frames.groupBy("media_id").agg(count(lit(1)).as("n"))
