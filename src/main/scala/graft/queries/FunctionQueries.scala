@@ -52,6 +52,54 @@ object FunctionQueries {
              sum(col("k")).as("sum_k"),
              max(col("k")).as("max_k"))
         .orderBy(col("event_type"))
+    }),
+
+    // ---- TPC-DS q67 shape: window rank OVER rollup output ----
+    "q61_rollup_window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val rolled = t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("total"))
+      val w = Window.partitionBy(col("status"))
+        .orderBy(col("total").desc, col("priority"))
+      rolled.withColumn("rk", rank().over(w))
+        .filter(col("rk") <= 3)
+        .orderBy(col("status"), col("rk"), col("priority"))
+    }),
+
+    // ---- TPC-DS q88 shape: many scalar subqueries as columns of one row ----
+    "q62_multi_scalar_columns" -> ((s, dir) => {
+      graft.engine.Tables.register(s, dir, "lineitem")
+      s.sql("""SELECT
+                 (SELECT count(*) FROM lineitem WHERE l_quantity < 10) AS n_q0_10,
+                 (SELECT count(*) FROM lineitem WHERE l_quantity >= 10 AND l_quantity < 25) AS n_q10_25,
+                 (SELECT count(*) FROM lineitem WHERE l_quantity >= 25 AND l_quantity < 40) AS n_q25_40,
+                 (SELECT count(*) FROM lineitem WHERE l_quantity >= 40) AS n_q40_up""")
+    }),
+
+    // ---- TPC-DS q51 shape: full outer join of two cumulative windows ----
+    "q63_fullouter_cumulative" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val o = t(s, dir, "orders")
+      def cumByMonth(status: String, alias: String) = {
+        val w = Window.orderBy(col("m"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        o.filter(col("o_orderstatus") === status)
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("m"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("t"))
+          .select(col("m"), sum(col("t")).over(w).cast("double").as(alias))
+      }
+      val f = cumByMonth("F", "cum_f")
+      val p = cumByMonth("O", "cum_o")
+      f.join(p, Seq("m"), "full_outer")
+        .select(col("m"), col("cum_f"), col("cum_o"))
+        .orderBy(col("m"))
     })
   )
 
@@ -75,6 +123,43 @@ object FunctionQueries {
       """SELECT event_type, count(*) AS n,
               sum(cast(json_extract_string(props, '$.k') AS bigint)) AS sum_k,
               max(cast(json_extract_string(props, '$.k') AS bigint)) AS max_k
-         FROM events GROUP BY event_type ORDER BY event_type"""
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q61_rollup_window_rank" ->
+      """WITH rolled AS (
+           SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                  coalesce(o_orderpriority, 'ALL') AS priority,
+                  cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total
+           FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority))
+         SELECT status, priority, total, cast(rk AS integer) AS rk FROM (
+           SELECT status, priority, total,
+                  rank() OVER (PARTITION BY status
+                               ORDER BY total DESC, priority) AS rk
+           FROM rolled)
+         WHERE rk <= 3 ORDER BY status, rk, priority""",
+
+    "q62_multi_scalar_columns" ->
+      """SELECT
+           (SELECT count(*) FROM lineitem WHERE l_quantity < 10) AS n_q0_10,
+           (SELECT count(*) FROM lineitem WHERE l_quantity >= 10 AND l_quantity < 25) AS n_q10_25,
+           (SELECT count(*) FROM lineitem WHERE l_quantity >= 25 AND l_quantity < 40) AS n_q25_40,
+           (SELECT count(*) FROM lineitem WHERE l_quantity >= 40) AS n_q40_up""",
+
+    "q63_fullouter_cumulative" ->
+      """WITH f AS (
+           SELECT m, cast(sum(t) OVER (ORDER BY m
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS double) AS cum_f
+           FROM (SELECT strftime(o_orderdate, '%Y-%m') AS m,
+                        sum(cast(o_totalprice AS decimal(18,2))) AS t
+                 FROM orders WHERE o_orderstatus = 'F' GROUP BY m)),
+         p AS (
+           SELECT m, cast(sum(t) OVER (ORDER BY m
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS double) AS cum_o
+           FROM (SELECT strftime(o_orderdate, '%Y-%m') AS m,
+                        sum(cast(o_totalprice AS decimal(18,2))) AS t
+                 FROM orders WHERE o_orderstatus = 'O' GROUP BY m))
+         SELECT coalesce(f.m, p.m) AS m, cum_f, cum_o
+         FROM f FULL OUTER JOIN p ON f.m = p.m
+         ORDER BY m"""
   )
 }
