@@ -82,6 +82,41 @@ object FunctionQueries {
                  (SELECT count(*) FROM lineitem WHERE l_quantity >= 40) AS n_q40_up""")
     }),
 
+    // ---- TPC-DS q70 shape: grouping() hierarchy level + rank partitioned
+    // by that level over rollup output ----
+    "q64_grouping_hierarchy" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val rolled = t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"),
+          (grouping(col("o_orderstatus")) + grouping(col("o_orderpriority")))
+            .cast("int").as("lochierarchy"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("total"), col("lochierarchy"), col("g_prio"))
+      val w = Window.partitionBy(col("lochierarchy"),
+          when(col("g_prio") === 0, col("status")).otherwise(lit(null)))
+        .orderBy(col("total").desc, col("priority"))
+      rolled.withColumn("rank_within_parent", rank().over(w).cast("int"))
+        .select(col("status"), col("priority"), col("total"),
+          col("lochierarchy"), col("rank_within_parent"))
+        .orderBy(col("lochierarchy").desc, col("status"),
+          col("rank_within_parent"), col("priority"))
+    }),
+
+    // ---- ClickBench q38-q40 shape: topk page with LIMIT ... OFFSET ----
+    "q65_limit_offset" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("o_custkey"))
+        .offset(100)
+        .limit(10)
+    }),
+
     // ---- TPC-DS q51 shape: full outer join of two cumulative windows ----
     "q63_fullouter_cumulative" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -144,6 +179,27 @@ object FunctionQueries {
            (SELECT count(*) FROM lineitem WHERE l_quantity >= 10 AND l_quantity < 25) AS n_q10_25,
            (SELECT count(*) FROM lineitem WHERE l_quantity >= 25 AND l_quantity < 40) AS n_q25_40,
            (SELECT count(*) FROM lineitem WHERE l_quantity >= 40) AS n_q40_up""",
+
+    "q64_grouping_hierarchy" ->
+      """WITH rolled AS (
+           SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                  coalesce(o_orderpriority, 'ALL') AS priority,
+                  cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total,
+                  cast(grouping(o_orderstatus) + grouping(o_orderpriority) AS integer) AS lochierarchy,
+                  cast(grouping(o_orderpriority) AS integer) AS g_prio
+           FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority))
+         SELECT status, priority, total, lochierarchy,
+                cast(rank() OVER (PARTITION BY lochierarchy,
+                       CASE WHEN g_prio = 0 THEN status END
+                     ORDER BY total DESC, priority) AS integer) AS rank_within_parent
+         FROM rolled
+         ORDER BY lochierarchy DESC, status, rank_within_parent, priority""",
+
+    "q65_limit_offset" ->
+      """SELECT o_custkey, count(*) AS n_orders FROM orders
+         GROUP BY o_custkey
+         ORDER BY n_orders DESC, o_custkey
+         LIMIT 10 OFFSET 100""",
 
     "q63_fullouter_cumulative" ->
       """WITH f AS (
