@@ -61,6 +61,31 @@ object HashProperties extends Properties("graft.hash") {
       got == s.getBytes("UTF-8").map(_ & 0xFF).map(_.toLong).sum
     }
 
+  property("winnowing: shared run of k+w-1 chars always yields a shared fingerprint") =
+    Prop.forAll(Gen.listOfN(30, Gen.alphaLowerChar).map(_.mkString),
+      Gen.listOfN(30, Gen.numChar).map(_.mkString),
+      Gen.listOfN(8, Gen.alphaUpperChar).map(_.mkString)) { (pre, post, shared) =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      def fp(s: String) = HashExpressions.WinnowFingerprints(Literal(s), 5, 4)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSet
+      // shared is 8 uppercase chars = k+w-1; pre/post alphabets disjoint
+      // from it, so any common fingerprint must come from the shared run.
+      fp(pre + shared + pre).intersect(fp(post + shared + post)).nonEmpty
+    }
+
+  property("ByteStride keeps every n-th byte exactly") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(-128, 127).map(_.toByte)),
+      Gen.choose(1, 7)) { (bytes, n) =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.types.BinaryType
+      val arr = bytes.toArray
+      val out = HashExpressions.ByteStride(Literal(arr, BinaryType), n)
+        .eval(null).asInstanceOf[Array[Byte]]
+      out.length == (arr.length + n - 1) / n &&
+        out.zipWithIndex.forall { case (b, i) => b == arr(i * n) }
+    }
+
   property("SimHash64 invariant under token order (bag semantics)") =
     Prop.forAll(Gen.listOfN(10, token)) { tokens =>
       val h1 = HashExpressions.SimHash64(Literal.create(null)).nullSafeEval(arr(tokens))
