@@ -16,9 +16,12 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // Queries whose SEMANTICS are a cross/nested-loop join — exempt.
+    // p17 compares GROUP-level sketches pairwise: quadratic in the number
+    // of groups (sources), not rows — the input relation is the aggregate.
     val crossByDesign = Set("q27_inequality_join", "q28_cross_join",
       "q29_scalar_subquery", "p07_jaccard_pairs", "p10_embedding_topk",
-      "p13_embedding_near_pairs", "q26_null_aware_anti")
+      "p13_embedding_near_pairs", "p17_source_similarity",
+      "q26_null_aware_anti")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
