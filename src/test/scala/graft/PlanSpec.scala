@@ -65,6 +65,20 @@ class PlanSpec extends AnyFunSuite {
     assert(rr.count() == docs.count())
   }
 
+  test("q41 left-outer count distribution: preserved-side join, two agg phases") {
+    val plan = executedPlan("q41_cust_order_distribution")
+    assert(plan.contains("LeftOuter"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q46 double-EXISTS compiles to semi/anti hash joins, not nested loops") {
+    val plan = executedPlan("q46_returned_never_huge")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Join") || plan.contains("HashJoin"), plan)
+  }
+
   test("p08 minhash: no cross join anywhere in the dedup plan") {
     val plan = executedPlan("p08_minhash_pairs")
     assert(!plan.contains("CartesianProduct"), plan)
