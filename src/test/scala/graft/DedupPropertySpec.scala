@@ -97,6 +97,25 @@ class DedupPropertySpec extends AnyFunSuite {
       s"(${truthSet.size} truth pairs, ${cand.size} candidates)")
   }
 
+  test("bucket cap bounds pair generation on a degenerate corpus and the " +
+    "drop is visible in lshBucketStats") {
+    import spark.implicits._
+    // 300 copies of one text: every band bucket holds all 300 docs. With
+    // cap=100 the buckets are dropped — candidates must be EMPTY (bounded
+    // work) instead of 300² pairs, and the stats must show the drop.
+    val text = (0 until 30).map(i => s"boiler$i").mkString(" ")
+    val df = (0L until 300L).map(id => (id, text)).toDF("doc_id", "text")
+    val cand = Dedup.minhashCandidates(df, "doc_id", "text",
+      maxBucketSize = 100)
+    assert(cand.count() == 0, "cap failed to bound degenerate buckets")
+    val stats = Dedup.lshBucketStats(df, "doc_id", "text", maxBucketSize = 100)
+      .collect()
+    val dropped = stats.filter(_.getBoolean(2))
+    assert(dropped.nonEmpty, "dropped buckets not reported")
+    assert(dropped.map(r => r.getLong(0) * r.getLong(1)).sum == 300L * 16,
+      "every (doc, band) row should fall in a dropped bucket")
+  }
+
   test("lshBucketStats reports caps; no degenerate buckets on real corpus") {
     val docs = Tables.load(spark, sf01, "documents")
     val stats = Dedup.lshBucketStats(docs, "doc_id", "text", maxBucketSize = 100)
