@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Pass forked-run stdout through unprefixed: the driver parses Bench's
+// one-line JSON from stdout, and sbt's default logger decorates every
+// line with [info]/[error] tags that break JSON parsing.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
