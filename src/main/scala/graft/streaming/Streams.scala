@@ -39,10 +39,14 @@ object Streams {
 
   /** Gap-based sessionization with explicit state
     * (`flatMapGroupsWithState`): a session closes when `gapSeconds` pass
-    * with no event from that user. In streaming mode sessions emit on
-    * watermark advance (event-time timeout); in batch mode every group's
-    * final sessions emit at once — same output, which keeps it testable
-    * against the window-based batch sessionizer (q35).
+    * with no event from that user. This implementation is BATCH-oriented:
+    * each group's events arrive in one invocation and every session emits
+    * immediately (NoTimeout), which makes it exactly comparable to the
+    * window-based batch sessionizer (q35, asserted in StreamingSpec). A
+    * streaming deployment would additionally need
+    * `GroupStateTimeout.EventTimeTimeout` + watermark handling so open
+    * sessions are held in state across micro-batches and emitted only when
+    * the watermark passes their gap — the state/shuffle shape is the same.
     */
   def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[Session] = {
     import events.sparkSession.implicits._
