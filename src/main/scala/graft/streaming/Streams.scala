@@ -25,7 +25,10 @@ object Streams {
   case class Session(user_id: Long, session_start: Timestamp,
                      n_events: Long, duration_s: Long)
 
-  private case class SessionState(startMs: Long, lastMs: Long, n: Long)
+  /** Open-session buffer held in GroupState (public: Catalyst's generated
+    * deserializer must be able to call the constructor).
+    */
+  case class SessionState(startMs: Long, lastMs: Long, nEvents: Long)
 
   /** Watermarked hourly tumbling-window aggregation per event type. */
   def hourlyEventCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
@@ -42,11 +45,9 @@ object Streams {
     * with no event from that user. This implementation is BATCH-oriented:
     * each group's events arrive in one invocation and every session emits
     * immediately (NoTimeout), which makes it exactly comparable to the
-    * window-based batch sessionizer (q35, asserted in StreamingSpec). A
-    * streaming deployment would additionally need
-    * `GroupStateTimeout.EventTimeTimeout` + watermark handling so open
-    * sessions are held in state across micro-batches and emitted only when
-    * the watermark passes their gap — the state/shuffle shape is the same.
+    * window-based batch sessionizer (q35, asserted in StreamingSpec). For
+    * the streaming deployment use [[sessionizeStreaming]], which holds open
+    * sessions in state across micro-batches and emits on watermark/timeout.
     */
   def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -66,15 +67,65 @@ object Streams {
             val t = e.ts.getTime
             sessions = sessions match {
               case cur :: rest if t - cur.lastMs <= gapSeconds * 1000 =>
-                cur.copy(lastMs = t, n = cur.n + 1) :: rest
+                cur.copy(lastMs = t, nEvents = cur.nEvents + 1) :: rest
               case other =>
                 SessionState(t, t, 1) :: other
             }
           }
           val all = sessions.sortBy(_.startMs)
           state.update(Nil)
-          all.iterator.map(s => Session(userId, new Timestamp(s.startMs), s.n,
+          all.iterator.map(s => Session(userId, new Timestamp(s.startMs), s.nEvents,
             (s.lastMs - s.startMs) / 1000))
+      }
+  }
+
+  /** STREAMING gap sessionization: the full stateful pattern — open
+    * sessions live in `GroupState` across micro-batches; a session emits
+    * when the event-time watermark passes its last event + gap (either
+    * observed while folding that user's new events, or via
+    * `EventTimeTimeout` when the user goes quiet). Output is append-mode
+    * and final: an emitted session can never reopen because the watermark
+    * guarantees no older event arrives.
+    */
+  def sessionizeStreaming(events: Dataset[Event], gapSeconds: Long = 1800,
+                          watermark: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapSeconds * 1000
+    def toSession(userId: Long)(s: SessionState): Session =
+      Session(userId, new Timestamp(s.startMs), s.nEvents, (s.lastMs - s.startMs) / 1000)
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[List[SessionState]]) =>
+          if (state.hasTimedOut) {
+            // Watermark passed lastMs + gap with no new events: everything
+            // buffered is final.
+            val sessions = state.getOption.getOrElse(Nil)
+            state.remove()
+            sessions.sortBy(_.startMs).iterator.map(toSession(userId))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var sessions = state.getOption.getOrElse(Nil)
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              sessions = sessions match {
+                case cur :: rest if t - cur.lastMs <= gapMs =>
+                  cur.copy(lastMs = t, nEvents = cur.nEvents + 1) :: rest
+                case other => SessionState(t, t, 1) :: other
+              }
+            }
+            // Emit sessions the watermark has already closed; keep the rest.
+            val wm = state.getCurrentWatermarkMs()
+            val (closed, open) = sessions.partition(_.lastMs + gapMs < wm)
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(open)
+              state.setTimeoutTimestamp(open.map(_.lastMs).max + gapMs)
+            }
+            closed.sortBy(_.startMs).iterator.map(toSession(userId))
+          }
       }
   }
 

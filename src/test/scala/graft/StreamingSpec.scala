@@ -92,6 +92,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionizeStreaming: sessions survive micro-batch boundaries and " +
+    "emit when the watermark closes them (including via timeout)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = graft.streaming.Streams.sessionizeStreaming(
+      input.toDS(), gapSeconds = 1800, watermark = "10 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess_mem")
+      .outputMode("append").start()
+    def rows() = spark.table("sess_mem")
+      .collect().map(s => (s.getLong(0), s.getTimestamp(1).toString,
+        s.getLong(2), s.getLong(3))).sortBy(r => (r._1, r._2)).toSeq
+    try {
+      // Batch 1: two events of user 7's first session.
+      input.addData(ev(1, "2025-01-01 10:00:00", 7, "a", 0),
+                    ev(2, "2025-01-01 10:10:00", 7, "a", 0))
+      q.processAllAvailable()
+      assert(rows().isEmpty, "session emitted before the watermark closed it")
+      // Batch 2: user 7 reappears much later. The watermark lags one batch
+      // (still 10:00 from batch 1), so session 1 stays buffered — correct:
+      // emission must wait for the watermark, not the wall clock.
+      input.addData(ev(3, "2025-01-01 12:00:00", 7, "a", 0))
+      q.processAllAvailable()
+      assert(rows().isEmpty, s"emitted before watermark advanced: ${rows()}")
+      // Batches 3-4: only user 8 is active; its events advance the
+      // watermark past 12:00 + 30min, so user 7's state must flush via
+      // EVENT-TIME TIMEOUT — both sessions, in order, with no new user-7
+      // events ever arriving.
+      input.addData(ev(4, "2025-01-01 14:00:00", 8, "a", 0))
+      q.processAllAvailable()
+      input.addData(ev(5, "2025-01-01 15:00:00", 8, "a", 0))
+      q.processAllAvailable()
+      assert(rows() == Seq(
+        (7L, "2025-01-01 10:00:00.0", 2L, 600L),
+        (7L, "2025-01-01 12:00:00.0", 1L, 0L)),
+        s"timed-out sessions not flushed correctly: ${rows()}")
+    } finally q.stop()
+  }
+
   test("streamingDedup drops duplicate keys across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
