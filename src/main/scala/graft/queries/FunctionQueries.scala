@@ -117,6 +117,20 @@ object FunctionQueries {
         .limit(10)
     }),
 
+    // ---- remaining window-function family: ntile / lead / first_value ----
+    "q66_window_family" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 50)
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+          ntile(4).over(w).cast("int").as("quartile"),
+          lead(col("o_orderkey"), 1).over(w).as("next_key"),
+          first_value(col("o_orderkey")).over(w).as("top_key"))
+        .orderBy(col("o_orderstatus"), col("o_totalprice").desc, col("o_orderkey"))
+    }),
+
     // ---- TPC-DS q51 shape: full outer join of two cumulative windows ----
     "q63_fullouter_cumulative" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -200,6 +214,16 @@ object FunctionQueries {
          GROUP BY o_custkey
          ORDER BY n_orders DESC, o_custkey
          LIMIT 10 OFFSET 100""",
+
+    "q66_window_family" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice,
+              cast(ntile(4) OVER w AS integer) AS quartile,
+              lead(o_orderkey, 1) OVER w AS next_key,
+              first_value(o_orderkey) OVER w AS top_key
+         FROM orders WHERE o_custkey < 50
+         WINDOW w AS (PARTITION BY o_orderstatus
+                      ORDER BY o_totalprice DESC, o_orderkey)
+         ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey""",
 
     "q63_fullouter_cumulative" ->
       """WITH f AS (

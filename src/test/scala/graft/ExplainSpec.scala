@@ -21,6 +21,12 @@ class ExplainSpec extends AnyFunSuite {
     assert(tree.contains("Scan parquet"), tree)
   }
 
+  test("q62 stage tree renders its scalar subqueries as their own sections") {
+    val tree = Explain.analyze(
+      SparkEntry.queries("q62_multi_scalar_columns")(spark, sf001))
+    assert(tree.contains("== Subquery =="), tree)
+  }
+
   test("q01 stage tree: one hash shuffle for the agg, one range for the sort") {
     val tree = Explain.analyze(
       SparkEntry.queries("q01_pricing_summary")(spark, sf001))
