@@ -41,17 +41,6 @@ object Dedup {
     df.groupBy(fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct word-shingle sets per doc: (id, sh). Docs with fewer than
-    * `shingleLen` tokens are excluded — they have no shingles, and an empty
-    * shingle array would otherwise minhash to an all-null signature that
-    * lands every such doc in one degenerate LSH bucket.
-    */
-  def shingleSets(df: DataFrame, idCol: String, textCol: String,
-                  shingleLen: Int): DataFrame =
-    df.select(col(idCol).as("id"),
-        array_distinct(wordShingles(col(textCol), shingleLen)).as("sh"))
-      .filter(size(col("sh")) > 0)
-
   /** MinHash+LSH candidate pairs: (id_a, id_b) with id_a < id_b. The band
     * hashes are computed straight from the token array in one custom-
     * expression pass (no shingle strings, no signature array — see

@@ -132,6 +132,29 @@ class DedupPropertySpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxRows"))
   }
 
+  test("simhashPairs finds planted near-dups via chunk banding") {
+    val pairs = Dedup.simhashPairs(planted, "doc_id", "text", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 10).map(i => (i.toLong, 1000L + i)).toSet
+    val found = expected.count(pairs.contains)
+    // SimHash banding (hamming<=3 guaranteed; <=8 probabilistic) over
+    // one-token mutations: every planted pair has tiny hamming.
+    assert(found >= 8, s"simhash found only $found/10 planted pairs")
+  }
+
+  test("minhashPairs est-jaccard agrees with nearDupPairs exact jaccard " +
+    "within the k=64 sampling error") {
+    val est = Dedup.minhashPairs(planted, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exact = Dedup.nearDupPairs(planted, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(est.nonEmpty)
+    est.keys.filter(exact.contains).foreach { k =>
+      assert(math.abs(est(k) - exact(k)) <= 0.25,
+        s"pair $k est=${est(k)} exact=${exact(k)}")
+    }
+  }
+
   test("simhash: identical normalized text gives identical signature; " +
     "near-dups give low hamming") {
     import spark.implicits._

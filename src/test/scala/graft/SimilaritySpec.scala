@@ -120,6 +120,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.2, s"IVF recall $recall < 0.2")
   }
 
+  test("vector functions: l2 distance and cosine agree with hand computation") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    import org.apache.spark.sql.functions.col
+    val df = Seq((Seq(3.0f, 4.0f), Seq(0.0f, 0.0f)),
+                 (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))).toDF("a", "b")
+    val rows = df.select(
+      VectorFunctions.l2Distance(col("a"), col("b")).as("d"),
+      VectorFunctions.dot(col("a"), col("b")).as("dot")).collect()
+    assert(rows(0).getDouble(0) == 5.0 && rows(0).getDouble(1) == 0.0)
+    assert(rows(1).getDouble(0) == math.sqrt(2.0) && rows(1).getDouble(1) == 0.0)
+  }
+
   test("exactNearPairs refuses unbounded input") {
     val e = intercept[IllegalArgumentException] {
       Similarity.exactNearPairs(corpus, minCos = 0.5, maxRows = 10)
