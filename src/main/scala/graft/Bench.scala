@@ -2,11 +2,32 @@ package graft
 import graft.engine.GraftSession
 
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR and
-  * prints one JSON line. Failures are NOT swallowed — a failed query gets a
-  * negative wall time AND an entry in "errors", so a broken query is visible
-  * in BENCH_r*.json instead of masquerading as a fast one.
+  * prints one compact JSON line. Failures are NOT swallowed — a failed query
+  * gets a negative wall time AND an entry in "errors", so a broken query is
+  * visible in BENCH_r*.json instead of masquerading as a fast one.
+  *
+  * The harness that consumes this keeps only the tail of stdout (~2000
+  * chars), so the printed line carries a fixed HEADLINE subset of queries at
+  * millisecond precision and must stay well under that limit; the full
+  * per-query timing map is written to BENCH_DETAIL.json instead.
   */
 object Bench {
+
+  /** Representative subset printed on the stdout JSON line: the TPC-H spine,
+    * the window/stream/high-cardinality shapes, and the LLM-pipeline
+    * flagships (dedup, sketches, ANN). Everything else is still timed and
+    * lands in BENCH_DETAIL.json + the "value" total.
+    */
+  private val headline = Seq(
+    "q01_pricing_summary", "q03_shipping_priority", "q05_region_revenue",
+    "q06_forecast_revenue", "q10_returned_items", "q17_small_quantity_revenue",
+    "q21_window_running", "q34_highcard_agg", "q37_market_share",
+    "q46_returned_never_huge", "q53_stream_hourly", "q59_lateral_topn",
+    "p01_dedup_exact_groups", "p07_jaccard_pairs", "p08_minhash_pairs",
+    "p09_simhash_sigs", "p10_embedding_topk", "p12_ann_lsh_topk",
+    "p13_embedding_near_pairs", "p14_minhash_dedup_survivors",
+    "p15_winnow_fingerprints", "p17_source_similarity", "p18_dup_clusters")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -24,7 +45,7 @@ object Bench {
       val ok =
         try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
           false
         }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -35,10 +56,28 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    def ms(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+    def qmap(rs: Iterable[(String, Double)]): String =
+      rs.map { case (k, v) => jstr(k) + ":" + ms(v) }.mkString("{", ",", "}")
     val total = results.values.filter(_ > 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${errors.size},"sf":"$sfDir"}""")
+    val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    // Full detail (all queries, full precision + errors) for the repo.
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${
+        qmap(results)},"errors":$errs,"n_failed":${errors.size},"n_queries":${
+        results.size},"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      detail.getBytes("UTF-8"))
+    // Compact stdout line: headline queries only, ms precision, truncated
+    // errors — must survive a ~2000-char stdout tail buffer intact.
+    val head = headline.flatMap(n => results.get(n).map(n -> _))
+    val errsShort = errors.take(3)
+      .map { case (k, v) => jstr(k) + ":" + jstr(v.take(60)) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${
+      qmap(head)},"errors":$errsShort,"n_failed":${errors.size},"n_queries":${
+      results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

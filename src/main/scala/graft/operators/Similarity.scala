@@ -84,6 +84,54 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos"), col("rk"))
   }
 
+  /** Axis-aligned LSH bucket: bit `b` = sign of coordinate `b`. The same
+    * family as [[bucketed]] with the hyperplanes fixed to the coordinate
+    * axes instead of seeded pseudo-random directions — still locality
+    * sensitive for cosine (each bit flips with probability θ/π), but
+    * reproducible in plain SQL, which makes the whole approximate result
+    * differentially testable against DuckDB (the oracle recomputes the
+    * exact candidate set, not just invariants).
+    */
+  def axisBucketed(corpus: DataFrame, nBits: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nBits >= 1 && nBits <= 31, s"nBits=$nBits out of range [1,31]")
+    val bucket = (0 until nBits)
+      .map(b => when(element_at(col(vecCol), b + 1) > lit(0), lit(1 << b)).otherwise(lit(0)))
+      .reduce(_ + _)
+    corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"), bucket.as("bucket"))
+  }
+
+  /** ANN top-k via multi-probe over axis-aligned LSH buckets — identical
+    * plan shape to [[lshTopK]] (bucket equi-join against broadcast probes,
+    * partial top-k per partition via Window), but with [[axisBucketed]]
+    * buckets so the result is exactly reproducible by a SQL oracle.
+    */
+  def axisLshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                  nBits: Int, probeHamming: Int = 1,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  queryIdCol: String = "query_id"): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= 2, "probeHamming in [0,2]")
+    val c = axisBucketed(corpus, nBits, idCol, vecCol)
+    val masks: Seq[Int] = {
+      val h1 = if (probeHamming >= 1) (0 until nBits).map(1 << _) else Nil
+      val h2 = if (probeHamming >= 2)
+        (for { i <- 0 until nBits; j <- (i + 1) until nBits }
+          yield (1 << i) | (1 << j))
+      else Nil
+      Seq(0) ++ h1 ++ h2
+    }
+    val qb = axisBucketed(queries, nBits, queryIdCol, vecCol)
+    val q = qb.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .withColumn("cos", round(cosineSimilarity(col("v"), col("qv")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rk"))
+  }
+
   /** IVF (inverted-file) ANN: k-means cluster the corpus into `nLists`
     * cells (the fit runs on the corpus — at 100 TB, fit on a sample; the
     * model is just `nLists` centroid vectors, broadcast-sized by

@@ -170,7 +170,7 @@ object FunctionQueries {
 
     "q56_json_extract" ->
       """SELECT event_type, count(*) AS n,
-              sum(cast(json_extract_string(props, '$.k') AS bigint)) AS sum_k,
+              cast(sum(cast(json_extract_string(props, '$.k') AS bigint)) AS bigint) AS sum_k,
               max(cast(json_extract_string(props, '$.k') AS bigint)) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""",
 

@@ -21,8 +21,12 @@ import graft.operators.{Dedup, Multimodal, Similarity}
   *  - p09/p11 emit deterministic invariants a DuckDB oracle can derive
   *    (near-dup pairs have low simhash hamming; every vector lands in
   *    exactly one in-range LSH bucket).
-  *  - p12 (ANN) is rows-only here; its recall vs the exact p10 answer is
-  *    asserted in ScalaTest (see SimilaritySpec).
+  *  - p12 (ANN) uses axis-aligned LSH buckets (sign of coordinate b), a
+  *    bucketing DuckDB can recompute, so the oracle derives the exact
+  *    candidate set and the approximate top-k is verified bit-for-bit —
+  *    a differential test of the whole ANN path, not just invariants.
+  *    The seeded random-hyperplane variant keeps its recall property test
+  *    in SimilaritySpec.
   */
 object Pipeline {
 
@@ -145,13 +149,15 @@ object Pipeline {
             .otherwise(lit(0L))).as("n_in_range"))
     }),
 
-    // ---- ANN top-k via LSH bucket join (rows-only; recall vs p10 in spec) ----
+    // ---- ANN top-k via multi-probe LSH bucket join. Axis-aligned
+    // hyperplanes (bit b = sign of coordinate b) keep the bucketing
+    // SQL-derivable, so the oracle reproduces the exact candidate set and
+    // the APPROXIMATE answer is differentially verified end-to-end ----
     "p12_ann_lsh_topk" -> ((s, dir) => {
-      HashExpressions.register(s)
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      Similarity.lshTopK(e, q, k = 10, nBits = 6)
+      Similarity.axisLshTopK(e, q, k = 10, nBits = 6, probeHamming = 1)
         .orderBy(col("query_id"), col("rk"))
     }),
 
@@ -366,6 +372,38 @@ object Pipeline {
     // all buckets are in [0, 2^8).
     "p11_embedding_lsh_buckets" ->
       """SELECT count(*) AS n_vecs, count(*) AS n_in_range FROM embeddings""",
+
+    // Differential ANN oracle: recompute the axis-sign buckets, the 7
+    // multi-probe buckets per query (hamming <= 1 over 6 bits), the exact
+    // candidate set, and the top-k over it — byte-identical to Spark's.
+    "p12_ann_lsh_topk" ->
+      """WITH c AS (
+          SELECT vec_id, embedding,
+                 (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+                + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+                + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+                + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
+                + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
+                + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS bucket
+          FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS b0
+              FROM c WHERE vec_id < 3),
+        probes AS (SELECT query_id, qv, xor(b0, m) AS bucket
+                   FROM q, unnest([0,1,2,4,8,16,32]) AS t(m)),
+        s AS (
+          SELECT p.query_id, c.vec_id,
+                 round(
+                   list_sum(list_transform(list_zip(c.embedding, p.qv),
+                     x -> x[1]::DOUBLE * x[2]::DOUBLE)) /
+                   (sqrt(list_sum(list_transform(c.embedding, y -> y::DOUBLE * y::DOUBLE))) *
+                    sqrt(list_sum(list_transform(p.qv, y -> y::DOUBLE * y::DOUBLE)))), 4) AS cos
+          FROM c JOIN probes p USING (bucket)),
+        r AS (SELECT query_id, vec_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, vec_id) AS rk
+              FROM s)
+        SELECT query_id, vec_id, cos, cast(rk AS integer) AS rk
+        FROM r WHERE rk <= 10 ORDER BY query_id, rk""",
 
     "p18_dup_clusters" ->
       s"""WITH RECURSIVE t AS (

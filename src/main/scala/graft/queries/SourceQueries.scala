@@ -99,8 +99,8 @@ object SourceQueries {
         GROUP BY o_month ORDER BY o_month""",
 
     "q50_expr_keyed_shuffle" ->
-      """SELECT list_sum(list_transform(string_split(text, ''), c -> ascii(c))) % 16 AS hk,
-              count(*) AS n_docs, sum(n_chars) AS total_chars
+      """SELECT cast(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) % 16 AS bigint) AS hk,
+              count(*) AS n_docs, cast(sum(n_chars) AS bigint) AS total_chars
          FROM documents GROUP BY hk ORDER BY hk""",
 
     "q51_work_unit_feed" ->

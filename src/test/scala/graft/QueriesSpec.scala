@@ -29,9 +29,9 @@ class QueriesSpec extends AnyFunSuite {
 
   test("every query has an oracle or a documented exemption") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // p12 is the only rows-only query: ANN bucket membership is not
-    // SQL-derivable; its recall is asserted in SimilaritySpec.
-    assert(noOracle == Set("p12_ann_lsh_topk"),
-      s"queries without oracle: $noOracle")
+    // Every query is oracled — p12 (the last holdout) now uses axis-sign
+    // LSH buckets that DuckDB recomputes, so even the approximate ANN
+    // answer is differentially verified.
+    assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
   }
 }
