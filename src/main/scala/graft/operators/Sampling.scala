@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-construction operators for training pipelines: deterministic
+  * sampling, per-source mixture weighting, and token-budget shard packing.
+  *
+  * All three are DETERMINISTIC functions of the data (no RNG state, no
+  * `rand()`): re-running on any cluster layout yields the same rows, which
+  * is what makes 100 TB pipeline runs reproducible, resumable, and
+  * auditable (and what lets a SQL oracle verify them exactly — `rand()`
+  * based sampling is unverifiable by construction).
+  */
+object Sampling {
+
+  /** Knuth multiplicative hash on the 32-bit residue of `id`, in [0, 2^32).
+    * Chosen over xxhash64/murmur because the arithmetic (one multiply, one
+    * mod) is reproducible in ANY engine — the property that makes sampling
+    * decisions portable across the pipeline boundary (Spark writes, some
+    * other system re-derives membership). Well-mixed for sequential ids;
+    * swap in a stronger expression-level hash if ids are adversarial.
+    */
+  def bucketHash(id: Column): Column =
+    pmod(pmod(id.cast("long"), lit(4294967296L)) * lit(2654435761L), lit(4294967296L))
+
+  /** Deterministic `fraction`-sample: keeps rows whose [[bucketHash]] falls
+    * below `fraction` of the hash space. Narrow (no shuffle, no state);
+    * membership is a pure function of the id.
+    */
+  def deterministicSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction=$fraction out of [0,1]")
+    df.filter(bucketHash(col(idCol)) < lit((fraction * 4294967296.0).toLong))
+  }
+
+  /** Mixture weighting: per-source keep-fractions applied with the same
+    * deterministic hash (sources absent from `weights` are dropped). The
+    * building block of training-mix construction — upweight curated
+    * sources, downsample bulk crawl — as one narrow filter pass over the
+    * corpus.
+    */
+  def mixSources(df: DataFrame, sourceCol: String, idCol: String,
+                 weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty, "weights must not be empty")
+    weights.values.foreach(w => require(w >= 0.0 && w <= 1.0, s"weight $w out of [0,1]"))
+    val cutoff = weights.foldLeft(lit(-1L)) { case (acc, (src, w)) =>
+      when(col(sourceCol) === src, lit((w * 4294967296.0).toLong)).otherwise(acc)
+    }
+    df.filter(bucketHash(col(idCol)) < cutoff)
+  }
+
+  /** Pack id-ordered rows into contiguous shards of ~`budget` weight (e.g.
+    * token count): shard = floor(exclusive-prefix-sum(weight) / budget).
+    * The global prefix sum is computed scalably in two phases — range
+    * partition by id, per-partition running sums, then a driver-side
+    * exclusive scan over the P per-partition totals (P rows, the same
+    * driver-sized statistics exchange AQE does) broadcast back as offsets.
+    * No single-partition window, no O(rows) driver state — this survives
+    * 100 TB where `Window.orderBy(id)` without partitionBy would serialize
+    * the corpus through one task.
+    */
+  def packByBudget(df: DataFrame, idCol: String, weightCol: String,
+                   budget: Long, numPartitions: Int = 0): DataFrame = {
+    require(budget >= 1, s"budget=$budget must be >= 1")
+    val spark = df.sparkSession
+    val p = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+    val parted = df
+      .repartitionByRange(p, col(idCol))
+      .sortWithinPartitions(col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    // Phase 1: per-partition totals — P rows to the driver.
+    val totals = parted.groupBy(col("__pid"))
+      .agg(sum(col(weightCol)).as("__w"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until p).scanLeft(0L)((acc, i) => acc + totals.getOrElse(i, 0L))
+    val offsetExpr = (0 until p).foldLeft(lit(0L)) { (acc, i) =>
+      when(col("__pid") === i, lit(offsets(i))).otherwise(acc)
+    }
+    // Phase 2: within-partition exclusive running sum + the partition offset.
+    val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parted
+      .withColumn("__excl", offsetExpr + coalesce(sum(col(weightCol)).over(w), lit(0L)))
+      .withColumn("shard", floor(col("__excl") / budget).cast("int"))
+      .drop("__pid", "__excl")
+  }
+}

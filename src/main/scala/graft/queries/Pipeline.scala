@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.functions.{HashExpressions, TextFunctions => TF}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
 
 /** LLM-training-data pipeline query corpus (beyond the reference's own
   * surface, mandated by BASELINE.json): dedup family, similarity search,
@@ -252,6 +252,35 @@ object Pipeline {
         shingleLen = 5, threshold = 0.5)
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- deterministic 25% sample: membership is a pure hash of the id,
+    // so the oracle recomputes the identical row set ----
+    "p19_deterministic_sample" -> ((s, dir) => {
+      Sampling.deterministicSample(docs(s, dir), "doc_id", 0.25)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- training-mix construction: per-source keep fractions via the
+    // same deterministic hash; unlisted sources drop out ----
+    "p20_source_mixing" -> ((s, dir) => {
+      Sampling.mixSources(docs(s, dir), "source", "doc_id", Map(
+        "src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5,
+        "src3" -> 0.25, "src4" -> 0.1, "src5" -> 0.05))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- shard packing by char budget: distributed two-phase prefix sum
+    // (range partition + per-partition scan + P-row driver offsets);
+    // oracle recomputes the same shards with a window cumsum ----
+    "p21_shard_packing" -> ((s, dir) => {
+      Sampling.packByBudget(docs(s, dir), "doc_id", "n_chars", budget = 10000L)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy(col("shard"))
     })
   )
 
@@ -473,6 +502,34 @@ object Pipeline {
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT id FROM losers)
         ORDER BY doc_id""",
+
+    "p19_deterministic_sample" ->
+      """SELECT doc_id, source FROM documents
+         WHERE ((doc_id % 4294967296) * 2654435761) % 4294967296 < 1073741824
+         ORDER BY doc_id""",
+
+    "p20_source_mixing" ->
+      """SELECT doc_id, source FROM documents
+         WHERE ((doc_id % 4294967296) * 2654435761) % 4294967296 <
+           CASE source
+             WHEN 'src0' THEN 4294967296
+             WHEN 'src1' THEN 3221225472
+             WHEN 'src2' THEN 2147483648
+             WHEN 'src3' THEN 1073741824
+             WHEN 'src4' THEN 429496729
+             WHEN 'src5' THEN 214748364
+             ELSE -1 END
+         ORDER BY doc_id""",
+
+    "p21_shard_packing" ->
+      """WITH t AS (
+           SELECT doc_id, n_chars,
+                  coalesce(sum(n_chars) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+           FROM documents)
+         SELECT cast(floor(excl / 10000) AS integer) AS shard,
+                count(*) AS n_docs, cast(sum(n_chars) AS bigint) AS total_chars
+         FROM t GROUP BY shard ORDER BY shard""",
 
     "p13_embedding_near_pairs" ->
       """WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),

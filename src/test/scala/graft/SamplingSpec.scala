@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sampling
+
+class SamplingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("deterministicSample is stable, nested, and near the target fraction") {
+    import spark.implicits._
+    val ids = (1L to 10000L).toDF("id")
+    val s20a = Sampling.deterministicSample(ids, "id", 0.2)
+      .collect().map(_.getLong(0)).toSet
+    val s20b = Sampling.deterministicSample(ids, "id", 0.2)
+      .collect().map(_.getLong(0)).toSet
+    assert(s20a == s20b, "same fraction must select identical rows")
+    val s05 = Sampling.deterministicSample(ids, "id", 0.05)
+      .collect().map(_.getLong(0)).toSet
+    assert(s05.subsetOf(s20a), "smaller fraction must nest inside larger")
+    assert(math.abs(s20a.size / 10000.0 - 0.2) < 0.02,
+      s"20% sample selected ${s20a.size}/10000")
+    assert(math.abs(s05.size / 10000.0 - 0.05) < 0.01,
+      s"5% sample selected ${s05.size}/10000")
+  }
+
+  test("deterministicSample plan is a narrow filter — no shuffle, no UDF") {
+    import spark.implicits._
+    val plan = Sampling.deterministicSample((1L to 100L).toDF("id"), "id", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "sampling must not shuffle")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+  }
+
+  test("mixSources keeps weight-1 sources, drops unlisted, scales the rest") {
+    import spark.implicits._
+    val df = (1L to 3000L).map(i => (i, s"src${i % 3}")).toDF("id", "source")
+    val mixed = Sampling.mixSources(df, "source", "id",
+      Map("src0" -> 1.0, "src1" -> 0.3))
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mixed("src0") == 1000L, "weight 1.0 must keep every row")
+    assert(!mixed.contains("src2"), "unlisted source must drop entirely")
+    assert(math.abs(mixed("src1") / 1000.0 - 0.3) < 0.05,
+      s"src1 kept ${mixed("src1")}/1000 at weight 0.3")
+  }
+
+  test("packByBudget: shards are contiguous, bounded, and equal the serial scan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val docs = (1L to 2000L).map(i => (i, 50L + rnd.nextInt(500)))
+      .toDF("id", "w")
+    val budget = 5000L
+    val packed = Sampling.packByBudget(docs, "id", "w", budget, numPartitions = 7)
+      .select(col("id"), col("w"), col("shard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(_._1)
+    // Serial oracle: exclusive prefix sum in id order.
+    var excl = 0L
+    packed.foreach { case (id, w, shard) =>
+      assert(shard == (excl / budget).toInt,
+        s"id=$id: shard=$shard, serial says ${excl / budget}")
+      excl += w
+    }
+    // Contiguity: shard ids never decrease in id order and start at 0.
+    assert(packed.head._3 == 0)
+    packed.sliding(2).foreach { case Array((_, _, a), (_, _, b)) =>
+      assert(b == a || b == a + 1, s"shard jump $a -> $b")
+    }
+    // Weight bound: every shard except possibly via one straddling doc
+    // stays under budget + max doc weight.
+    val maxW = packed.map(_._2).max
+    packed.groupBy(_._3).values.foreach { s =>
+      assert(s.map(_._2).sum <= budget + maxW)
+    }
+  }
+
+  test("packByBudget partition count does not change the assignment") {
+    import spark.implicits._
+    val docs = (1L to 500L).map(i => (i, 100L + (i % 37))).toDF("id", "w")
+    def run(p: Int) = Sampling.packByBudget(docs, "id", "w", 2500L, p)
+      .select(col("id"), col("shard"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(run(3) == run(13), "shard assignment must be layout-independent")
+  }
+}
