@@ -74,6 +74,25 @@ object SourceQueries {
         .orderBy(col("p_brand"))
     }),
 
+    // Avro object-container source: supplier written as .avro (Avro core
+    // libs; spark-avro isn't bundled), read back through the AvroWorkUnit
+    // V2 partition reader; result must equal the parquet oracle.
+    "q69_avro_source" -> ((s, dir) => {
+      val file = DerivedSources.supplierAvroFile(s, dir)
+      val feedId = s"supplier-avro-$dir"
+      feed.WorkUnitFeedRegistry.register(feedId, () => Seq(feed.AvroWorkUnit(file)))
+      s.read.format("graft.sources.feed.WorkUnitFeedTableProvider")
+        .option("feed.id", feedId)
+        .option("schema",
+          "s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
+        .load()
+        .filter(col("s_acctbal") > 0)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"),
+             dsum(col("s_acctbal"), 2).as("total_acctbal"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // Structured Streaming: the events file streamed through a watermarked
     // hourly window agg, run to completion — must converge to the batch
     // (DuckDB) answer over the same file.
@@ -117,6 +136,12 @@ object SourceQueries {
     "q53_stream_hourly" ->
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
           event_type, count(*) AS n, ${osum("value", 6)} AS total_value
-        FROM events GROUP BY hour, event_type ORDER BY hour, event_type"""
+        FROM events GROUP BY hour, event_type ORDER BY hour, event_type""",
+
+    "q69_avro_source" ->
+      s"""SELECT s_nationkey, count(*) AS n_suppliers,
+          ${osum("s_acctbal", 2)} AS total_acctbal
+        FROM supplier WHERE s_acctbal > 0
+        GROUP BY s_nationkey ORDER BY s_nationkey"""
   )
 }

@@ -66,6 +66,40 @@ object DerivedSources {
     spark.read.orc(dir)
   }
 
+  /** Supplier as an Avro object-container file (written once via the Avro
+    * core library — spark-avro's connector is not bundled in this image, so
+    * both write and read go through Avro's own reader/writer; the read path
+    * is the `AvroWorkUnit` V2 partition reader). Returns the file path.
+    */
+  def supplierAvroFile(spark: SparkSession, sfDir: String): String = {
+    import org.apache.avro.SchemaBuilder
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericDatumWriter, GenericRecordBuilder, GenericRecord}
+    val dir = ensure(derivedDir(sfDir, "supplier_avro")) { d =>
+      Files.createDirectories(Paths.get(d))
+      val schema = SchemaBuilder.record("supplier").fields()
+        .requiredLong("s_suppkey").requiredString("s_name")
+        .requiredInt("s_nationkey").requiredDouble("s_acctbal")
+        .endRecord()
+      val rows = Tables.load(spark, sfDir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+        .orderBy(col("s_suppkey"))
+        .collect()
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, new java.io.File(s"$d/supplier.avro"))
+      try rows.foreach { r =>
+        w.append(new GenericRecordBuilder(schema)
+          .set("s_suppkey", r.get(0).asInstanceOf[Number].longValue())
+          .set("s_name", r.getString(1))
+          .set("s_nationkey", r.get(2).asInstanceOf[Number].intValue())
+          .set("s_acctbal", r.get(3).asInstanceOf[Number].doubleValue())
+          .build())
+      } finally w.close()
+      Files.createFile(Paths.get(d, "_SUCCESS"))
+    }
+    s"$dir/supplier.avro"
+  }
+
   /** Orders hive-partitioned by order year: `o_year=YYYY/` directories.
     * Reading back goes through partition discovery; a filter on `o_year`
     * must prune at the PartitionFilters level (asserted in SourcesSpec).

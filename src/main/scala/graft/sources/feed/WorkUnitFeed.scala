@@ -40,25 +40,43 @@ import org.apache.spark.unsafe.types.UTF8String
   * }}}
   */
 object WorkUnitFeedRegistry {
-  private val feeds = TrieMap.empty[String, () => Seq[CsvWorkUnit]]
+  private val feeds = TrieMap.empty[String, () => Seq[WorkUnit]]
 
   /** Driver-side: register the provider closure for a feed id. The closure
     * runs once per query execution, at `planInputPartitions` time.
     */
-  def register(id: String, provider: () => Seq[CsvWorkUnit]): Unit =
+  def register(id: String, provider: () => Seq[WorkUnit]): Unit =
     feeds.put(id, provider)
 
-  def provide(id: String): Seq[CsvWorkUnit] =
+  def provide(id: String): Seq[WorkUnit] =
     feeds.getOrElse(id,
       throw new IllegalStateException(s"no work-unit feed registered as '$id'"))()
 
   def unregister(id: String): Unit = feeds.remove(id)
 }
 
-/** One unit of work: a CSV file (or a single split of one). Serializable —
-  * Spark ships it to whichever executor claims the partition.
+/** One unit of work, serializable — Spark ships it to whichever executor
+  * claims the partition; the unit knows how to open its own reader there.
   */
-case class CsvWorkUnit(path: String, header: Boolean) extends InputPartition
+sealed trait WorkUnit extends InputPartition {
+  def reader(schema: StructType): PartitionReader[InternalRow]
+}
+
+/** A CSV file (or a single split of one). */
+case class CsvWorkUnit(path: String, header: Boolean) extends WorkUnit {
+  override def reader(schema: StructType): PartitionReader[InternalRow] =
+    new CsvWorkUnitReader(this, schema)
+}
+
+/** An Avro object-container file — the reference's optional Avro source
+  * (`/root/reference/Cargo.toml` avro feature). The spark-avro connector
+  * is not bundled in this image, so the executor-side read uses the Avro
+  * core reader directly (same jars Spark itself ships).
+  */
+case class AvroWorkUnit(path: String) extends WorkUnit {
+  override def reader(schema: StructType): PartitionReader[InternalRow] =
+    new AvroWorkUnitReader(this, schema)
+}
 
 class WorkUnitFeedTableProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -97,7 +115,7 @@ class WorkUnitFeedTable(schema: StructType, feedId: String)
 class CsvWorkUnitReaderFactory(schema: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new CsvWorkUnitReader(partition.asInstanceOf[CsvWorkUnit], schema)
+    partition.asInstanceOf[WorkUnit].reader(schema)
 }
 
 /** Executor-side: materializes one work unit. Plain line-split CSV (no
@@ -138,4 +156,45 @@ class CsvWorkUnitReader(unit: CsvWorkUnit, schema: StructType)
 
   override def get(): InternalRow = current
   override def close(): Unit = lines._2.close()
+}
+
+/** Executor-side Avro container-file reader: Avro core `DataFileReader` +
+  * per-field conversion into Spark internal types. Field order follows the
+  * SPARK schema; fields are looked up in the record by name, so the Avro
+  * writer's field order need not match.
+  */
+class AvroWorkUnitReader(unit: AvroWorkUnit, schema: StructType)
+    extends PartitionReader[InternalRow] {
+  import org.apache.avro.file.DataFileReader
+  import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+
+  private val reader = new DataFileReader[GenericRecord](
+    new java.io.File(unit.path), new GenericDatumReader[GenericRecord]())
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (!reader.hasNext) false
+    else {
+      val rec = reader.next()
+      val values = schema.fields.map { f =>
+        rec.get(f.name) match {
+          case null => null
+          case v => f.dataType match {
+            case LongType => java.lang.Long.valueOf(v.asInstanceOf[java.lang.Number].longValue())
+            case IntegerType => java.lang.Integer.valueOf(v.asInstanceOf[java.lang.Number].intValue())
+            case DoubleType => java.lang.Double.valueOf(v.asInstanceOf[java.lang.Number].doubleValue())
+            case StringType => UTF8String.fromString(v.toString)
+            case BooleanType => java.lang.Boolean.valueOf(v.asInstanceOf[java.lang.Boolean])
+            case other => throw new UnsupportedOperationException(
+              s"AvroWorkUnitReader does not support $other")
+          }
+        }
+      }
+      current = new GenericInternalRow(values.asInstanceOf[Array[Any]])
+      true
+    }
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
 }

@@ -53,6 +53,24 @@ class SourcesSpec extends AnyFunSuite {
       s"scan read $scanned of $allFiles files — no pruning happened")
   }
 
+  test("Avro supplier (V2 AvroWorkUnit reader) equals parquet row-for-row") {
+    import graft.sources.feed
+    val file = DerivedSources.supplierAvroFile(spark, sf01)
+    feed.WorkUnitFeedRegistry.register("spec-avro", () => Seq(feed.AvroWorkUnit(file)))
+    val avro = spark.read.format("graft.sources.feed.WorkUnitFeedTableProvider")
+      .option("feed.id", "spec-avro")
+      .option("schema",
+        "s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
+      .load()
+      .orderBy("s_suppkey").collect().map(_.toString)
+    val pq = Tables.load(spark, sf01, "supplier")
+      .select(col("s_suppkey"), col("s_name"),
+        col("s_nationkey").cast("int"), col("s_acctbal"))
+      .orderBy("s_suppkey").collect().map(_.toString)
+    assert(avro.length == pq.length && avro.length > 0)
+    assert(avro.sameElements(pq), "Avro read diverged from parquet")
+  }
+
   test("partition column values survive the hive round-trip") {
     val years = DerivedSources.ordersHivePartitioned(spark, sf01)
       .select(countDistinct(col("o_year"))).head().getLong(0)
