@@ -171,9 +171,21 @@ object Streams {
     * stream synchronously.
     */
   def runToMemory(df: DataFrame, name: String,
-                  mode: OutputMode = OutputMode.Complete()): DataFrame = {
+                  mode: OutputMode = OutputMode.Complete(),
+                  statePartitions: Int = 8): DataFrame = {
     val spark = df.sparkSession
-    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    // A streaming query fixes its state-store partition count at start from
+    // spark.sql.shuffle.partitions and every micro-batch then commits one
+    // state file per partition — at 32 partitions the per-batch commit fan-out
+    // dominates small streams. 8 keeps parallelism for the aggregation while
+    // quartering the state-commit overhead; a production deployment sizes
+    // this to state volume, not core count.
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, statePartitions.toString)
+    val q =
+      try df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+      finally spark.conf.set(key, prev)
     try { q.processAllAvailable() } finally q.stop()
     spark.table(name)
   }
