@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Corpus-level text operators for training-data and retrieval pipelines:
+  * token-window chunking (sequence-length preparation) and BM25 keyword
+  * scoring (the lexical side of the similarity-search surface; Robertson &
+  * Spärck Jones probabilistic relevance framework).
+  *
+  * Both are deterministic compositions of codegen'd built-ins: chunking is
+  * purely narrow (explode of computed slices); BM25 is one tiny corpus-stats
+  * aggregate broadcast back over a narrow scoring pass + TopK — no UDFs, no
+  * quadratic joins, layout-independent results.
+  */
+object TextOps {
+
+  /** Split each document into token-window chunks of `chunkTokens` tokens
+    * with `overlap` tokens shared between consecutive chunks (the standard
+    * context-window prep for training/embedding). Chunk starts advance by
+    * `chunkTokens - overlap`; every token lands in at least one chunk; docs
+    * shorter than one window yield exactly one chunk. Output: id, chunk_id
+    * (0-based), chunk text, chunk token count.
+    */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+                    chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens=$chunkTokens must be >= 1")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap=$overlap must be in [0, chunkTokens)")
+    val stride = chunkTokens - overlap
+    val toks = tokens(col(textCol))
+    // ceil((nTokens - overlap) / stride), at least 1.
+    val nChunks = greatest(
+      ceil((size(toks) - overlap).cast("double") / stride).cast("int"), lit(1))
+    df.select(col(idCol), toks.as("__toks"), nChunks.as("__n"))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), col("__n") - 1),
+          i => array_join(slice(col("__toks"), i * stride + 1, lit(chunkTokens)), " ")))
+          .as(Seq("chunk_id", "chunk")))
+      .withColumn("n_chunk_tokens", size(split(col("chunk"), " ")))
+  }
+
+  /** BM25 scores of every document against a bag of query tokens; returns
+    * the top `k` as (id, score, rk). Corpus statistics (N, avgdl, per-term
+    * document frequency) are one small aggregate collected to the driver
+    * (|queryTokens|+1 values — the same driver-sized statistics exchange
+    * AQE performs) and folded into the scoring expression as literals, so
+    * the scoring pass is narrow and the only shuffle is the final TopK.
+    *
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (Robertson/Lucene form,
+    * non-negative); tf component = tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl)).
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queryTokens: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTokens.nonEmpty, "queryTokens must not be empty")
+    val toks = tokens(col(textCol))
+    val base = df.select(col(idCol).as("id"), toks.as("__toks"))
+    // One pass: corpus size, total tokens, and per-term doc frequency.
+    val aggs = Seq(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("__toks"))).cast("long").as("total_toks")) ++
+      queryTokens.map(t =>
+        sum(when(array_contains(col("__toks"), t), 1L).otherwise(0L)).as(s"df_$t"))
+    val statsRow = base.agg(aggs.head, aggs.tail: _*).head()
+    val nDocs = statsRow.getAs[Long]("n_docs")
+    val avgdl = statsRow.getAs[Long]("total_toks").toDouble / nDocs
+    val scoreExpr: Column = queryTokens.map { t =>
+      val dfT = statsRow.getAs[Long](s"df_$t")
+      val idf = math.log(1.0 + (nDocs - dfT + 0.5) / (dfT + 0.5))
+      val tf = size(filter(col("__toks"), x => x === t)).cast("double")
+      tf * lit(k1 + 1.0) * lit(idf) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * size(col("__toks")).cast("double") / lit(avgdl)))
+    }.reduce(_ + _)
+    import org.apache.spark.sql.expressions.Window
+    // TopK first via orderBy+limit (TakeOrderedAndProject: per-partition
+    // partial top-k, no global sort), THEN rank the k survivors — a global
+    // row_number window over the full corpus would serialize it through
+    // one task.
+    val top = base.withColumn("score", round(scoreExpr, 4))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+    top.withColumn("rk",
+        row_number().over(Window.orderBy(col("score").desc, col("id"))))
+      .select(col("id"), col("score"), col("rk"))
+  }
+}

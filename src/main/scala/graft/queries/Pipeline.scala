@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.functions.{HashExpressions, TextFunctions => TF}
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 
 /** LLM-training-data pipeline query corpus (beyond the reference's own
   * surface, mandated by BASELINE.json): dedup family, similarity search,
@@ -281,6 +281,23 @@ object Pipeline {
         .agg(count(lit(1)).as("n_docs"),
              sum(col("n_chars")).cast("long").as("total_chars"))
         .orderBy(col("shard"))
+    }),
+
+    // ---- token-window chunking (context-window prep): 40-token chunks,
+    // 10-token overlap; chunk text emitted so equality is exact ----
+    "p22_doc_chunking" -> ((s, dir) => {
+      TextOps.chunkByTokens(docs(s, dir), "doc_id", "text",
+        chunkTokens = 40, overlap = 10)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // ---- BM25 keyword retrieval: corpus stats folded into a narrow
+    // scoring pass + TopK; the oracle recomputes the identical formula ----
+    "p23_bm25_search" -> ((s, dir) => {
+      TextOps.bm25TopK(docs(s, dir), "doc_id", "text",
+        queryTokens = Seq("spark", "join", "window"), k = 20)
+        .select(col("id").as("doc_id"), col("score"), col("rk"))
+        .orderBy(col("rk"))
     })
   )
 
@@ -502,6 +519,44 @@ object Pipeline {
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT id FROM losers)
         ORDER BY doc_id""",
+
+    "p22_doc_chunking" ->
+      s"""WITH t AS (SELECT doc_id, string_split($oNorm, ' ') AS toks FROM documents),
+        c AS (SELECT doc_id, i AS chunk_id,
+                array_to_string(list_slice(toks, i*30 + 1, i*30 + 40), ' ') AS chunk
+              FROM t, unnest(range(0, greatest(
+                cast(ceil((len(toks) - 10) / 30.0) AS bigint), 1))) AS u(i))
+        SELECT doc_id, cast(chunk_id AS integer) AS chunk_id, chunk,
+               cast(len(string_split(chunk, ' ')) AS integer) AS n_chunk_tokens
+        FROM c ORDER BY doc_id, chunk_id""",
+
+    "p23_bm25_search" ->
+      s"""WITH t AS (SELECT doc_id, string_split($oNorm, ' ') AS toks FROM documents),
+        st AS (SELECT count(*) AS n,
+                      sum(len(toks))::double / count(*) AS avgdl,
+                      sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS df_spark,
+                      sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS df_join,
+                      sum(CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END) AS df_window
+               FROM t),
+        sc AS (SELECT doc_id, round(
+                 len(list_filter(toks, x -> x = 'spark'))::double * 2.2
+                   * ln(1 + (n - df_spark + 0.5) / (df_spark + 0.5))
+                   / (len(list_filter(toks, x -> x = 'spark'))::double
+                      + 1.2 * (0.25 + 0.75 * len(toks)::double / avgdl))
+               + len(list_filter(toks, x -> x = 'join'))::double * 2.2
+                   * ln(1 + (n - df_join + 0.5) / (df_join + 0.5))
+                   / (len(list_filter(toks, x -> x = 'join'))::double
+                      + 1.2 * (0.25 + 0.75 * len(toks)::double / avgdl))
+               + len(list_filter(toks, x -> x = 'window'))::double * 2.2
+                   * ln(1 + (n - df_window + 0.5) / (df_window + 0.5))
+                   / (len(list_filter(toks, x -> x = 'window'))::double
+                      + 1.2 * (0.25 + 0.75 * len(toks)::double / avgdl)), 4) AS score
+               FROM t, st),
+        r AS (SELECT doc_id, score,
+                     row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+              FROM sc WHERE score > 0)
+        SELECT doc_id, score, cast(rk AS integer) AS rk
+        FROM r WHERE rk <= 20 ORDER BY rk""",
 
     "p19_deterministic_sample" ->
       """SELECT doc_id, source FROM documents

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextOps
+
+class TextOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("chunkByTokens: full coverage, exact overlap, short docs get one chunk") {
+    import spark.implicits._
+    val text = (1 to 95).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, text), (2L, "tiny doc")).toDF("doc_id", "text")
+    val chunks = TextOps.chunkByTokens(df, "doc_id", "text",
+        chunkTokens = 40, overlap = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val doc1 = chunks.filter(_._1 == 1L).sortBy(_._2).map(_._3.split(" "))
+    // ceil((95-10)/30) = 3 chunks; starts 0, 30, 60.
+    assert(doc1.length == 3)
+    assert(doc1(0).length == 40 && doc1(1).length == 40 && doc1(2).length == 35)
+    assert(doc1.flatten.toSet == (1 to 95).map(i => s"w$i").toSet, "token lost")
+    assert(doc1(0).takeRight(10).sameElements(doc1(1).take(10)),
+      "consecutive chunks must share exactly the overlap window")
+    val doc2 = chunks.filter(_._1 == 2L)
+    assert(doc2.length == 1 && doc2.head._3 == "tiny doc")
+  }
+
+  test("chunkByTokens plan is narrow — no shuffle before the explode") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = TextOps.chunkByTokens(df, "doc_id", "text", 2, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
+  test("bm25TopK ranks by relevance: repetition, presence, absence") {
+    import spark.implicits._
+    val filler = (1 to 30).map(i => s"x$i").mkString(" ")
+    val df = Seq(
+      (1L, s"spark spark spark join $filler"),
+      (2L, s"spark $filler"),
+      (3L, s"$filler nothing relevant here"),
+      (4L, s"join window spark $filler")
+    ).toDF("doc_id", "text")
+    val got = TextOps.bm25TopK(df, "doc_id", "text",
+        Seq("spark", "join", "window"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(!got.contains(3L), "doc without any query term must not score")
+    assert(got(4L) == 1, "doc matching all three terms ranks first")
+    assert(got(1L) < got(2L), "more matched mass must outrank a single hit")
+  }
+
+  test("bm25TopK plan uses TakeOrderedAndProject, not a global sort or window") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, s"spark doc number $i")).toDF("doc_id", "text")
+    val plan = TextOps.bm25TopK(df, "doc_id", "text", Seq("spark"), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TopK:\n$plan")
+  }
+}
