@@ -20,13 +20,15 @@ object Bench {
     */
   private val headline = Seq(
     "q01_pricing_summary", "q03_shipping_priority", "q05_region_revenue",
-    "q06_forecast_revenue", "q10_returned_items", "q17_small_quantity_revenue",
+    "q10_returned_items", "q17_small_quantity_revenue",
     "q21_window_running", "q34_highcard_agg", "q37_market_share",
     "q46_returned_never_huge", "q53_stream_hourly", "q59_lateral_topn",
+    "q67_asof_join", "q68_range_join",
     "p01_dedup_exact_groups", "p07_jaccard_pairs", "p08_minhash_pairs",
     "p09_simhash_sigs", "p10_embedding_topk", "p12_ann_lsh_topk",
     "p13_embedding_near_pairs", "p14_minhash_dedup_survivors",
-    "p15_winnow_fingerprints", "p17_source_similarity", "p18_dup_clusters")
+    "p15_winnow_fingerprints", "p17_source_similarity", "p18_dup_clusters",
+    "p21_shard_packing", "p22_doc_chunking", "p23_bm25_search")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -102,6 +102,27 @@ object SourceQueries {
         Streams.hourlyEventCounts(Streams.eventsStream(s, dir)),
         name = "q53_mem")
         .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // Stream-stream inner join run to completion: purchases within 30
+    // minutes after a click by the same user; the joined rows land in the
+    // memory sink (append mode) and are aggregated batch-side per click.
+    // Must equal DuckDB's time-range join over the same file.
+    "q70_stream_join" -> ((s, dir) => {
+      import graft.streaming.Streams
+      import org.apache.spark.sql.streaming.OutputMode
+      // Self-join of ONE stream source: both sides share the scan; the
+      // symmetric-hash-join state is still per-side.
+      val ev = Streams.eventsStream(s, dir)
+      Streams.runToMemory(
+        Streams.clickPurchaseJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase")),
+        name = "q70_mem", mode = OutputMode.Append(), statePartitions = 2)
+        .groupBy(col("click_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+             dsum(col("value"), 6).as("total_value"))
+        .orderBy(col("click_id"))
     })
   )
 
@@ -142,6 +163,15 @@ object SourceQueries {
       s"""SELECT s_nationkey, count(*) AS n_suppliers,
           ${osum("s_acctbal", 2)} AS total_acctbal
         FROM supplier WHERE s_acctbal > 0
-        GROUP BY s_nationkey ORDER BY s_nationkey"""
+        GROUP BY s_nationkey ORDER BY s_nationkey""",
+
+    "q70_stream_join" ->
+      s"""SELECT c.event_id AS click_id, count(*) AS n_purchases,
+          ${osum("p.value", 6)} AS total_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        GROUP BY click_id ORDER BY click_id"""
   )
 }

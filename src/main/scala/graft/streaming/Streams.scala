@@ -129,6 +129,27 @@ object Streams {
       }
   }
 
+  /** Stream-stream inner join (Spark's `StreamingSymmetricHashJoinExec` —
+    * the operator the reference only COST-MODELS, SURVEY.md §2.4): purchases
+    * within `windowMinutes` after a click by the same user. Both sides are
+    * watermarked and the join carries the time-range predicate, so each
+    * side's state is bounded to the watermark + range window.
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                        windowMinutes: Int = 30,
+                        watermark: String = "1 hour"): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", watermark)
+    c.join(p, expr(
+      s"""c_user = p_user AND
+          p_ts >= c_ts AND p_ts <= c_ts + INTERVAL $windowMinutes MINUTES"""))
+  }
+
   /** Streaming exact dedup: drop rows whose key was already seen, with the
     * state bounded by the watermark (a key older than the watermark can be
     * forgotten — the streaming counterpart of [[graft.operators.Dedup.exact]];
@@ -183,10 +204,34 @@ object Streams {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, statePartitions.toString)
+    // Checkpoint to tmpfs when available: run-to-completion verification
+    // queries don't need crash durability, and the per-batch fsync of state
+    // + offset logs to disk otherwise dominates small streams. A production
+    // deployment points this at durable storage.
+    val ckptBase =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+        "/dev/shm/graft_ckpt" else sys.props("java.io.tmpdir") + "/graft_ckpt"
+    val ckpt = s"$ckptBase/$name-${java.util.UUID.randomUUID()}"
     val q =
-      try df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+      try df.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt).outputMode(mode).start()
       finally spark.conf.set(key, prev)
-    try { q.processAllAvailable() } finally q.stop()
+    try { q.processAllAvailable() } finally {
+      if (sys.env.contains("GRAFT_STREAM_DEBUG"))
+        q.recentProgress.foreach(p => System.err.println(
+          s"[stream] batch=${p.batchId} rows=${p.numInputRows} " +
+            s"ms=${p.durationMs} state=${p.stateOperators.map(s =>
+              s"rows=${s.numRowsTotal}").mkString(",")}"))
+      q.stop()
+      // Best-effort scratch cleanup — checkpoints are per-run throwaways.
+      try {
+        import java.nio.file.{Files, Paths}
+        import scala.jdk.CollectionConverters._
+        val root = Paths.get(ckpt)
+        if (Files.exists(root))
+          Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      } catch { case _: Exception => () }
+    }
     spark.table(name)
   }
 }
