@@ -131,6 +131,56 @@ object FunctionQueries {
         .orderBy(col("o_orderstatus"), col("o_totalprice").desc, col("o_orderkey"))
     }),
 
+    // ---- multi-COUNT(DISTINCT): Spark plans this via Expand (one
+    // duplicated stream per distinct column) — a distinct operator shape
+    // from the ClickBench corpus ----
+    "q71_multi_distinct" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+             countDistinct(to_date(col("ts"))).as("n_days"),
+             Relational.dsum(col("value"), 6).as("total_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- RANGE window frame (value-based, not row-based): trailing
+    // 3-day per-user activity over epoch seconds ----
+    "q72_range_frame" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+        .rangeBetween(-259200L, 0L)
+      t(s, dir, "events")
+        .withColumn("sec", unix_timestamp(col("ts")))
+        .select(col("event_id"),
+          count(lit(1)).over(w).as("n_3d"),
+          sum(col("value").cast(DecimalType(18, 6))).over(w)
+            .cast("double").as("total_3d"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- recursive CTE (Spark 4.x WITH RECURSIVE): calendar-spine
+    // generation with zero-filled monthly order counts ----
+    "q73_recursive_cte" -> ((s, dir) => {
+      graft.engine.Tables.register(s, dir, "orders")
+      s.sql("""
+        WITH RECURSIVE spine(d, dmax) AS (
+          SELECT date_trunc('month', min(o_orderdate)),
+                 date_trunc('month', max(o_orderdate)) FROM orders
+          UNION ALL
+          SELECT d + INTERVAL 1 MONTH, dmax FROM spine WHERE d < dmax
+        ),
+        monthly AS (
+          SELECT date_format(o_orderdate, 'yyyy-MM') AS m, count(*) AS n
+          FROM orders GROUP BY m
+        )
+        SELECT date_format(d, 'yyyy-MM') AS m,
+               coalesce(n, 0) AS n_orders
+        FROM spine LEFT JOIN monthly ON date_format(d, 'yyyy-MM') = m
+        ORDER BY m""")
+        .select(col("m"), col("n_orders"))
+    }),
+
     // ---- TPC-DS q51 shape: full outer join of two cumulative windows ----
     "q63_fullouter_cumulative" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -224,6 +274,38 @@ object FunctionQueries {
          WINDOW w AS (PARTITION BY o_orderstatus
                       ORDER BY o_totalprice DESC, o_orderkey)
          ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey""",
+
+    "q71_multi_distinct" ->
+      s"""SELECT event_type,
+              count(DISTINCT user_id) AS n_users,
+              count(DISTINCT cast(ts AS date)) AS n_days,
+              ${osum("value", 6)} AS total_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q72_range_frame" ->
+      """SELECT event_id,
+              count(*) OVER w AS n_3d,
+              cast(sum(cast(value AS decimal(18,6))) OVER w AS double) AS total_3d
+         FROM events
+         WINDOW w AS (PARTITION BY user_id
+                      ORDER BY date_diff('second', TIMESTAMP '1970-01-01', ts)
+                      RANGE BETWEEN 259200 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+
+    "q73_recursive_cte" ->
+      """WITH RECURSIVE spine(d, dmax) AS (
+           SELECT date_trunc('month', min(o_orderdate)),
+                  date_trunc('month', max(o_orderdate)) FROM orders
+           UNION ALL
+           SELECT d + INTERVAL 1 MONTH, dmax FROM spine WHERE d < dmax
+         ),
+         monthly AS (
+           SELECT strftime(o_orderdate, '%Y-%m') AS m, count(*) AS n
+           FROM orders GROUP BY m
+         )
+         SELECT strftime(d, '%Y-%m') AS m, coalesce(n, 0) AS n_orders
+         FROM spine LEFT JOIN monthly ON strftime(d, '%Y-%m') = m
+         ORDER BY m""",
 
     "q63_fullouter_cumulative" ->
       """WITH f AS (
