@@ -31,16 +31,33 @@ object Temporal {
     * `payloadPrefix + name` (null when no right row is at or before the
     * left row's time — left-outer semantics). Ties on time prefer the right
     * row (i.e. a right row AT the left timestamp matches), matching
-    * DuckDB's `ASOF JOIN ... ON l.ts >= r.ts`.
+    * DuckDB's `ASOF JOIN ... ON l.ts >= r.ts`. If the right side has
+    * MULTIPLE rows at the same (key, ts), which one wins is unspecified —
+    * same as DuckDB/pandas; dedupe the right side first when that matters.
     */
   def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
                    leftTs: String, rightTs: String,
-                   payloadPrefix: String = "asof_"): DataFrame = {
+                   payloadPrefix: String = "asof_"): DataFrame =
+    asofJoin(left, right, keys, leftTs, rightTs, payloadPrefix, forward = false)
+
+  /** As-of FORWARD join: for every left row, the EARLIEST right row with
+    * time >= the left row's time (pandas `merge_asof(direction="forward")`;
+    * DuckDB `ASOF JOIN ... ON l.ts <= r.ts`). Same machinery as
+    * [[asofBackward]] with the scan direction reversed.
+    */
+  def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTs: String, rightTs: String,
+                  payloadPrefix: String = "asof_"): DataFrame =
+    asofJoin(left, right, keys, leftTs, rightTs, payloadPrefix, forward = true)
+
+  private def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTs: String, rightTs: String,
+                       payloadPrefix: String, forward: Boolean): DataFrame = {
     val payload = right.columns.filterNot(c => keys.contains(c) || c == rightTs).toSeq
     require(payload.nonEmpty, "right side has no payload columns")
     val payloadType = right.select(struct(payload.map(col): _*)).schema.head.dataType
     // __side orders right (0) before left (1) at equal times so the running
-    // carry-forward includes same-instant right rows.
+    // carry includes same-instant right rows in either direction.
     val r2 = right.select(
       keys.map(col) ++ Seq(col(rightTs).as("__t"), lit(0).as("__side"),
         struct(payload.map(col): _*).as("__p")): _*)
@@ -49,7 +66,7 @@ object Temporal {
       .withColumn("__side", lit(1))
       .withColumn("__p", lit(null).cast(payloadType))
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(if (forward) col("__t").desc else col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l2.unionByName(r2, allowMissingColumns = true)
       .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))

@@ -38,6 +38,22 @@ object TemporalQueries {
         .orderBy(col("event_id"))
     }),
 
+    "q74_asof_forward" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("ts").as("p_ts"), col("value"))
+      Temporal.asofForward(clicks, purchases,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          payloadPrefix = "next_purchase_")
+        .select(col("event_id"), col("user_id"),
+          col("next_purchase_value"),
+          (unix_micros(col("next_purchase_p_ts")) - unix_micros(col("ts")))
+            .as("us_until_purchase"))
+        .orderBy(col("event_id"))
+    }),
+
     "q68_range_join" -> ((s, dir) => {
       val ev = events(s, dir)
       val day = (c: org.apache.spark.sql.Column) =>
@@ -64,6 +80,14 @@ object TemporalQueries {
          FROM (SELECT * FROM events WHERE event_type = 'click') l
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
            ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY l.event_id""",
+
+    "q74_asof_forward" ->
+      """SELECT l.event_id, l.user_id, r.value AS next_purchase_value,
+              date_diff('microsecond', l.ts, r.ts) AS us_until_purchase
+         FROM (SELECT * FROM events WHERE event_type = 'click') l
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+           ON l.user_id = r.user_id AND l.ts <= r.ts
          ORDER BY l.event_id""",
 
     "q68_range_join" ->

@@ -47,6 +47,18 @@ class TemporalSpec extends AnyFunSuite {
       s"only $agree/${fast.size} rows agree with the argmax oracle")
   }
 
+  test("asofForward picks the earliest right row at or after each left time") {
+    import spark.implicits._
+    val left = Seq((1, 5L, "a"), (1, 10L, "b"), (1, 20L, "c")).toDF("k", "t", "tag")
+    val right = Seq((1, 5L, 100.0), (1, 15L, 200.0)).toDF("k", "t", "px")
+    val out = Temporal.asofForward(left, right, Seq("k"), "t", "t")
+      .select(col("tag"), col("asof_px"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("a") == Some(100.0), "tie at t=5 must match the same-instant right row")
+    assert(out("b") == Some(200.0), "t=10 looks ahead to px@15")
+    assert(out("c") == None, "no right row at or after t=20")
+  }
+
   test("asofBackward plan: one shuffle on the key, no join operator at all") {
     import spark.implicits._
     val left = (1 to 100).map(i => (i % 5, i.toLong, i)).toDF("k", "t", "id")
