@@ -42,6 +42,60 @@ object TextOps {
       .withColumn("n_chunk_tokens", size(split(col("chunk"), " ")))
   }
 
+  /** PII patterns, applied in declaration order (SSN before phone so the
+    * more specific pattern wins its span). RE2-compatible syntax — the same
+    * patterns run under Java regex (Spark) and RE2-family engines.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "[EMAIL]"),
+    ("ssn", """\b\d{3}-\d{2}-\d{4}\b""", "[SSN]"),
+    ("phone", """\b\d{3}[-. ]\d{3}[-. ]\d{4}\b""", "[PHONE]"),
+    ("ipv4", """\b\d{1,3}(\.\d{1,3}){3}\b""", "[IP]"))
+
+  /** Redact every PII pattern occurrence. Narrow, codegen'd regexp pass —
+    * the scrubbing front door of a training-data pipeline.
+    */
+  def redactPii(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (_, pat, repl)) =>
+      regexp_replace(acc, pat, repl)
+    }
+
+  /** Occurrence count of one named PII pattern. */
+  def piiCount(c: Column, name: String): Column = {
+    val pat = piiPatterns.collectFirst { case (`name`, p, _) => p }
+      .getOrElse(throw new IllegalArgumentException(s"unknown PII pattern '$name'"))
+    size(regexp_extract_all(c, lit(pat), lit(0)))
+  }
+
+  /** Per-document repetition statistics (the Gopher/C4 repetition quality
+    * rule): share of tokens taken by the most frequent token and by the
+    * most frequent bigram. Shuffles on (id, gram) — two aggregations,
+    * corpus-scalable; no per-doc quadratic work.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+    def maxShare(gramCol: Column, outName: String) =
+      base.select(col("id"), size(col("__toks")).as("__n"),
+          explode(gramCol).as("__g"))
+        .groupBy(col("id"), col("__g"))
+        .agg(count(lit(1)).as("__c"), max(col("__n")).as("__n"))
+        .groupBy(col("id"))
+        .agg(round(max(col("__c")).cast("double") /
+          greatest(max(col("__n")), lit(1L)), 6).as(outName))
+    val uni = maxShare(col("__toks"), "max_token_share")
+    val bi = maxShare(
+      when(size(col("__toks")) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(col("__toks")) - 2),
+          i => concat_ws(" ", slice(col("__toks"), i + 1, lit(2))))),
+      "max_bigram_share")
+    base.select(col("id"))
+      .join(uni, Seq("id"), "left_outer")
+      .join(bi, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("max_token_share"), lit(0.0)).as("max_token_share"),
+        coalesce(col("max_bigram_share"), lit(0.0)).as("max_bigram_share"))
+  }
+
   /** BM25 scores of every document against a bag of query tokens; returns
     * the top `k` as (id, score, rk). Corpus statistics (N, avgdl, per-term
     * document frequency) are one small aggregate collected to the driver

@@ -298,6 +298,38 @@ object Pipeline {
         queryTokens = Seq("spark", "join", "window"), k = 20)
         .select(col("id").as("doc_id"), col("score"), col("rk"))
         .orderBy(col("rk"))
+    }),
+
+    // ---- PII scrubbing: the corpus carries no PII, so the query PLANTS
+    // synthetic email/phone/SSN/IP deterministically from doc_id (both
+    // engines derive the identical enriched text), then counts and
+    // redacts — the scrub pass is verified end-to-end ----
+    "p24_pii_redaction" -> ((s, dir) => {
+      val enriched = concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or call 555-"),
+        lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+        lit("-"),
+        lpad(pmod(col("doc_id") * 7, lit(10000)).cast("string"), 4, "0"),
+        lit(" ssn 123-45-6789 ip 10.0.0."),
+        pmod(col("doc_id"), lit(256)).cast("string"))
+      docs(s, dir).select(
+        col("doc_id"),
+        TextOps.piiCount(enriched, "email").as("n_emails"),
+        TextOps.piiCount(enriched, "phone").as("n_phones"),
+        TextOps.piiCount(enriched, "ssn").as("n_ssn"),
+        TextOps.piiCount(enriched, "ipv4").as("n_ip"),
+        TextOps.redactPii(enriched).as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- repetition quality signal (Gopher/C4 rule): max token and
+    // bigram share per doc; two corpus-scalable aggregations ----
+    "p25_repetition_stats" -> ((s, dir) => {
+      TextOps.repetitionStats(docs(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"),
+          col("max_token_share"), col("max_bigram_share"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -557,6 +589,49 @@ object Pipeline {
               FROM sc WHERE score > 0)
         SELECT doc_id, score, cast(rk AS integer) AS rk
         FROM r WHERE rk <= 20 ORDER BY rk""",
+
+    "p24_pii_redaction" ->
+      s"""WITH e AS (SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com or call 555-'
+             || lpad(cast(doc_id % 1000 AS varchar), 3, '0') || '-'
+             || lpad(cast((doc_id * 7) % 10000 AS varchar), 4, '0')
+             || ' ssn 123-45-6789 ip 10.0.0.' || (doc_id % 256) AS t
+           FROM documents)
+        SELECT doc_id,
+          cast(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS integer) AS n_emails,
+          cast(len(regexp_extract_all(t, '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS integer) AS n_phones,
+          cast(len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS integer) AS n_ssn,
+          cast(len(regexp_extract_all(t, '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b')) AS integer) AS n_ip,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(t,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g'),
+              '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '[PHONE]', 'g'),
+            '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b', '[IP]', 'g') AS redacted
+        FROM e ORDER BY doc_id""",
+
+    "p25_repetition_stats" ->
+      s"""WITH t AS (SELECT doc_id, string_split($oNorm, ' ') AS toks FROM documents),
+        u AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS g FROM t),
+        m1 AS (SELECT doc_id, round(max(c)::double / greatest(max(n), 1), 6) AS max_token_share
+               FROM (SELECT doc_id, g, count(*) AS c, max(n) AS n
+                     FROM u GROUP BY doc_id, g)
+               GROUP BY doc_id),
+        b AS (SELECT doc_id, len(toks) AS n,
+                     unnest(list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i+1])) AS g
+              FROM t),
+        m2 AS (SELECT doc_id, round(max(c)::double / greatest(max(n), 1), 6) AS max_bigram_share
+               FROM (SELECT doc_id, g, count(*) AS c, max(n) AS n
+                     FROM b GROUP BY doc_id, g)
+               GROUP BY doc_id)
+        SELECT t.doc_id,
+               coalesce(m1.max_token_share, 0.0) AS max_token_share,
+               coalesce(m2.max_bigram_share, 0.0) AS max_bigram_share
+        FROM t LEFT JOIN m1 USING (doc_id) LEFT JOIN m2 USING (doc_id)
+        ORDER BY doc_id""",
 
     "p19_deterministic_sample" ->
       """SELECT doc_id, source FROM documents

@@ -34,6 +34,39 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
   }
 
+  test("redactPii scrubs every pattern class and counts match occurrences") {
+    import spark.implicits._
+    val df = Seq((1L,
+      "mail a@b.co and c.d+e@f-g.org, call 555-123-4567 or 555 867 5309, " +
+        "ssn 078-05-1120, host 192.168.1.254 end")).toDF("id", "t")
+    val row = df.select(
+      graft.operators.TextOps.redactPii(col("t")).as("r"),
+      graft.operators.TextOps.piiCount(col("t"), "email").as("ne"),
+      graft.operators.TextOps.piiCount(col("t"), "phone").as("np"),
+      graft.operators.TextOps.piiCount(col("t"), "ssn").as("ns"),
+      graft.operators.TextOps.piiCount(col("t"), "ipv4").as("ni")).head()
+    val r = row.getString(0)
+    assert(!r.exists(_.isDigit), s"digits survived redaction: $r")
+    assert(r.contains("[EMAIL]") && r.contains("[PHONE]") &&
+      r.contains("[SSN]") && r.contains("[IP]"))
+    assert((row.getInt(1), row.getInt(2), row.getInt(3), row.getInt(4))
+      == ((2, 2, 1, 1)))
+  }
+
+  test("repetitionStats: uniform doc scores 1/n, degenerate doc scores ~1") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e"),                    // all unique: share 1/5
+      (2L, "spam spam spam spam"),          // one token: share 1
+      (3L, "x")                             // single token, no bigrams
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.repetitionStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got(1L) == ((0.2, 0.2)), s"got ${got(1L)}")
+    assert(got(2L)._1 == 1.0 && got(2L)._2 == 0.75, s"got ${got(2L)}")
+    assert(got(3L) == ((1.0, 0.0)), s"single-token doc: ${got(3L)}")
+  }
+
   test("bm25TopK ranks by relevance: repetition, presence, absence") {
     import spark.implicits._
     val filler = (1 to 30).map(i => s"x$i").mkString(" ")
