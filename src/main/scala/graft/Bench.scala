@@ -58,21 +58,29 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         if (ok) dt else -dt
       }
+      // A query counts as failed if ANY iteration failed (it has an errors
+      // entry), and then reports a NEGATIVE time so n_failed always equals
+      // the count of negative times — one consistent signal.
       val good = times.filter(_ > 0)
-      name -> (if (good.nonEmpty) good.min else times.head)
+      val best = if (good.nonEmpty) good.min else times.map(-_).min
+      name -> (if (errors.contains(name)) -best.abs else best)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    def ms(v: Double): String = BigDecimal(v)
-      .setScale(3, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+    // Failure marker preservation: a sub-millisecond failure must not round
+    // to "0.000" and masquerade as a success.
+    def ms(v: Double): String =
+      (if (v < 0 && v > -0.001) BigDecimal("-0.001")
+       else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP))
+        .bigDecimal.toPlainString
     def qmap(rs: Iterable[(String, Double)]): String =
       rs.map { case (k, v) => jstr(k) + ":" + ms(v) }.mkString("{", ",", "}")
     val total = results.values.filter(_ > 0).sum
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    // Full detail (all queries, full precision + errors) for the repo.
+    // Full detail (every query, ms precision + all errors) for the repo.
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"agg":"min","queries":${
         qmap(results)},"errors":$errs,"n_failed":${errors.size},"n_queries":${

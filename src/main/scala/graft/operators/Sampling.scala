@@ -15,15 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Knuth multiplicative hash on the 32-bit residue of `id`, in [0, 2^32).
+  /** Multiplicative hash on the 32-bit residue of `id`, in [0, 2^32).
     * Chosen over xxhash64/murmur because the arithmetic (one multiply, one
     * mod) is reproducible in ANY engine — the property that makes sampling
     * decisions portable across the pipeline boundary (Spark writes, some
-    * other system re-derives membership). Well-mixed for sequential ids;
-    * swap in a stronger expression-level hash if ids are adversarial.
+    * other system re-derives membership). The multiplier is odd (a
+    * bijection mod 2^32, uniform over sequential ids) and < 2^31, so the
+    * intermediate product stays under 2^63: no Long overflow under Spark's
+    * ANSI mode and no bigint overflow in SQL engines, for ANY 64-bit id.
+    * Swap in a stronger expression-level hash if ids are adversarial.
     */
   def bucketHash(id: Column): Column =
-    pmod(pmod(id.cast("long"), lit(4294967296L)) * lit(2654435761L), lit(4294967296L))
+    pmod(pmod(id.cast("long"), lit(4294967296L)) * lit(1103515245L), lit(4294967296L))
 
   /** Deterministic `fraction`-sample: keeps rows whose [[bucketHash]] falls
     * below `fraction` of the hash space. Narrow (no shuffle, no state);
@@ -66,22 +69,35 @@ object Sampling {
     val spark = df.sparkSession
     val p = if (numPartitions > 0) numPartitions
             else spark.sessionState.conf.numShufflePartitions
-    val parted = df
-      .repartitionByRange(p, col(idCol))
-      .sortWithinPartitions(col(idCol))
-      .withColumn("__pid", spark_partition_id())
-    // Phase 1: per-partition totals — P rows to the driver.
-    val totals = parted.groupBy(col("__pid"))
-      .agg(sum(col(weightCol)).as("__w"))
+    // Bucket each row by a DETERMINISTIC id-range split computed from the
+    // exact id bounds — NOT repartitionByRange, whose sampled bounds are
+    // seeded by the runtime RDD id: the totals job and the window job would
+    // each re-sample and could disagree near bucket boundaries, silently
+    // corrupting the prefix sum. A computed bucket column is identical in
+    // every execution (and engine) by construction; under heavy id skew the
+    // buckets are uneven, which costs balance, never correctness.
+    val bounds = df.agg(min(col(idCol)).cast("long"),
+      max(col(idCol)).cast("long")).head()
+    if (bounds.isNullAt(0)) return df.withColumn("shard", lit(null).cast("int"))
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    // Bucket width; ceil-div without overflow for any id range.
+    val span = hi - lo + 1
+    val width = math.max(1L, span / p + (if (span % p == 0) 0 else 1))
+    // Integer DIV, not `/` (double division loses exactness past 2^53).
+    val bucket = expr(s"CAST((CAST(`$idCol` AS BIGINT) - ($lo)) DIV $width AS INT)")
+    val withPid = df.withColumn("__pid", bucket)
+    // Phase 1: per-bucket totals — at most P rows to the driver.
+    val totals = withPid.groupBy(col("__pid"))
+      .agg(sum(col(weightCol)).cast("long").as("__w"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until p).scanLeft(0L)((acc, i) => acc + totals.getOrElse(i, 0L))
     val offsetExpr = (0 until p).foldLeft(lit(0L)) { (acc, i) =>
       when(col("__pid") === i, lit(offsets(i))).otherwise(acc)
     }
-    // Phase 2: within-partition exclusive running sum + the partition offset.
+    // Phase 2: within-bucket exclusive running sum + the bucket offset.
     val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    parted
+    withPid
       .withColumn("__excl", offsetExpr + coalesce(sum(col(weightCol)).over(w), lit(0L)))
       .withColumn("shard", floor(col("__excl") / budget).cast("int"))
       .drop("__pid", "__excl")

@@ -88,11 +88,11 @@ object TextOps {
         .otherwise(transform(sequence(lit(0), size(col("__toks")) - 2),
           i => concat_ws(" ", slice(col("__toks"), i + 1, lit(2))))),
       "max_bigram_share")
-    base.select(col("id"))
-      .join(uni, Seq("id"), "left_outer")
-      .join(bi, Seq("id"), "left_outer")
-      .select(col("id"),
-        coalesce(col("max_token_share"), lit(0.0)).as("max_token_share"),
+    // `uni` already carries every id (tokenizing non-null text never yields
+    // an empty array), so it doubles as the id spine — no third scan of the
+    // corpus; only single-token docs are absent from `bi`.
+    uni.join(bi, Seq("id"), "left_outer")
+      .select(col("id"), col("max_token_share"),
         coalesce(col("max_bigram_share"), lit(0.0)).as("max_bigram_share"))
   }
 

@@ -635,12 +635,12 @@ object Pipeline {
 
     "p19_deterministic_sample" ->
       """SELECT doc_id, source FROM documents
-         WHERE ((doc_id % 4294967296) * 2654435761) % 4294967296 < 1073741824
+         WHERE ((doc_id % 4294967296) * 1103515245) % 4294967296 < 1073741824
          ORDER BY doc_id""",
 
     "p20_source_mixing" ->
       """SELECT doc_id, source FROM documents
-         WHERE ((doc_id % 4294967296) * 2654435761) % 4294967296 <
+         WHERE ((doc_id % 4294967296) * 1103515245) % 4294967296 <
            CASE source
              WHEN 'src0' THEN 4294967296
              WHEN 'src1' THEN 3221225472

@@ -170,6 +170,17 @@ class AvroWorkUnitReader(unit: AvroWorkUnit, schema: StructType)
 
   private val reader = new DataFileReader[GenericRecord](
     new java.io.File(unit.path), new GenericDatumReader[GenericRecord]())
+  // Fail loudly on a schema mismatch: GenericRecord.get(name) returns null
+  // (not an error) for unknown fields, which would silently yield all-null
+  // columns for a misspelled field name.
+  locally {
+    import scala.jdk.CollectionConverters._
+    val avroNames: Set[String] = reader.getSchema.getFields.asScala.map(_.name()).toSet
+    val missing: Seq[String] = schema.fields.map(_.name).toSeq.filterNot(avroNames.contains)
+    require(missing.isEmpty,
+      s"fields ${missing.mkString(", ")} not present in Avro file ${unit.path} " +
+        s"(has: ${avroNames.mkString(", ")})")
+  }
   private var current: InternalRow = _
 
   override def next(): Boolean = {

@@ -25,6 +25,18 @@ class SamplingSpec extends AnyFunSuite {
       s"5% sample selected ${s05.size}/10000")
   }
 
+  test("bucketHash never overflows: full 32-bit residue range and huge ids") {
+    import spark.implicits._
+    // Residues near 2^32-1 would overflow Long with a multiplier >= 2^31
+    // under ANSI mode; the chosen multiplier keeps the product < 2^63.
+    val ids = Seq(0L, 1L, 4294967295L, 4294967296L, Long.MaxValue - 1,
+      3474506100L, 4000000000L).toDF("id")
+    val hashes = ids.select(Sampling.bucketHash(col("id")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(hashes.forall(h => h >= 0L && h < 4294967296L),
+      s"hash out of [0, 2^32): ${hashes.mkString(",")}")
+  }
+
   test("deterministicSample plan is a narrow filter — no shuffle, no UDF") {
     import spark.implicits._
     val plan = Sampling.deterministicSample((1L to 100L).toDF("id"), "id", 0.5)
