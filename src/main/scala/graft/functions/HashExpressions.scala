@@ -169,6 +169,53 @@ object HashExpressions {
       copy(child = c)
   }
 
+  /** Distinct 64-bit hashes of word `shingleLen`-grams, straight from the
+    * token array — the same order-sensitive splitmix chain as
+    * [[minhashMinima]] without the k-minima fold. Exists because building
+    * shingle STRINGS via `transform`+`slice`+`concat_ws` is interpreted and
+    * allocation-heavy (the same reason MinHash has a custom kernel), and a
+    * shingle-keyed JOIN only needs shingle identity: an 8-byte key shuffles
+    * and compares ~5× cheaper than the string. Collision probability across
+    * a 2^64 space is negligible at any realistic corpus cardinality.
+    */
+  case class ShingleHashes(child: Expression, shingleLen: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(shingleLen >= 1, s"shingleLen=$shingleLen must be >= 1")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "shingle_hashes"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val th = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        th(i) = if (arr.isNullAt(i)) 0L else hash64(arr.getUTF8String(i).getBytes)
+        i += 1
+      }
+      val out = new java.util.HashSet[java.lang.Long]()
+      var j = 0
+      while (j <= n - shingleLen) {
+        var base = SHINGLE_SEED
+        var t = j
+        while (t < j + shingleLen) {
+          base = splitmix64(base ^ th(t))
+          t += 1
+        }
+        out.add(base)
+        j += 1
+      }
+      val res = new Array[Long](out.size)
+      val it = out.iterator()
+      var k = 0
+      while (it.hasNext) { res(k) = it.next(); k += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(res)
+    }
+
+    override protected def withNewChildInternal(c: Expression): ShingleHashes =
+      copy(child = c)
+  }
+
   /** Random-hyperplane LSH bucket id for an array<float|double> embedding:
     * `nBits` pseudo-random ±1 hyperplanes (derived from (seed, bit, dim) via
     * splitmix64 — no stored model), bucket bit = sign of the projection.
@@ -340,6 +387,10 @@ object HashExpressions {
         intArg(exprs, 1), intArg(exprs, 2), intArg(exprs, 3)),
       "scala_udf")
     reg.createOrReplaceTempFunction(
+      "shingle_hashes",
+      exprs => ShingleHashes(exprs.head, intArg(exprs, 1)),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
       "hyperplane_lsh",
       exprs => {
         val bits = exprs(1).eval(InternalRow.empty).asInstanceOf[Int]
@@ -368,6 +419,10 @@ object HashExpressions {
     call_function("minhash_signature", tokens,
       org.apache.spark.sql.functions.lit(shingleLen),
       org.apache.spark.sql.functions.lit(k))
+
+  def shingleHashes(tokens: Column, shingleLen: Int): Column =
+    call_function("shingle_hashes", tokens,
+      org.apache.spark.sql.functions.lit(shingleLen))
 
   def minhashBands(tokens: Column, shingleLen: Int, k: Int, r: Int): Column =
     call_function("minhash_bands", tokens,

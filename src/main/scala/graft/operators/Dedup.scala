@@ -215,6 +215,42 @@ object Dedup {
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 
+  /** Benchmark decontamination: corpus documents containing at least
+    * `minContainment` of some benchmark document's `shingleLen`-gram set
+    * (containment = |corpus ∩ bench| / |bench| — the asymmetric overlap
+    * decontamination uses, NOT jaccard: a training doc that embeds a whole
+    * benchmark item scores 1.0 regardless of how much else it contains).
+    * One shuffle on the shingle, then a (cid, bid) count — no pairwise
+    * scan. Shingles participate as 64-bit hashes straight from the token
+    * array ([[HashExpressions.ShingleHashes]]): the join key shuffles and
+    * compares ~5× cheaper than shingle strings and no string shingle is
+    * ever materialized; the SQL oracle joins the strings and agrees absent
+    * 64-bit collisions (negligible at any realistic cardinality). At
+    * corpus scale also pre-drop degenerate-document-frequency shingles
+    * (boilerplate) before the join.
+    */
+  def contaminationPairs(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleLen: Int = 5,
+                         minContainment: Double = 0.5): DataFrame = {
+    HashExpressions.register(corpus.sparkSession)
+    val cs = corpus.select(col(idCol).as("cid"),
+      explode(HashExpressions.shingleHashes(tokens(col(textCol)), shingleLen)).as("sh"))
+    val bs = benchmark
+      .select(col(idCol).as("bid"),
+        HashExpressions.shingleHashes(tokens(col(textCol)), shingleLen).as("__sharr"))
+      .filter(size(col("__sharr")) > 0)
+      .select(col("bid"), size(col("__sharr")).as("nb"),
+        explode(col("__sharr")).as("sh"))
+    cs.join(bs, Seq("sh"))
+      .groupBy(col("cid"), col("bid"))
+      .agg(count(lit(1)).as("__inter"), max(col("nb")).as("__nb"))
+      .withColumn("containment",
+        col("__inter").cast("double") / col("__nb"))
+      .filter(col("containment") >= minContainment)
+      .select(col("cid"), col("bid"), round(col("containment"), 6).as("containment"))
+  }
+
   /** Per-doc 64-bit SimHash signatures. */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),

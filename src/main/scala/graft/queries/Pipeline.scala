@@ -330,6 +330,19 @@ object Pipeline {
         .select(col("id").as("doc_id"),
           col("max_token_share"), col("max_bigram_share"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- benchmark decontamination: every 10th doc is the held-out
+    // "benchmark" set (scale-relative split), the rest is the training
+    // corpus; train docs containing >= half of a benchmark doc's 5-gram
+    // set are flagged via one shingle-keyed join ----
+    "p26_decontamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contaminationPairs(
+        d.filter(pmod(col("doc_id"), lit(10)) =!= 9),
+        d.filter(pmod(col("doc_id"), lit(10)) === 9),
+        "doc_id", "text", shingleLen = 5, minContainment = 0.5)
+        .orderBy(col("cid"), col("bid"))
     })
   )
 
@@ -632,6 +645,20 @@ object Pipeline {
                coalesce(m2.max_bigram_share, 0.0) AS max_bigram_share
         FROM t LEFT JOIN m1 USING (doc_id) LEFT JOIN m2 USING (doc_id)
         ORDER BY doc_id""",
+
+    "p26_decontamination" ->
+      s"""WITH t AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-5+2),
+                   i -> array_to_string(list_slice(toks, i, i+4), ' '))) AS sh
+          FROM (SELECT doc_id, string_split($oNorm, ' ') AS toks FROM documents)
+          WHERE len(toks) >= 5),
+        c AS (SELECT * FROM t WHERE doc_id % 10 <> 9),
+        b AS (SELECT * FROM t WHERE doc_id % 10 = 9)
+        SELECT c.doc_id AS cid, b.doc_id AS bid,
+               round(len(list_intersect(c.sh, b.sh))::double / len(b.sh), 6) AS containment
+        FROM c, b
+        WHERE len(list_intersect(c.sh, b.sh))::double / len(b.sh) >= 0.5
+        ORDER BY cid, bid""",
 
     "p19_deterministic_sample" ->
       """SELECT doc_id, source FROM documents

@@ -155,6 +155,27 @@ class DedupPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("contaminationPairs: asymmetric containment finds embedded benchmark items") {
+    import spark.implicits._
+    val bench = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (1L, s"lots of unrelated padding words here $bench and even more padding after"),
+      (2L, "nothing shared with the benchmark document at all in any way shape"),
+      (3L, "alpha beta gamma delta epsilon completely diverges after five tokens")
+    ).toDF("doc_id", "text")
+    val benchDf = Seq((100L, bench)).toDF("doc_id", "text")
+    val got = Dedup.contaminationPairs(corpus, benchDf, "doc_id", "text",
+        shingleLen = 5, minContainment = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // Doc 1 embeds the whole benchmark: containment 1.0 even though the
+    // benchmark is a small fraction of doc 1 (jaccard would be far below
+    // threshold — the asymmetry is the point).
+    assert(got((1L, 100L)) == 1.0, s"got $got")
+    assert(!got.keySet.exists(_._1 == 2L), "unrelated doc flagged")
+    // Doc 3 shares only 1 of the benchmark's 4 shingles: 0.25 < 0.5.
+    assert(!got.keySet.exists(_._1 == 3L), "sub-threshold doc flagged")
+  }
+
   test("simhash: identical normalized text gives identical signature; " +
     "near-dups give low hamming") {
     import spark.implicits._
