@@ -15,10 +15,12 @@ object Sketches {
     * map-side partial aggregation at any scale, and deterministic enough
     * to verify against exact set jaccard.
     *
-    * Signature matching [[HashExpressions.minhashMinima]] with
-    * shingleLen=1 over the distinct union, so group-vs-group
-    * `est_jaccard = matches/k` estimates the exact token-set jaccard with
-    * stderr ≈ sqrt(j(1-j)/k).
+    * The k hash streams derive from `splitmix64(hash64(token) + i·GOLDEN)`
+    * — its OWN hash family, deliberately not interchangeable with
+    * [[HashExpressions.minhashMinima]] signatures (which chain through a
+    * shingle seed); compare MinHashUnion sketches only with each other.
+    * Group-vs-group `est_jaccard = matches/k` estimates the exact
+    * token-set jaccard with stderr ≈ sqrt(j(1-j)/k).
     */
   case class MinHashUnion(k: Int)
       extends Aggregator[Seq[String], Array[Long], Seq[Long]] {

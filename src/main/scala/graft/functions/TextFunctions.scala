@@ -88,21 +88,13 @@ object TextFunctions {
           i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
-  // MinHash signatures live in HashExpressions.MinHashSignature (custom
-  // Catalyst expression). A declarative
+  // MinHash signatures and LSH band hashes live in
+  // HashExpressions.{MinHashSignature, MinHashBandHashes} (custom Catalyst
+  // expressions). A declarative
   // `transform(sequence(0,k-1), i -> array_min(transform(sh, hash(i,s))))`
   // was tried and rejected: higher-order functions are interpreted, and the
   // nested form re-materializes the shingle array k times per row (~100×
   // slower at k=64). Also note an affine family `a_i*h(x)+b_i` WITHOUT
   // modular wraparound is monotonic in h(x) and collapses the signature to
   // the single min-hash shingle — a correctness trap, not just a perf one.
-
-  /** LSH band hashes over a minhash signature: k/r bands of r rows each,
-    * hashed to a long. Near-dup candidates = docs sharing any (band, hash).
-    */
-  def bandHashes(sig: Column, k: Int, r: Int): Column = {
-    require(k % r == 0, s"k=$k not divisible by band width r=$r")
-    transform(sequence(lit(0), lit(k / r - 1)),
-      b => xxhash64(slice(sig, b * r + 1, lit(r))))
-  }
 }

@@ -52,8 +52,12 @@ object Dedup {
     * self-join.
     *
     * Probability a pair with shingle-jaccard j becomes a candidate:
-    * 1 - (1 - j^r)^(k/r). Defaults (k=64, r=4, 16 bands) give recall
-    * 1 - 1e-13 at j=0.9 and ~1e-7 false-positive rate at j=0.01.
+    * 1 - (1 - j^r)^(k/r). Defaults (k=64, r=2, 32 bands) give recall
+    * 1 - 1e-4 at j=0.5, 1 - 1e-23 at j=0.9, and a ~0.3% false-candidate
+    * rate at j=0.01 (false candidates cost only the exact-verify pass —
+    * they can never reach the output). Wider bands (r=4, 16 bands) are
+    * cheaper but their recall at j=0.5 is only 0.64: choose r so the
+    * S-curve midpoint (k/r)^(-1/r) sits well below the emit threshold.
     *
     * @param maxBucketSize skew guard: LSH buckets larger than this are
     *                      dropped before pair generation (degenerate
@@ -61,7 +65,7 @@ object Dedup {
     *                      candidate pairs — monitor with [[lshBucketStats]].
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        shingleLen: Int = 5, k: Int = 64, r: Int = 4,
+                        shingleLen: Int = 5, k: Int = 64, r: Int = 2,
                         maxBucketSize: Int = 1000): DataFrame = {
     HashExpressions.register(df.sparkSession)
     val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
@@ -91,7 +95,7 @@ object Dedup {
     * `maxBucketSize` cap would drop them.
     */
   def lshBucketStats(df: DataFrame, idCol: String, textCol: String,
-                     shingleLen: Int = 5, k: Int = 64, r: Int = 4,
+                     shingleLen: Int = 5, k: Int = 64, r: Int = 2,
                      maxBucketSize: Int = 1000): DataFrame = {
     HashExpressions.register(df.sparkSession)
     val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
@@ -108,15 +112,16 @@ object Dedup {
   /** Near-duplicate pairs with EXACT shingle jaccard, LSH-accelerated:
     * candidates from [[minhashCandidates]], then shingle sets re-attached by
     * id (two hash joins on the small candidate set) and exact
-    * intersection/union computed. With default k/r the candidate recall at
-    * jaccard ≥ threshold=0.5 is ≈ 1 - 1e-4 (and ≈ 1 - 1e-13 at j ≥ 0.9), so
-    * the output equals the all-pairs exact answer while the cost stays
+    * intersection/union computed. With default k/r (64/2, 32 bands) the
+    * candidate recall at jaccard = threshold = 0.5 is 1 - 1e-4, rising
+    * steeply above it (1 - 1e-23 at j = 0.9), so the output equals the
+    * all-pairs exact answer up to that recall while the cost stays
     * O(docs × bands) + O(candidates) instead of O(docs²) — this is the
     * oracle-verifiable form of minhash dedup.
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleLen: Int = 5, threshold: Double = 0.5,
-                   k: Int = 64, r: Int = 4,
+                   k: Int = 64, r: Int = 2,
                    maxBucketSize: Int = 1000): DataFrame = {
     val cand = minhashCandidates(df, idCol, textCol, shingleLen, k, r, maxBucketSize)
     // Re-attach TEXT (not precomputed shingle arrays) by id and rebuild
@@ -141,7 +146,7 @@ object Dedup {
     * has stddev ≈ sqrt(j(1-j)/k).
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   k: Int = 64, r: Int = 4, shingleLen: Int = 5,
+                   k: Int = 64, r: Int = 2, shingleLen: Int = 5,
                    threshold: Double = 0.5,
                    maxBucketSize: Int = 1000): DataFrame = {
     HashExpressions.register(df.sparkSession)
@@ -165,7 +170,7 @@ object Dedup {
     * iterative connected components, overkill for dedup-keep-one).
     */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
-                   k: Int = 64, r: Int = 4, shingleLen: Int = 5,
+                   k: Int = 64, r: Int = 2, shingleLen: Int = 5,
                    threshold: Double = 0.5): DataFrame = {
     val losers = nearDupPairs(df, idCol, textCol, shingleLen, threshold, k, r)
       .select(col("id_b").as("_loser")).distinct()
@@ -183,7 +188,7 @@ object Dedup {
     */
   def dupClusters(df: DataFrame, idCol: String, textCol: String,
                   shingleLen: Int = 5, threshold: Double = 0.5,
-                  k: Int = 64, r: Int = 4,
+                  k: Int = 64, r: Int = 2,
                   maxIters: Int = 20): DataFrame = {
     val pairs = nearDupPairs(df, idCol, textCol, shingleLen, threshold, k, r)
       .select(col("id_a"), col("id_b")).persist()
@@ -193,6 +198,10 @@ object Dedup {
       .persist()
     var labels = df.select(col(idCol).as("id"))
       .withColumn("label", col("id")).persist()
+    // Track the PERSISTED plan of each round: unpersisting a projection of
+    // it is a no-op (plan identity, not lineage), which would leak one
+    // cached round per iteration.
+    var persistedRound: DataFrame = labels
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -205,13 +214,25 @@ object Dedup {
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .persist()
       val changed = next.filter(col("label") =!= col("_old")).count()
-      labels.unpersist()
+      persistedRound.unpersist()
+      persistedRound = next
       labels = next.select(col("id"), col("label"))
       converged = changed == 0
       iter += 1
     }
     edges.unpersist()
     pairs.unpersist()
+    // A silent non-converged exit would return labels that split one true
+    // component into several — wrong answers, undetectably. Fail loudly;
+    // near-dup components are shallow, so hitting this means the graph (or
+    // maxIters) needs looking at, not papering over.
+    if (!converged) {
+      persistedRound.unpersist()
+      throw new IllegalStateException(
+        s"dupClusters did not converge in $maxIters rounds — component " +
+          "diameter exceeds maxIters; raise maxIters or check for " +
+          "degenerate chaining in the pair graph")
+    }
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 
@@ -256,17 +277,33 @@ object Dedup {
     df.select(col(idCol).as("id"),
       HashExpressions.simhash64(tokens(col(textCol))).as("simhash"))
 
-  /** SimHash near-dup pairs with hamming ≤ maxHamming, candidates via 16-bit
-    * chunk banding (4 chunks; hamming ≤ 3 guarantees a shared chunk). Only
-    * (id, chunk, cv) is shuffled; signatures re-attach by id.
+  /** SimHash near-dup pairs with hamming ≤ maxHamming, candidates via bit
+    * chunk banding. The signature splits into `maxHamming + 1` chunks, so
+    * by pigeonhole any pair within the radius shares at least one intact
+    * chunk — FULL recall at any radius, with cost rising as chunks narrow
+    * (a w-bit chunk collides on random pairs with probability 2^-w per
+    * chunk; the default radius 3 gives 16-bit chunks). Only (id, chunk,
+    * cv) is shuffled; signatures re-attach by id.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming=$maxHamming out of [0,15]: chunks below 4 bits collide " +
+        "on effectively every pair — use a different sketch for wide radii")
+    val nChunks = maxHamming + 1
+    // Near-equal chunk widths covering all 64 bits (first `rem` chunks get
+    // the extra bit).
+    val baseW = 64 / nChunks
+    val rem = 64 % nChunks
+    val widths = (0 until nChunks).map(i => baseW + (if (i < rem) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
     val sigs = simhashSignatures(df, idCol, textCol)
+    val chunkCols = (0 until nChunks).map { i =>
+      val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1
+      shiftrightunsigned(col("simhash"), offsets(i)).bitwiseAND(lit(mask))
+    }
     val chunks = sigs.select(col("id"),
-      posexplode(array((0 until 4).map(i =>
-        shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("chunk", "cv")))
+      posexplode(array(chunkCols: _*)).as(Seq("chunk", "cv")))
     val a = chunks.select(col("chunk"), col("cv"), col("id").as("id_a"))
     val b = chunks.select(col("chunk"), col("cv"), col("id").as("id_b"))
     a.join(b, Seq("chunk", "cv"))

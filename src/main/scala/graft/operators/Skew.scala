@@ -17,15 +17,19 @@ object Skew {
     * result is row-identical to the unsalted join (inner join only: salting
     * replicates the small side, so outer semantics would need de-dup).
     *
-    * The salt derives from a hash of the large row's key plus a
-    * monotonically increasing id — deterministic within a run, uniform
-    * across reducers.
+    * The salt is a hash of the ENTIRE large row — a pure function of row
+    * content, never of runtime position. A positional salt
+    * (`monotonically_increasing_id`, `rand`, `spark_partition_id`) is the
+    * SPARK-23207 failure class: on task retry recomputed rows change salt,
+    * hence reducer, and the join silently drops or duplicates rows.
+    * Identical duplicate rows share a salt (slightly less spread, never
+    * less correct).
     */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  saltFactor: Int = 8): DataFrame = {
     require(saltFactor >= 1, "saltFactor must be >= 1")
     val salted = large.withColumn("_salt",
-      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(saltFactor.toLong))
+      pmod(xxhash64(large.columns.map(col): _*), lit(saltFactor.toLong))
         .cast("int"))
     val replicated = small
       .withColumn("_salt", explode(sequence(lit(0), lit(saltFactor - 1))))

@@ -88,11 +88,16 @@ object TextOps {
         .otherwise(transform(sequence(lit(0), size(col("__toks")) - 2),
           i => concat_ws(" ", slice(col("__toks"), i + 1, lit(2))))),
       "max_bigram_share")
-    // `uni` already carries every id (tokenizing non-null text never yields
-    // an empty array), so it doubles as the id spine — no third scan of the
-    // corpus; only single-token docs are absent from `bi`.
-    uni.join(bi, Seq("id"), "left_outer")
-      .select(col("id"), col("max_token_share"),
+    // Id spine straight from the input with only the id column selected —
+    // column pruning keeps this scan text-free (no third tokenization
+    // pass), and unlike using `uni` as the spine it preserves rows whose
+    // text is NULL (tokens(null) -> null -> explode drops them from the
+    // aggregates) with 0.0 shares.
+    df.select(col(idCol).as("id"))
+      .join(uni, Seq("id"), "left_outer")
+      .join(bi, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("max_token_share"), lit(0.0)).as("max_token_share"),
         coalesce(col("max_bigram_share"), lit(0.0)).as("max_bigram_share"))
   }
 
@@ -109,19 +114,23 @@ object TextOps {
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
                queryTokens: Seq[String], k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(queryTokens.nonEmpty, "queryTokens must not be empty")
+    // Corpus tokens are lowercase-normalized (tokens()), so query tokens
+    // must be too or an uppercase query can never match; duplicates would
+    // double-count a term (and collide df_<t> column names).
+    val queryTokens0 = queryTokens.map(_.toLowerCase.trim).filter(_.nonEmpty).distinct
+    require(queryTokens0.nonEmpty, "queryTokens must not be empty")
     val toks = tokens(col(textCol))
     val base = df.select(col(idCol).as("id"), toks.as("__toks"))
     // One pass: corpus size, total tokens, and per-term doc frequency.
     val aggs = Seq(
       count(lit(1)).as("n_docs"),
       sum(size(col("__toks"))).cast("long").as("total_toks")) ++
-      queryTokens.map(t =>
+      queryTokens0.map(t =>
         sum(when(array_contains(col("__toks"), t), 1L).otherwise(0L)).as(s"df_$t"))
     val statsRow = base.agg(aggs.head, aggs.tail: _*).head()
     val nDocs = statsRow.getAs[Long]("n_docs")
     val avgdl = statsRow.getAs[Long]("total_toks").toDouble / nDocs
-    val scoreExpr: Column = queryTokens.map { t =>
+    val scoreExpr: Column = queryTokens0.map { t =>
       val dfT = statsRow.getAs[Long](s"df_$t")
       val idf = math.log(1.0 + (nDocs - dfT + 0.5) / (dfT + 0.5))
       val tf = size(filter(col("__toks"), x => x === t)).cast("double")

@@ -105,7 +105,7 @@ object Pipeline {
     // stays O(docs × bands). ----
     "p08_minhash_pairs" -> ((s, dir) => {
       Dedup.nearDupPairs(docs(s, dir), "doc_id", "text",
-        shingleLen = 5, threshold = 0.5, k = 64, r = 4)
+        shingleLen = 5, threshold = 0.5, k = 64, r = 2)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -116,7 +116,7 @@ object Pipeline {
     "p09_simhash_sigs" -> ((s, dir) => {
       HashExpressions.register(s)
       val pairs = Dedup.nearDupPairs(docs(s, dir), "doc_id", "text",
-        shingleLen = 5, threshold = 0.5, k = 64, r = 4)
+        shingleLen = 5, threshold = 0.5, k = 64, r = 2)
       val sigs = Dedup.simhashSignatures(docs(s, dir), "doc_id", "text")
       pairs
         .join(sigs.select(col("id").as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))

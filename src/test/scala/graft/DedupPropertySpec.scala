@@ -112,8 +112,8 @@ class DedupPropertySpec extends AnyFunSuite {
       .collect()
     val dropped = stats.filter(_.getBoolean(2))
     assert(dropped.nonEmpty, "dropped buckets not reported")
-    assert(dropped.map(r => r.getLong(0) * r.getLong(1)).sum == 300L * 16,
-      "every (doc, band) row should fall in a dropped bucket")
+    assert(dropped.map(r => r.getLong(0) * r.getLong(1)).sum == 300L * 32,
+      "every (doc, band) row should fall in a dropped bucket (32 bands at k=64, r=2)")
   }
 
   test("lshBucketStats reports caps; no degenerate buckets on real corpus") {

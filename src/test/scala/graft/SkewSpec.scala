@@ -23,13 +23,18 @@ class SkewSpec extends AnyFunSuite {
     assert(salted.sameElements(plain))
   }
 
-  test("salting spreads a hot key across multiple partitions") {
+  test("salting spreads a hot key across multiple partitions, deterministically") {
     import spark.implicits._
-    val fact = Seq.fill(2000)((1, "x")).toDF("k", "v")
+    // Content-hash salt (never positional — SPARK-23207): distinct rows of
+    // one hot key must land on many salts, and re-evaluation must agree.
+    val fact = (1 to 2000).map(i => (1, s"payload_$i")).toDF("k", "v")
     val salted = fact.withColumn("_salt",
-      pmod(xxhash64(col("k"), monotonically_increasing_id()), lit(8L)).cast("int"))
+      pmod(xxhash64(fact.columns.map(col): _*), lit(8L)).cast("int"))
     val saltCards = salted.select(countDistinct(col("_salt"))).head().getLong(0)
     assert(saltCards == 8, s"expected 8 distinct salts, got $saltCards")
+    val a = salted.collect().map(_.toString).sorted
+    val b = salted.collect().map(_.toString).sorted
+    assert(a.sameElements(b), "salt must be deterministic across evaluations")
   }
 
   test("keySkewProfile surfaces the hot key share") {
