@@ -104,6 +104,17 @@ object SourceQueries {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    // JSON-lines source: documents metadata written as JSONL, read back
+    // through the JSON scan with explicit schema; must equal the parquet
+    // oracle.
+    "q75_json_source" -> ((s, dir) => {
+      DerivedSources.documentsJson(s, dir)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy(col("source"), col("lang"))
+    }),
+
     // Stream-stream inner join run to completion: purchases within 30
     // minutes after a click by the same user; the joined rows land in the
     // memory sink (append mode) and are aggregated batch-side per click.
@@ -164,6 +175,11 @@ object SourceQueries {
           ${osum("s_acctbal", 2)} AS total_acctbal
         FROM supplier WHERE s_acctbal > 0
         GROUP BY s_nationkey ORDER BY s_nationkey""",
+
+    "q75_json_source" ->
+      """SELECT source, lang, count(*) AS n_docs,
+              cast(sum(n_chars) AS bigint) AS total_chars
+         FROM documents GROUP BY source, lang ORDER BY source, lang""",
 
     "q70_stream_join" ->
       s"""SELECT c.event_id AS click_id, count(*) AS n_purchases,

@@ -100,6 +100,22 @@ object DerivedSources {
     s"$dir/supplier.avro"
   }
 
+  /** Documents metadata as JSON-lines (string/long columns only — no
+    * timestamp serialization ambiguity); read back through Spark's JSON
+    * scan with an explicit schema.
+    */
+  def documentsJson(spark: SparkSession, sfDir: String): DataFrame = {
+    val cols = Seq("doc_id", "source", "lang", "n_chars")
+    val dir = ensure(derivedDir(sfDir, "documents_json")) { d =>
+      Tables.load(spark, sfDir, "documents")
+        .select(cols.map(col): _*)
+        .coalesce(1).write.mode("overwrite").json(d)
+    }
+    spark.read
+      .schema("doc_id BIGINT, source STRING, lang STRING, n_chars BIGINT")
+      .json(dir)
+  }
+
   /** Orders hive-partitioned by order year: `o_year=YYYY/` directories.
     * Reading back goes through partition discovery; a filter on `o_year`
     * must prune at the PartitionFilters level (asserted in SourcesSpec).
