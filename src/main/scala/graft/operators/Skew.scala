@@ -25,12 +25,18 @@ object Skew {
     * Identical duplicate rows share a salt (slightly less spread, never
     * less correct).
     */
+  /** The salt expression itself — a pure function of the row's columns,
+    * exposed so tests can pin its determinism and spread directly (the
+    * join's OUTPUT is salt-invariant, so a positional-salt regression
+    * would be invisible to any result-level check).
+    */
+  def contentSalt(df: DataFrame, saltFactor: Int): Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(saltFactor.toLong)).cast("int")
+
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  saltFactor: Int = 8): DataFrame = {
     require(saltFactor >= 1, "saltFactor must be >= 1")
-    val salted = large.withColumn("_salt",
-      pmod(xxhash64(large.columns.map(col): _*), lit(saltFactor.toLong))
-        .cast("int"))
+    val salted = large.withColumn("_salt", contentSalt(large, saltFactor))
     val replicated = small
       .withColumn("_salt", explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")

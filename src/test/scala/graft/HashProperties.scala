@@ -49,9 +49,12 @@ object HashProperties extends Properties("graft.hash") {
 
   property("identical docs have identical signatures; est-jaccard 1.0") =
     Prop.forAll(Gen.listOfN(20, token)) { tokens =>
-      val m1 = HashExpressions.minhashMinima(arr(tokens), 5, 64)
-      val m2 = HashExpressions.minhashMinima(arr(tokens), 5, 64)
-      m1.sameElements(m2)
+      // Two INDEPENDENTLY-built equal docs (defensive copies), and the
+      // estimate the title promises is actually computed.
+      val m1 = HashExpressions.minhashMinima(arr(tokens.map(identity)), 5, 64)
+      val m2 = HashExpressions.minhashMinima(arr(List(tokens: _*)), 5, 64)
+      val est = m1.zip(m2).count { case (x, y) => x == y }.toDouble / 64
+      est == 1.0
     }
 
   property("AsciiSum equals the reference byte sum for ASCII strings") =

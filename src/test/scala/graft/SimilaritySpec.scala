@@ -72,8 +72,17 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("cosineNearDupPairs only emits pairs above threshold, symmetric-free") {
     HashExpressions.register(spark)
-    val pairs = Similarity.cosineNearDupPairs(corpus, minCos = 0.95, nBits = 4)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // Near-random corpus vectors have no cos >= 0.95 pairs, which would
+    // make the per-row assertions vacuous — plant exact duplicates so the
+    // result is guaranteed non-empty and ordering/threshold are exercised.
+    val dups = corpus.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 20000L).as("vec_id"), col("embedding"), col("label"))
+    val pairs = Similarity.cosineNearDupPairs(corpus.unionByName(dups),
+        minCos = 0.95, nBits = 4)
       .collect()
+    assert(pairs.nonEmpty, "no pairs emitted — assertions below are vacuous")
     pairs.foreach { r =>
       assert(r.getLong(0) < r.getLong(1), "pair not ordered id_a < id_b")
       assert(r.getDouble(2) >= 0.95)

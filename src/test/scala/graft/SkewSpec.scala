@@ -23,18 +23,22 @@ class SkewSpec extends AnyFunSuite {
     assert(salted.sameElements(plain))
   }
 
-  test("salting spreads a hot key across multiple partitions, deterministically") {
+  test("the operator's salt spreads a hot key and is content-deterministic") {
     import spark.implicits._
-    // Content-hash salt (never positional — SPARK-23207): distinct rows of
-    // one hot key must land on many salts, and re-evaluation must agree.
+    // Exercises Skew.contentSalt — the expression saltedJoin actually uses
+    // (never positional: SPARK-23207). Distinct rows of one hot key must
+    // land on many salts; re-evaluation and row-order permutation must
+    // agree per row.
     val fact = (1 to 2000).map(i => (1, s"payload_$i")).toDF("k", "v")
-    val salted = fact.withColumn("_salt",
-      pmod(xxhash64(fact.columns.map(col): _*), lit(8L)).cast("int"))
+    val salted = fact.withColumn("_salt", Skew.contentSalt(fact, 8))
     val saltCards = salted.select(countDistinct(col("_salt"))).head().getLong(0)
     assert(saltCards == 8, s"expected 8 distinct salts, got $saltCards")
     val a = salted.collect().map(_.toString).sorted
-    val b = salted.collect().map(_.toString).sorted
-    assert(a.sameElements(b), "salt must be deterministic across evaluations")
+    val shuffled = fact.orderBy(col("v").desc)
+    val b = shuffled.withColumn("_salt", Skew.contentSalt(shuffled, 8))
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b),
+      "salt must be a pure function of row content, independent of order")
   }
 
   test("keySkewProfile surfaces the hot key share") {

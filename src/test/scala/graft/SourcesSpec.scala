@@ -31,7 +31,10 @@ class SourcesSpec extends AnyFunSuite {
     assert(scanPlan.contains("PartitionFilters"), scanPlan)
     assert(scanPlan.contains("o_year"), scanPlan)
     // Row-level check: pruned read equals the un-partitioned filter.
-    val pruned = df.count()
+    // collect() (not count()) so DF's OWN QueryExecution runs — count()
+    // builds a separate aggregate plan and would leave df's scan metrics
+    // untouched, making the numFiles assertion below vacuous.
+    val pruned = df.collect().length.toLong
     val full = Tables.load(spark, sf01, "orders")
       .filter(year(col("o_orderdate")) === 1997).count()
     assert(pruned == full, s"pruned=$pruned full=$full")
@@ -49,8 +52,9 @@ class SourcesSpec extends AnyFunSuite {
     val scanned = executed.collectLeaves().collectFirst {
       case scan: FileSourceScanExec => scan.metrics("numFiles").value
     }
-    assert(scanned.exists(_ < allFiles),
-      s"scan read $scanned of $allFiles files — no pruning happened")
+    assert(scanned.exists(v => v > 0 && v < allFiles),
+      s"scan read $scanned of $allFiles files — no pruning happened " +
+        "(0 means the metric was read before the scan executed)")
   }
 
   test("Avro supplier (V2 AvroWorkUnit reader) equals parquet row-for-row") {

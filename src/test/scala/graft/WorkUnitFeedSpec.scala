@@ -44,11 +44,15 @@ class WorkUnitFeedSpec extends AnyFunSuite {
     val f2 = writeCsv("d", Seq("20,b"))
     @volatile var units = Seq(CsvWorkUnit(f1, header = true))
     WorkUnitFeedRegistry.register("t2", () => units)
-    assert(readFeed("t2").count() == 1)
-    // New units appear AFTER the reader was configured — a fresh execution
-    // must see them.
+    // ONE DataFrame reused across the mutation: if the provider were
+    // snapshotted at load()/planning time, the second count would still
+    // see 1. (A fresh readFeed per count would pass even then — vacuous.)
+    val df = readFeed("t2")
+    assert(df.count() == 1)
+    // New units appear AFTER the reader was configured AND first executed —
+    // a re-execution of the same plan must see them.
     units = Seq(CsvWorkUnit(f1, header = true), CsvWorkUnit(f2, header = true))
-    assert(readFeed("t2").count() == 2,
+    assert(df.count() == 2,
       "execution did not pick up newly fed work units")
   }
 
