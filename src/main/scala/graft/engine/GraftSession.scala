@@ -44,6 +44,38 @@ object GraftSession {
     "spark.sql.legacy.parquet.nanosAsLong" -> "true"
   )
 
+  /** Cluster-scale conf on top of [[defaultConf]] — the arithmetic a 100 TB
+    * deployment actually needs, parameterized the way the reference sizes
+    * stages (`bytes_per_partition` × worker count):
+    *
+    *  - shuffle partitions ≈ 2-3 tasks per core across the fleet (AQE
+    *    coalesces down when a stage is small; undershooting cannot be fixed
+    *    at runtime, overshooting can);
+    *  - `maxPartitionBytes` fixed at the reference's 16 MiB-class default
+    *    scaled to 128 MiB for object-store parquet (fewer, fuller tasks;
+    *    row-group aligned);
+    *  - broadcast threshold sized to executor memory, not a constant: a
+    *    64 GiB executor can afford a 256 MiB build side, a 8 GiB one
+    *    cannot.
+    *
+    * local[32] testing uses [[defaultConf]]; this method is the documented
+    * translation to a real fleet and is exercised for arithmetic only.
+    */
+  def clusterConf(executors: Int, coresPerExecutor: Int,
+                  executorMemGiB: Int): Map[String, String] = {
+    require(executors >= 1 && coresPerExecutor >= 1 && executorMemGiB >= 1,
+      "cluster dimensions must be positive")
+    val totalCores = executors.toLong * coresPerExecutor
+    val shufflePartitions = math.min(totalCores * 3, 200000L)
+    val broadcastBytes =
+      math.min(executorMemGiB.toLong * 1024 * 1024 * 1024 / 256, 512L * 1024 * 1024)
+    defaultConf ++ Map(
+      "spark.sql.shuffle.partitions" -> shufflePartitions.toString,
+      "spark.sql.files.maxPartitionBytes" -> (128L * 1024 * 1024).toString,
+      "spark.sql.autoBroadcastJoinThreshold" -> broadcastBytes.toString,
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> (64L * 1024 * 1024).toString)
+  }
+
   def builder(master: String = "local[*]", appName: String = "graft"): SparkSession.Builder = {
     val b = SparkSession.builder().master(master).appName(appName)
       .withExtensions(new GraftExtensions)
