@@ -21,9 +21,20 @@ object DerivedSources {
   private def scratchRoot: String =
     sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_derived"
 
-  private def derivedDir(sfDir: String, kind: String): String = {
-    val sfName = Paths.get(sfDir).getFileName.toString
-    s"$scratchRoot/$sfName/$kind"
+  /** Scratch directory keyed by the sf dir's ABSOLUTE path plus the source
+    * parquet's (mtime, length): two different dirs sharing a basename get
+    * distinct caches, and a regenerated source file changes the key so the
+    * stale derivation is never served (it is rewritten, not reused).
+    */
+  private def derivedDir(sfDir: String, kind: String, sourceTable: String): String = {
+    val abs = Paths.get(sfDir).toAbsolutePath
+    val src = abs.resolve(s"$sourceTable.parquet")
+    val ver =
+      if (Files.exists(src)) s"${Files.getLastModifiedTime(src).toMillis}-${Files.size(src)}"
+      else "absent"
+    val key = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(s"$abs|$ver") & 0xffffffffL)
+    s"$scratchRoot/${abs.getFileName}-$key/$kind"
   }
 
   private def ensure(dir: String)(write: String => Unit): String = {
@@ -34,7 +45,7 @@ object DerivedSources {
   /** Ensure the CSV copy of supplier exists; returns its directory. */
   def supplierCsvDir(spark: SparkSession, sfDir: String): String = {
     val parquet = Tables.load(spark, sfDir, "supplier")
-    ensure(derivedDir(sfDir, "supplier_csv")) { d =>
+    ensure(derivedDir(sfDir, "supplier_csv", "supplier")) { d =>
       parquet.coalesce(1).write.mode("overwrite").option("header", "true").csv(d)
     }
   }
@@ -42,8 +53,11 @@ object DerivedSources {
   /** CSV part files of the supplier copy (the work units a feed hands out). */
   def supplierCsvFiles(spark: SparkSession, sfDir: String): Seq[String] = {
     val dir = supplierCsvDir(spark, sfDir)
-    Files.list(Paths.get(dir)).toArray.map(_.toString)
-      .filter(p => p.endsWith(".csv")).sorted.toSeq
+    val stream = Files.list(Paths.get(dir))
+    // Files.list holds an open DirectoryStream until closed — leaking one
+    // fd per call otherwise.
+    try stream.toArray.map(_.toString).filter(p => p.endsWith(".csv")).sorted.toSeq
+    finally stream.close()
   }
 
   /** Supplier table as CSV with header; read back with the parquet schema
@@ -60,7 +74,7 @@ object DerivedSources {
     * features — spark-avro isn't in this image, ORC is).
     */
   def partOrc(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = ensure(derivedDir(sfDir, "part_orc")) { d =>
+    val dir = ensure(derivedDir(sfDir, "part_orc", "part")) { d =>
       Tables.load(spark, sfDir, "part").write.mode("overwrite").orc(d)
     }
     spark.read.orc(dir)
@@ -75,7 +89,7 @@ object DerivedSources {
     import org.apache.avro.SchemaBuilder
     import org.apache.avro.file.DataFileWriter
     import org.apache.avro.generic.{GenericDatumWriter, GenericRecordBuilder, GenericRecord}
-    val dir = ensure(derivedDir(sfDir, "supplier_avro")) { d =>
+    val dir = ensure(derivedDir(sfDir, "supplier_avro", "supplier")) { d =>
       Files.createDirectories(Paths.get(d))
       val schema = SchemaBuilder.record("supplier").fields()
         .requiredLong("s_suppkey").requiredString("s_name")
@@ -106,7 +120,7 @@ object DerivedSources {
     */
   def documentsJson(spark: SparkSession, sfDir: String): DataFrame = {
     val cols = Seq("doc_id", "source", "lang", "n_chars")
-    val dir = ensure(derivedDir(sfDir, "documents_json")) { d =>
+    val dir = ensure(derivedDir(sfDir, "documents_json", "documents")) { d =>
       Tables.load(spark, sfDir, "documents")
         .select(cols.map(col): _*)
         .coalesce(1).write.mode("overwrite").json(d)
@@ -121,7 +135,7 @@ object DerivedSources {
     * must prune at the PartitionFilters level (asserted in SourcesSpec).
     */
   def ordersHivePartitioned(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = ensure(derivedDir(sfDir, "orders_hive")) { d =>
+    val dir = ensure(derivedDir(sfDir, "orders_hive", "orders")) { d =>
       Tables.load(spark, sfDir, "orders")
         .withColumn("o_year", year(col("o_orderdate")))
         .write.mode("overwrite").partitionBy("o_year").parquet(d)

@@ -79,12 +79,21 @@ case class AvroWorkUnit(path: String) extends WorkUnit {
 }
 
 class WorkUnitFeedTableProvider extends TableProvider {
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    StructType.fromDDL(options.get("schema"))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val ddl = options.get("schema")
+    require(ddl != null,
+      "work-unit-feed source requires .option(\"schema\", \"<DDL>\") — " +
+        "work units carry no self-describing schema")
+    StructType.fromDDL(ddl)
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: java.util.Map[String, String]): Table =
-    new WorkUnitFeedTable(schema, properties.get("feed.id"))
+                        properties: java.util.Map[String, String]): Table = {
+    val feedId = properties.get("feed.id")
+    require(feedId != null,
+      "work-unit-feed source requires .option(\"feed.id\", \"<registered id>\")")
+    new WorkUnitFeedTable(schema, feedId)
+  }
 
   override def supportsExternalMetadata(): Boolean = true
 }
@@ -135,7 +144,13 @@ class CsvWorkUnitReader(unit: CsvWorkUnit, schema: StructType)
   override def next(): Boolean = {
     if (!lines._1.hasNext) { false }
     else {
-      val parts = lines._1.next().split(",", -1)
+      val line = lines._1.next()
+      // Naive split cannot honor CSV quoting; Spark's writer quotes any
+      // field containing a comma/quote, which would silently shift columns
+      // here — refuse loudly rather than mis-parse.
+      require(!line.contains("\""),
+        s"CsvWorkUnitReader does not support quoted CSV fields (file ${unit.path})")
+      val parts = line.split(",", -1)
       val values = schema.fields.zipWithIndex.map { case (f, i) =>
         val raw = parts(i)
         if (raw.isEmpty) null

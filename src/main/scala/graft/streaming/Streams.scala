@@ -108,13 +108,26 @@ object Streams {
           } else {
             val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var sessions = state.getOption.getOrElse(Nil)
+            // Merge each event into the session whose gap-window contains
+            // it. Late-but-within-watermark events may target ANY buffered
+            // session (not just the newest), and a naive signed
+            // `t - head.lastMs <= gap` head-merge would drag lastMs
+            // BACKWARD (negative durations, spurious splits). Merging can
+            // also bridge two sessions — coalesce after each insert. Lists
+            // are per-user session buffers (small); O(|sessions|) per event.
             for (e <- sorted) {
               val t = e.ts.getTime
-              sessions = sessions match {
-                case cur :: rest if t - cur.lastMs <= gapMs =>
-                  cur.copy(lastMs = t, nEvents = cur.nEvents + 1) :: rest
-                case other => SessionState(t, t, 1) :: other
+              val (near, far) = sessions.partition(s =>
+                t >= s.startMs - gapMs && t <= s.lastMs + gapMs)
+              val merged = near match {
+                case Nil => SessionState(t, t, 1)
+                case hits =>
+                  SessionState(
+                    math.min(t, hits.map(_.startMs).min),
+                    math.max(t, hits.map(_.lastMs).max),
+                    hits.map(_.nEvents).sum + 1)
               }
+              sessions = merged :: far
             }
             // Emit sessions the watermark has already closed; keep the rest.
             val wm = state.getCurrentWatermarkMs()
@@ -170,15 +183,29 @@ object Streams {
     // The file stream source requires a DIRECTORY; stage the single events
     // file into a scratch dir once (hardlink when possible, copy otherwise).
     import java.nio.file.{Files, Paths}
-    val sfName = Paths.get(dir).getFileName.toString
+    // Key the staged dir by absolute path + source (mtime, length): a
+    // regenerated events.parquet changes the key, so a stale hardlink
+    // pinning the old inode is never served.
+    val abs = Paths.get(dir).toAbsolutePath
+    val srcFile = abs.resolve("events.parquet")
+    val ver =
+      if (Files.exists(srcFile))
+        s"${Files.getLastModifiedTime(srcFile).toMillis}-${Files.size(srcFile)}"
+      else "absent"
+    val key = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(s"$abs|$ver") & 0xffffffffL)
     val streamDir = Paths.get(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_derived", sfName, "events_stream")
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_derived",
+      s"${abs.getFileName}-$key", "events_stream")
     val target = streamDir.resolve("events.parquet")
     if (!Files.exists(target)) {
       Files.createDirectories(streamDir)
+      // Concurrent stagers race benignly: whoever loses either step finds
+      // the file already present (same source), which is success.
       try Files.createLink(target, Paths.get(s"$dir/events.parquet"))
       catch { case _: Exception =>
-        Files.copy(Paths.get(s"$dir/events.parquet"), target)
+        try Files.copy(Paths.get(s"$dir/events.parquet"), target)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
       }
     }
     val stream = spark.readStream.schema(raw.schema).parquet(streamDir.toString)

@@ -27,20 +27,25 @@ object MetricsReport {
     */
   def collect(df: DataFrame): Seq[StageReport] = {
     val spark = df.sparkSession
-    val perStage = mutable.Map.empty[Int, Array[Long]] // metric sums
-    val stageNames = mutable.Map.empty[Int, (String, Int)]
+    // TrieMap + per-entry synchronization: the listener-bus thread mutates
+    // while the settle loop below reads concurrently; a plain mutable.Map
+    // can throw or return torn sums mid-resize.
+    val perStage = scala.collection.concurrent.TrieMap.empty[Int, Array[Long]]
+    val stageNames = scala.collection.concurrent.TrieMap.empty[Int, (String, Int)]
     val listener = new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
         if (m != null) {
           val acc = perStage.getOrElseUpdate(t.stageId, new Array[Long](7))
-          acc(0) += 1
-          acc(1) += m.inputMetrics.recordsRead
-          acc(2) += m.shuffleReadMetrics.totalBytesRead
-          acc(3) += m.shuffleWriteMetrics.bytesWritten
-          acc(4) += m.memoryBytesSpilled + m.diskBytesSpilled
-          acc(5) += m.jvmGCTime
-          acc(6) += m.executorRunTime
+          acc.synchronized {
+            acc(0) += 1
+            acc(1) += m.inputMetrics.recordsRead
+            acc(2) += m.shuffleReadMetrics.totalBytesRead
+            acc(3) += m.shuffleWriteMetrics.bytesWritten
+            acc(4) += m.memoryBytesSpilled + m.diskBytesSpilled
+            acc(5) += m.jvmGCTime
+            acc(6) += m.executorRunTime
+          }
         }
       }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
@@ -52,17 +57,22 @@ object MetricsReport {
       df.collect()
       // The listener bus is async; give queued task-end events a moment to
       // drain (the private waitUntilEmpty isn't accessible from here).
+      // Settled = two consecutive identical snapshots — an empty snapshot
+      // also settles (a task-less plan must not busy-wait the deadline).
+      def snapshot(): Long =
+        perStage.values.map(a => a.synchronized(a.sum)).sum
       val deadline = System.nanoTime() + 10e9.toLong
-      var settled = false
-      while (!settled && System.nanoTime() < deadline) {
-        val before = perStage.values.map(_.sum).sum
+      var stable = 0
+      while (stable < 2 && System.nanoTime() < deadline) {
+        val before = snapshot()
         Thread.sleep(100)
-        settled = perStage.values.map(_.sum).sum == before && perStage.nonEmpty
+        if (snapshot() == before) stable += 1 else stable = 0
       }
     } finally spark.sparkContext.removeSparkListener(listener)
     perStage.toSeq.sortBy(_._1).map { case (id, a) =>
       val (name, _) = stageNames.getOrElse(id, ("?", 0))
-      StageReport(id, name, a(0).toInt, a(1), a(2), a(3), a(4), a(5), a(6))
+      val c = a.synchronized(a.clone())
+      StageReport(id, name, c(0).toInt, c(1), c(2), c(3), c(4), c(5), c(6))
     }
   }
 

@@ -3,10 +3,10 @@ package graft.tools
 import graft.SparkEntry
 import graft.engine.GraftSession
 
-/** Bulk plan audit: executes every query and flags plans containing
-  * operators that would be pathological at scale (cartesian products,
-  * nested-loop joins where an equi-join exists, missing pushed filters on
-  * filtered scans). Exit summary per query.
+/** Bulk plan audit: executes every query and flags plans containing the
+  * operators that are pathological at scale — cartesian products and
+  * broadcast nested-loop joins — except where the query's semantics ARE a
+  * cross/theta join (exempt list below). Exit summary per query.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
@@ -29,15 +29,18 @@ object PlanAudit {
         val plan = df.queryExecution.executedPlan.toString
         val flags = Seq(
           "CartesianProduct" -> plan.contains("CartesianProduct"),
-          "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"),
-          "SortMergeJoin(tiny)" -> false).collect { case (f, true) => f }
+          "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"))
+          .collect { case (f, true) => f }
         val verdict =
           if (flags.isEmpty) "ok"
           else if (crossByDesign(name)) s"ok (by design: ${flags.mkString(",")})"
           else s"FLAG: ${flags.mkString(",")}"
         println(f"[audit] $name%-30s $verdict")
       } catch {
-        case e: Throwable => println(f"[audit] $name%-30s ERROR ${e.getMessage.take(80)}")
+        // String.valueOf: getMessage is null for bare NPEs etc. — the
+        // handler must not itself throw and abort the remaining audits.
+        case e: Throwable =>
+          println(f"[audit] $name%-30s ERROR ${String.valueOf(e.getMessage).take(80)}")
       }
     }
     spark.stop()
