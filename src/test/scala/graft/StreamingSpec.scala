@@ -131,6 +131,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionizeStreaming merges a late event into the right session " +
+    "without dragging timestamps backward") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = graft.streaming.Streams.sessionizeStreaming(
+      input.toDS(), gapSeconds = 1800, watermark = "1 hour")
+    val q = sessions.writeStream.format("memory").queryName("sess_late_mem")
+      .outputMode("append").start()
+    def rows() = spark.table("sess_late_mem")
+      .collect().map(s => (s.getLong(0), s.getTimestamp(1).toString,
+        s.getLong(2), s.getLong(3))).sortBy(r => (r._1, r._2)).toSeq
+    try {
+      // Batch 1: session opens at 12:00.
+      input.addData(ev(1, "2025-01-01 12:00:00", 7, "a", 0))
+      q.processAllAvailable()
+      // Batch 2: a LATE event at 11:55 (within the 1h watermark). It must
+      // extend the session's START backward — not drag lastMs to 11:55.
+      input.addData(ev(2, "2025-01-01 11:55:00", 7, "a", 0))
+      q.processAllAvailable()
+      // Batch 3: 12:20 is 20 min after the true last event (12:00) — SAME
+      // session. A backward-dragged lastMs of 11:55 would wrongly split.
+      input.addData(ev(3, "2025-01-01 12:20:00", 7, "a", 0))
+      q.processAllAvailable()
+      // Flush via another user advancing the watermark far past the gap.
+      input.addData(ev(4, "2025-01-01 16:00:00", 8, "a", 0))
+      q.processAllAvailable()
+      input.addData(ev(5, "2025-01-01 17:00:00", 8, "a", 0))
+      q.processAllAvailable()
+      assert(rows() == Seq((7L, "2025-01-01 11:55:00.0", 3L, 1500L)),
+        s"late event corrupted the session: ${rows()}")
+    } finally q.stop()
+  }
+
   test("streamingDedup drops duplicate keys across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
