@@ -181,6 +181,52 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos"), col("rk"))
   }
 
+  /** Per-label centroids with DECIMAL-exact dimension sums (float summation
+    * order would make centroids layout-dependent; decimal accumulation
+    * makes them byte-identical on any cluster), rounded to 6 dp. Returns
+    * (clabel, cvec: array<double>). Scale shape: one narrow posexplode to
+    * (label, dim, v) rows, one shuffle on (label, dim), then a per-label
+    * array rebuild — |labels| × dims stays tiny regardless of corpus size.
+    */
+  def labelCentroids(corpus: DataFrame, labelCol: String = "label",
+                     vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val x = corpus.select(col(labelCol).as("clabel"),
+      posexplode(col(vecCol)).as(Seq("d", "v")))
+    x.groupBy(col("clabel"), col("d"))
+      .agg((sum(col("v").cast(DecimalType(18, 9))).cast("double") / count(lit(1)))
+        .as("cv_raw"))
+      .select(col("clabel"), col("d"), round(col("cv_raw"), 6).as("cv"))
+      .groupBy(col("clabel"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("cv")))),
+        s => s.getField("cv")).as("cvec"))
+  }
+
+  /** Nearest-prototype assignment: every vector goes to the label whose
+    * centroid is closest in squared L2 (ties broken by label). The
+    * centroid table is |labels| rows — broadcast by construction; the scan
+    * stays narrow. Returns the (true label, assigned label, n) confusion
+    * counts — the standard embedding-space quality diagnostic for a
+    * labeled corpus.
+    */
+  def centroidConfusion(corpus: DataFrame, labelCol: String = "label",
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val cents = labelCentroids(corpus, labelCol, vecCol)
+    val d2 = aggregate(
+      zip_with(col(vecCol), col("cvec"),
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, z) => acc + z)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__d2"), col("clabel"))
+    corpus.select(col(idCol), col(labelCol), col(vecCol))
+      .crossJoin(broadcast(cents))
+      .withColumn("__d2", d2)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col(labelCol), col("clabel").as("assigned_label"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Exact all-pairs cosine near-dup detection over a SMALL corpus slice:
     * the oracle anchor for [[cosineNearDupPairs]]. Quadratic — refuses
     * inputs larger than `maxRows` (same guard rationale as

@@ -332,6 +332,14 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- nearest-prototype confusion: per-label decimal-exact centroids,
+    // every vector assigned to its closest centroid (squared L2), counts
+    // per (true, assigned) — embedding-space label quality diagnostic ----
+    "p27_centroid_confusion" -> ((s, dir) => {
+      Similarity.centroidConfusion(emb(s, dir))
+        .orderBy(col("label"), col("assigned_label"))
+    }),
+
     // ---- benchmark decontamination: every 10th doc is the held-out
     // "benchmark" set (scale-relative split), the rest is the training
     // corpus; train docs containing >= half of a benchmark doc's 5-gram
@@ -645,6 +653,25 @@ object Pipeline {
                coalesce(m2.max_bigram_share, 0.0) AS max_bigram_share
         FROM t LEFT JOIN m1 USING (doc_id) LEFT JOIN m2 USING (doc_id)
         ORDER BY doc_id""",
+
+    "p27_centroid_confusion" ->
+      """WITH x AS (SELECT label AS clabel, d, embedding[d] AS v
+                  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(d)),
+        c AS (SELECT clabel, d,
+                     round(cast(sum(cast(v AS decimal(18,9))) AS double) / count(*), 6) AS cv
+              FROM x GROUP BY clabel, d),
+        carr AS (SELECT clabel, list(cv ORDER BY d) AS cvec FROM c GROUP BY clabel),
+        dist AS (SELECT e.vec_id, e.label, carr.clabel,
+                        list_sum(list_transform(list_zip(e.embedding, carr.cvec),
+                          p -> (p[1]::DOUBLE - p[2]) * (p[1]::DOUBLE - p[2]))) AS d2
+                 FROM embeddings e CROSS JOIN carr),
+        a AS (SELECT vec_id, label, clabel,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d2, clabel) AS rn
+              FROM dist)
+        SELECT label, clabel AS assigned_label, count(*) AS n
+        FROM a WHERE rn = 1
+        GROUP BY label, assigned_label ORDER BY label, assigned_label""",
 
     "p26_decontamination" ->
       s"""WITH t AS (

@@ -70,6 +70,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r2 > r0, s"probing did not improve recall ($r0 -> $r2)")
   }
 
+  test("centroidConfusion: well-separated clusters give a diagonal matrix; " +
+    "centroids are layout-independent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(5)
+    // Three tight clusters around orthogonal anchors, small jitter.
+    val rows = for (lbl <- 0 until 3; i <- 0 until 40) yield {
+      val v = Array.fill(8)(rnd.nextFloat() * 0.1f)
+      v(lbl) = 1.0f + rnd.nextFloat() * 0.1f
+      (lbl.toLong * 100 + i, v.toSeq, lbl)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val byName = graft.operators.Similarity.centroidConfusion(df)
+      .collect().map(r => ((r.getAs[Int]("label"), r.getAs[Int]("assigned_label")),
+        r.getAs[Long]("n"))).toMap
+    assert(byName.keySet == Set((0, 0), (1, 1), (2, 2)),
+      s"off-diagonal assignments for separated clusters: $byName")
+    assert(byName.values.sum == 120L)
+    // Layout independence: a different partitioning must produce identical
+    // centroid vectors (decimal-exact sums, not float accumulation order).
+    val c1 = graft.operators.Similarity.labelCentroids(df)
+      .collect().map(r => r.getAs[Int]("clabel") -> r.getSeq[Double](1)).toMap
+    val c2 = graft.operators.Similarity.labelCentroids(df.repartition(13))
+      .collect().map(r => r.getAs[Int]("clabel") -> r.getSeq[Double](1)).toMap
+    assert(c1 == c2, "centroids changed under repartitioning")
+  }
+
   test("cosineNearDupPairs only emits pairs above threshold, symmetric-free") {
     HashExpressions.register(spark)
     import spark.implicits._
