@@ -101,6 +101,26 @@ object TextOps {
         coalesce(col("max_bigram_share"), lit(0.0)).as("max_bigram_share"))
   }
 
+  /** Top-k most frequent tokens per group (vocabulary report, e.g. per
+    * source): one (group, token) aggregation, then a rank-filter that
+    * Spark executes as WindowGroupLimit — per-partition partial top-k
+    * before the shuffle, so the full per-group frequency table never
+    * concentrates on one reducer. Ties break lexicographically.
+    */
+  def topTokensPerGroup(df: DataFrame, groupCol: String, textCol: String,
+                        k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(col(groupCol).as("grp"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("grp"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("n").desc, col("tok"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("grp"), col("tok"), col("n"), col("rk"))
+  }
+
   /** BM25 scores of every document against a bag of query tokens; returns
     * the top `k` as (id, score, rk). Corpus statistics (N, avgdl, per-term
     * document frequency) are one small aggregate collected to the driver

@@ -332,6 +332,13 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- per-source top-5 vocabulary (WindowGroupLimit rank pushdown:
+    // partial top-k per partition before the shuffle) ----
+    "p28_top_tokens" -> ((s, dir) => {
+      TextOps.topTokensPerGroup(docs(s, dir), "source", "text", k = 5)
+        .orderBy(col("grp"), col("rk"))
+    }),
+
     // ---- nearest-prototype confusion: per-label decimal-exact centroids,
     // every vector assigned to its closest centroid (squared L2), counts
     // per (true, assigned) — embedding-space label quality diagnostic ----
@@ -653,6 +660,18 @@ object Pipeline {
                coalesce(m2.max_bigram_share, 0.0) AS max_bigram_share
         FROM t LEFT JOIN m1 USING (doc_id) LEFT JOIN m2 USING (doc_id)
         ORDER BY doc_id""",
+
+    "p28_top_tokens" ->
+      s"""WITH c AS (
+          SELECT source AS grp, g AS tok, count(*) AS n
+          FROM (SELECT source, unnest(string_split($oNorm, ' ')) AS g FROM documents)
+          GROUP BY grp, tok),
+        r AS (SELECT grp, tok, n,
+                     row_number() OVER (PARTITION BY grp
+                                        ORDER BY n DESC, tok) AS rk
+              FROM c)
+        SELECT grp, tok, n, cast(rk AS integer) AS rk
+        FROM r WHERE rk <= 5 ORDER BY grp, rk""",
 
     "p27_centroid_confusion" ->
       """WITH x AS (SELECT label AS clabel, d, embedding[d] AS v
