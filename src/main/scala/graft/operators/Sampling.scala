@@ -66,6 +66,17 @@ object Sampling {
   def packByBudget(df: DataFrame, idCol: String, weightCol: String,
                    budget: Long, numPartitions: Int = 0): DataFrame = {
     require(budget >= 1, s"budget=$budget must be >= 1")
+    // Integral weights only: phase 1 collects per-bucket totals as BIGINT
+    // and phase 2's window sum must be the SAME arithmetic. A fractional
+    // weight column would make the truncated phase-1 totals diverge from
+    // phase 2's exact sums and silently shift shard assignments near bucket
+    // boundaries — round weights explicitly before packing instead.
+    val wType = df.schema(weightCol).dataType
+    require(Seq[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(wType),
+      s"packByBudget requires an integral weight column; `$weightCol` is $wType")
     val spark = df.sparkSession
     val p = if (numPartitions > 0) numPartitions
             else spark.sessionState.conf.numShufflePartitions
@@ -77,14 +88,24 @@ object Sampling {
     // every execution (and engine) by construction; under heavy id skew the
     // buckets are uneven, which costs balance, never correctness.
     val bounds = df.agg(min(col(idCol)).cast("long"),
-      max(col(idCol)).cast("long")).head()
+      max(col(idCol)).cast("long"),
+      count(when(col(idCol).isNull, lit(1)))).head()
+    // A null id has no position in the id order (and would NPE the totals
+    // collect below) — reject loudly rather than assign it a shard.
+    require(bounds.getLong(2) == 0L,
+      s"packByBudget: ${bounds.getLong(2)} rows have a null `$idCol`; " +
+        "filter or key them before packing")
     if (bounds.isNullAt(0)) return df.withColumn("shard", lit(null).cast("int"))
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    // Bucket width; ceil-div without overflow for any id range.
-    val span = hi - lo + 1
-    val width = math.max(1L, span / p + (if (span % p == 0) 0 else 1))
-    // Integer DIV, not `/` (double division loses exactness past 2^53).
-    val bucket = expr(s"CAST((CAST(`$idCol` AS BIGINT) - ($lo)) DIV $width AS INT)")
+    // Bucket width via BigInt: hi - lo + 1 overflows Long when the id range
+    // spans more than 2^63 (e.g. hashed ids covering the full 64-bit space).
+    val span = BigInt(hi) - BigInt(lo) + 1
+    val width = (span / p + (if (span % p == 0) BigInt(0) else BigInt(1))).max(1)
+    // DECIMAL(38,0) subtraction + integer DIV: exact over the full 64-bit id
+    // range (BIGINT `id - lo` would overflow for the same extreme ranges;
+    // double `/` loses exactness past 2^53). DIV on decimals yields BIGINT.
+    val bucket = expr(s"CAST((CAST(`$idCol` AS DECIMAL(38,0)) - CAST($lo AS DECIMAL(38,0))) " +
+      s"DIV CAST($width AS DECIMAL(38,0)) AS INT)")
     val withPid = df.withColumn("__pid", bucket)
     // Phase 1: per-bucket totals — at most P rows to the driver.
     val totals = withPid.groupBy(col("__pid"))

@@ -32,8 +32,11 @@ object Temporal {
     * left row's time — left-outer semantics). Ties on time prefer the right
     * row (i.e. a right row AT the left timestamp matches), matching
     * DuckDB's `ASOF JOIN ... ON l.ts >= r.ts`. If the right side has
-    * MULTIPLE rows at the same (key, ts), which one wins is unspecified —
-    * same as DuckDB/pandas; dedupe the right side first when that matters.
+    * MULTIPLE rows at the same (key, ts), the struct-greatest payload wins
+    * deterministically (the payload struct participates in the window sort
+    * order) — DuckDB/pandas leave this unspecified; here reruns and plan
+    * changes can never flip the answer. Payload columns must therefore be
+    * orderable types (no maps).
     */
   def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
                    leftTs: String, rightTs: String,
@@ -65,8 +68,14 @@ object Temporal {
       .withColumn("__t", col(leftTs))
       .withColumn("__side", lit(1))
       .withColumn("__p", lit(null).cast(payloadType))
+    // __p joins the sort order as a deterministic tiebreak: among multiple
+    // right rows at one (key, ts) the running `last` lands on the
+    // struct-greatest payload, in BOTH scan directions (nulls_first keeps
+    // the null-payload left rows ordered before nothing that matters —
+    // they only ever read the carry).
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(if (forward) col("__t").desc else col("__t").asc, col("__side").asc)
+      .orderBy(if (forward) col("__t").desc else col("__t").asc, col("__side").asc,
+        col("__p").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l2.unionByName(r2, allowMissingColumns = true)
       .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))

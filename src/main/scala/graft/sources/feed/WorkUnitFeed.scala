@@ -127,33 +127,40 @@ class CsvWorkUnitReaderFactory(schema: StructType)
     partition.asInstanceOf[WorkUnit].reader(schema)
 }
 
-/** Executor-side: materializes one work unit. Plain line-split CSV (no
-  * quoting) — enough for the engine's own derived files; a production unit
-  * type would delegate to a real reader.
+/** Executor-side: materializes one work unit. Parsing delegates to
+  * univocity (the CSV parser Spark's own csv source uses, already on the
+  * classpath), so RFC-4180 quoting — commas/quotes/newlines inside quoted
+  * fields, exactly what Spark's writer emits for such values — round-trips
+  * instead of failing or silently shifting columns.
   */
 class CsvWorkUnitReader(unit: CsvWorkUnit, schema: StructType)
     extends PartitionReader[InternalRow] {
-  private val lines = {
-    val src = scala.io.Source.fromFile(unit.path)
-    val it = src.getLines()
-    if (unit.header && it.hasNext) it.next()
-    (it, src)
+  import com.univocity.parsers.csv.{CsvParser, CsvParserSettings}
+
+  private val in = new java.io.InputStreamReader(
+    new java.io.FileInputStream(unit.path), java.nio.charset.StandardCharsets.UTF_8)
+  private val parser = {
+    val settings = new CsvParserSettings()
+    settings.setHeaderExtractionEnabled(unit.header)
+    // Match Spark's csv-read defaults: field content is taken verbatim.
+    settings.setIgnoreLeadingWhitespaces(false)
+    settings.setIgnoreTrailingWhitespaces(false)
+    settings.setEmptyValue("")
+    val p = new CsvParser(settings)
+    p.beginParsing(in)
+    p
   }
   private var current: InternalRow = _
 
   override def next(): Boolean = {
-    if (!lines._1.hasNext) { false }
+    val parts = parser.parseNext()
+    if (parts == null) { false }
     else {
-      val line = lines._1.next()
-      // Naive split cannot honor CSV quoting; Spark's writer quotes any
-      // field containing a comma/quote, which would silently shift columns
-      // here — refuse loudly rather than mis-parse.
-      require(!line.contains("\""),
-        s"CsvWorkUnitReader does not support quoted CSV fields (file ${unit.path})")
-      val parts = line.split(",", -1)
       val values = schema.fields.zipWithIndex.map { case (f, i) =>
-        val raw = parts(i)
-        if (raw.isEmpty) null
+        // Univocity yields null for absent/empty-unquoted fields (Spark's
+        // csv source reads those as null too); short rows pad with null.
+        val raw = if (i < parts.length) parts(i) else null
+        if (raw == null || raw.isEmpty) null
         else f.dataType match {
           case LongType => java.lang.Long.valueOf(raw.toLong)
           case IntegerType => java.lang.Integer.valueOf(raw.toInt)
@@ -170,7 +177,7 @@ class CsvWorkUnitReader(unit: CsvWorkUnit, schema: StructType)
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = lines._2.close()
+  override def close(): Unit = { parser.stopParsing(); in.close() }
 }
 
 /** Executor-side Avro container-file reader: Avro core `DataFileReader` +

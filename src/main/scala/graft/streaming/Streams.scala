@@ -214,9 +214,21 @@ object Streams {
     else stream
   }
 
+  // Guards the set-conf → start() → restore-conf window in [[runToMemory]]
+  // so concurrent runToMemory calls can't interleave their overrides.
+  private val startLock = new Object
+
   /** Run a streaming DataFrame to completion into a named in-memory sink and
     * return the final result table — how the oracle-gated entries execute a
     * stream synchronously.
+    *
+    * NOTE: the state-partition override below works by briefly setting the
+    * session-global `spark.sql.shuffle.partitions` around `start()` (Spark
+    * offers no per-query knob: the stream captures the session conf when it
+    * starts). Calls through this method serialize on a lock, but an
+    * UNRELATED query planned concurrently on the same SparkSession during
+    * that window would observe the reduced value — callers running a
+    * multithreaded driver should plan batch work on a separate session.
     */
   def runToMemory(df: DataFrame, name: String,
                   mode: OutputMode = OutputMode.Complete(),
@@ -229,8 +241,6 @@ object Streams {
     // quartering the state-commit overhead; a production deployment sizes
     // this to state volume, not core count.
     val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, statePartitions.toString)
     // Checkpoint to tmpfs when available: run-to-completion verification
     // queries don't need crash durability, and the per-batch fsync of state
     // + offset logs to disk otherwise dominates small streams. A production
@@ -239,10 +249,13 @@ object Streams {
       if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
         "/dev/shm/graft_ckpt" else sys.props("java.io.tmpdir") + "/graft_ckpt"
     val ckpt = s"$ckptBase/$name-${java.util.UUID.randomUUID()}"
-    val q =
+    val q = startLock.synchronized {
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, statePartitions.toString)
       try df.writeStream.format("memory").queryName(name)
         .option("checkpointLocation", ckpt).outputMode(mode).start()
       finally spark.conf.set(key, prev)
+    }
     try { q.processAllAvailable() } finally {
       if (sys.env.contains("GRAFT_STREAM_DEBUG"))
         q.recentProgress.foreach(p => System.err.println(

@@ -88,6 +88,36 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("packByBudget rejects fractional weights and null ids loudly") {
+    import spark.implicits._
+    val fractional = Seq((1L, 1.5), (2L, 2.5)).toDF("id", "w")
+    val e1 = intercept[IllegalArgumentException] {
+      Sampling.packByBudget(fractional, "id", "w", 10L)
+    }
+    assert(e1.getMessage.contains("integral"))
+    val withNulls = Seq((Some(1L), 10L), (None, 20L), (Some(3L), 30L))
+      .toDF("id", "w")
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.packByBudget(withNulls, "id", "w", 10L).collect()
+    }
+    assert(e2.getMessage.contains("null"))
+  }
+
+  test("packByBudget survives an id range spanning more than 2^63") {
+    import spark.implicits._
+    // hi - lo + 1 overflows Long here; the BigInt width + DECIMAL(38,0)
+    // bucket arithmetic must still produce the serial prefix-sum answer.
+    val docs = Seq(Long.MinValue, Long.MinValue + 3, -1L, 0L, 7L,
+      Long.MaxValue - 2, Long.MaxValue).map((_, 100L)).toDF("id", "w")
+    val packed = Sampling.packByBudget(docs, "id", "w", 250L, numPartitions = 3)
+      .select(col("id"), col("shard"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    val expected = packed.map(_._1).zipWithIndex
+      .map { case (id, i) => id -> ((i * 100L) / 250L).toInt }
+    assert(packed.sameElements(expected),
+      s"got ${packed.mkString(",")} expected ${expected.mkString(",")}")
+  }
+
   test("packByBudget partition count does not change the assignment") {
     import spark.implicits._
     val docs = (1L to 500L).map(i => (i, 100L + (i % 37))).toDF("id", "w")

@@ -63,6 +63,22 @@ class TemporalSpec extends AnyFunSuite {
     assert(out("c") == None, "no right row at or after t=20")
   }
 
+  test("duplicate right rows at one (key, ts) resolve deterministically to the greatest payload") {
+    import spark.implicits._
+    val left = Seq((1, 10L, "a")).toDF("k", "t", "tag")
+    // Three right rows at the SAME (k, t): the struct-greatest payload must
+    // win, on every run, in both directions.
+    val right = Seq((1, 10L, 5.0), (1, 10L, 9.0), (1, 10L, 7.0)).toDF("k", "t", "px")
+    (1 to 3).foreach { _ =>
+      val b = Temporal.asofBackward(left, right, Seq("k"), "t", "t")
+        .select(col("asof_px")).head().getDouble(0)
+      assert(b == 9.0, s"backward tie-break picked $b, expected max payload 9.0")
+      val f = Temporal.asofForward(left, right, Seq("k"), "t", "t")
+        .select(col("asof_px")).head().getDouble(0)
+      assert(f == 9.0, s"forward tie-break picked $f, expected max payload 9.0")
+    }
+  }
+
   test("asofBackward plan: one shuffle on the key, no join operator at all") {
     import spark.implicits._
     val left = (1 to 100).map(i => (i % 5, i.toLong, i)).toDF("k", "t", "id")

@@ -56,6 +56,27 @@ class WorkUnitFeedSpec extends AnyFunSuite {
       "execution did not pick up newly fed work units")
   }
 
+  test("quoted CSV fields round-trip: commas, escaped quotes, newlines, empties") {
+    val p = Paths.get(sys.props("java.io.tmpdir"), "graft_feed_quoted.csv")
+    Files.write(p, Seq(
+      "k,v",
+      "1,\"a,b\"",                 // comma inside quotes
+      "2,\"say \"\"hi\"\"\"",      // escaped quote
+      "3,\"line1\nline2\"",        // newline inside quotes
+      "4,",                        // empty field -> null
+      "5,plain"
+    ).mkString("\n").getBytes)
+    WorkUnitFeedRegistry.register("tq",
+      () => Seq(CsvWorkUnit(p.toString, header = true)))
+    val rows = readFeed("tq").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows(1L) == Some("a,b"))
+    assert(rows(2L) == Some("say \"hi\""))
+    assert(rows(3L) == Some("line1\nline2"))
+    assert(rows(4L) == None, "empty field reads as null, like Spark's csv source")
+    assert(rows(5L) == Some("plain"))
+  }
+
   test("unregistered feed fails loudly") {
     val e = intercept[Exception] { readFeed("nope").count() }
     assert(e.getMessage != null)
