@@ -28,7 +28,8 @@ object Bench {
     "p09_simhash_sigs", "p10_embedding_topk", "p12_ann_lsh_topk",
     "p13_embedding_near_pairs", "p14_minhash_dedup_survivors",
     "p15_winnow_fingerprints", "p17_source_similarity", "p18_dup_clusters",
-    "p21_shard_packing", "p22_doc_chunking", "p23_bm25_search")
+    "p21_shard_packing", "p22_doc_chunking", "p23_bm25_search",
+    "p30_knn_graph")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

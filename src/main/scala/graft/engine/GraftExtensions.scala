@@ -50,6 +50,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("ascii_sum"),
       info("ascii_sum", "ascii_sum(str) - sum of UTF-8 byte values"),
       exprs => AsciiSum(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(str) - Unicode NFC normalization"),
+      exprs => NfcNormalize(exprs.head)))
     ext.injectFunction((FunctionIdentifier("winnow_fingerprints"),
       info("winnow_fingerprints",
         "winnow_fingerprints(str, k, w) - winnowed k-gram fingerprint set"),

@@ -331,6 +331,42 @@ object HashExpressions {
     override protected def withNewChildInternal(c: Expression): ByteStride = copy(c)
   }
 
+  /** Runtime kernel for [[NfcNormalize]] — public so generated Java code
+    * can call it via the object's static forwarder. Fast path: already-NFC
+    * text (the overwhelming majority of a real corpus) returns the input
+    * UTF8String untouched, no allocation.
+    */
+  def nfcJava(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  /** Unicode NFC normalization — the first pass of every text pipeline
+    * (decomposed e + U+0301 and precomposed é must dedup/shingle/count as
+    * the same text) and a built-in Spark lacks. A native Catalyst
+    * expression WITH `doGenCode` (unlike the sketch expressions above,
+    * which fall back to interpreted eval): the call participates in
+    * whole-stage codegen, so a normalize → tokenize → filter chain stays
+    * one generated loop. DuckDB mirrors it as `nfc_normalize`.
+    */
+  case class NfcNormalize(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "nfc_normalize"
+
+    override def nullSafeEval(input: Any): Any =
+      nfcJava(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashExpressions.nfcJava($c)")
+
+    override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(c)
+  }
+
   /** Sum of UTF-8 byte values of a string — the simplest custom expression
     * that can key a shuffle (the reference's UDF-keyed shuffle coverage,
     * `/root/reference/tests/udfs.rs:18-76`) while staying DuckDB-mirrorable
@@ -371,6 +407,8 @@ object HashExpressions {
     reg.createOrReplaceTempFunction(
       "ascii_sum", exprs => AsciiSum(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => NfcNormalize(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
       "byte_stride",
       exprs => ByteStride(exprs.head,
         exprs(1).eval(InternalRow.empty).asInstanceOf[Int]),
@@ -406,6 +444,8 @@ object HashExpressions {
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
 
   def asciiSum(text: Column): Column = call_function("ascii_sum", text)
+
+  def nfcNormalize(text: Column): Column = call_function("nfc_normalize", text)
 
   def byteStride(data: Column, n: Int): Column =
     call_function("byte_stride", data, org.apache.spark.sql.functions.lit(n))

@@ -189,14 +189,27 @@ object Dedup {
   def dupClusters(df: DataFrame, idCol: String, textCol: String,
                   shingleLen: Int = 5, threshold: Double = 0.5,
                   k: Int = 64, r: Int = 2,
-                  maxIters: Int = 20): DataFrame = {
-    val pairs = nearDupPairs(df, idCol, textCol, shingleLen, threshold, k, r)
-      .select(col("id_a"), col("id_b")).persist()
+                  maxIters: Int = 20): DataFrame =
+    connectedComponents(df.select(col(idCol).as("id")),
+      nearDupPairs(df, idCol, textCol, shingleLen, threshold, k, r),
+      maxIters)
+      .select(col("id").as(idCol), col("cluster_id"))
+
+  /** Connected components over ANY undirected pair list (`id_a`, `id_b`
+    * columns; `ids` supplies the full node set so singletons label
+    * themselves): every node labeled with the min id reachable through
+    * edges. The generic engine behind [[dupClusters]] and
+    * [[graft.operators.Similarity]]-based semantic clustering. Returns
+    * (`id`, `cluster_id`).
+    */
+  def connectedComponents(ids: DataFrame, pairList: DataFrame,
+                          maxIters: Int = 20): DataFrame = {
+    val pairs = pairList.select(col("id_a"), col("id_b")).persist()
     // Symmetric edge list: propagate labels both directions.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
-    var labels = df.select(col(idCol).as("id"))
+    var labels = ids.select(col("id"))
       .withColumn("label", col("id")).persist()
     // Track the PERSISTED plan of each round: unpersisting a projection of
     // it is a no-op (plan identity, not lineage), which would leak one
@@ -229,11 +242,11 @@ object Dedup {
     if (!converged) {
       persistedRound.unpersist()
       throw new IllegalStateException(
-        s"dupClusters did not converge in $maxIters rounds — component " +
-          "diameter exceeds maxIters; raise maxIters or check for " +
-          "degenerate chaining in the pair graph")
+        s"connectedComponents did not converge in $maxIters rounds — " +
+          "component diameter exceeds maxIters; raise maxIters or check " +
+          "for degenerate chaining in the pair graph")
     }
-    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+    labels.select(col("id"), col("label").as("cluster_id"))
   }
 
   /** Benchmark decontamination: corpus documents containing at least

@@ -53,6 +53,35 @@ object Sampling {
     df.filter(bucketHash(col(idCol)) < cutoff)
   }
 
+  /** Stratified split assignment: adds a `split` column mapping each row to
+    * the named fraction band its [[bucketHash]] falls in (e.g.
+    * `Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)`). The standard
+    * train/val/test carve-out as a pure hash of the id: narrow, no RNG
+    * state, stable under reruns/re-partitioning, and a doc can never
+    * migrate between splits when the corpus grows (membership depends only
+    * on its own id) — the property that prevents test-set leakage across
+    * dataset versions. Fractions must sum to <= 1; the remainder (if any)
+    * gets split = null (held out entirely).
+    */
+  def assignSplits(df: DataFrame, idCol: String,
+                   splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "splits must not be empty")
+    splits.foreach { case (n, f) =>
+      require(f >= 0.0 && f <= 1.0, s"split $n fraction $f out of [0,1]") }
+    val total = splits.map(_._2).sum
+    require(total <= 1.0 + 1e-9, s"split fractions sum to $total > 1")
+    val cuts = splits.scanLeft(0.0)(_ + _._2).tail
+      .map(c => (c * 4294967296.0).toLong)
+    val h = bucketHash(col(idCol))
+    val assign = splits.zip(cuts).reverse
+      .foldLeft(lit(null).cast("string")) { case (acc, ((name, _), cut)) =>
+        when(h < cut, lit(name)).otherwise(acc)
+      }
+    // reverse + otherwise-chaining puts the FIRST band's condition
+    // innermost, so h is compared against ascending cut points correctly.
+    df.withColumn("split", assign)
+  }
+
   /** Pack id-ordered rows into contiguous shards of ~`budget` weight (e.g.
     * token count): shard = floor(exclusive-prefix-sum(weight) / budget).
     * The global prefix sum is computed scalably in two phases — range

@@ -132,6 +132,44 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos"), col("rk"))
   }
 
+  /** k-nearest-neighbor GRAPH over the whole corpus (semantic-dedup /
+    * clustering substrate): for every vector, its top-k most-cosine-similar
+    * other vectors, found via a bucket self-join over [[axisBucketed]]
+    * multi-probe LSH. Each vector probes its own bucket plus every bucket
+    * within hamming distance `probeHamming`; distinct probe masks hit
+    * distinct buckets, so a candidate pair appears exactly once — no
+    * dedup pass. Cost ≈ N × (N/2^nBits) × probes instead of N²; per-reducer
+    * work is bounded by the largest bucket (raise nBits if the embedding
+    * distribution concentrates). Axis-sign buckets keep the whole
+    * approximate graph SQL-recomputable, so the oracle verifies the output
+    * bit-for-bit (same differential pattern as [[axisLshTopK]]).
+    */
+  def axisKnnGraph(corpus: DataFrame, k: Int, nBits: Int, probeHamming: Int = 1,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= 2, "probeHamming in [0,2]")
+    val c = axisBucketed(corpus, nBits, idCol, vecCol)
+    val masks: Seq[Int] = {
+      val h1 = if (probeHamming >= 1) (0 until nBits).map(1 << _) else Nil
+      val h2 = if (probeHamming >= 2)
+        (for { i <- 0 until nBits; j <- (i + 1) until nBits }
+          yield (1 << i) | (1 << j))
+      else Nil
+      Seq(0) ++ h1 ++ h2
+    }
+    val probes = c.select(col("vec_id").as("id_a"), col("v").as("v_a"),
+      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val scored = probes
+      .join(c.select(col("bucket"), col("vec_id").as("nbr_id"), col("v").as("v_b")),
+        Seq("bucket"))
+      .filter(col("id_a") =!= col("nbr_id"))
+      .withColumn("cos", round(cosineSimilarity(col("v_a"), col("v_b")), 4))
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("id_a").as("vec_id"), col("nbr_id"), col("cos"), col("rk"))
+  }
+
   /** IVF (inverted-file) ANN: k-means cluster the corpus into `nLists`
     * cells (the fit runs on the corpus — at 100 TB, fit on a sample; the
     * model is just `nLists` centroid vectors, broadcast-sized by
@@ -241,6 +279,38 @@ object Similarity {
     val a = c.select(col("id").as("id_a"), col("v").as("v_a"))
     val b = c.select(col("id").as("id_b"), col("v").as("v_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosineSimilarity(col("v_a"), col("v_b")), 4))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** All near-pairs above a cosine threshold via multi-probe AXIS-sign
+    * buckets — the SQL-recomputable sibling of [[cosineNearDupPairs]]
+    * (same differential-oracle rationale as [[axisLshTopK]]). Pair (a,b)
+    * is emitted exactly once: xor-probing is symmetric, so the candidate
+    * appears in both directions and `id_a < id_b` keeps one. Feed the
+    * result to [[graft.operators.Dedup.connectedComponents]] for semantic
+    * (embedding-space) duplicate clusters.
+    */
+  def axisNearPairs(corpus: DataFrame, minCos: Double, nBits: Int,
+                    probeHamming: Int = 1,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= 2, "probeHamming in [0,2]")
+    val c = axisBucketed(corpus, nBits, idCol, vecCol)
+    val masks: Seq[Int] = {
+      val h1 = if (probeHamming >= 1) (0 until nBits).map(1 << _) else Nil
+      val h2 = if (probeHamming >= 2)
+        (for { i <- 0 until nBits; j <- (i + 1) until nBits }
+          yield (1 << i) | (1 << j))
+      else Nil
+      Seq(0) ++ h1 ++ h2
+    }
+    val probes = c.select(col("vec_id").as("id_a"), col("v").as("v_a"),
+      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    probes
+      .join(c.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("v_b")),
+        Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
       .withColumn("cos", round(cosineSimilarity(col("v_a"), col("v_b")), 4))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))

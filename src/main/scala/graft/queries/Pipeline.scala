@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.functions.{HashExpressions, TextFunctions => TF}
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Quantize, Sampling, Similarity, TextOps}
 
 /** LLM-training-data pipeline query corpus (beyond the reference's own
   * surface, mandated by BASELINE.json): dedup family, similarity search,
@@ -345,6 +345,64 @@ object Pipeline {
     "p27_centroid_confusion" -> ((s, dir) => {
       Similarity.centroidConfusion(emb(s, dir))
         .orderBy(col("label"), col("assigned_label"))
+    }),
+
+    // ---- int8 scalar quantization (the 4× vector-store shrink): per-row
+    // narrow higher-order-function algebra, no UDFs; worst reconstruction
+    // error and code stats verified exactly by the oracle ----
+    "p29_embedding_quantize" -> ((s, dir) => {
+      Quantize.int8Stats(emb(s, dir))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- corpus-wide kNN graph via multi-probe axis-sign LSH self-join
+    // (semantic-dedup/clustering substrate). Axis buckets keep even the
+    // APPROXIMATE graph SQL-recomputable — the oracle derives the same
+    // candidate set and top-k, bit-for-bit (p12's pattern, self-join form) ----
+    "p30_knn_graph" -> ((s, dir) => {
+      Similarity.axisKnnGraph(emb(s, dir), k = 5, nBits = 6, probeHamming = 1)
+        .orderBy(col("vec_id"), col("rk"))
+    }),
+
+    // ---- Unicode NFC normalization (codegen'd custom expression — Spark
+    // has no built-in): the corpus is ASCII, so decomposed sequences are
+    // PLANTED (e + U+0301, i + U+0308) and must compose; char counts
+    // before/after pin the contraction ----
+    "p31_unicode_normalize" -> ((s, dir) => {
+      HashExpressions.register(s)
+      // Decomposed on purpose: 'e' + U+0301, 'i' + U+0308 — NFC must
+      // contract them to the precomposed forms.
+      val enriched = concat(col("text"), lit(" cafe\u0301 nai\u0308ve"))
+      docs(s, dir).select(col("doc_id"),
+        HashExpressions.nfcNormalize(enriched).as("normalized"),
+        length(enriched).as("n_before"),
+        length(HashExpressions.nfcNormalize(enriched)).as("n_after"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- semantic dedup clusters: connected components over the
+    // embedding near-dup graph (axis-sign LSH pairs -> generic min-label
+    // propagation). The approximate pair graph is SQL-recomputable, so the
+    // oracle re-derives buckets, probes, cosines AND the components
+    // (recursive CTE) — the whole embedding-dedup path verified end-to-end ----
+    "p32_semantic_clusters" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val pairs = Similarity.axisNearPairs(e, minCos = 0.5, nBits = 6,
+        probeHamming = 1)
+      Dedup.connectedComponents(e.select(col("vec_id").as("id")), pairs)
+        .select(col("id").as("vec_id"), col("cluster_id"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- stratified train/val/test carve-out: split membership is a pure
+    // hash of the id (no RNG, stable under corpus growth — no test-set
+    // leakage across dataset versions); per-(source, split) counts ----
+    "p33_stratified_split" -> ((s, dir) => {
+      Sampling.assignSplits(docs(s, dir), "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("source"), col("split"))
     }),
 
     // ---- benchmark decontamination: every 10th doc is the held-out
@@ -733,6 +791,109 @@ object Pipeline {
          SELECT cast(floor(excl / 10000) AS integer) AS shard,
                 count(*) AS n_docs, cast(sum(n_chars) AS bigint) AS total_chars
          FROM t GROUP BY shard ORDER BY shard""",
+
+    "p29_embedding_quantize" ->
+      """WITH t AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                  FROM embeddings),
+        b AS (SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi FROM t),
+        p AS (SELECT vec_id, v, lo,
+                     CASE WHEN hi > lo THEN (hi - lo) / 255.0 ELSE 1.0 END AS sc
+              FROM b),
+        z AS (SELECT vec_id, v, lo, sc,
+                     list_transform(v, x -> cast(round((x - lo) / sc) AS integer) - 128) AS qv
+              FROM p)
+        SELECT vec_id,
+               cast(list_min(qv) AS integer) AS qmin,
+               cast(list_max(qv) AS integer) AS qmax,
+               cast(list_sum(qv) AS bigint) AS qsum,
+               round(list_max(list_transform(list_zip(v, qv),
+                 e -> abs(e[1] - ((e[2] + 128) * sc + lo)))), 6) AS max_abs_err
+        FROM z ORDER BY vec_id""",
+
+    // Differential kNN-graph oracle: recompute the axis-sign buckets, the 7
+    // probe buckets per vector, the exact candidate self-join, and the
+    // per-vector top-5 — byte-identical to Spark's approximate graph.
+    "p30_knn_graph" ->
+      """WITH c AS (
+          SELECT vec_id, embedding,
+                 (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+                + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+                + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+                + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
+                + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
+                + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS bucket
+          FROM embeddings),
+        probes AS (SELECT vec_id AS id_a, embedding AS va, xor(bucket, m) AS bucket
+                   FROM c, unnest([0,1,2,4,8,16,32]) AS t(m)),
+        s AS (
+          SELECT p.id_a, c.vec_id AS id_b,
+                 round(
+                   list_sum(list_transform(list_zip(c.embedding, p.va),
+                     x -> x[1]::DOUBLE * x[2]::DOUBLE)) /
+                   (sqrt(list_sum(list_transform(c.embedding, y -> y::DOUBLE * y::DOUBLE))) *
+                    sqrt(list_sum(list_transform(p.va, y -> y::DOUBLE * y::DOUBLE)))), 4) AS cos
+          FROM c JOIN probes p USING (bucket)
+          WHERE c.vec_id <> p.id_a),
+        r AS (SELECT id_a, id_b, cos,
+                     row_number() OVER (PARTITION BY id_a
+                                        ORDER BY cos DESC, id_b) AS rk
+              FROM s)
+        SELECT id_a AS vec_id, id_b AS nbr_id, cos, cast(rk AS integer) AS rk
+        FROM r WHERE rk <= 5 ORDER BY vec_id, rk""",
+
+    "p31_unicode_normalize" ->
+      """WITH e AS (SELECT doc_id,
+             text || ' cafe' || chr(769) || ' nai' || chr(776) || 've' AS t
+           FROM documents)
+        SELECT doc_id, nfc_normalize(t) AS normalized,
+               cast(length(t) AS integer) AS n_before,
+               cast(length(nfc_normalize(t)) AS integer) AS n_after
+        FROM e ORDER BY doc_id""",
+
+    // Recompute the axis-sign buckets, probes, cosines, and then the
+    // connected components (recursive reachability) — the full semantic
+    // dedup path, including the iterative distributed CC, verified exactly.
+    "p32_semantic_clusters" ->
+      """WITH RECURSIVE c AS (
+          SELECT vec_id, embedding,
+                 (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+                + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+                + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+                + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
+                + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
+                + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS bucket
+          FROM embeddings),
+        probes AS (SELECT vec_id AS id_a, embedding AS va, xor(bucket, m) AS bucket
+                   FROM c, unnest([0,1,2,4,8,16,32]) AS t(m)),
+        p AS (
+          SELECT pr.id_a, c.vec_id AS id_b
+          FROM c JOIN probes pr USING (bucket)
+          WHERE pr.id_a < c.vec_id
+            AND round(
+                  list_sum(list_transform(list_zip(c.embedding, pr.va),
+                    x -> x[1]::DOUBLE * x[2]::DOUBLE)) /
+                  (sqrt(list_sum(list_transform(c.embedding, y -> y::DOUBLE * y::DOUBLE))) *
+                   sqrt(list_sum(list_transform(pr.va, y -> y::DOUBLE * y::DOUBLE)))), 4)
+                >= 0.5),
+        e AS (SELECT id_a AS s, id_b AS d FROM p
+              UNION ALL SELECT id_b, id_a FROM p),
+        rec AS (
+          SELECT vec_id AS id, vec_id AS reach FROM embeddings
+          UNION
+          SELECT e.s, rec.reach FROM e JOIN rec ON e.d = rec.id)
+        SELECT id AS vec_id, min(reach) AS cluster_id
+        FROM rec GROUP BY id ORDER BY vec_id""",
+
+    "p33_stratified_split" ->
+      """SELECT source,
+              CASE WHEN h < 3865470566 THEN 'train'
+                   WHEN h < 4080218931 THEN 'val'
+                   ELSE 'test' END AS split,
+              count(*) AS n
+         FROM (SELECT source,
+                      ((doc_id % 4294967296) * 1103515245) % 4294967296 AS h
+               FROM documents)
+         GROUP BY source, split ORDER BY source, split""",
 
     "p13_embedding_near_pairs" ->
       """WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),

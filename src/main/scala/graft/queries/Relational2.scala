@@ -209,6 +209,38 @@ object Relational2 {
         .orderBy(col("c_custkey"))
     }),
 
+    // ---- multiset set ops: INTERSECT ALL / EXCEPT ALL keep per-row
+    // multiplicities (Spark plans them as a count-min join over grouped
+    // counts — a different Expand/Aggregate shape than the DISTINCT
+    // variants in q57/q58) ----
+    "q76_intersect_all" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        .intersectAll(o.filter(col("o_totalprice") > 150000).select(col("o_custkey")))
+        .orderBy(col("o_custkey"))
+    }),
+
+    "q77_except_all" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        .exceptAll(o.filter(col("o_totalprice") > 150000).select(col("o_custkey")))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // ---- UNPIVOT/melt (wide metrics -> long rows; the inverse of q60's
+    // PIVOT): Spark's Expand-based unpivot, three metric columns per
+    // priority melted to (metric, value) rows ----
+    "q78_unpivot_metrics" -> ((s, dir) => {
+      val agg = t(s, dir, "orders").groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("double").as("n_orders"),
+          dsum(col("o_totalprice"), 2).as("total_price"),
+          max(col("o_totalprice")).as("max_price"))
+      agg.unpivot(Array(col("o_orderpriority")),
+          Array(col("n_orders"), col("total_price"), col("max_price")),
+          "metric", "value")
+        .orderBy(col("o_orderpriority"), col("metric"))
+    }),
+
     // ---- LATERAL correlated subquery (per-nation top-2 suppliers) ----
     "q59_lateral_topn" -> ((s, dir) => {
       Tables.register(s, dir, "supplier", "nation")
@@ -376,6 +408,30 @@ object Relational2 {
          EXCEPT
          SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000
          ORDER BY c_custkey""",
+
+    "q76_intersect_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         INTERSECT ALL
+         SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+         ORDER BY o_custkey""",
+
+    "q77_except_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         EXCEPT ALL
+         SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+         ORDER BY o_custkey""",
+
+    "q78_unpivot_metrics" ->
+      """WITH a AS (SELECT o_orderpriority,
+                         cast(count(*) AS double) AS n_orders,
+                         cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total_price,
+                         max(o_totalprice) AS max_price
+                  FROM orders GROUP BY o_orderpriority)
+         SELECT o_orderpriority, metric, value FROM (
+           SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM a
+           UNION ALL SELECT o_orderpriority, 'total_price', total_price FROM a
+           UNION ALL SELECT o_orderpriority, 'max_price', max_price FROM a)
+         ORDER BY o_orderpriority, metric""",
 
     "q59_lateral_topn" ->
       """SELECT n_name, s_name, s_acctbal

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+import graft.operators.Quantize
+
+/** int8 scalar quantization: codes in range, reconstruction error bounded
+  * by half a quantization step, exact decode for degenerate (constant)
+  * vectors, and a narrow UDF-free plan.
+  */
+class QuantizeSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def corpus = Tables.load(spark, sf01, "embeddings")
+
+  test("codes are int8-ranged and hit both endpoints; error <= scale/2") {
+    val q = Quantize.int8(corpus)
+      .withColumn("max_err",
+        aggregate(
+          zip_with(col("v"), Quantize.decode(col("qv"), col("lo"), col("scale")),
+            (x, d) => abs(x - d)),
+          lit(0.0), (a, e) => greatest(a, e)))
+      .select(array_min(col("qv")).as("qmin"), array_max(col("qv")).as("qmax"),
+        col("max_err"), col("scale"))
+      .collect()
+    q.foreach { r =>
+      val (qmin, qmax, err, scale) =
+        (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3))
+      assert(qmin >= -128 && qmax <= 127, s"codes [$qmin,$qmax] out of int8 range")
+      // The per-vector min and max quantize to the exact endpoints.
+      assert(qmin == -128 && qmax == 127, s"endpoints [$qmin,$qmax] not hit")
+      assert(err <= scale / 2 + 1e-9, s"reconstruction error $err > scale/2 $scale")
+    }
+  }
+
+  test("constant vectors decode exactly") {
+    import spark.implicits._
+    val const = Seq((1L, Seq(2.5f, 2.5f, 2.5f))).toDF("vec_id", "embedding")
+    val err = Quantize.int8Stats(const).select(col("max_abs_err")).head().getDouble(0)
+    assert(err == 0.0, s"constant vector must round-trip exactly, err=$err")
+  }
+
+  test("plan is narrow and UDF-free") {
+    val plan = Quantize.int8Stats(corpus).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "quantization must not shuffle")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"))
+  }
+}

@@ -88,6 +88,41 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("assignSplits: exhaustive, disjoint, stable, near target fractions") {
+    import spark.implicits._
+    val ids = (1L to 10000L).toDF("id")
+    val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    def run() = Sampling.assignSplits(ids, "id", splits)
+      .groupBy(col("split")).count()
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val counts = run()
+    assert(!counts.contains(None), "fractions sum to 1 — every row must land somewhere")
+    assert(counts.values.sum == 10000L, "splits must partition the corpus")
+    assert(math.abs(counts(Some("train")) / 10000.0 - 0.9) < 0.02)
+    assert(math.abs(counts(Some("val")) / 10000.0 - 0.05) < 0.01)
+    assert(math.abs(counts(Some("test")) / 10000.0 - 0.05) < 0.01)
+    assert(run() == counts, "assignment must be deterministic")
+    // Growth stability: a doc's split in a 2x corpus is unchanged (split is
+    // a pure function of its own id — no test-set leakage across versions).
+    val small = Sampling.assignSplits(ids, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val big = Sampling.assignSplits((1L to 20000L).toDF("id"), "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(small.forall { case (id, s) => big(id) == s },
+      "corpus growth must never migrate a row between splits")
+  }
+
+  test("assignSplits rejects fractions that exceed 1 and leaves remainder null") {
+    import spark.implicits._
+    val ids = (1L to 100L).toDF("id")
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(ids, "id", Seq("a" -> 0.7, "b" -> 0.5))
+    }
+    val partial = Sampling.assignSplits(ids, "id", Seq("a" -> 0.5))
+      .filter(col("split").isNull).count()
+    assert(partial > 0, "the uncovered remainder must be held out as null")
+  }
+
   test("packByBudget rejects fractional weights and null ids loudly") {
     import spark.implicits._
     val fractional = Seq((1L, 1.5), (2L, 2.5)).toDF("id", "w")

@@ -42,6 +42,90 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("axisKnnGraph: k rows per vector, no self-edges, cos exact, good recall") {
+    val k = 5
+    val g = Similarity.axisKnnGraph(corpus, k = k, nBits = 6, probeHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val byVec = g.groupBy(_._1)
+    assert(byVec.size == corpus.count(), "every vector must have graph rows")
+    byVec.values.foreach { rows =>
+      assert(rows.length <= k)
+      assert(rows.map(_._4).sorted.sameElements(1 to rows.length), "ranks must be 1..n")
+    }
+    assert(g.forall(e => e._1 != e._2), "self-edges must be excluded")
+    // Exact-knn baseline over the full corpus (500 vecs — quadratic is fine
+    // in a test): candidate restriction changes WHICH neighbors are found,
+    // never their cos; and recall@5 must be useful (same-bucket locality).
+    val q = corpus.select(col("vec_id").as("query_id"), col("embedding"))
+    val exact = Similarity.bruteForceTopK(corpus, q, k + 1)
+      .filter(col("query_id") =!= col("vec_id")).filter(col("rk") <= k + 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    g.foreach { case (a, b, cos, _) =>
+      exact.get((a, b)).foreach(e => assert(e == cos, s"cos mismatch ($a,$b)"))
+    }
+    val hits = g.count(e => exact.contains((e._1, e._2)))
+    val recall = hits.toDouble / g.length
+    // The meaningful LSH property at this corpus size is the LOCALITY GAIN:
+    // random candidate selection would achieve recall ≈ the scanned pair
+    // fraction; sign-LSH buckets must do substantially better per pair
+    // scanned. (Absolute recall is a parameter choice — nBits/probeHamming
+    // trade scan fraction for recall; at production scale nBits grows with
+    // log N and the hyperplane variant adds seeded directions.)
+    val n = corpus.count()
+    val cb = Similarity.axisBucketed(corpus, 6)
+    val masks = Seq(0) ++ (0 until 6).map(1 << _)
+    val scannedPairs = cb
+      .select(col("vec_id").as("id_a"),
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+      .join(cb.select(col("bucket"), col("vec_id").as("id_b")), Seq("bucket"))
+      .filter(col("id_a") =!= col("id_b")).count()
+    val scanFraction = scannedPairs.toDouble / (n * (n - 1))
+    assert(recall >= 1.5 * scanFraction,
+      f"knn-graph recall@$k $recall%.2f < 1.5x the scanned fraction $scanFraction%.2f")
+    assert(recall >= 0.15, f"knn-graph recall@$k $recall%.2f below floor 0.15")
+  }
+
+  test("axisNearPairs: ordered unique pairs, subset of exact with identical cos") {
+    val approx = Similarity.axisNearPairs(corpus, minCos = 0.5, nBits = 6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(approx.map(_._1).distinct.length == approx.length,
+      "xor-probing symmetry + id_a < id_b must yield each pair exactly once")
+    approx.foreach { case ((a, b), _) => assert(a < b) }
+    val exact = Similarity.exactNearPairs(corpus, minCos = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    approx.foreach { case (key, cos) =>
+      assert(exact.get(key).contains(cos),
+        s"pair $key not in the exact answer (or cos differs)")
+    }
+  }
+
+  test("connectedComponents over axisNearPairs matches brute-force components") {
+    import graft.operators.Dedup
+    val pairs = Similarity.axisNearPairs(corpus, minCos = 0.5, nBits = 6)
+    val got = Dedup.connectedComponents(
+        corpus.select(col("vec_id").as("id")), pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Serial union-find oracle on the same pair list.
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map(got.keys.map(k => k -> k).toSeq: _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = got.keys.map(k => k -> find(k)).toMap
+    assert(got == want, "distributed min-label propagation must equal union-find")
+  }
+
+  test("axisKnnGraph plan: bucket equi-join, no cartesian, partial top-k pushdown") {
+    val plan = Similarity.axisKnnGraph(corpus, k = 5, nBits = 6)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      "knn graph must stay an equi-join on bucket")
+    assert(plan.contains("WindowGroupLimit"),
+      "top-k must push a partial group limit below the shuffle")
+  }
+
   test("lshTopK recall improves with probing and beats the random baseline; " +
     "every returned cos matches the exact cos") {
     HashExpressions.register(spark)

@@ -8,6 +8,40 @@ import graft.operators.TextOps
 class TextOpsSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("nfcNormalize: composes decomposed marks, idempotent, matches the JDK") {
+    import spark.implicits._
+    import graft.functions.HashExpressions
+    HashExpressions.register(spark)
+    val samples = Seq(
+      "cafe\u0301",           // e + combining acute -> \u00e9
+      "nai\u0308ve",          // i + combining diaeresis -> \u00ef
+      "caf\u00e9",            // already NFC: must pass through
+      "A\u030a",              // A + combining ring -> \u00c5
+      "\u1100\u1161",        // decomposed Hangul jamo -> \uac00
+      "plain ascii text", "")
+    val out = samples.toDF("s")
+      .select(col("s"), HashExpressions.nfcNormalize(col("s")).as("n"),
+        HashExpressions.nfcNormalize(HashExpressions.nfcNormalize(col("s"))).as("nn"))
+      .collect()
+    out.foreach { r =>
+      val (s, n, nn) = (r.getString(0), r.getString(1), r.getString(2))
+      val jdk = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      assert(n == jdk, s"NFC mismatch for ${s.codePoints().toArray.toSeq}")
+      assert(nn == n, "NFC must be idempotent")
+    }
+    assert(out.map(_.getString(1)).take(5).toSeq ==
+      Seq("caf\u00e9", "na\u00efve", "caf\u00e9", "\u00c5", "\uac00"))
+  }
+
+  test("nfcNormalize is a codegen expression, not a fallback") {
+    import graft.functions.HashExpressions
+    // The sketch expressions use CodegenFallback by design; the text
+    // normalizer is on the hot path of every pipeline and must participate
+    // in whole-stage codegen.
+    assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
+      .isAssignableFrom(classOf[HashExpressions.NfcNormalize]))
+  }
+
   test("chunkByTokens: full coverage, exact overlap, short docs get one chunk") {
     import spark.implicits._
     val text = (1 to 95).map(i => s"w$i").mkString(" ")
