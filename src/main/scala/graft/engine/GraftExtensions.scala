@@ -53,6 +53,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize", "nfc_normalize(str) - Unicode NFC normalization"),
       exprs => NfcNormalize(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("interleave_bits"),
+      info("interleave_bits",
+        "interleave_bits(x, y) - Morton/Z-order encode of two 32-bit values"),
+      exprs => InterleaveBits(exprs(0), exprs(1))))
     ext.injectFunction((FunctionIdentifier("winnow_fingerprints"),
       info("winnow_fingerprints",
         "winnow_fingerprints(str, k, w) - winnowed k-gram fingerprint set"),

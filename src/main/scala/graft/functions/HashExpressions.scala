@@ -390,6 +390,55 @@ object HashExpressions {
     override protected def withNewChildInternal(c: Expression): AsciiSum = copy(c)
   }
 
+  /** Spread the low 32 bits of `v` into the even bit positions of a long
+    * (the classic magic-mask Morton spread). Public so whole-stage-codegen
+    * generated Java can call it via the object's static forwarder.
+    */
+  def spreadBits(v0: Long): Long = {
+    var v = v0 & 0xFFFFFFFFL
+    v = (v | (v << 16)) & 0x0000FFFF0000FFFFL
+    v = (v | (v << 8)) & 0x00FF00FF00FF00FFL
+    v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0FL
+    v = (v | (v << 2)) & 0x3333333333333333L
+    v = (v | (v << 1)) & 0x5555555555555555L
+    v
+  }
+
+  /** Morton (Z-order) encode: interleave the low 32 bits of two
+    * non-negative longs — x in even positions, y in odd. Injective on
+    * [0,2^32)² , monotone along both axes, so range-partitioning + sorting
+    * by the result clusters BOTH dimensions at once (multi-column
+    * data-skipping layout).
+    */
+  def mortonJava(x: Long, y: Long): Long =
+    spreadBits(x) | (spreadBits(y) << 1)
+
+  /** Z-order key as a native expression WITH `doGenCode`: the layout pass
+    * that rewrites 100 TB (compute key → range shuffle → sorted write) must
+    * stay inside whole-stage codegen, because it touches every row of the
+    * corpus exactly when no query is being answered — pure overhead to
+    * amortize. Mirrored in DuckDB by an unrolled shift/mask sum, so layouts
+    * are oracle-verifiable bit-for-bit.
+    */
+  case class InterleaveBits(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "interleave_bits"
+
+    override def nullSafeEval(x: Any, y: Any): Any =
+      java.lang.Long.valueOf(mortonJava(x.asInstanceOf[Long], y.asInstanceOf[Long]))
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev,
+        (x, y) => s"graft.functions.HashExpressions.mortonJava($x, $y)")
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): InterleaveBits = copy(l, r)
+  }
+
   /** Register SQL-callable forms on a session; `Column` accessors below go
     * through the registry so they work on any Spark build without relying on
     * non-public Column constructors.
@@ -408,6 +457,8 @@ object HashExpressions {
       "ascii_sum", exprs => AsciiSum(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
       "nfc_normalize", exprs => NfcNormalize(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "interleave_bits", exprs => InterleaveBits(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "byte_stride",
       exprs => ByteStride(exprs.head,
@@ -446,6 +497,9 @@ object HashExpressions {
   def asciiSum(text: Column): Column = call_function("ascii_sum", text)
 
   def nfcNormalize(text: Column): Column = call_function("nfc_normalize", text)
+
+  def interleaveBits(x: Column, y: Column): Column =
+    call_function("interleave_bits", x.cast("long"), y.cast("long"))
 
   def byteStride(data: Column, n: Int): Column =
     call_function("byte_stride", data, org.apache.spark.sql.functions.lit(n))

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus profiling: exact per-column statistics (row count, null count,
+  * distinct count, lexicographic min/max) in a shape that scales to any
+  * width × any cardinality — the `ANALYZE TABLE`-style pass every ingest of
+  * a new 100 TB source starts with.
+  *
+  * Plan: melt the selected columns to (column, value) with one narrow
+  * `explode` (no shuffle), then aggregate in TWO levels:
+  * (column, value) → per-value counts, then (column) → the profile. The
+  * first level is the only wide stage and its key space is
+  * columns × distinct values, so the shuffle carries one row per distinct
+  * value — not per input row — into the second level. No `Expand`-based
+  * distinct aggregation, no per-column jobs: profiling 50 columns costs the
+  * same two stages as profiling one.
+  *
+  * Values are profiled as strings (cast once in the melt) so heterogeneous
+  * columns share one schema; callers pick columns whose string form is
+  * engine-portable (ints, strings, dates — not floats, whose formatting is
+  * engine-specific).
+  */
+object Profile {
+
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val melted = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("kv"))
+      .select(col("kv.col_name").as("col_name"), col("kv.v").as("v"))
+    melted
+      .groupBy(col("col_name"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("col_name"))
+      .agg(
+        sum(col("cnt")).as("n_rows"),
+        coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L)).as("n_null"),
+        count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
+        min(col("v")).as("min_value"),
+        max(col("v")).as("max_value"))
+  }
+}

@@ -121,6 +121,65 @@ object TextOps {
       .select(col("grp"), col("tok"), col("n"), col("rk"))
   }
 
+  /** Per-document top-`k` TF-IDF terms — the classic keyword/topic profile
+    * of a corpus (and the exact lexical dual of the embedding top-k in
+    * `Similarity`). idf = ln((N+1)/(df_t+1)) + 1 (smoothed, never
+    * negative); score = tf · idf.
+    *
+    * Shape: one (id, term) aggregation off a narrow explode gives tf; the
+    * per-term document frequencies are a SECOND aggregation of that same
+    * frame (vocabulary-sized — for natural text, millions of rows against
+    * the corpus's billions), broadcast back onto the tf frame; the final
+    * per-doc top-k rank-filter runs as WindowGroupLimit (per-partition
+    * partial top-k before the shuffle). Corpus size N is the only
+    * driver-side scalar. Ties break lexicographically on the term.
+    */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k=$k must be >= 1")
+    val nDocs = df.count()
+    val tf = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val scored = tf.join(broadcast(dfreq), Seq("term"))
+      .withColumn("tfidf",
+        round(col("tf") * (log(lit(nDocs + 1.0) / (col("df_t") + 1.0)) + 1.0), 6))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("id"), col("term"), col("tf"), col("tfidf"), col("rk"))
+  }
+
+  /** Cross-document passage dedup (the CCNet/RefinedWeb paragraph-dedup
+    * signal, at token-window granularity because this corpus has no
+    * paragraph breaks): chunk every doc into fixed token windows, fingerprint
+    * each chunk, and count per doc how many of its chunks already appeared
+    * earlier in the corpus (first occurrence by (id, chunk_id) survives).
+    *
+    * One shuffle on the 16-byte chunk fingerprint; the keep/dup decision is
+    * a row_number window inside each fingerprint group, then a per-doc
+    * re-aggregation. A pathological boilerplate chunk shared by a large
+    * fraction of the corpus would concentrate its group on one reducer —
+    * at that point the right fix is filtering known boilerplate upstream,
+    * not a fancier plan, so the skew is documented rather than salted.
+    */
+  def passageDedup(df: DataFrame, idCol: String, textCol: String,
+                   chunkTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = chunkByTokens(df, idCol, textCol, chunkTokens, overlap = 0)
+    val w = Window.partitionBy(col("fp")).orderBy(col(idCol), col("chunk_id"))
+    chunks.withColumn("fp", md5(col("chunk")))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+           sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_share",
+        round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6))
+  }
+
   /** BM25 scores of every document against a bag of query tokens; returns
     * the top `k` as (id, score, rk). Corpus statistics (N, avgdl, per-term
     * document frequency) are one small aggregate collected to the driver

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.functions.{HashExpressions, TextFunctions => TF}
-import graft.operators.{Dedup, Multimodal, Quantize, Sampling, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Profile, Quantize, Sampling, Similarity, TextOps}
 
 /** LLM-training-data pipeline query corpus (beyond the reference's own
   * surface, mandated by BASELINE.json): dedup family, similarity search,
@@ -403,6 +403,27 @@ object Pipeline {
         .groupBy(col("source"), col("split"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("source"), col("split"))
+    }),
+
+    // ---- cross-document passage dedup: fixed token windows, first
+    // occurrence (by doc, chunk position) survives; per-doc dup share ----
+    "p34_passage_dedup" -> ((s, dir) => {
+      TextOps.passageDedup(docs(s, dir), "doc_id", "text", chunkTokens = 20)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- single-pass exact column profile (ANALYZE-style ingest stats) ----
+    "p35_column_profile" -> ((s, dir) => {
+      Profile.profile(docs(s, dir), Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy(col("col_name"))
+    }),
+
+    // ---- per-doc top-k TF-IDF terms (lexical topic profile) ----
+    "p36_tfidf_topterms" -> ((s, dir) => {
+      TextOps.tfIdfTopTerms(docs(s, dir), "doc_id", "text", k = 5)
+        .select(col("id").as("doc_id"), col("term"), col("tf"),
+          col("tfidf"), col("rk"))
+        .orderBy(col("doc_id"), col("rk"))
     }),
 
     // ---- benchmark decontamination: every 10th doc is the held-out
@@ -905,6 +926,48 @@ object Pipeline {
                    (sqrt(list_sum(list_transform(a.embedding, y -> y::DOUBLE * y::DOUBLE))) *
                     sqrt(list_sum(list_transform(b.embedding, y -> y::DOUBLE * y::DOUBLE)))), 4) AS cos
           FROM c a JOIN c b ON a.vec_id < b.vec_id)
-        SELECT id_a, id_b, cos FROM s WHERE cos >= 0.3 ORDER BY id_a, id_b"""
+        SELECT id_a, id_b, cos FROM s WHERE cos >= 0.3 ORDER BY id_a, id_b""",
+
+    // Chunking mirrors p22 (overlap=0, window=20); first occurrence by
+    // (doc_id, chunk_id) survives, rest are dups.
+    "p34_passage_dedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split($oNorm, ' ') AS toks FROM documents),
+        c AS (SELECT doc_id, i AS chunk_id,
+                array_to_string(list_slice(toks, i*20 + 1, i*20 + 20), ' ') AS chunk
+              FROM t, unnest(range(0, greatest(
+                cast(ceil(len(toks) / 20.0) AS bigint), 1))) AS u(i)),
+        r AS (SELECT doc_id, chunk_id,
+                row_number() OVER (PARTITION BY md5(chunk)
+                                   ORDER BY doc_id, chunk_id) AS rn
+              FROM c)
+        SELECT doc_id, count(*) AS n_chunks,
+               cast(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS bigint) AS n_dup_chunks,
+               round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::double / count(*), 6) AS dup_share
+        FROM r GROUP BY doc_id ORDER BY doc_id""",
+
+    "p35_column_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+            cast(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_null,
+            count(DISTINCT $c) AS n_distinct,
+            min(cast($c AS varchar)) AS min_value,
+            max(cast($c AS varchar)) AS max_value
+          FROM documents"""
+      Seq("doc_id", "lang", "source", "n_chars").map(one)
+        .mkString("", " UNION ALL ", " ORDER BY col_name")
+    },
+
+    "p36_tfidf_topterms" ->
+      s"""WITH t AS (SELECT doc_id, unnest($oToks) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n FROM documents),
+        s AS (SELECT tf.doc_id, tf.term, tf.tf,
+                round(tf.tf * (ln((n.n + 1.0) / (dfreq.df_t + 1.0)) + 1.0), 6) AS tfidf
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, term) AS rk FROM s)
+        SELECT doc_id, term, tf, tfidf, cast(rk AS integer) AS rk
+        FROM r WHERE rk <= 5 ORDER BY doc_id, rk"""
   )
 }

@@ -241,6 +241,41 @@ object Relational2 {
         .orderBy(col("o_orderpriority"), col("metric"))
     }),
 
+    // ---- MERGE/upsert: deterministic delta (every 7th customer updated,
+    // every 7th+3 inserted under a shifted key) applied via one full-outer
+    // join; the incremental-refresh primitive (graft.operators.Merge) ----
+    "q79_merge_upsert" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val upd = c.filter(pmod(col("c_custkey"), lit(7)) === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          (col("c_acctbal") + 100.0).as("c_acctbal"),
+          lit("MERGED").as("c_mktsegment"))
+      val ins = c.filter(pmod(col("c_custkey"), lit(7)) === 3)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          concat(lit("NEW-"), col("c_custkey")).as("c_name"),
+          lit(0).as("c_nationkey"),
+          lit(0.0).as("c_acctbal"),
+          lit("NEW").as("c_mktsegment"))
+      graft.operators.Merge.upsert(c, upd.union(ins), "c_custkey")
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- Z-order (Morton) encoding: the multi-column clustering key
+    // behind graft.operators.Layout, computed by the codegen'd
+    // interleave_bits expression and mirrored bit-for-bit by the oracle's
+    // unrolled shift/mask sum ----
+    "q80_zorder_cells" -> ((s, dir) => {
+      graft.functions.HashExpressions.register(s)
+      t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .select(
+          graft.functions.HashExpressions
+            .interleaveBits(col("l_partkey"), col("l_suppkey")).as("z"),
+          col("l_partkey"), col("l_suppkey"))
+        .orderBy(col("z"))
+        .limit(200)
+    }),
+
     // ---- LATERAL correlated subquery (per-nation top-2 suppliers) ----
     "q59_lateral_topn" -> ((s, dir) => {
       Tables.register(s, dir, "supplier", "nation")
@@ -459,6 +494,35 @@ object Relational2 {
                 AND NOT EXISTS (SELECT 1 FROM orders
                                 WHERE o_custkey = c_custkey
                                   AND o_orderstatus = 'P'))
-        GROUP BY cntrycode ORDER BY cntrycode"""
+        GROUP BY cntrycode ORDER BY cntrycode""",
+
+    "q79_merge_upsert" ->
+      """WITH upd AS (
+           SELECT c_custkey, c_name, c_nationkey,
+                  c_acctbal + 100.0 AS c_acctbal, 'MERGED' AS c_mktsegment
+           FROM customer WHERE c_custkey % 7 = 0
+           UNION ALL
+           SELECT c_custkey + 1000000, 'NEW-' || c_custkey, 0, 0.0, 'NEW'
+           FROM customer WHERE c_custkey % 7 = 3)
+         SELECT coalesce(u.c_custkey, b.c_custkey) AS c_custkey,
+                coalesce(u.c_name, b.c_name) AS c_name,
+                coalesce(u.c_nationkey, b.c_nationkey) AS c_nationkey,
+                coalesce(u.c_acctbal, b.c_acctbal) AS c_acctbal,
+                coalesce(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment
+         FROM customer b FULL JOIN upd u ON b.c_custkey = u.c_custkey
+         ORDER BY c_custkey""",
+
+    "q80_zorder_cells" -> {
+      // Unrolled Morton encode over the low 24 bits of each key (enough
+      // for every SF the oracle runs at; the Spark expression covers 32).
+      def morton(x: String, y: String): String =
+        (0 until 24).map(i =>
+          s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
+          .mkString(" + ")
+      s"""WITH d AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+         SELECT (${morton("l_partkey", "l_suppkey")}) AS z,
+                l_partkey, l_suppkey
+         FROM d ORDER BY z LIMIT 200"""
+    }
   )
 }

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+import graft.functions.HashExpressions
+import graft.operators.Layout
+
+/** Z-order layout: the Morton key is correct (vs a bit-by-bit reference),
+  * codegen'd, and — the point of the operator — range-partitioning by it
+  * clusters BOTH key columns at once, where a single-column sort clusters
+  * exactly one. Plus the clustered parquet sink round-trips with bounded
+  * files and hive partition dirs.
+  */
+class LayoutSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def lineitem = Tables.load(spark, sf01, "lineitem")
+
+  test("interleave_bits matches a bit-by-bit reference and is injective") {
+    def reference(x: Long, y: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 32) {
+        z |= ((x >> i) & 1L) << (2 * i)
+        z |= ((y >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (12345L, 678L),
+      (0xFFFFFFFFL, 0L), (0xFFFFFFFFL, 0xFFFFFFFFL), (1999L, 99L))
+    cases.foreach { case (x, y) =>
+      assert(HashExpressions.mortonJava(x, y) == reference(x, y),
+        s"morton($x,$y) mismatch")
+    }
+    // Injective: distinct inputs -> distinct keys over a dense grid.
+    val grid = for (x <- 0L until 64L; y <- 0L until 64L)
+      yield HashExpressions.mortonJava(x, y)
+    assert(grid.distinct.size == grid.size, "morton must be injective")
+  }
+
+  test("expression stays in whole-stage codegen") {
+    HashExpressions.register(spark)
+    val plan = lineitem
+      .select(HashExpressions.interleaveBits(col("l_partkey"), col("l_suppkey")))
+      .queryExecution.executedPlan.toString
+    // Codegen'd stages print with the "*(n)" prefix in the plan string.
+    assert(plan.contains("*(1) Project"), s"z-key pass must codegen:\n$plan")
+    assert(!plan.contains("ScalaUDF"), "z-key must be a native expression")
+  }
+
+  test("z-order clusters BOTH columns; single-column sort only one") {
+    HashExpressions.register(spark)
+    val df = lineitem.select(col("l_partkey"), col("l_suppkey"))
+    val parts = 16
+
+    val zed = Layout.zorderByRange(df, parts, "l_partkey", "l_suppkey").cache()
+    val oneCol = df.repartitionByRange(parts, col("l_partkey"))
+      .sortWithinPartitions(col("l_partkey")).cache()
+    try {
+      val zPart = Layout.spanFraction(zed, "l_partkey")
+      val zSupp = Layout.spanFraction(zed, "l_suppkey")
+      val sPart = Layout.spanFraction(oneCol, "l_partkey")
+      val sSupp = Layout.spanFraction(oneCol, "l_suppkey")
+      // Single-col sort: near-perfect on its key, useless on the other.
+      assert(sPart < 0.2, s"partkey sort should cluster partkey, span=$sPart")
+      assert(sSupp > 0.8, s"partkey sort cannot cluster suppkey, span=$sSupp")
+      // Z-order: materially clustered on BOTH keys.
+      assert(zPart < 0.5, s"z-order partkey span $zPart not clustered")
+      assert(zSupp < 0.5, s"z-order suppkey span $zSupp not clustered")
+    } finally { zed.unpersist(); oneCol.unpersist() }
+  }
+
+  test("clustered sink: hive dirs, bounded files, exact round-trip") {
+    val dir = Files.createTempDirectory("graft_layout").toString
+    val src = lineitem
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_returnflag"))
+    Layout.writeClustered(src, dir, Seq("l_returnflag"),
+      "l_partkey", "l_suppkey", numTasks = 8, maxRecordsPerFile = 20000)
+
+    val flags = src.select(col("l_returnflag")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == flags.map(f => s"l_returnflag=$f"),
+      s"hive dirs $dirs != partitions $flags")
+
+    val back = spark.read.parquet(dir)
+    assert(back.count() == src.count())
+    // Exact multiset equality via exceptAll both ways.
+    val reordered = back.select(src.columns.map(col): _*)
+    assert(reordered.exceptAll(src).isEmpty && src.exceptAll(reordered).isEmpty,
+      "round-trip must preserve every row exactly")
+
+    // maxRecordsPerFile honored.
+    val counts = spark.read.parquet(dir)
+      .groupBy(input_file_name()).count().collect().map(_.getLong(1))
+    assert(counts.forall(_ <= 20000), s"file over cap: ${counts.max}")
+  }
+}

@@ -125,4 +125,48 @@ class TextOpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected TopK:\n$plan")
   }
+
+  test("tfIdfTopTerms: rare term outscores common term; k and ties respected") {
+    import spark.implicits._
+    // 'common' is in every doc, 'rare' only in doc 1; both appear once
+    // in doc 1, so idf must rank 'rare' first there.
+    val df = Seq(
+      (1L, "common rare alpha"),
+      (2L, "common alpha beta"),
+      (3L, "common beta beta")).toDF("doc_id", "text")
+    val top = TextOps.tfIdfTopTerms(df, "doc_id", "text", k = 2)
+      .filter(col("id") === 1L).orderBy(col("rk"))
+      .collect().map(_.getString(1))
+    assert(top.head == "rare", s"rare term must rank first, got ${top.toSeq}")
+    val counts = TextOps.tfIdfTopTerms(df, "doc_id", "text", k = 2)
+      .groupBy("id").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ <= 2), "k must cap per-doc terms")
+  }
+
+  test("tfIdfTopTerms broadcasts the vocabulary and uses WindowGroupLimit") {
+    val d = graft.engine.Tables.load(spark, sf01, "documents")
+    val plan = TextOps.tfIdfTopTerms(d, "doc_id", "text", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"df join must broadcast the vocabulary:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      "top-k must run as partial WindowGroupLimit")
+  }
+
+  test("passageDedup: planted duplicate passages are found, clean docs score 0") {
+    import spark.implicits._
+    val shared = (1 to 40).map(i => s"tok$i").mkString(" ") // 2 chunks of 20
+    val df = Seq(
+      (1L, shared + " unique one two three"),
+      (2L, shared + " other tail words here"),
+      (3L, "completely different text entirely")).toDF("doc_id", "text")
+    val out = TextOps.passageDedup(df, "doc_id", "text", chunkTokens = 20)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 1 owns the shared chunks (first occurrence); doc 2's first two
+    // chunks are dups; doc 3 is clean.
+    assert(out(0)._3 == 0, s"doc 1 must keep its chunks: $out")
+    assert(out(1)._3 == 2, s"doc 2 must have exactly 2 dup chunks: $out")
+    assert(out(2)._3 == 0, s"doc 3 is clean: $out")
+  }
 }
