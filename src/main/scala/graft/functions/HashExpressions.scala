@@ -421,7 +421,12 @@ object HashExpressions {
     * are oracle-verifiable bit-for-bit.
     */
   case class InterleaveBits(left: Expression, right: Expression)
-      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+    // Declared input types let ImplicitTypeCasts coerce SQL-side integer
+    // arguments to LONG, so interpreted eval and codegen agree (a bare
+    // integer literal would otherwise ClassCastException in nullSafeEval).
+    override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
     override def dataType: DataType = LongType
     override def prettyName: String = "interleave_bits"
 

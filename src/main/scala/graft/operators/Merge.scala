@@ -26,9 +26,14 @@ object Merge {
       s"schema mismatch: base ${base.columns.mkString(",")} vs updates ${updates.columns.mkString(",")}")
     val b = base.columns.foldLeft(base)((d, c) => d.withColumnRenamed(c, s"__b_$c"))
     val u = updates.columns.foldLeft(updates)((d, c) => d.withColumnRenamed(c, s"__u_$c"))
+    // Replacement is gated on the PRESENCE of an update row (its key is
+    // non-null on a matched join), not per-column coalesce: an update row
+    // with a NULL non-key column must write that NULL, not resurrect the
+    // base's old value.
     b.join(u, col(s"__b_$keyCol") === col(s"__u_$keyCol"), "full_outer")
       .select(base.columns.map(c =>
-        coalesce(col(s"__u_$c"), col(s"__b_$c")).as(c)): _*)
+        when(col(s"__u_$keyCol").isNotNull, col(s"__u_$c"))
+          .otherwise(col(s"__b_$c")).as(c)): _*)
   }
 
   /** Changelog compaction: collapse an append-only stream of keyed versions

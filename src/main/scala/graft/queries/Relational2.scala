@@ -505,19 +505,24 @@ object Relational2 {
            SELECT c_custkey + 1000000, 'NEW-' || c_custkey, 0, 0.0, 'NEW'
            FROM customer WHERE c_custkey % 7 = 3)
          SELECT coalesce(u.c_custkey, b.c_custkey) AS c_custkey,
-                coalesce(u.c_name, b.c_name) AS c_name,
-                coalesce(u.c_nationkey, b.c_nationkey) AS c_nationkey,
-                coalesce(u.c_acctbal, b.c_acctbal) AS c_acctbal,
-                coalesce(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment
+                CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name
+                     ELSE b.c_name END AS c_name,
+                CASE WHEN u.c_custkey IS NOT NULL THEN u.c_nationkey
+                     ELSE b.c_nationkey END AS c_nationkey,
+                CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal
+                     ELSE b.c_acctbal END AS c_acctbal,
+                CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment
+                     ELSE b.c_mktsegment END AS c_mktsegment
          FROM customer b FULL JOIN upd u ON b.c_custkey = u.c_custkey
          ORDER BY c_custkey""",
 
     "q80_zorder_cells" -> {
-      // Unrolled Morton encode over the low 24 bits of each key (enough
-      // for every SF the oracle runs at; the Spark expression covers 32).
+      // Unrolled Morton encode over the full 32 bits the Spark expression
+      // interleaves; BIGINT arithmetic keeps the i=31 shift (bit 63) exact.
       def morton(x: String, y: String): String =
-        (0 until 24).map(i =>
-          s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
+        (0 until 32).map(i =>
+          s"(((CAST($x AS BIGINT) >> $i) & 1) << ${2 * i}) + " +
+            s"(((CAST($y AS BIGINT) >> $i) & 1) << ${2 * i + 1})")
           .mkString(" + ")
       s"""WITH d AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
          SELECT (${morton("l_partkey", "l_suppkey")}) AS z,
