@@ -56,7 +56,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("interleave_bits"),
       info("interleave_bits",
         "interleave_bits(x, y) - Morton/Z-order encode of two 32-bit values"),
-      exprs => InterleaveBits(exprs(0), exprs(1))))
+      exprs => InterleaveBits(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          exprs(0), org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          exprs(1), org.apache.spark.sql.types.LongType))))
     ext.injectFunction((FunctionIdentifier("winnow_fingerprints"),
       info("winnow_fingerprints",
         "winnow_fingerprints(str, k, w) - winnowed k-gram fingerprint set"),

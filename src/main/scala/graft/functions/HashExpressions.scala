@@ -421,12 +421,13 @@ object HashExpressions {
     * are oracle-verifiable bit-for-bit.
     */
   case class InterleaveBits(left: Expression, right: Expression)
-      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-      with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
-    // Declared input types let ImplicitTypeCasts coerce SQL-side integer
-    // arguments to LONG, so interpreted eval and codegen agree (a bare
-    // integer literal would otherwise ClassCastException in nullSafeEval).
-    override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    // Children must already be LONG: `AbstractDataType` (and so
+    // ExpectsInputTypes' inputTypes) is private[sql] on this Spark build, so
+    // implicit coercion can't be declared here. Instead every registration
+    // site wraps the arguments in Cast(_, LongType) (see `register` below and
+    // GraftExtensions), keeping interpreted eval and codegen consistent for
+    // integer-literal SQL arguments.
     override def dataType: DataType = LongType
     override def prettyName: String = "interleave_bits"
 
@@ -463,7 +464,11 @@ object HashExpressions {
     reg.createOrReplaceTempFunction(
       "nfc_normalize", exprs => NfcNormalize(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
-      "interleave_bits", exprs => InterleaveBits(exprs(0), exprs(1)), "scala_udf")
+      "interleave_bits",
+      exprs => InterleaveBits(
+        org.apache.spark.sql.catalyst.expressions.Cast(exprs(0), LongType),
+        org.apache.spark.sql.catalyst.expressions.Cast(exprs(1), LongType)),
+      "scala_udf")
     reg.createOrReplaceTempFunction(
       "byte_stride",
       exprs => ByteStride(exprs.head,

@@ -48,6 +48,13 @@ object Layout {
     val r = df.agg(
       min(col(xCol).cast("long")), max(col(xCol).cast("long")),
       min(col(yCol).cast("long")), max(col(yCol).cast("long"))).head()
+    // min/max aggregates are NULL on an empty frame or an all-null key
+    // column; fail with an actionable message instead of an opaque NPE
+    // deep inside the write job.
+    require((0 to 3).forall(i => !r.isNullAt(i)),
+      s"zorder key stats unavailable: input is empty or '$xCol'/'$yCol' " +
+        "is entirely NULL — z-ordering needs at least one non-null value " +
+        "in both key columns")
     zkey(scaled16(col(xCol), r.getLong(0), r.getLong(1)),
          scaled16(col(yCol), r.getLong(2), r.getLong(3)))
   }

@@ -129,7 +129,8 @@ object TextOps {
     * Shape: one (id, term) aggregation off a narrow explode gives tf; the
     * per-term document frequencies are a SECOND aggregation of that same
     * frame (vocabulary-sized — for natural text, millions of rows against
-    * the corpus's billions), broadcast back onto the tf frame; the final
+    * the corpus's billions), joined back onto the tf frame (AQE broadcasts
+    * it when it measures under the size threshold); the final
     * per-doc top-k rank-filter runs as WindowGroupLimit (per-partition
     * partial top-k before the shuffle). Corpus size N is the only
     * driver-side scalar. Ties break lexicographically on the term.
@@ -143,7 +144,12 @@ object TextOps {
       .groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
-    val scored = tf.join(broadcast(dfreq), Seq("term"))
+    // No broadcast hint: the vocabulary frame is corpus-dependent (web-scale
+    // corpora exceed any fixed "millions" assumption), and a forced hint
+    // bypasses Spark's size threshold. AQE still broadcasts it whenever the
+    // measured size fits autoBroadcastJoinThreshold, which it does at every
+    // sane scale — and falls back to a shuffled join when it wouldn't.
+    val scored = tf.join(dfreq, Seq("term"))
       .withColumn("tfidf",
         round(col("tf") * (log(lit(nDocs + 1.0) / (col("df_t") + 1.0)) + 1.0), 6))
     val w = Window.partitionBy(col("id"))

@@ -41,6 +41,36 @@ class LayoutSpec extends AnyFunSuite {
     assert(grid.distinct.size == grid.size, "morton must be injective")
   }
 
+  test("SQL integer literals: interpreted (constant-fold) == codegen == java") {
+    HashExpressions.register(spark)
+    // Integer literals constant-fold through interpreted eval — this is the
+    // path that used to ClassCastException before the registration sites
+    // wrapped arguments in Cast(_, LongType).
+    val folded = spark.sql("SELECT interleave_bits(3, 5) AS z")
+      .collect()(0).getLong(0)
+    // Column input from data defeats constant folding → codegen path.
+    import spark.implicits._
+    val viaCodegen = Seq((3, 5)).toDF("x", "y")
+      .selectExpr("interleave_bits(x, y) AS z").collect()(0).getLong(0)
+    assert(folded == viaCodegen, "interpreted and codegen eval must agree")
+    assert(folded == HashExpressions.mortonJava(3L, 5L))
+  }
+
+  test("zorder fails loudly on empty and all-null input") {
+    import spark.implicits._
+    val empty = Seq.empty[(java.lang.Long, java.lang.Long)].toDF("x", "y")
+    val ex1 = intercept[IllegalArgumentException] {
+      Layout.zorderByRange(empty, 4, "x", "y").count()
+    }
+    assert(ex1.getMessage.contains("empty or"), ex1.getMessage)
+    val allNull = Seq[(java.lang.Long, java.lang.Long)](
+      (null, 1L), (null, 2L)).toDF("x", "y")
+    val ex2 = intercept[IllegalArgumentException] {
+      Layout.zorderByRange(allNull, 4, "x", "y").count()
+    }
+    assert(ex2.getMessage.contains("entirely NULL"), ex2.getMessage)
+  }
+
   test("expression stays in whole-stage codegen") {
     HashExpressions.register(spark)
     val plan = lineitem
