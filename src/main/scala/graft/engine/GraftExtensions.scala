@@ -34,6 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
       exprs => SimHash64(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("dot_f"),
+      info("dot_f", "dot_f(a, b) - double dot product of two float/double arrays"),
+      exprs => graft.functions.VectorExpressions.DotProduct(exprs(0), exprs(1))))
     ext.injectFunction((FunctionIdentifier("minhash_signature"),
       info("minhash_signature",
         "minhash_signature(tokens, shingleLen, k) - k minhashes over word shingles"),

@@ -453,6 +453,7 @@ object HashExpressions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+    VectorExpressions.register(spark)
     def intArg(exprs: Seq[Expression], i: Int): Int =
       exprs(i).eval(InternalRow.empty).asInstanceOf[Int]
     reg.createOrReplaceTempFunction(

@@ -14,14 +14,26 @@ object VectorFunctions {
 
   private def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+  /** Σ aᵢ·bᵢ as doubles, left-to-right — a codegen'd native expression
+    * ([[VectorExpressions.DotProduct]]); bit-identical to the HOF form
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` it replaced, without the
+    * two intermediate arrays per evaluated pair.
+    */
+  def dot(a: Column, b: Column): Column = VectorExpressions.dotF(a, b)
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
   def cosineSimilarity(a: Column, b: Column): Column =
     dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Cosine from a precomputed-norm pair: join-side kernel. Inside a bucket
+    * join the norms are per-VECTOR quantities — computing them once per
+    * side before the join (`norm2` on a narrow projection) instead of per
+    * candidate PAIR removes two thirds of the scoring work; the quotient is
+    * bit-identical because `norm2` is the same expression either way.
+    */
+  def cosineFromNorms(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
 
   def l2Distance(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)),

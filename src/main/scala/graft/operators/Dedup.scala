@@ -201,6 +201,13 @@ object Dedup {
     * edges. The generic engine behind [[dupClusters]] and
     * [[graft.operators.Similarity]]-based semantic clustering. Returns
     * (`id`, `cluster_id`).
+    *
+    * Strategy: min-label propagation (one join+agg per round — optimal for
+    * the shallow components near-dup graphs produce) for up to `maxIters`
+    * rounds; a graph whose diameter exceeds that switches to
+    * [[connectedComponentsStar]], which contracts long paths in O(log²)
+    * rounds instead of O(diameter) — the 100 TB-safe fallback for
+    * adversarial chain-shaped components.
     */
   def connectedComponents(ids: DataFrame, pairList: DataFrame,
                           maxIters: Int = 20): DataFrame = {
@@ -235,18 +242,100 @@ object Dedup {
     }
     edges.unpersist()
     pairs.unpersist()
-    // A silent non-converged exit would return labels that split one true
-    // component into several — wrong answers, undetectably. Fail loudly;
-    // near-dup components are shallow, so hitting this means the graph (or
-    // maxIters) needs looking at, not papering over.
+    // A diameter beyond maxIters would silently split one true component
+    // into several — wrong answers, undetectably — if we returned here.
+    // Instead switch algorithms: star contraction's round count grows with
+    // log² of the component size, not its diameter, so chain-shaped
+    // components (the propagation worst case) still converge.
     if (!converged) {
       persistedRound.unpersist()
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIters rounds — " +
-          "component diameter exceeds maxIters; raise maxIters or check " +
-          "for degenerate chaining in the pair graph")
+      return connectedComponentsStar(ids, pairList)
     }
     labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Connected components by alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14 — public algorithm): each round re-points high neighbors
+    * (large-star) then low neighbors (small-star) of every node at the
+    * minimum of its closed neighborhood. The edge set monotonically
+    * converges to a forest of stars centered at each component's minimum —
+    * in O(log²) rounds rather than O(diameter), which is why this is the
+    * scale path behind [[connectedComponents]] for long-chain graphs.
+    * Same contract: (`id`, `cluster_id`), singletons label themselves.
+    */
+  def connectedComponentsStar(ids: DataFrame, pairList: DataFrame,
+                              maxRounds: Int = 50): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    // Normalized undirected edge set: (u, v) with u < v, no self-loops.
+    def normalize(df: DataFrame): DataFrame =
+      df.select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    def sym(df: DataFrame): DataFrame =
+      df.select(col("u").as("src"), col("v").as("dst"))
+        .union(df.select(col("v").as("src"), col("u").as("dst")))
+    // m(src) = min of the closed neighborhood.
+    def withM(s: DataFrame): DataFrame = {
+      val mins = s.groupBy(col("src")).agg(min(col("dst")).as("__mn"))
+      s.join(mins, "src").withColumn("__m", least(col("src"), col("__mn")))
+    }
+    // Large-star: every neighbor ABOVE src re-points at m(src).
+    def largeStar(df: DataFrame): DataFrame =
+      normalize(withM(sym(df)).filter(col("dst") > col("src"))
+        .select(col("dst").as("u"), col("__m").as("v")))
+    // Small-star: every neighbor AT OR BELOW src (and src itself) re-points
+    // at m(src); dropping the m node avoids self-loops.
+    def smallStar(df: DataFrame): DataFrame =
+      normalize(withM(sym(df))
+        .filter(col("dst") <= col("src") && col("dst") =!= col("__m"))
+        .select(col("dst").as("u"), col("__m").as("v"))
+        .union(withM(sym(df)).filter(col("src") =!= col("__m"))
+          .select(col("src").as("u"), col("__m").as("v"))
+          .distinct()))
+    // localCheckpoint (not persist): each round's plan references the prior
+    // round's several times (sym twice per star op), so lineage grows
+    // multiplicatively — by round ~15 the un-truncated logical plan alone
+    // OOMs the driver. Checkpointing pins the rows AND truncates the plan;
+    // on a cluster use reliable checkpointing for executor-loss tolerance.
+    var edges = normalize(
+      pairList.select(col("id_a").as("u"), col("id_b").as("v")))
+      .localCheckpoint(true)
+    // Convergence = the normalized edge set reached a fixed point, detected
+    // by (count, order-independent hash-sum) — a collision would need two
+    // DIFFERENT edge sets of equal size with equal 64-bit sums inside one
+    // monotone contraction sequence; with the round cap as a backstop this
+    // is the standard streaming-equality tradeoff.
+    def signature(df: DataFrame): (Long, BigDecimal) = {
+      // DECIMAL(38,0) sum: 64-bit hash sums overflow LongType under ANSI.
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).collect()(0)
+      (r.getLong(0),
+        if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+    }
+    var sig = signature(edges)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds && sig._1 > 0) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nsig = signature(next)
+      edges = next
+      converged = nsig == sig
+      sig = nsig
+      round += 1
+    }
+    if (!converged && sig._1 > 0)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxRounds rounds")
+    // Stars guarantee every node's neighborhood min IS the component min:
+    // one final propagation pass reads the labels off.
+    val nbrMin = sym(edges).groupBy(col("src")).agg(min(col("dst")).as("__nm"))
+    ids.select(col("id"))
+      .join(nbrMin, ids("id") === nbrMin("src"), "left_outer")
+      .select(col("id"),
+        least(col("id"), coalesce(col("__nm"), col("id"))).as("cluster_id"))
   }
 
   /** Benchmark decontamination: corpus documents containing at least

@@ -27,10 +27,13 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      queryIdCol: String = "query_id"): DataFrame = {
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+      norm2(col(vecCol)).as("nrm"))
+    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"),
+      norm2(col(vecCol)).as("qnrm"))
     val scored = c.crossJoin(broadcast(q))
-      .withColumn("cos", round(cosineSimilarity(col("v"), col("qv")), 4))
+      .withColumn("cos",
+        round(cosineFromNorms(col("v"), col("qv"), col("nrm"), col("qnrm")), 4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -72,11 +75,14 @@ object Similarity {
     }
     val q = queries
       .select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"),
+        norm2(col(vecCol)).as("qnrm"),
         HashExpressions.hyperplaneLsh(col(vecCol), nBits, seed).as("b0"))
-      .select(col("query_id"), col("qv"),
+      .select(col("query_id"), col("qv"), col("qnrm"),
         explode(array(masks.map(m => col("b0").bitwiseXOR(lit(m))): _*)).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
-      .withColumn("cos", round(cosineSimilarity(col("v"), col("qv")), 4))
+    val scored = c.withColumn("nrm", norm2(col("v")))
+      .join(broadcast(q), Seq("bucket"))
+      .withColumn("cos",
+        round(cosineFromNorms(col("v"), col("qv"), col("nrm"), col("qnrm")), 4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -122,9 +128,12 @@ object Similarity {
     }
     val qb = axisBucketed(queries, nBits, queryIdCol, vecCol)
     val q = qb.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        norm2(col("v")).as("qnrm"),
         explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
-      .withColumn("cos", round(cosineSimilarity(col("v"), col("qv")), 4))
+    val scored = c.withColumn("nrm", norm2(col("v")))
+      .join(broadcast(q), Seq("bucket"))
+      .withColumn("cos",
+        round(cosineFromNorms(col("v"), col("qv"), col("nrm"), col("qnrm")), 4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -132,22 +141,71 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos"), col("rk"))
   }
 
+  /** Bucket-count parameter derived from corpus size: the smallest nBits
+    * with an EXPECTED bucket population ≤ `targetBucketSize`, i.e.
+    * ceil(log2(ceil(n / target))), clamped to [1, 16]. Pure integer
+    * arithmetic (no floating log) so a SQL oracle reproduces it exactly:
+    * `length(printf('%b', q-1))` in DuckDB is the same bit-width
+    * computation. Keeping nBits a function of N is what makes the bucket
+    * self-joins ([[axisKnnGraph]], [[axisNearPairs]]) LINEAR in corpus
+    * size — at fixed nBits their cost N²·probes/2^nBits is quadratic again
+    * at 100× the corpus.
+    */
+  def deriveNBits(n: Long, targetBucketSize: Int): Int = {
+    require(targetBucketSize > 0, "targetBucketSize must be positive")
+    val q = math.max(1L, (n + targetBucketSize - 1) / targetBucketSize)
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(q - 1) // ceil(log2 q)
+    math.max(1, math.min(16, bits))
+  }
+
+  /** Axis-bucket population histogram — the [[axisKnnGraph]] /
+    * [[axisNearPairs]] skew diagnostic, mirroring
+    * [[graft.operators.Dedup.lshBucketStats]]: one row per bucket size with
+    * the bucket count and whether `maxBucketSize` would drop it.
+    */
+  def axisBucketStats(corpus: DataFrame, nBits: Int, maxBucketSize: Int,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    axisBucketed(corpus, nBits, idCol, vecCol)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("bucket_size"))
+      .groupBy(col("bucket_size"))
+      .agg(count(lit(1)).as("n_buckets"))
+      .withColumn("dropped_by_cap", col("bucket_size") > maxBucketSize)
+
   /** k-nearest-neighbor GRAPH over the whole corpus (semantic-dedup /
     * clustering substrate): for every vector, its top-k most-cosine-similar
     * other vectors, found via a bucket self-join over [[axisBucketed]]
     * multi-probe LSH. Each vector probes its own bucket plus every bucket
     * within hamming distance `probeHamming`; distinct probe masks hit
     * distinct buckets, so a candidate pair appears exactly once — no
-    * dedup pass. Cost ≈ N × (N/2^nBits) × probes instead of N²; per-reducer
-    * work is bounded by the largest bucket (raise nBits if the embedding
-    * distribution concentrates). Axis-sign buckets keep the whole
-    * approximate graph SQL-recomputable, so the oracle verifies the output
-    * bit-for-bit (same differential pattern as [[axisLshTopK]]).
+    * dedup pass. Cost ≈ N × (N/2^nBits) × probes instead of N²; size nBits
+    * with [[deriveNBits]] so that ratio stays constant as the corpus grows.
+    * Axis-sign buckets keep the whole approximate graph SQL-recomputable,
+    * so the oracle verifies the output bit-for-bit (same differential
+    * pattern as [[axisLshTopK]]).
+    *
+    * @param maxBucketSize skew guard, same contract as
+    *                      [[graft.operators.Dedup.minhashCandidates]]: a
+    *                      bucket whose population exceeds this (embedding
+    *                      mass concentrated on one orthant — e.g. all-
+    *                      positive sentence embeddings) is dropped from the
+    *                      candidate join entirely, bounding per-reducer work
+    *                      at probes × maxBucketSize per vector instead of
+    *                      one reducer owning the degenerate bucket. Vectors
+    *                      in dropped buckets still rank candidates reached
+    *                      through their probe buckets. Monitor what the cap
+    *                      drops with [[axisBucketStats]].
     */
   def axisKnnGraph(corpus: DataFrame, k: Int, nBits: Int, probeHamming: Int = 1,
+                   maxBucketSize: Int = 4096,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(probeHamming >= 0 && probeHamming <= 2, "probeHamming in [0,2]")
     val c = axisBucketed(corpus, nBits, idCol, vecCol)
+    // Bucket-size cap: the kept-bucket list is ≤ 2^nBits rows — broadcast
+    // by construction, so the guard costs one tiny join, no extra shuffle
+    // of the corpus.
+    val okBuckets = c.groupBy(col("bucket")).agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") <= maxBucketSize)
+      .select(col("bucket"))
     val masks: Seq[Int] = {
       val h1 = if (probeHamming >= 1) (0 until nBits).map(1 << _) else Nil
       val h2 = if (probeHamming >= 2)
@@ -156,13 +214,18 @@ object Similarity {
       else Nil
       Seq(0) ++ h1 ++ h2
     }
-    val probes = c.select(col("vec_id").as("id_a"), col("v").as("v_a"),
+    val cn = c.withColumn("nrm", norm2(col("v")))
+    val probes = cn.select(col("vec_id").as("id_a"), col("v").as("v_a"),
+      col("nrm").as("nrm_a"),
       explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
     val scored = probes
-      .join(c.select(col("bucket"), col("vec_id").as("nbr_id"), col("v").as("v_b")),
+      .join(cn.select(col("bucket"), col("vec_id").as("nbr_id"), col("v").as("v_b"),
+          col("nrm").as("nrm_b")),
         Seq("bucket"))
+      .join(broadcast(okBuckets), Seq("bucket"))
       .filter(col("id_a") =!= col("nbr_id"))
-      .withColumn("cos", round(cosineSimilarity(col("v_a"), col("v_b")), 4))
+      .withColumn("cos",
+        round(cosineFromNorms(col("v_a"), col("v_b"), col("nrm_a"), col("nrm_b")), 4))
     val w = Window.partitionBy(col("id_a"))
       .orderBy(col("cos").desc, col("nbr_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -208,10 +271,13 @@ object Similarity {
         (i, d)
       }.sortBy(_._2).take(nProbe).map(_._1)
     }
-    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
+    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"),
+        norm2(col(vecCol)).as("qnrm"))
       .withColumn("cell", explode(probeUdf(col("qv"))))
-    val scored = assigned.join(broadcast(q), Seq("cell"))
-      .withColumn("cos", round(cosineSimilarity(col("v"), col("qv")), 4))
+    val scored = assigned.withColumn("nrm", norm2(col("v")))
+      .join(broadcast(q), Seq("cell"))
+      .withColumn("cos",
+        round(cosineFromNorms(col("v"), col("qv"), col("nrm"), col("qnrm")), 4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -276,10 +342,12 @@ object Similarity {
     require(c.limit((maxRows + 1).toInt).count() <= maxRows,
       s"exactNearPairs input exceeds maxRows=$maxRows (all-pairs is quadratic); " +
         "use cosineNearDupPairs for corpus-scale sweeps")
-    val a = c.select(col("id").as("id_a"), col("v").as("v_a"))
-    val b = c.select(col("id").as("id_b"), col("v").as("v_b"))
+    val cn = c.withColumn("nrm", norm2(col("v")))
+    val a = cn.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a"))
+    val b = cn.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(cosineSimilarity(col("v_a"), col("v_b")), 4))
+      .withColumn("cos",
+        round(cosineFromNorms(col("v_a"), col("v_b"), col("nrm_a"), col("nrm_b")), 4))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
@@ -305,13 +373,17 @@ object Similarity {
       else Nil
       Seq(0) ++ h1 ++ h2
     }
-    val probes = c.select(col("vec_id").as("id_a"), col("v").as("v_a"),
+    val cn = c.withColumn("nrm", norm2(col("v")))
+    val probes = cn.select(col("vec_id").as("id_a"), col("v").as("v_a"),
+      col("nrm").as("nrm_a"),
       explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
     probes
-      .join(c.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("v_b")),
+      .join(cn.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("v_b"),
+          col("nrm").as("nrm_b")),
         Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(cosineSimilarity(col("v_a"), col("v_b")), 4))
+      .withColumn("cos",
+        round(cosineFromNorms(col("v_a"), col("v_b"), col("nrm_a"), col("nrm_b")), 4))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
@@ -324,11 +396,15 @@ object Similarity {
                          nBits: Int = 10, seed: Long = 42L,
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = bucketed(corpus, nBits, seed, idCol, vecCol)
-    val a = c.select(col("bucket"), col("vec_id").as("id_a"), col("v").as("v_a"))
-    val b = c.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("v_b"))
+      .withColumn("nrm", norm2(col("v")))
+    val a = c.select(col("bucket"), col("vec_id").as("id_a"), col("v").as("v_a"),
+      col("nrm").as("nrm_a"))
+    val b = c.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("v_b"),
+      col("nrm").as("nrm_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(cosineSimilarity(col("v_a"), col("v_b")), 4))
+      .withColumn("cos",
+        round(cosineFromNorms(col("v_a"), col("v_b"), col("nrm_a"), col("nrm_b")), 4))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))
   }

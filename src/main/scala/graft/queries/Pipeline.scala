@@ -35,6 +35,17 @@ object Pipeline {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** Shared p30 parameters — the Scala query and the SQL oracle derive
+    * nBits from these with the SAME integer arithmetic
+    * ([[Similarity.deriveNBits]] ⇔ `length(printf('%b', q-1))`), so the
+    * parameterization scales with the corpus while staying differentially
+    * verified at any SF.
+    */
+  private[queries] object Queries {
+    val KNN_TARGET_BUCKET = 32
+    val KNN_MAX_BUCKET = 4096
+  }
+
   // DuckDB twin of TF.normText.
   private val oNorm = "trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val oToks = s"string_split($oNorm, ' ')"
@@ -356,11 +367,19 @@ object Pipeline {
     }),
 
     // ---- corpus-wide kNN graph via multi-probe axis-sign LSH self-join
-    // (semantic-dedup/clustering substrate). Axis buckets keep even the
-    // APPROXIMATE graph SQL-recomputable — the oracle derives the same
-    // candidate set and top-k, bit-for-bit (p12's pattern, self-join form) ----
+    // (semantic-dedup/clustering substrate). nBits derives from the corpus
+    // COUNT (integer bit-width arithmetic, so the oracle recomputes it
+    // exactly): expected bucket ≈ KNN_TARGET_BUCKET keeps the self-join
+    // linear in N instead of quadratic-at-fixed-nBits; oversized buckets
+    // are dropped by the same cap contract as minhashCandidates. Axis
+    // buckets keep even the APPROXIMATE graph SQL-recomputable — the
+    // oracle derives nBits, buckets, cap, candidates, and top-k,
+    // bit-for-bit (p12's pattern, self-join form) ----
     "p30_knn_graph" -> ((s, dir) => {
-      Similarity.axisKnnGraph(emb(s, dir), k = 5, nBits = 6, probeHamming = 1)
+      val e = emb(s, dir)
+      val nBits = Similarity.deriveNBits(e.count(), Queries.KNN_TARGET_BUCKET)
+      Similarity.axisKnnGraph(e, k = 5, nBits = nBits, probeHamming = 1,
+        maxBucketSize = Queries.KNN_MAX_BUCKET)
         .orderBy(col("vec_id"), col("rk"))
     }),
 
@@ -831,21 +850,46 @@ object Pipeline {
                  e -> abs(e[1] - ((e[2] + 128) * sc + lo)))), 6) AS max_abs_err
         FROM z ORDER BY vec_id""",
 
-    // Differential kNN-graph oracle: recompute the axis-sign buckets, the 7
+    // Differential kNN-graph oracle: recompute nBits from the corpus count
+    // (integer bit-width — `length(printf('%b', q-1))` is DuckDB's
+    // ceil(log2 q), exactly Similarity.deriveNBits), then the axis-sign
+    // buckets (16-bit unroll masked to nBits), the size cap, the nBits+1
     // probe buckets per vector, the exact candidate self-join, and the
-    // per-vector top-5 — byte-identical to Spark's approximate graph.
+    // per-vector top-5 — byte-identical to Spark's approximate graph at
+    // ANY scale factor.
     "p30_knn_graph" ->
-      """WITH c AS (
+      """WITH params AS (
+          SELECT CASE WHEN q <= 1 THEN 1
+                      ELSE least(16, length(printf('%b', q - 1))) END AS nb
+          FROM (SELECT (count(*) + 31) // 32 AS q FROM embeddings)),
+        fb AS (
           SELECT vec_id, embedding,
                  (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
                 + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
                 + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
                 + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
                 + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
-                + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS bucket
+                + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END
+                + CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END
+                + CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END
+                + CASE WHEN embedding[9] > 0 THEN 256 ELSE 0 END
+                + CASE WHEN embedding[10] > 0 THEN 512 ELSE 0 END
+                + CASE WHEN embedding[11] > 0 THEN 1024 ELSE 0 END
+                + CASE WHEN embedding[12] > 0 THEN 2048 ELSE 0 END
+                + CASE WHEN embedding[13] > 0 THEN 4096 ELSE 0 END
+                + CASE WHEN embedding[14] > 0 THEN 8192 ELSE 0 END
+                + CASE WHEN embedding[15] > 0 THEN 16384 ELSE 0 END
+                + CASE WHEN embedding[16] > 0 THEN 32768 ELSE 0 END) AS full_bucket
           FROM embeddings),
+        c AS (SELECT vec_id, embedding,
+                     full_bucket & ((1 << nb) - 1) AS bucket
+              FROM fb, params),
+        sizes AS (SELECT bucket, count(*) AS bsz FROM c GROUP BY bucket),
+        ok AS (SELECT bucket FROM sizes WHERE bsz <= 4096),
+        masks AS (SELECT unnest(list_prepend(0,
+                    list_transform(range(nb), b -> 1 << b))) AS m FROM params),
         probes AS (SELECT vec_id AS id_a, embedding AS va, xor(bucket, m) AS bucket
-                   FROM c, unnest([0,1,2,4,8,16,32]) AS t(m)),
+                   FROM c, masks),
         s AS (
           SELECT p.id_a, c.vec_id AS id_b,
                  round(
@@ -853,7 +897,7 @@ object Pipeline {
                      x -> x[1]::DOUBLE * x[2]::DOUBLE)) /
                    (sqrt(list_sum(list_transform(c.embedding, y -> y::DOUBLE * y::DOUBLE))) *
                     sqrt(list_sum(list_transform(p.va, y -> y::DOUBLE * y::DOUBLE)))), 4) AS cos
-          FROM c JOIN probes p USING (bucket)
+          FROM c JOIN probes p USING (bucket) JOIN ok USING (bucket)
           WHERE c.vec_id <> p.id_a),
         r AS (SELECT id_a, id_b, cos,
                      row_number() OVER (PARTITION BY id_a

@@ -57,13 +57,58 @@ object WorkUnitFeedRegistry {
 
 /** One unit of work, serializable — Spark ships it to whichever executor
   * claims the partition; the unit knows how to open its own reader there.
+  *
+  * Locality: the reference routes work units to specific workers
+  * (`src/events/route_tasks.rs`; custom-leaf routing in
+  * `docs/source/user-guide/04-distribute-custom-plan.md:26-217`). Spark's
+  * analog is [[InputPartition.preferredLocations]], which the DAGScheduler
+  * consults when placing the task. A unit can pin hosts explicitly
+  * (`preferredHosts` — the reference's explicit-routing case) or, when the
+  * unit is a file, fall back to the filesystem's block hosts (the
+  * HDFS-locality case). Both are hints: Spark still runs the task anywhere
+  * if the preferred host has no free slot — same best-effort contract as
+  * the reference's router.
   */
 sealed trait WorkUnit extends InputPartition {
   def reader(schema: StructType): PartitionReader[InternalRow]
+
+  /** Explicit routing hints; overrides file-block locality when non-empty. */
+  def preferredHosts: Seq[String] = Nil
+
+  /** The file behind this unit, if any — used for block-locality lookup. */
+  def path: String
+
+  // Resolved once per unit on the DRIVER (preferredLocations is only called
+  // by the scheduler there); @transient so the resolution never ships.
+  @transient private lazy val resolvedLocations: Array[String] =
+    if (preferredHosts.nonEmpty) preferredHosts.toArray
+    else WorkUnitLocality.blockHosts(path)
+
+  override def preferredLocations(): Array[String] = resolvedLocations
+}
+
+/** Driver-side block-host lookup via the Hadoop FileSystem API — works for
+  * HDFS (real block hosts), local files ("localhost"), and object stores
+  * (no hosts → empty, meaning "anywhere", which is correct: S3 has no
+  * locality). Failures degrade to no preference rather than failing the
+  * scan: locality is an optimization, never a correctness constraint.
+  */
+private[feed] object WorkUnitLocality {
+  def blockHosts(path: String): Array[String] =
+    try {
+      val conf = org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val status = fs.getFileStatus(p)
+      fs.getFileBlockLocations(status, 0L, status.getLen)
+        .flatMap(_.getHosts).distinct
+    } catch { case _: Exception => Array.empty[String] }
 }
 
 /** A CSV file (or a single split of one). */
-case class CsvWorkUnit(path: String, header: Boolean) extends WorkUnit {
+case class CsvWorkUnit(path: String, header: Boolean,
+                       override val preferredHosts: Seq[String] = Nil)
+    extends WorkUnit {
   override def reader(schema: StructType): PartitionReader[InternalRow] =
     new CsvWorkUnitReader(this, schema)
 }
@@ -73,7 +118,9 @@ case class CsvWorkUnit(path: String, header: Boolean) extends WorkUnit {
   * is not bundled in this image, so the executor-side read uses the Avro
   * core reader directly (same jars Spark itself ships).
   */
-case class AvroWorkUnit(path: String) extends WorkUnit {
+case class AvroWorkUnit(path: String,
+                        override val preferredHosts: Seq[String] = Nil)
+    extends WorkUnit {
   override def reader(schema: StructType): PartitionReader[InternalRow] =
     new AvroWorkUnitReader(this, schema)
 }

@@ -190,4 +190,26 @@ class DedupPropertySpec extends AnyFunSuite {
     val ham = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
     assert(ham > 10, s"unrelated docs hamming $ham suspiciously low")
   }
+
+  test("star contraction: planted 50-node chain converges where plain " +
+    "propagation would hit the iteration cap; mixed components + singletons") {
+    import spark.implicits._
+    // Path graph 0-1-2-...-49 (diameter 49 ≫ maxIters), a separate
+    // triangle {100,101,102}, and singleton 200.
+    val chain = (0L until 49L).map(i => (i, i + 1))
+    val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val pairs = (chain ++ tri).toDF("id_a", "id_b")
+    val ids = ((0L to 49L) ++ Seq(100L, 101L, 102L, 200L)).toDF("id")
+    // Direct star-contraction path.
+    val star = Dedup.connectedComponentsStar(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 49L).foreach(i => assert(star(i) == 0L, s"chain node $i -> ${star(i)}"))
+    Seq(100L, 101L, 102L).foreach(i => assert(star(i) == 100L))
+    assert(star(200L) == 200L, "singleton must label itself")
+    // Behind connectedComponents: maxIters=3 cannot propagate across the
+    // 49-hop chain — the fallback must kick in and still give min labels.
+    val auto = Dedup.connectedComponents(ids, pairs, maxIters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(auto == star, "fallback path must equal the direct star result")
+  }
 }

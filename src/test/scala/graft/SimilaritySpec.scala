@@ -259,4 +259,78 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("maxRows"))
   }
+
+  test("deriveNBits: integer ceil(log2(ceil(n/target))), clamped to [1,16]") {
+    // Exact boundaries: q = ceil(n/target); nBits = bit-width of q-1.
+    assert(Similarity.deriveNBits(0, 32) == 1)
+    assert(Similarity.deriveNBits(1, 32) == 1)
+    assert(Similarity.deriveNBits(32, 32) == 1)    // q=1
+    assert(Similarity.deriveNBits(33, 32) == 1)    // q=2  -> 1 bit
+    assert(Similarity.deriveNBits(65, 32) == 2)    // q=3  -> 2 bits
+    assert(Similarity.deriveNBits(500, 32) == 4)   // q=16 -> 4 bits
+    assert(Similarity.deriveNBits(2000, 32) == 6)  // q=63 -> 6 bits
+    assert(Similarity.deriveNBits(2049, 32) == 7)  // q=65 -> 7 bits
+    assert(Similarity.deriveNBits(Long.MaxValue / 2, 32) == 16, "upper clamp")
+    // Scale-safety invariant: expected bucket population never exceeds
+    // target by more than 2x below the clamp (the defining property that
+    // keeps the self-join linear in N).
+    for (n <- Seq(100L, 1000L, 10000L, 100000L, 1000000L)) {
+      val b = Similarity.deriveNBits(n, 32)
+      if (b < 16) assert(n.toDouble / (1 << b) <= 64.0,
+        s"n=$n nBits=$b expected bucket ${n / (1 << b)} > 2x target")
+    }
+  }
+
+  test("axisKnnGraph bucket cap drops oversized buckets; stats report them") {
+    import spark.implicits._
+    // 30 vectors in one orthant (all-positive first coords => bucket 3 at
+    // nBits=2) + 4 in another; cap=8 must drop the big bucket's candidates.
+    val rows = (0 until 30).map(i => (i.toLong, Seq(1.0f, 1.0f, 0.1f * i))) ++
+      (0 until 4).map(i => (100L + i, Seq(-1.0f, 1.0f, 0.2f * i)))
+    val df = rows.toDF("vec_id", "embedding")
+    val stats = Similarity.axisBucketStats(df, nBits = 2, maxBucketSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(stats.contains((30L, 1L, true)), s"stats must flag the 30-bucket: ${stats.toSeq}")
+    assert(stats.contains((4L, 1L, false)))
+    val g = Similarity.axisKnnGraph(df, k = 3, nBits = 2, probeHamming = 0,
+      maxBucketSize = 8).collect().map(r => (r.getLong(0), r.getLong(1)))
+    // probeHamming=0: the only candidates come from a vector's own bucket,
+    // so capping the 30-bucket leaves ONLY the small bucket's pairs.
+    assert(g.nonEmpty && g.forall { case (a, b) => a >= 100L && b >= 100L },
+      s"capped bucket still produced pairs: ${g.toSeq.take(5)}")
+    // Uncapped control: the big bucket dominates.
+    val g2 = Similarity.axisKnnGraph(df, k = 3, nBits = 2, probeHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(g2.exists { case (a, _) => a < 100L })
+  }
+
+  test("dot_f: HOF-identical values; null on length mismatch or null element") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    import org.apache.spark.sql.functions.{aggregate, lit, transform, zip_with}
+    val df = corpus.limit(50).select(col("embedding").as("a"),
+      reverse(col("embedding")).as("b"))
+    val toD = (v: org.apache.spark.sql.Column) => transform(v, x => x.cast("double"))
+    val cmp = df.select(
+      VectorFunctions.dot(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(toD(col("a")), toD(col("b")), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("hof"))
+      .collect()
+    cmp.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      "dot_f must be bit-identical to the aggregate/zip_with form"))
+    // Null semantics match the HOF form: length mismatch and null element
+    // both yield NULL, never an exception or a partial sum.
+    val edge = Seq(
+      (Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f)),
+      (Seq(1.0f, 2.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    val vals = edge.select(VectorFunctions.dot(col("a"), col("b")).as("d"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(vals(0).isEmpty, "length mismatch must be NULL")
+    assert(vals(1).contains(5.0))
+    val withNullElem = spark.sql(
+      "SELECT dot_f(array(cast(1.0 as float), cast(null as float)), " +
+        "array(cast(1.0 as float), cast(2.0 as float))) AS d")
+      .collect()(0)
+    assert(withNullElem.isNullAt(0), "null element must be NULL")
+  }
 }

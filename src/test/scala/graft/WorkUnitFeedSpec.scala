@@ -81,4 +81,24 @@ class WorkUnitFeedSpec extends AnyFunSuite {
     val e = intercept[Exception] { readFeed("nope").count() }
     assert(e.getMessage != null)
   }
+
+  // The reference routes work units to chosen workers
+  // (src/events/route_tasks.rs); Spark's scheduler consumes the same intent
+  // through InputPartition.preferredLocations. Explicit hosts win; file
+  // units fall back to filesystem block hosts (locality is a hint, so the
+  // query result is identical either way — asserted by q51 staying green).
+  test("work units expose preferred locations to the scheduler") {
+    val f1 = writeCsv("loc", Seq("1,x"))
+    // Explicit routing: the reference's route-tasks case.
+    val pinned = CsvWorkUnit(f1, header = true, preferredHosts = Seq("host-a", "host-b"))
+    assert(pinned.preferredLocations().toSeq == Seq("host-a", "host-b"))
+    // File fallback: local filesystem blocks report localhost.
+    val _ = spark // force session init so SparkContext.getOrCreate finds it
+    val unpinned = CsvWorkUnit(f1, header = true)
+    assert(unpinned.preferredLocations().contains("localhost"),
+      s"expected local-FS block host, got ${unpinned.preferredLocations().toSeq}")
+    // A missing file must degrade to "no preference", never fail the scan.
+    assert(CsvWorkUnit("/no/such/file.csv", header = true)
+      .preferredLocations().isEmpty)
+  }
 }
