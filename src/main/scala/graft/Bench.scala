@@ -21,7 +21,8 @@ object Bench {
   private val headline = Seq(
     "q01_pricing_summary", "q03_shipping_priority", "q05_region_revenue",
     "q10_returned_items", "q17_small_quantity_revenue",
-    "q21_window_running", "q34_highcard_agg", "q37_market_share",
+    "q21_window_running", "q34_highcard_agg",
+    "q34b_highcard_agg_partial_reduce", "q37_market_share",
     "q46_returned_never_huge", "q53_stream_hourly", "q59_lateral_topn",
     "q67_asof_join", "q68_range_join",
     "p01_dedup_exact_groups", "p07_jaccard_pairs", "p08_minhash_pairs",

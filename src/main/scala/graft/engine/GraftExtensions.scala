@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(session => graft.plans.BroadcastGuard(session))
+    // Reference PartialReduce analog; inert unless spark.graft.partialReduce
+    // is set on the session (off by default, like the reference's).
+    ext.injectQueryStagePrepRule(session => graft.plans.PartialReduce(session))
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
       exprs => SimHash64(exprs.head)))

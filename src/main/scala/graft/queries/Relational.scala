@@ -334,6 +334,22 @@ object Relational {
         .limit(100)
     }),
 
+    // ---- q34 with the PartialReduce rule ON (reference's off-by-default
+    // partial_reduce_below_network_shuffles): same answer, plan gains a
+    // PartialMerge hash aggregate below the exchange. A cloned session
+    // scopes the conf to this query; BENCH_DETAIL's q34/q34b delta is the
+    // A/B measurement that justifies keeping the default off. ----
+    "q34b_highcard_agg_partial_reduce" -> ((s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.partialReduce", "true")
+      t(s2, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n_items"))
+        .filter(col("sum_qty") > 100)
+        .orderBy(col("sum_qty").desc, col("l_orderkey"))
+        .limit(100)
+    }),
+
     // ---- sessionization via stacked windows (gap > 30 min ⇒ new session) ----
     "q35_sessionize" -> ((s, dir) => {
       val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -522,6 +538,12 @@ object Relational {
         FROM events GROUP BY hour, event_type ORDER BY hour, event_type""",
 
     "q34_highcard_agg" ->
+      s"""SELECT l_orderkey, ${osum("l_quantity", 2)} AS sum_qty, count(*) AS n_items
+        FROM lineitem GROUP BY l_orderkey HAVING ${osum("l_quantity", 2)} > 100
+        ORDER BY sum_qty DESC, l_orderkey LIMIT 100""",
+
+    // Identical oracle to q34: PartialReduce must never change the answer.
+    "q34b_highcard_agg_partial_reduce" ->
       s"""SELECT l_orderkey, ${osum("l_quantity", 2)} AS sum_qty, count(*) AS n_items
         FROM lineitem GROUP BY l_orderkey HAVING ${osum("l_quantity", 2)} > 100
         ORDER BY sum_qty DESC, l_orderkey LIMIT 100""",
