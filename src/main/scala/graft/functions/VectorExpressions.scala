@@ -45,46 +45,92 @@ object VectorExpressions {
     java.lang.Double.valueOf(acc)
   }
 
-  /** dot_f(array<float|double>, array<float|double>) -> double. */
-  case class DotProduct(left: Expression, right: Expression)
-      extends BinaryExpression {
+  /** Σ (aᵢ-bᵢ)², same contract and accumulation order as [[dotJava]]. */
+  def l2sqJava(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = x - y
+      acc += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  /** Shared machinery for the binary array-fold expressions. */
+  sealed abstract class ArrayPairFold extends BinaryExpression {
+    /** Fully-qualified static kernel, e.g. `...VectorExpressions.dotJava`. */
+    protected def kernel: String
+    protected def fold(a: ArrayData, b: ArrayData,
+                       aF: Boolean, bF: Boolean): java.lang.Double
+
     private def isFloat(e: Expression): Boolean = e.dataType match {
       case ArrayType(FloatType, _) => true
       case ArrayType(DoubleType, _) => false
       case other => throw new IllegalArgumentException(
-        s"dot_f expects array<float> or array<double> children, got $other")
+        s"$prettyName expects array<float> or array<double> children, got $other")
     }
     private lazy val lFloat = isFloat(left)
     private lazy val rFloat = isFloat(right)
 
     override def dataType: DataType = DoubleType
-    override def prettyName: String = "dot_f"
     // The kernel returns null for length mismatch / null elements even when
     // both inputs are non-null.
     override def nullable: Boolean = true
 
     override def nullSafeEval(a: Any, b: Any): Any =
-      dotJava(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], lFloat, rFloat)
+      fold(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], lFloat, rFloat)
 
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val kernel = "graft.functions.VectorExpressions.dotJava"
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
-        val boxed = ctx.freshName("dotRes")
+        val boxed = ctx.freshName("foldRes")
         s"""
            |java.lang.Double $boxed = $kernel($a, $b, $lFloat, $rFloat);
            |if ($boxed == null) { ${ev.isNull} = true; }
            |else { ${ev.value} = $boxed.doubleValue(); }
          """.stripMargin
       })
-    }
+  }
 
+  /** dot_f(array<float|double>, array<float|double>) -> double. */
+  case class DotProduct(left: Expression, right: Expression)
+      extends ArrayPairFold {
+    override def prettyName: String = "dot_f"
+    override protected def kernel: String =
+      "graft.functions.VectorExpressions.dotJava"
+    override protected def fold(a: ArrayData, b: ArrayData,
+                                aF: Boolean, bF: Boolean): java.lang.Double =
+      dotJava(a, b, aF, bF)
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): DotProduct = copy(l, r)
   }
 
-  def register(spark: SparkSession): Unit =
+  /** l2sq_f(array<float|double>, array<float|double>) -> double. */
+  case class L2Squared(left: Expression, right: Expression)
+      extends ArrayPairFold {
+    override def prettyName: String = "l2sq_f"
+    override protected def kernel: String =
+      "graft.functions.VectorExpressions.l2sqJava"
+    override protected def fold(a: ArrayData, b: ArrayData,
+                                aF: Boolean, bF: Boolean): java.lang.Double =
+      l2sqJava(a, b, aF, bF)
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): L2Squared = copy(l, r)
+  }
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_f", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "l2sq_f", exprs => L2Squared(exprs(0), exprs(1)), "scala_udf")
+  }
 
   def dotF(a: Column, b: Column): Column = call_function("dot_f", a, b)
+
+  def l2sqF(a: Column, b: Column): Column = call_function("l2sq_f", a, b)
 }

@@ -12,8 +12,6 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  private def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
-
   /** Σ aᵢ·bᵢ as doubles, left-to-right — a codegen'd native expression
     * ([[VectorExpressions.DotProduct]]); bit-identical to the HOF form
     * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` it replaced, without the
@@ -35,7 +33,10 @@ object VectorFunctions {
   def cosineFromNorms(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)
 
-  def l2Distance(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x))
+  /** Σ (aᵢ-bᵢ)² — codegen'd native expression, same accumulation order as
+    * the HOF form it replaced.
+    */
+  def l2Squared(a: Column, b: Column): Column = VectorExpressions.l2sqF(a, b)
+
+  def l2Distance(a: Column, b: Column): Column = sqrt(l2Squared(a, b))
 }

@@ -317,10 +317,10 @@ object Similarity {
                         idCol: String = "vec_id",
                         vecCol: String = "embedding"): DataFrame = {
     val cents = labelCentroids(corpus, labelCol, vecCol)
-    val d2 = aggregate(
-      zip_with(col(vecCol), col("cvec"),
-        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-      lit(0.0), (acc, z) => acc + z)
+    // Codegen'd squared-L2 — identical left-to-right accumulation to the
+    // zip_with/aggregate form and to the oracle's list_sum, so the argmin
+    // (and thus the confusion counts) are bit-stable across the swap.
+    val d2 = l2Squared(col(vecCol), col("cvec"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("__d2"), col("clabel"))
     corpus.select(col(idCol), col(labelCol), col(vecCol))
       .crossJoin(broadcast(cents))
