@@ -362,9 +362,15 @@ object Similarity {
     */
   def axisNearPairs(corpus: DataFrame, minCos: Double, nBits: Int,
                     probeHamming: Int = 1,
+                    maxBucketSize: Int = 4096,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(probeHamming >= 0 && probeHamming <= 2, "probeHamming in [0,2]")
     val c = axisBucketed(corpus, nBits, idCol, vecCol)
+    // Same skew cap as [[axisKnnGraph]]: a degenerate orthant cannot hand
+    // one reducer a quadratic bucket.
+    val okBuckets = c.groupBy(col("bucket")).agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") <= maxBucketSize)
+      .select(col("bucket"))
     val masks: Seq[Int] = {
       val h1 = if (probeHamming >= 1) (0 until nBits).map(1 << _) else Nil
       val h2 = if (probeHamming >= 2)
@@ -381,6 +387,7 @@ object Similarity {
       .join(cn.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("v_b"),
           col("nrm").as("nrm_b")),
         Seq("bucket"))
+      .join(broadcast(okBuckets), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos",
         round(cosineFromNorms(col("v_a"), col("v_b"), col("nrm_a"), col("nrm_b")), 4))

@@ -406,8 +406,9 @@ object Pipeline {
     // (recursive CTE) — the whole embedding-dedup path verified end-to-end ----
     "p32_semantic_clusters" -> ((s, dir) => {
       val e = emb(s, dir)
-      val pairs = Similarity.axisNearPairs(e, minCos = 0.5, nBits = 6,
-        probeHamming = 1)
+      val nBits = Similarity.deriveNBits(e.count(), Queries.KNN_TARGET_BUCKET)
+      val pairs = Similarity.axisNearPairs(e, minCos = 0.5, nBits = nBits,
+        probeHamming = 1, maxBucketSize = Queries.KNN_MAX_BUCKET)
       Dedup.connectedComponents(e.select(col("vec_id").as("id")), pairs)
         .select(col("id").as("vec_id"), col("cluster_id"))
         .orderBy(col("vec_id"))
@@ -919,20 +920,41 @@ object Pipeline {
     // connected components (recursive reachability) — the full semantic
     // dedup path, including the iterative distributed CC, verified exactly.
     "p32_semantic_clusters" ->
-      """WITH RECURSIVE c AS (
+      """WITH RECURSIVE params AS (
+          SELECT CASE WHEN q <= 1 THEN 1
+                      ELSE least(16, length(printf('%b', q - 1))) END AS nb
+          FROM (SELECT (count(*) + 31) // 32 AS q FROM embeddings)),
+        fb AS (
           SELECT vec_id, embedding,
                  (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
                 + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
                 + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
                 + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
                 + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
-                + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS bucket
+                + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END
+                + CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END
+                + CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END
+                + CASE WHEN embedding[9] > 0 THEN 256 ELSE 0 END
+                + CASE WHEN embedding[10] > 0 THEN 512 ELSE 0 END
+                + CASE WHEN embedding[11] > 0 THEN 1024 ELSE 0 END
+                + CASE WHEN embedding[12] > 0 THEN 2048 ELSE 0 END
+                + CASE WHEN embedding[13] > 0 THEN 4096 ELSE 0 END
+                + CASE WHEN embedding[14] > 0 THEN 8192 ELSE 0 END
+                + CASE WHEN embedding[15] > 0 THEN 16384 ELSE 0 END
+                + CASE WHEN embedding[16] > 0 THEN 32768 ELSE 0 END) AS full_bucket
           FROM embeddings),
+        c AS (SELECT vec_id, embedding,
+                     full_bucket & ((1 << nb) - 1) AS bucket
+              FROM fb, params),
+        sizes AS (SELECT bucket, count(*) AS bsz FROM c GROUP BY bucket),
+        ok AS (SELECT bucket FROM sizes WHERE bsz <= 4096),
+        masks AS (SELECT unnest(list_prepend(0,
+                    list_transform(range(nb), b -> 1 << b))) AS m FROM params),
         probes AS (SELECT vec_id AS id_a, embedding AS va, xor(bucket, m) AS bucket
-                   FROM c, unnest([0,1,2,4,8,16,32]) AS t(m)),
+                   FROM c, masks),
         p AS (
           SELECT pr.id_a, c.vec_id AS id_b
-          FROM c JOIN probes pr USING (bucket)
+          FROM c JOIN probes pr USING (bucket) JOIN ok USING (bucket)
           WHERE pr.id_a < c.vec_id
             AND round(
                   list_sum(list_transform(list_zip(c.embedding, pr.va),
