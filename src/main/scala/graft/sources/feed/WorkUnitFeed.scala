@@ -96,7 +96,12 @@ sealed trait WorkUnit extends InputPartition {
 private[feed] object WorkUnitLocality {
   def blockHosts(path: String): Array[String] =
     try {
-      val conf = org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration
+      // Active session's Hadoop conf when present (never CREATES a context
+      // — this runs on the scheduler path); plain defaults otherwise.
+      val conf = org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .map(_.sparkContext.hadoopConfiguration)
+        .getOrElse(new org.apache.hadoop.conf.Configuration())
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(conf)
       val status = fs.getFileStatus(p)
