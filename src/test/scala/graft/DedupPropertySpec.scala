@@ -212,4 +212,34 @@ class DedupPropertySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(auto == star, "fallback path must equal the direct star result")
   }
+
+  test("star contraction equals union-find on random graphs (seeded trials)") {
+    import spark.implicits._
+    for (seed <- Seq(11, 23, 47)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 120
+      // Sparse random graph: ~0.8 edges/node keeps many medium components
+      // (the interesting regime — neither one giant blob nor all pairs).
+      val edges = Seq.fill((n * 0.8).toInt)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val got = Dedup.connectedComponentsStar(
+          (0L until n.toLong).toDF("id"),
+          edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val parent = scala.collection.mutable.Map((0L until n.toLong).map(k => k -> k): _*)
+      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // Union-find representative is not necessarily the min; canonicalize
+      // by component.
+      val repToMin = (0L until n.toLong).groupBy(find).map {
+        case (rep, members) => rep -> members.min
+      }
+      val want = (0L until n.toLong).map(k => k -> repToMin(find(k))).toMap
+      assert(got == want, s"seed=$seed: star labels diverge from union-find")
+    }
+  }
 }
