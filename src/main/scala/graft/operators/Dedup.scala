@@ -165,6 +165,71 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
+  /** Near-dup pairs BETWEEN a new batch and an existing corpus — the
+    * incremental-refresh shape of [[nearDupPairs]]: when 100 TB are already
+    * deduplicated and a daily slice arrives, only batch×corpus pairs matter
+    * (corpus×corpus was settled when the corpus was built; batch×batch is
+    * a separate, much smaller [[nearDupPairs]] call). Band hashes are
+    * computed per side (narrow), candidates come from the (band, bh)
+    * equi-join — so the shuffled volume is O((corpus+batch) × bands) slim
+    * rows and the exact-verify cost is O(candidates), never corpus×batch.
+    * The corpus-side band relation is corpus-lifetime-stable: persist or
+    * pre-write it once and every future batch reuses it.
+    *
+    * @param maxBucketSize skew cap on the CORPUS side of a band bucket
+    *                      (degenerate boilerplate keys), same contract as
+    *                      [[minhashCandidates]].
+    * @return (corpus_id, batch_id, jaccard) with exact shingle jaccard.
+    */
+  def incrementalNearDupPairs(corpus: DataFrame, batch: DataFrame,
+                              idCol: String, textCol: String,
+                              shingleLen: Int = 5, threshold: Double = 0.5,
+                              k: Int = 64, r: Int = 2,
+                              maxBucketSize: Int = 1000): DataFrame = {
+    HashExpressions.register(corpus.sparkSession)
+    def bands(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+        .filter(size(col("toks")) >= shingleLen)
+        .select(col("id"),
+          posexplode(HashExpressions.minhashBands(col("toks"), shingleLen, k, r))
+            .as(Seq("band", "bh")))
+    val cb = bands(corpus)
+    // Cap degenerate corpus buckets BEFORE the cross-side join.
+    val okCorpus = cb.groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("id")).as("cids"))
+      .filter(size(col("cids")) <= maxBucketSize)
+    val cand = bands(batch)
+      .join(okCorpus, Seq("band", "bh"))
+      .select(explode(col("cids")).as("corpus_id"), col("id").as("batch_id"))
+      .dropDuplicates("corpus_id", "batch_id")
+    val slimC = corpus.select(col(idCol).as("corpus_id"), col(textCol).as("_tc"))
+    val slimB = batch.select(col(idCol).as("batch_id"), col(textCol).as("_tb"))
+    cand
+      .join(slimC, Seq("corpus_id"))
+      .join(slimB, Seq("batch_id"))
+      .withColumn("sh_a", array_distinct(wordShingles(col("_tc"), shingleLen)))
+      .withColumn("sh_b", array_distinct(wordShingles(col("_tb"), shingleLen)))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("corpus_id"), col("batch_id"), col("jaccard"))
+  }
+
+  /** Incremental admission: rows of `batch` that near-dup NOTHING in the
+    * already-deduplicated corpus (and are not exact dups of it either —
+    * exact dup is jaccard 1.0, a subset of near-dup). Batch-internal dups
+    * are NOT handled here; run [[minhashDedup]] on the batch first.
+    */
+  def incrementalAdmit(corpus: DataFrame, batch: DataFrame,
+                       idCol: String, textCol: String,
+                       shingleLen: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val hits = incrementalNearDupPairs(corpus, batch, idCol, textCol,
+      shingleLen, threshold)
+      .select(col("batch_id")).distinct()
+    batch.join(hits, batch(idCol) === hits("batch_id"), "left_anti")
+  }
+
   /** Drop every doc that near-dups a lower-id doc (single pass over the pair
     * list — the greedy keep-lowest rule; full transitive closure would need
     * iterative connected components, overkill for dedup-keep-one).

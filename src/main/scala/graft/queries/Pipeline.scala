@@ -438,6 +438,20 @@ object Pipeline {
         .orderBy(col("col_name"))
     }),
 
+    // ---- incremental near-dedup: a new batch (doc_id % 10 >= 8) checked
+    // against the already-deduplicated corpus (doc_id % 10 < 8) — only
+    // batch×corpus candidates are generated (band equi-join across sides,
+    // corpus-side bucket cap), never corpus×corpus. Exact-jaccard verified,
+    // so the oracle is the all-pairs cross-side answer, like p08. ----
+    "p37_incremental_neardup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.incrementalNearDupPairs(
+        d.filter(col("doc_id") % 10 < 8),
+        d.filter(col("doc_id") % 10 >= 8),
+        "doc_id", "text", shingleLen = 5, threshold = 0.5)
+        .orderBy(col("corpus_id"), col("batch_id"))
+    }),
+
     // ---- per-doc top-k TF-IDF terms (lexical topic profile) ----
     "p36_tfidf_topterms" -> ((s, dir) => {
       TextOps.tfIdfTopTerms(docs(s, dir), "doc_id", "text", k = 5)
@@ -537,6 +551,24 @@ object Pipeline {
         WHERE round(len(list_intersect(a.sh,b.sh))::double /
                     len(list_distinct(a.sh || b.sh)), 6) >= 0.5
         ORDER BY id_a, id_b""",
+
+    // Cross-side all-pairs exact jaccard — the incremental path's candidate
+    // restriction (batch x corpus only) changes WHICH pairs are scanned,
+    // never the answer, so the oracle is the straightforward cross join of
+    // the two id-ranges (same full-recall argument as p08).
+    "p37_incremental_neardup" ->
+      s"""WITH t AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-5+2),
+                   i -> array_to_string(list_slice(toks, i, i+4), ' '))) AS sh
+          FROM (SELECT doc_id, string_split($oNorm, ' ') AS toks FROM documents)
+          WHERE len(toks) >= 5)
+        SELECT a.doc_id AS corpus_id, b.doc_id AS batch_id,
+               round(len(list_intersect(a.sh,b.sh))::double /
+                     len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+        FROM t a JOIN t b ON a.doc_id % 10 < 8 AND b.doc_id % 10 >= 8
+        WHERE round(len(list_intersect(a.sh,b.sh))::double /
+                    len(list_distinct(a.sh || b.sh)), 6) >= 0.5
+        ORDER BY corpus_id, batch_id""",
 
     // Same exact pair list; the simhash hamming bound is the invariant under
     // test (near-dup docs must hash to nearby 64-bit signatures).

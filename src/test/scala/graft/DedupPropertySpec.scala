@@ -213,6 +213,39 @@ class DedupPropertySpec extends AnyFunSuite {
     assert(auto == star, "fallback path must equal the direct star result")
   }
 
+  test("incremental near-dedup: batch dups of corpus docs are found and " +
+    "refused admission; novel batch docs admitted; no corpus-side pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // Corpus = the 50 bases; batch = the 10 planted near-dups (of bases
+    // 0-9) plus 5 genuinely novel docs.
+    val corpus = planted.filter(col("doc_id") < 1000)
+    val batch = planted.filter(col("doc_id") >= 1000)
+    val novel = {
+      val rnd = new scala.util.Random(99)
+      val vocab = Vector("zulu", "yankee", "xray", "whiskey", "victor")
+      (0 until 5).map(i =>
+        (2000L + i, Seq.fill(40)(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+        .toDF("doc_id", "text")
+    }
+    val fullBatch = batch.unionByName(novel)
+    val pairs = Dedup.incrementalNearDupPairs(corpus, fullBatch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    (0 until 10).foreach { i =>
+      assert(pairs.contains((i.toLong, 1000L + i)),
+        s"planted cross-side dup ($i, ${1000 + i}) not found")
+    }
+    assert(pairs.forall { case (c, b) => c < 1000L && b >= 1000L },
+      s"non-cross-side pair leaked: ${pairs.find { case (c, b) => c >= 1000L || b < 1000L }}")
+    val admitted = Dedup.incrementalAdmit(corpus, fullBatch, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((2000L until 2005L).forall(admitted.contains),
+      s"novel docs refused: $admitted")
+    val dupIds = pairs.map(_._2).toSet
+    assert(dupIds.forall(!admitted.contains(_)),
+      "a batch doc with a corpus near-dup was admitted")
+  }
+
   test("star contraction equals union-find on random graphs (seeded trials)") {
     import spark.implicits._
     for (seed <- Seq(11, 23, 47)) {
