@@ -273,6 +273,12 @@ object Dedup {
     * [[connectedComponentsStar]], which contracts long paths in O(log²)
     * rounds instead of O(diameter) — the 100 TB-safe fallback for
     * adversarial chain-shaped components.
+    *
+    * The loop runs over EDGE-TOUCHED nodes only: in a deduplicated corpus
+    * nearly every document is a singleton whose label can never change, so
+    * iterating over `ids` would shuffle the whole corpus once per round.
+    * Touched nodes are O(edges); singletons label themselves in one final
+    * left join.
     */
   def connectedComponents(ids: DataFrame, pairList: DataFrame,
                           maxIters: Int = 20): DataFrame = {
@@ -281,7 +287,7 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
-    var labels = ids.select(col("id"))
+    var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).persist()
     // Track the PERSISTED plan of each round: unpersisting a projection of
     // it is a no-op (plan identity, not lineage), which would leak one
@@ -316,7 +322,11 @@ object Dedup {
       persistedRound.unpersist()
       return connectedComponentsStar(ids, pairList)
     }
-    labels.select(col("id"), col("label").as("cluster_id"))
+    // Singletons (never touched by an edge) label themselves.
+    ids.select(col("id"))
+      .join(labels.select(col("id").as("__tid"), col("label")),
+        col("id") === col("__tid"), "left_outer")
+      .select(col("id"), coalesce(col("label"), col("id")).as("cluster_id"))
   }
 
   /** Connected components by alternating large-star/small-star contraction
