@@ -74,9 +74,18 @@ object Dedup {
       posexplode(HashExpressions.minhashBands(col("toks"), shingleLen, k, r))
         .as(Seq("band", "bh")))
 
-    val buckets = bands.groupBy(col("band"), col("bh"))
+    // Size-filter BEFORE collect_list: filtering on size(ids) afterwards
+    // would still materialize a degenerate bucket's full id array in one
+    // reducer (an un-spillable agg buffer) before dropping it. The window
+    // count shares the (band, bh) partitioning with the groupBy — no extra
+    // shuffle — and spills to disk if a partition is huge, so collected
+    // arrays are hard-bounded by maxBucketSize.
+    val wb = Window.partitionBy(col("band"), col("bh"))
+    val buckets = bands
+      .withColumn("__bsz", count(lit(1)).over(wb))
+      .filter(col("__bsz") >= 2 && col("__bsz") <= maxBucketSize)
+      .groupBy(col("band"), col("bh"))
       .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
 
     buckets
       .select(explode(pairCombos(array_sort(col("ids")))).as("p"))
@@ -194,10 +203,15 @@ object Dedup {
           posexplode(HashExpressions.minhashBands(col("toks"), shingleLen, k, r))
             .as(Seq("band", "bh")))
     val cb = bands(corpus)
-    // Cap degenerate corpus buckets BEFORE the cross-side join.
-    val okCorpus = cb.groupBy(col("band"), col("bh"))
+    // Cap degenerate corpus buckets BEFORE the cross-side join, and size-
+    // filter BEFORE collect_list (same un-spillable-buffer rationale as
+    // minhashCandidates: collected arrays stay hard-bounded by the cap).
+    val wb = Window.partitionBy(col("band"), col("bh"))
+    val okCorpus = cb
+      .withColumn("__bsz", count(lit(1)).over(wb))
+      .filter(col("__bsz") <= maxBucketSize)
+      .groupBy(col("band"), col("bh"))
       .agg(collect_list(col("id")).as("cids"))
-      .filter(size(col("cids")) <= maxBucketSize)
     val cand = bands(batch)
       .join(okCorpus, Seq("band", "bh"))
       .select(explode(col("cids")).as("corpus_id"), col("id").as("batch_id"))
