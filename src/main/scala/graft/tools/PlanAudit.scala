@@ -18,10 +18,13 @@ object PlanAudit {
     // Queries whose SEMANTICS are a cross/nested-loop join — exempt.
     // p17 compares GROUP-level sketches pairwise: quadratic in the number
     // of groups (sources), not rows — the input relation is the aggregate.
+    // p27 crossJoins every row against the BROADCAST per-label centroid
+    // table (|labels| rows by construction) — nearest-prototype assignment
+    // is a scan × tiny-constant, not a quadratic join.
     val crossByDesign = Set("q27_inequality_join", "q28_cross_join",
       "q29_scalar_subquery", "p07_jaccard_pairs", "p10_embedding_topk",
       "p13_embedding_near_pairs", "p17_source_similarity",
-      "q26_null_aware_anti")
+      "q26_null_aware_anti", "p27_centroid_confusion")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
