@@ -20,7 +20,39 @@ object MetricsReport {
   case class StageReport(stageId: Int, name: String, numTasks: Int,
                          recordsRead: Long, shuffleReadBytes: Long,
                          shuffleWriteBytes: Long, spillBytes: Long,
-                         gcTimeMs: Long, runTimeMs: Long)
+                         gcTimeMs: Long, runTimeMs: Long,
+                         p50Ms: Long, p95Ms: Long, maxMs: Long)
+
+  /** Bounded per-stage task-duration tracker — the reference ships
+    * latency percentiles per metric via DDSketch (`Cargo.toml:41`,
+    * `worker.proto:218-366` P50/P75/P95/P99 types) precisely so the
+    * coordinator's memory doesn't grow with task count; a reservoir sample
+    * plus exact max gives the same bounded-memory contract here.
+    */
+  private final class DurationSketch(cap: Int = 1024, seed: Long = 42L) {
+    private val sample = new Array[Long](cap)
+    private val rnd = new java.util.Random(seed)
+    private var n = 0L
+    private var max = 0L
+    def add(ms: Long): Unit = synchronized {
+      if (ms > max) max = ms
+      if (n < cap) sample(n.toInt) = ms
+      else {
+        val j = (rnd.nextDouble() * (n + 1)).toLong
+        if (j < cap) sample(j.toInt) = ms
+      }
+      n += 1
+    }
+    def quantile(q: Double): Long = synchronized {
+      val len = math.min(n, cap.toLong).toInt
+      if (len == 0) 0L
+      else {
+        val s = sample.take(len).sorted
+        s(math.min(len - 1, (q * len).toInt))
+      }
+    }
+    def maxMs: Long = synchronized(max)
+  }
 
   /** Run the DataFrame to completion, collecting a per-stage rollup of task
     * metrics observed during its execution.
@@ -31,6 +63,7 @@ object MetricsReport {
     // while the settle loop below reads concurrently; a plain mutable.Map
     // can throw or return torn sums mid-resize.
     val perStage = scala.collection.concurrent.TrieMap.empty[Int, Array[Long]]
+    val durations = scala.collection.concurrent.TrieMap.empty[Int, DurationSketch]
     val stageNames = scala.collection.concurrent.TrieMap.empty[Int, (String, Int)]
     val listener = new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
@@ -46,6 +79,8 @@ object MetricsReport {
             acc(5) += m.jvmGCTime
             acc(6) += m.executorRunTime
           }
+          durations.getOrElseUpdate(t.stageId, new DurationSketch())
+            .add(m.executorRunTime)
         }
       }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
@@ -72,17 +107,23 @@ object MetricsReport {
     perStage.toSeq.sortBy(_._1).map { case (id, a) =>
       val (name, _) = stageNames.getOrElse(id, ("?", 0))
       val c = a.synchronized(a.clone())
-      StageReport(id, name, c(0).toInt, c(1), c(2), c(3), c(4), c(5), c(6))
+      val d = durations.get(id)
+      StageReport(id, name, c(0).toInt, c(1), c(2), c(3), c(4), c(5), c(6),
+        d.map(_.quantile(0.5)).getOrElse(0L),
+        d.map(_.quantile(0.95)).getOrElse(0L),
+        d.map(_.maxMs).getOrElse(0L))
     }
   }
 
   def render(reports: Seq[StageReport]): String = {
     val header = f"${"stage"}%-6s ${"tasks"}%5s ${"records"}%10s " +
-      f"${"shufRead"}%10s ${"shufWrite"}%10s ${"spill"}%8s ${"gcMs"}%6s ${"runMs"}%7s  name"
+      f"${"shufRead"}%10s ${"shufWrite"}%10s ${"spill"}%8s ${"gcMs"}%6s " +
+      f"${"runMs"}%7s ${"p50"}%5s ${"p95"}%5s ${"max"}%5s  name"
     (header +: reports.map { r =>
       f"${r.stageId}%-6d ${r.numTasks}%5d ${r.recordsRead}%10d " +
         f"${r.shuffleReadBytes}%10d ${r.shuffleWriteBytes}%10d " +
-        f"${r.spillBytes}%8d ${r.gcTimeMs}%6d ${r.runTimeMs}%7d  ${r.name}"
+        f"${r.spillBytes}%8d ${r.gcTimeMs}%6d ${r.runTimeMs}%7d " +
+        f"${r.p50Ms}%5d ${r.p95Ms}%5d ${r.maxMs}%5d  ${r.name}"
     }).mkString("\n")
   }
 
