@@ -101,6 +101,37 @@ object Layout {
       .parquet(path)
   }
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ceil(totalBytes / targetFileBytes) similarly-sized files. Streaming
+    * ingest and per-task writes leave 100 TB corpora as millions of
+    * KB-scale files whose open/footer overhead dominates scans; compaction
+    * is the standing maintenance operator every lakehouse runs (Delta
+    * OPTIMIZE / Iceberg rewrite_data_files — same arithmetic). Sizing is
+    * measured from the filesystem, not guessed: parquet's on-disk bytes
+    * already reflect encoding + compression. Round-robin repartition (not
+    * coalesce: coalesce merges map-side and would skew file sizes by
+    * input-file placement) redistributes rows evenly. Returns the file
+    * count written.
+    */
+  def compact(df: DataFrame, outPath: String, targetFileBytes: Long,
+              inputBytes: Long): Int = {
+    require(targetFileBytes >= 1, "targetFileBytes must be positive")
+    val n = math.max(1L, (inputBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    df.repartition(n).write.mode("overwrite").parquet(outPath)
+    n
+  }
+
+  /** Directory variant: measures input bytes via the Hadoop FileSystem
+    * (works for HDFS/S3A/local alike), then [[compact]]s.
+    */
+  def compactDir(spark: org.apache.spark.sql.SparkSession, inPath: String,
+                 outPath: String, targetFileBytes: Long): Int = {
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    compact(spark.read.parquet(inPath), outPath, targetFileBytes, bytes)
+  }
+
   /** Per-partition [min, max] of `c` — the spans parquet would store as
     * row-group stats under the current physical layout. `spanFraction`
     * reduces them to one number: mean fraction of the global value range a

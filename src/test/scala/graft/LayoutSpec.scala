@@ -130,4 +130,32 @@ class LayoutSpec extends AnyFunSuite {
       .groupBy(input_file_name()).count().collect().map(_.getLong(1))
     assert(counts.forall(_ <= 20000), s"file over cap: ${counts.max}")
   }
+
+  test("compactDir collapses a many-small-file directory to the sized target") {
+    val base = sys.props("java.io.tmpdir") + "/graft_compact_" +
+      java.util.UUID.randomUUID()
+    val smallDir = s"$base/small"
+    val outDir = s"$base/out"
+    // 64 tiny files.
+    lineitem.limit(20000).repartition(64).write.parquet(smallDir)
+    def fileCount(d: String): Int =
+      new java.io.File(d).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(fileCount(smallDir) == 64)
+    val n = graft.operators.Layout.compactDir(spark, smallDir, outDir,
+      targetFileBytes = 512 * 1024)
+    assert(fileCount(outDir) == n, "written files must equal the computed count")
+    assert(n < 64, s"compaction produced $n files — no reduction")
+    // Same rows, and files are balanced (round-robin): no file more than
+    // 2x the mean.
+    val src = spark.read.parquet(smallDir)
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == src.count())
+    if (n > 1) {
+      val sizes = out.groupBy(input_file_name()).count()
+        .collect().map(_.getLong(1))
+      val mean = sizes.sum.toDouble / sizes.length
+      assert(sizes.forall(_ <= mean * 2),
+        s"unbalanced compaction: ${sizes.toSeq} vs mean $mean")
+    }
+  }
 }
