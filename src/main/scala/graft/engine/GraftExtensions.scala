@@ -39,10 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => SimHash64(exprs.head)))
     ext.injectFunction((FunctionIdentifier("dot_f"),
       info("dot_f", "dot_f(a, b) - double dot product of two float/double arrays"),
-      exprs => graft.functions.VectorExpressions.DotProduct(exprs(0), exprs(1))))
+      exprs => graft.functions.VectorExpressions.dotExpr(exprs(0), exprs(1))))
     ext.injectFunction((FunctionIdentifier("l2sq_f"),
       info("l2sq_f", "l2sq_f(a, b) - squared L2 distance of two float/double arrays"),
-      exprs => graft.functions.VectorExpressions.L2Squared(exprs(0), exprs(1))))
+      exprs => graft.functions.VectorExpressions.l2sqExpr(exprs(0), exprs(1))))
     ext.injectFunction((FunctionIdentifier("minhash_signature"),
       info("minhash_signature",
         "minhash_signature(tokens, shingleLen, k) - k minhashes over word shingles"),

@@ -69,14 +69,23 @@ object VectorExpressions {
     protected def fold(a: ArrayData, b: ArrayData,
                        aF: Boolean, bF: Boolean): java.lang.Double
 
-    private def isFloat(e: Expression): Boolean = e.dataType match {
-      case ArrayType(FloatType, _) => true
-      case ArrayType(DoubleType, _) => false
-      case other => throw new IllegalArgumentException(
-        s"$prettyName expects array<float> or array<double> children, got $other")
+    // Element kind per side: Some(true)=float, Some(false)=double, None =
+    // not directly foldable. Int/long/NULL arguments are handled at the
+    // REGISTRATION sites by wrapping in Cast(_, array<double>) — same
+    // pattern as InterleaveBits, since declaring ExpectsInputTypes is not
+    // possible on this Spark build (AbstractDataType is private[sql]).
+    private def kind(e: Expression): Option[Boolean] = e.dataType match {
+      case ArrayType(FloatType, _) => Some(true)
+      case ArrayType(DoubleType, _) => Some(false)
+      case _ => None
     }
-    private lazy val lFloat = isFloat(left)
-    private lazy val rFloat = isFloat(right)
+    private lazy val lFloat = kind(left).getOrElse(fail(left))
+    private lazy val rFloat = kind(right).getOrElse(fail(right))
+    private def fail(e: Expression): Nothing =
+      throw new IllegalArgumentException(
+        s"$prettyName expects array<float> or array<double> children, got " +
+          s"${e.dataType.simpleString}; cast the argument (SQL registration " +
+          "sites do this automatically)")
 
     override def dataType: DataType = DoubleType
     // The kernel returns null for length mismatch / null elements even when
@@ -95,6 +104,27 @@ object VectorExpressions {
            |else { ${ev.value} = $boxed.doubleValue(); }
          """.stripMargin
       })
+  }
+
+  /** Registration-site coercion: float/double arrays pass through; every
+    * other argument (array<int>, array<long>, NULL literals, …) is cast to
+    * array<double>, preserving the HOF form's semantics — int arrays fold
+    * numerically, NULL stays NULL. Unresolved arguments (SQL analysis in
+    * progress) defer to a cast too, which is a no-op once resolved to a
+    * float/double array... so only apply it when the type is KNOWN to need
+    * it; unresolved stays bare and resolves via the expression's own
+    * lazy check.
+    */
+  private def coerce(e: Expression): Expression = {
+    val needsCast =
+      try e.dataType match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => false
+        case _ => true
+      } catch { case _: Exception => false } // unresolved: leave bare
+    if (needsCast)
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        e, ArrayType(DoubleType, containsNull = true))
+    else e
   }
 
   /** dot_f(array<float|double>, array<float|double>) -> double. */
@@ -123,14 +153,39 @@ object VectorExpressions {
         l: Expression, r: Expression): L2Squared = copy(l, r)
   }
 
+  /** Coerced constructors — the single builder both registration paths
+    * (session extension injection and temp-function registration) share.
+    */
+  def dotExpr(a: Expression, b: Expression): Expression =
+    DotProduct(coerce(a), coerce(b))
+  def l2sqExpr(a: Expression, b: Expression): Expression =
+    L2Squared(coerce(a), coerce(b))
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_f", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+      "dot_f", exprs => dotExpr(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "l2sq_f", exprs => L2Squared(exprs(0), exprs(1)), "scala_udf")
+      "l2sq_f", exprs => l2sqExpr(exprs(0), exprs(1)), "scala_udf")
   }
 
-  def dotF(a: Column, b: Column): Column = call_function("dot_f", a, b)
+  // The Column API resolves through the function registry (public-API-only
+  // expression construction — same rationale as HashExpressions.register).
+  // Sessions built via GraftSession get the functions injected; for any
+  // OTHER session, registering idempotently on the active one keeps
+  // VectorFunctions.dot/cosine and every Similarity operator self-contained
+  // — before round 6 these were registry-free HOF expressions, and that
+  // zero-setup contract must survive the codegen swap.
+  private def ensureRegistered(): Unit =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(register)
 
-  def l2sqF(a: Column, b: Column): Column = call_function("l2sq_f", a, b)
+  def dotF(a: Column, b: Column): Column = {
+    ensureRegistered()
+    call_function("dot_f", a, b)
+  }
+
+  def l2sqF(a: Column, b: Column): Column = {
+    ensureRegistered()
+    call_function("l2sq_f", a, b)
+  }
 }

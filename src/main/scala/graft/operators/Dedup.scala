@@ -375,14 +375,19 @@ object Dedup {
       normalize(withM(sym(df)).filter(col("dst") > col("src"))
         .select(col("dst").as("u"), col("__m").as("v")))
     // Small-star: every neighbor AT OR BELOW src (and src itself) re-points
-    // at m(src); dropping the m node avoids self-loops.
-    def smallStar(df: DataFrame): DataFrame =
-      normalize(withM(sym(df))
+    // at m(src); dropping the m node avoids self-loops. Both branches read
+    // ONE wm subtree — canonically identical subtrees, so the physical
+    // planner reuses the symmetrize+groupBy exchange instead of running
+    // the heaviest pipeline of the round twice.
+    def smallStar(df: DataFrame): DataFrame = {
+      val wm = withM(sym(df))
+      normalize(wm
         .filter(col("dst") <= col("src") && col("dst") =!= col("__m"))
         .select(col("dst").as("u"), col("__m").as("v"))
-        .union(withM(sym(df)).filter(col("src") =!= col("__m"))
+        .union(wm.filter(col("src") =!= col("__m"))
           .select(col("src").as("u"), col("__m").as("v"))
           .distinct()))
+    }
     // localCheckpoint (not persist): each round's plan references the prior
     // round's several times (sym twice per star op), so lineage grows
     // multiplicatively — by round ~15 the un-truncated logical plan alone

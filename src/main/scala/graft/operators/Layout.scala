@@ -116,7 +116,14 @@ object Layout {
   def compact(df: DataFrame, outPath: String, targetFileBytes: Long,
               inputBytes: Long): Int = {
     require(targetFileBytes >= 1, "targetFileBytes must be positive")
-    val n = math.max(1L, (inputBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val q = math.max(1L, (inputBytes + targetFileBytes - 1) / targetFileBytes)
+    // A Long→Int wrap would hand repartition a negative count deep inside
+    // the write job; any file count near Int range means targetFileBytes
+    // was nonsense for this input anyway — fail with the arithmetic shown.
+    require(q <= 10_000_000L,
+      s"compact would write $q files ($inputBytes bytes / $targetFileBytes " +
+        "per file) — raise targetFileBytes")
+    val n = q.toInt
     df.repartition(n).write.mode("overwrite").parquet(outPath)
     n
   }

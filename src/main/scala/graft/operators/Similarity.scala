@@ -218,11 +218,16 @@ object Similarity {
     val probes = cn.select(col("vec_id").as("id_a"), col("v").as("v_a"),
       col("nrm").as("nrm_a"),
       explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    // Cap applied to the candidate side BEFORE the self-join: filtering
+    // after it would let the dropped bucket's reducer enumerate its
+    // quadratic pair set first and discard it later — the exact work the
+    // cap exists to prevent. Joining the ≤2^nBits-row broadcast here
+    // empties oversized buckets ahead of the expensive join.
     val scored = probes
       .join(cn.select(col("bucket"), col("vec_id").as("nbr_id"), col("v").as("v_b"),
-          col("nrm").as("nrm_b")),
+          col("nrm").as("nrm_b"))
+          .join(broadcast(okBuckets), Seq("bucket")),
         Seq("bucket"))
-      .join(broadcast(okBuckets), Seq("bucket"))
       .filter(col("id_a") =!= col("nbr_id"))
       .withColumn("cos",
         round(cosineFromNorms(col("v_a"), col("v_b"), col("nrm_a"), col("nrm_b")), 4))
@@ -383,11 +388,13 @@ object Similarity {
     val probes = cn.select(col("vec_id").as("id_a"), col("v").as("v_a"),
       col("nrm").as("nrm_a"),
       explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    // Cap BEFORE the self-join (see axisKnnGraph): a post-join filter would
+    // still enumerate the dropped bucket's quadratic pair set.
     probes
       .join(cn.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("v_b"),
-          col("nrm").as("nrm_b")),
+          col("nrm").as("nrm_b"))
+          .join(broadcast(okBuckets), Seq("bucket")),
         Seq("bucket"))
-      .join(broadcast(okBuckets), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos",
         round(cosineFromNorms(col("v_a"), col("v_b"), col("nrm_a"), col("nrm_b")), 4))

@@ -46,8 +46,11 @@ object CostModel {
     * sizeInBytes / schema width at the leaves, with per-operator
     * propagation above them.
     */
-  private def estimate(plan: LogicalPlan): NodeCost = {
-    val children = plan.children.map(estimate)
+  private def estimate(plan: LogicalPlan): NodeCost =
+    estimateNode(plan, plan.children.map(estimate))
+
+  /** One node's cost from its (already computed) child costs. */
+  private def estimateNode(plan: LogicalPlan, children: Seq[NodeCost]): NodeCost = {
     val childRows = children.map(_.rows)
     val childCpu = children.map(_.cpu).sum
     val anyQuad = children.exists(_.quadratic)
@@ -125,13 +128,20 @@ object CostModel {
     }
   }
 
-  /** Per-node cost table for a DataFrame, leaf-to-root order. */
+  /** Per-node cost table for a DataFrame, leaf-to-root order — one
+    * bottom-up pass (estimate() recurses per subtree, so calling it per
+    * node would be quadratic in plan depth and re-touch leaf stats each
+    * time).
+    */
   def explain(df: DataFrame): Seq[NodeCost] = {
-    val plan = df.queryExecution.optimizedPlan
-    // Collect bottom-up so the last entry is the root cumulative cost.
-    def walk(p: LogicalPlan): Seq[NodeCost] =
-      p.children.flatMap(walk) :+ estimate(p)
-    walk(plan)
+    val out = Seq.newBuilder[NodeCost]
+    def walk(p: LogicalPlan): NodeCost = {
+      val c = estimateNode(p, p.children.map(walk))
+      out += c
+      c
+    }
+    walk(df.queryExecution.optimizedPlan)
+    out.result()
   }
 
   /** Root cumulative cost. */

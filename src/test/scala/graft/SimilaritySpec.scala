@@ -333,4 +333,35 @@ class SimilaritySpec extends AnyFunSuite {
       .collect()(0)
     assert(withNullElem.isNullAt(0), "null element must be NULL")
   }
+
+  test("dot_f SQL coercion: int arrays fold numerically; NULL argument is NULL") {
+    // The registration sites cast non-float/double arguments to
+    // array<double> (ExpectsInputTypes is private[sql] on this build), so
+    // the HOF form's semantics survive: ints work, NULL stays NULL.
+    val r = spark.sql("SELECT dot_f(array(1, 2), array(3, 4)) AS d").collect()(0)
+    assert(r.getDouble(0) == 11.0, s"int-array dot_f: ${r}")
+    val n = spark.sql(
+      "SELECT dot_f(CAST(NULL AS ARRAY<DOUBLE>), array(1.0, 2.0)) AS d").collect()(0)
+    assert(n.isNullAt(0), "NULL argument must give NULL, not an error")
+  }
+
+  test("VectorFunctions work on a session without dot_f registered " +
+    "(self-contained Column API)") {
+    import graft.functions.VectorFunctions
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val s2 = spark.newSession()
+    s2.sessionState.functionRegistry.dropFunction(FunctionIdentifier("dot_f"))
+    s2.sessionState.functionRegistry.dropFunction(FunctionIdentifier("l2sq_f"))
+    SparkSession.setActiveSession(s2)
+    try {
+      import s2.implicits._
+      val df = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+        .select(VectorFunctions.dot(col("a"), col("b")).as("d"),
+          VectorFunctions.l2Squared(col("a"), col("b")).as("l2"))
+      val row = df.collect()(0)
+      assert(row.getDouble(0) == 11.0 && row.getDouble(1) == 8.0,
+        "Column helpers must self-register on the active session")
+    } finally SparkSession.setActiveSession(spark)
+  }
 }
