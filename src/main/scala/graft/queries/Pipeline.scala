@@ -48,10 +48,13 @@ object Pipeline {
     // caching per (session, dir) keeps plan-only consumers (PlanAudit,
     // repeated bench constructions) from re-running the count job on every
     // query construction.
+    // Keyed by (applicationId, dir) — not the session object, which would
+    // pin stopped sessions in memory for the JVM's lifetime.
     private val countMemo =
-      scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+      scala.collection.concurrent.TrieMap.empty[(String, String), Long]
     def embCount(s: SparkSession, dir: String): Long =
-      countMemo.getOrElseUpdate((s, dir), emb(s, dir).count())
+      countMemo.getOrElseUpdate((s.sparkContext.applicationId, dir),
+        emb(s, dir).count())
   }
 
   // DuckDB twin of TF.normText.
