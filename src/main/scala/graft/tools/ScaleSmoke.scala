@@ -1,0 +1,104 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{GraftSession, Tables}
+import graft.operators.{Dedup, Similarity}
+
+/** Empirical scale check for the flagship pipeline operators: amplify the
+  * sf0.1 corpus N× in-memory (id-remapped copies — same text/embedding
+  * distributions, so LSH bucket shapes are realistic) and verify the
+  * operators' cost actually grows like their design notes claim:
+  *
+  *  - `minhashCandidates` / `exactGroups`: linear in docs (slim-band
+  *    shuffle, bucket caps engaged);
+  *  - `axisKnnGraph`: near-linear because nBits derives from the corpus
+  *    count (at FIXED nBits it would be quadratic — the r05 verdict's
+  *    exact concern);
+  *  - `connectedComponents`: rounds bounded by component diameter, work by
+  *    edge count.
+  *
+  * `runMain graft.tools.ScaleSmoke [factor] [sfDir]` — prints per-operator
+  * wall times at 1× and factor×, with the observed scaling exponent
+  * log(tN/t1)/log(N) (≈1 linear, ≈2 quadratic; local[32] JIT noise makes
+  * anything ≤1.3 comfortably linear).
+  */
+object ScaleSmoke {
+
+  private def amplifyDocs(df: DataFrame, factor: Int): DataFrame =
+    df.crossJoin(spark_range(factor).select(col("id").as("__copy")))
+      .select((col("doc_id") * factor + col("__copy")).as("doc_id"),
+        // Perturb copies so they are not exact dups of each other (exact
+        // dedup would otherwise collapse the amplification): stable suffix.
+        concat(col("text"), lit(" copy"), col("__copy")).as("text"))
+
+  private def amplifyEmb(df: DataFrame, factor: Int): DataFrame =
+    df.crossJoin(spark_range(factor).select(col("id").as("__copy")))
+      .select((col("vec_id") * factor + col("__copy")).as("vec_id"),
+        // Flip the last coordinate's sign per copy parity so copies spread
+        // over buckets instead of stacking in one.
+        transform(col("embedding"), (x, i) =>
+          when(i === 63 && col("__copy") % 2 === 1, -x).otherwise(x))
+          .as("embedding"))
+
+  private def spark_range(n: Int) =
+    org.apache.spark.sql.SparkSession.active.range(n)
+
+  private def time[A](f: => A): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(20)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = GraftSession.builder(s"local[$cpus]", "graft-scale-smoke")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs1 = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).cache()
+    val emb1 = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).cache()
+    val docsN = amplifyDocs(docs1, factor).cache()
+    val embN = amplifyEmb(emb1, factor).cache()
+    val (d1, dN) = (docs1.count(), docsN.count())
+    val (e1, eN) = (emb1.count(), embN.count())
+    println(s"[scale] docs $d1 -> $dN, embeddings $e1 -> $eN (${factor}x)")
+
+    def report(name: String, t1: Double, tN: Double): Unit = {
+      val exp = math.log(tN / t1) / math.log(factor.toDouble)
+      println(f"[scale] $name%-22s 1x=$t1%6.2fs ${factor}x=$tN%7.2fs  exponent=$exp%5.2f")
+    }
+
+    // Warm JIT on the small corpus first; measure second runs.
+    def bench2(f: DataFrame => Long, small: DataFrame, big: DataFrame,
+               name: String): Unit = {
+      f(small)
+      val t1 = time(f(small))
+      val tN = time(f(big))
+      report(name, t1, tN)
+    }
+
+    bench2(df => Dedup.exactGroups(df, "doc_id", "text").count(),
+      docs1, docsN, "exactGroups")
+    bench2(df => Dedup.minhashCandidates(df, "doc_id", "text").count(),
+      docs1, docsN, "minhashCandidates")
+    bench2({ df =>
+      val n = df.count()
+      val nBits = Similarity.deriveNBits(n, 32)
+      Similarity.axisKnnGraph(df, k = 5, nBits = nBits, probeHamming = 1).count()
+    }, emb1, embN, "axisKnnGraph(derived)")
+    bench2({ df =>
+      val n = df.count()
+      val nBits = Similarity.deriveNBits(n, 32)
+      val pairs = Similarity.axisNearPairs(df, minCos = 0.5, nBits = nBits)
+      Dedup.connectedComponents(df.select(col("vec_id").as("id")), pairs).count()
+    }, emb1, embN, "semanticClusters")
+    spark.stop()
+  }
+}
