@@ -150,6 +150,11 @@ object Similarity {
     * self-joins ([[axisKnnGraph]], [[axisNearPairs]]) LINEAR in corpus
     * size — at fixed nBits their cost N²·probes/2^nBits is quadratic again
     * at 100× the corpus.
+    *
+    * The 16-bit clamp also means [[axisBucketed]] reads at most the first
+    * 16 coordinates; embeddings must have dimension ≥ 16 for the full
+    * bucket range (dim < nBits leaves high bits constant — results stay
+    * correct but buckets coarsen to 2^dim).
     */
   def deriveNBits(n: Long, targetBucketSize: Int): Int = {
     require(targetBucketSize > 0, "targetBucketSize must be positive")
