@@ -463,6 +463,20 @@ object Pipeline {
         .orderBy(col("corpus_id"), col("batch_id"))
     }),
 
+    // ---- star-contraction connected components on a planted 200-node
+    // chain (successor-id edges): diameter 199 ≫ any propagation budget, so
+    // this exercises the O(log²)-round large-star/small-star path — the
+    // scale fallback — under full differential verification (the oracle
+    // re-derives components by recursive reachability, like p32). ----
+    "p38_star_components" -> ((s, dir) => {
+      val n = docs(s, dir).select(col("doc_id").as("id"))
+        .filter(col("id") < 200)
+      val pairs = n.select(col("id").as("id_a"))
+        .join(n.select(col("id").as("id_b")), col("id_b") === col("id_a") + 1)
+      Dedup.connectedComponentsStar(n, pairs)
+        .orderBy(col("id"))
+    }),
+
     // ---- per-doc top-k TF-IDF terms (lexical topic profile) ----
     "p36_tfidf_topterms" -> ((s, dir) => {
       TextOps.tfIdfTopTerms(docs(s, dir), "doc_id", "text", k = 5)
@@ -562,6 +576,23 @@ object Pipeline {
         WHERE round(len(list_intersect(a.sh,b.sh))::double /
                     len(list_distinct(a.sh || b.sh)), 6) >= 0.5
         ORDER BY id_a, id_b""",
+
+    // Recursive reachability over the same successor-edge chain: every
+    // node's component label is the min id it can reach — byte-identical
+    // to the distributed star-contraction result.
+    "p38_star_components" ->
+      """WITH RECURSIVE n AS (
+          SELECT doc_id AS id FROM documents WHERE doc_id < 200),
+        p AS (SELECT a.id AS id_a, b.id AS id_b
+              FROM n a JOIN n b ON b.id = a.id + 1),
+        e AS (SELECT id_a AS s, id_b AS d FROM p
+              UNION ALL SELECT id_b, id_a FROM p),
+        rec AS (
+          SELECT id, id AS reach FROM n
+          UNION
+          SELECT e.s, rec.reach FROM e JOIN rec ON e.d = rec.id)
+        SELECT id, min(reach) AS cluster_id
+        FROM rec GROUP BY id ORDER BY id""",
 
     // Cross-side all-pairs exact jaccard — the incremental path's candidate
     // restriction (batch x corpus only) changes WHICH pairs are scanned,
