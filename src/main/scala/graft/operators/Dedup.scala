@@ -294,33 +294,113 @@ object Dedup {
     * Touched nodes are O(edges); singletons label themselves in one final
     * left join.
     */
+  /** Edge-count threshold below which connected components finish on the
+    * driver (union-find + broadcast label join) instead of running more
+    * distributed rounds. Default 2^20 edges ≈ 16 MB collected — safe for
+    * any real driver; set `spark.graft.cc.localEdgeThreshold` to 0 to force
+    * the fully-distributed path. The collect is BOUNDED by this conf: at
+    * 100 TB a billion-edge dup graph takes the distributed path (and star
+    * contraction monotonically shrinks the edge set, so later rounds still
+    * cut over to the local finisher once contracted below the threshold) —
+    * this is the standard hybrid production CC implementations use, because
+    * once the edge set fits in one process, O(E α(E)) union-find beats any
+    * number of additional shuffle rounds.
+    */
+  private def localEdgeThreshold(df: DataFrame): Long =
+    df.sparkSession.conf
+      .get("spark.graft.cc.localEdgeThreshold", (1L << 20).toString).toLong
+
+  /** Both endpoints (and the node ids) must be integral for the driver
+    * finisher's LongMap union-find; non-integral ids just stay on the
+    * distributed path.
+    */
+  private def integralIds(ids: DataFrame, pairList: DataFrame): Boolean = {
+    import org.apache.spark.sql.types._
+    def ok(dt: DataType) = dt match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    ok(ids.schema("id").dataType) &&
+      ok(pairList.schema("id_a").dataType) && ok(pairList.schema("id_b").dataType)
+  }
+
+  /** Serial union-find with path compression; roots are the component
+    * minimum, matching the distributed operators' min-label contract.
+    * Package-visible for the parity property tests.
+    */
+  private[graft] def unionFindLabels(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = parent.getOrElse(x, x)
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      // Path compression second pass.
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.toArray.map(n => (n, find(n)))
+  }
+
+  /** Driver finisher: collect the (bounded) edge list, union-find, then one
+    * broadcast join labels every edge-touched node; singletons label
+    * themselves. The only shuffle-free CC plan possible, and exactly right
+    * when edges ≪ corpus (the common case after candidate generation).
+    */
+  private def finishComponentsLocally(ids: DataFrame, pairList: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val edges = pairList
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)].collect()
+    val labels = unionFindLabels(edges).toSeq.toDF("__tid", "label")
+    // cluster_id keeps the id column's type (labels are existing ids, so
+    // the narrowing cast is lossless) — same contract as the distributed
+    // paths, whose least/coalesce output follows the id type.
+    val idType = ids.schema("id").dataType
+    ids.select(col("id"))
+      .join(broadcast(labels), col("id").cast("long") === col("__tid"), "left_outer")
+      .select(col("id"),
+        coalesce(col("label").cast(idType), col("id")).as("cluster_id"))
+  }
+
   def connectedComponents(ids: DataFrame, pairList: DataFrame,
                           maxIters: Int = 20): DataFrame = {
     val pairs = pairList.select(col("id_a"), col("id_b")).persist()
+    val threshold = localEdgeThreshold(ids)
+    if (threshold > 0 && integralIds(ids, pairList) && pairs.count() <= threshold) {
+      val out = finishComponentsLocally(ids, pairs)
+      pairs.unpersist()
+      return out
+    }
     // Symmetric edge list: propagate labels both directions.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
+    // localCheckpoint (lazy), not persist: each round's plan references the
+    // prior round's labels twice, so un-truncated lineage doubles per round
+    // — at diameters near maxIters the logical plan alone OOMs the driver
+    // in explainString. The `changed` count that immediately follows every
+    // round is the action that materializes the checkpoint, so the
+    // truncation costs no extra job.
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
-    // Track the PERSISTED plan of each round: unpersisting a projection of
-    // it is a no-op (plan identity, not lineage), which would leak one
-    // cached round per iteration.
-    var persistedRound: DataFrame = labels
+      .withColumn("label", col("id")).localCheckpoint(false)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nmin"))
       // Carry the previous label through so convergence is read off the
-      // same persisted pass — one join per round, not two.
+      // same materialized pass — one join per round, not two.
       val next = labels.join(neighborMin, labels("id") === neighborMin("src"), "left_outer")
         .select(col("id"), col("label").as("_old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .persist()
+        .localCheckpoint(false)
       val changed = next.filter(col("label") =!= col("_old")).count()
-      persistedRound.unpersist()
-      persistedRound = next
       labels = next.select(col("id"), col("label"))
       converged = changed == 0
       iter += 1
@@ -333,7 +413,6 @@ object Dedup {
     // log² of the component size, not its diameter, so chain-shaped
     // components (the propagation worst case) still converge.
     if (!converged) {
-      persistedRound.unpersist()
       return connectedComponentsStar(ids, pairList)
     }
     // Singletons (never touched by an edge) label themselves.
@@ -393,9 +472,14 @@ object Dedup {
     // multiplicatively — by round ~15 the un-truncated logical plan alone
     // OOMs the driver. Checkpointing pins the rows AND truncates the plan;
     // on a cluster use reliable checkpointing for executor-loss tolerance.
+    // LAZY (eager = false): the signature aggregation that immediately
+    // follows every checkpoint is itself an action, so it materializes the
+    // checkpoint as a side effect — one job per round instead of two
+    // (an eager checkpoint would run the round's plan, then signature would
+    // run a second job over the pinned rows).
     var edges = normalize(
       pairList.select(col("id_a").as("u"), col("id_b").as("v")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // Convergence = the normalized edge set reached a fixed point, detected
     // by (count, order-independent hash-sum) — a collision would need two
     // DIFFERENT edge sets of equal size with equal 64-bit sums inside one
@@ -410,10 +494,22 @@ object Dedup {
         if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
     }
     var sig = signature(edges)
+    // Hybrid cutover: contraction monotonically shrinks the edge set, so
+    // the moment it fits under the bounded-collect threshold, the driver
+    // union-find + broadcast-join finisher beats any further shuffle
+    // rounds. Safe mid-loop because no edge-touched node ever leaves the
+    // edge set before convergence (every node survives each star round as
+    // either an m-target or the larger endpoint of a surviving edge —
+    // the same invariant the final labeling pass depends on); the
+    // randomized parity tests exercise both cutover points.
+    val threshold = if (integralIds(ids, pairList)) localEdgeThreshold(ids) else 0L
     var converged = false
     var round = 0
     while (!converged && round < maxRounds && sig._1 > 0) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      if (sig._1 <= threshold)
+        return finishComponentsLocally(ids, edges.select(
+          col("u").as("id_a"), col("v").as("id_b")))
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val nsig = signature(next)
       edges = next
       converged = nsig == sig

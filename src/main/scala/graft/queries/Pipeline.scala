@@ -467,8 +467,13 @@ object Pipeline {
     // chain (successor-id edges): diameter 199 ≫ any propagation budget, so
     // this exercises the O(log²)-round large-star/small-star path — the
     // scale fallback — under full differential verification (the oracle
-    // re-derives components by recursive reachability, like p32). ----
-    "p38_star_components" -> ((s, dir) => {
+    // re-derives components by recursive reachability, like p32). The
+    // hybrid driver-finisher is disabled (threshold 0, scoped to a child
+    // session) so the distributed rounds themselves stay oracle-gated;
+    // production callers get the hybrid by default. ----
+    "p38_star_components" -> ((s0, dir) => {
+      val s = s0.newSession()
+      s.conf.set("spark.graft.cc.localEdgeThreshold", "0")
       val n = docs(s, dir).select(col("doc_id").as("id"))
         .filter(col("id") < 200)
       val pairs = n.select(col("id").as("id_a"))

@@ -246,33 +246,66 @@ class DedupPropertySpec extends AnyFunSuite {
       "a batch doc with a corpus near-dup was admitted")
   }
 
-  test("star contraction equals union-find on random graphs (seeded trials)") {
-    import spark.implicits._
-    for (seed <- Seq(11, 23, 47)) {
+  /** Serial ground truth: union-find canonicalized to min-of-component. */
+  private def unionFindWant(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map((0L until n.toLong).map(k => k -> k): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val repToMin = (0L until n.toLong).groupBy(find).map {
+      case (rep, members) => rep -> members.min
+    }
+    (0L until n.toLong).map(k => k -> repToMin(find(k))).toMap
+  }
+
+  /** Parity across all three execution modes of the CC engine:
+    * threshold 0 = pure distributed star rounds, huge threshold = immediate
+    * driver union-find, mid threshold on a dense graph = distributed rounds
+    * that cut over to the driver finisher once contraction shrinks the edge
+    * set under the bound.
+    */
+  test("star contraction equals union-find on random graphs (all hybrid modes)") {
+    for (
+      (threshold, n, avgDeg) <- Seq(("0", 120, 0.8), ("1000000", 120, 0.8),
+        ("100", 80, 3.75));
+      seed <- Seq(11, 23, 47)
+    ) {
+      val s = spark.newSession()
+      s.conf.set("spark.graft.cc.localEdgeThreshold", threshold)
+      import s.implicits._
       val rnd = new scala.util.Random(seed)
-      val n = 120
-      // Sparse random graph: ~0.8 edges/node keeps many medium components
-      // (the interesting regime — neither one giant blob nor all pairs).
-      val edges = Seq.fill((n * 0.8).toInt)(
+      val edges = Seq.fill((n * avgDeg).toInt)(
         (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
         .filter { case (a, b) => a != b }
       val got = Dedup.connectedComponentsStar(
           (0L until n.toLong).toDF("id"),
           edges.toDF("id_a", "id_b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val parent = scala.collection.mutable.Map((0L until n.toLong).map(k => k -> k): _*)
-      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
-      edges.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      // Union-find representative is not necessarily the min; canonicalize
-      // by component.
-      val repToMin = (0L until n.toLong).groupBy(find).map {
-        case (rep, members) => rep -> members.min
-      }
-      val want = (0L until n.toLong).map(k => k -> repToMin(find(k))).toMap
-      assert(got == want, s"seed=$seed: star labels diverge from union-find")
+      val want = unionFindWant(n, edges)
+      assert(got == want,
+        s"seed=$seed threshold=$threshold: star labels diverge from union-find")
+    }
+  }
+
+  test("min-label propagation equals union-find with and without the driver finisher") {
+    for (threshold <- Seq("0", "1000000"); seed <- Seq(7, 31)) {
+      val s = spark.newSession()
+      s.conf.set("spark.graft.cc.localEdgeThreshold", threshold)
+      import s.implicits._
+      val rnd = new scala.util.Random(seed)
+      val n = 100
+      val edges = Seq.fill(80)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val got = Dedup.connectedComponents(
+          (0L until n.toLong).toDF("id"),
+          edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = unionFindWant(n, edges)
+      assert(got == want,
+        s"seed=$seed threshold=$threshold: propagation labels diverge from union-find")
     }
   }
 }
