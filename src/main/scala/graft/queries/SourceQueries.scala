@@ -134,6 +134,58 @@ object SourceQueries {
         .agg(count(lit(1)).as("n_purchases"),
              dsum(col("value"), 6).as("total_value"))
         .orderBy(col("click_id"))
+    }),
+
+    // Streaming exact dedup (`dropDuplicatesWithinWatermark`): the events
+    // file is replayed TWICE (two independent file-stream scans unioned),
+    // so every event_id arrives exactly duplicated; the watermarked dedup
+    // state must drop the replays and converge to the batch aggregate over
+    // the original file. This is the exactly-once ingest front door at
+    // 100 TB/day — state is bounded by keys within the watermark window.
+    "q81_stream_dedup" -> ((s, dir) => {
+      import graft.streaming.Streams
+      import org.apache.spark.sql.streaming.OutputMode
+      val doubled = Streams.eventsStream(s, dir)
+        .union(Streams.eventsStream(s, dir))
+      Streams.runToMemory(
+        Streams.streamingDedup(doubled, Seq("event_id")),
+        name = "q81_mem", mode = OutputMode.Append())
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("total_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // STREAMING gap sessionization run to completion: open sessions live in
+    // flatMapGroupsWithState across micro-batches and flush via event-time
+    // timeout. A far-future sentinel event (from a unioned MemoryStream)
+    // pushes the final watermark past every real session's close, so the
+    // run-to-completion result equals DuckDB's batch gap sessionization.
+    // All comparisons are at MILLISECOND precision on both sides
+    // (Timestamp.getTime truncates the parquet microseconds to ms, so the
+    // oracle groups and measures on epoch_ms too).
+    "q82_stream_sessions" -> ((s, dir) => {
+      import graft.streaming.Streams
+      import graft.streaming.Streams.Event
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val sentinel = MemoryStream[Event]
+      sentinel.addData(Event(-1L,
+        java.sql.Timestamp.valueOf("2024-06-01 00:00:00"), -1L, "z", 0.0))
+      val ev = Streams.eventsStream(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")).as[Event]
+      Streams.runToMemory(
+        Streams.sessionizeStreaming(
+          ev.union(sentinel.toDS()), gapSeconds = 1800,
+          watermark = "10 minutes").toDF(),
+        name = "q82_mem", mode = OutputMode.Append())
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"),
+          unix_millis(col("session_start")).as("session_start_ms"),
+          col("n_events"), col("duration_s"))
+        .orderBy(col("user_id"), col("session_start_ms"))
     })
   )
 
@@ -188,6 +240,34 @@ object SourceQueries {
         JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
           ON c.user_id = p.user_id
          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
-        GROUP BY click_id ORDER BY click_id"""
+        GROUP BY click_id ORDER BY click_id""",
+
+    // The doubled stream deduplicates back to the original file, so the
+    // oracle is the PLAIN aggregate (event_id is unique in the table).
+    "q81_stream_dedup" ->
+      s"""SELECT event_type, count(*) AS n, ${osum("value", 6)} AS total_value
+        FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // Batch gap sessionization at ms precision: a session breaks when more
+    // than 1800s (in whole ms) pass between consecutive events of a user.
+    "q82_stream_sessions" ->
+      """WITH g AS (
+           SELECT user_id, epoch_ms(ts) AS tms, event_id,
+             CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                    OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+         ), s AS (
+           SELECT user_id, tms, event_id,
+             sum(new_s) OVER (PARTITION BY user_id
+               ORDER BY tms, event_id ROWS UNBOUNDED PRECEDING) AS sid
+           FROM g
+         )
+         SELECT user_id, min(tms) AS session_start_ms,
+                count(*) AS n_events,
+                (max(tms) - min(tms)) // 1000 AS duration_s
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id, session_start_ms"""
   )
 }
