@@ -274,6 +274,28 @@ object Dedup {
       maxIters)
       .select(col("id").as(idCol), col("cluster_id"))
 
+  /** Leakage-free train/val/test carve-out: split membership is a pure
+    * hash of the near-dup CLUSTER id, not the document id, so a document
+    * and every near-duplicate of it always land in the same split. A plain
+    * id-hash split (e.g. [[graft.operators.Sampling.assignSplits]]) leaks:
+    * two 0.9-jaccard copies of one page can straddle train and test, and
+    * the model is then evaluated on paraphrases of its training data. Cost
+    * on top of the plain split is one [[dupClusters]] pass plus a
+    * broadcast-sized join of the cluster labels (clusters ≪ corpus);
+    * singleton documents are their own cluster, so the realized fractions
+    * still converge to the requested ones.
+    */
+  def leakageFreeSplits(df: DataFrame, idCol: String, textCol: String,
+                        splits: Seq[(String, Double)],
+                        shingleLen: Int = 5, threshold: Double = 0.5,
+                        k: Int = 64, r: Int = 2): DataFrame = {
+    val clusters = dupClusters(df, idCol, textCol, shingleLen, threshold, k, r)
+      .withColumnRenamed(idCol, "__cid")
+    val withClusters = df.join(clusters, col(idCol) === col("__cid"))
+      .drop("__cid")
+    Sampling.assignSplits(withClusters, "cluster_id", splits)
+  }
+
   /** Connected components over ANY undirected pair list (`id_a`, `id_b`
     * columns; `ids` supplies the full node set so singletons label
     * themselves): every node labeled with the min id reachable through

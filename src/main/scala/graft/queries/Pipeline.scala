@@ -482,6 +482,21 @@ object Pipeline {
         .orderBy(col("id"))
     }),
 
+    // ---- leakage-free splits: split membership hashes the near-dup
+    // CLUSTER id, so near-duplicate documents can never straddle
+    // train/test (the id-hash split p33 uses would leak paraphrases of
+    // training data into eval). Oracle re-derives the clusters by exact
+    // jaccard + recursive reachability (p18's CTE) and applies the same
+    // split hash to the cluster label. ----
+    "p39_leakage_free_splits" -> ((s, dir) => {
+      Dedup.leakageFreeSplits(docs(s, dir), "doc_id", "text",
+        splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct(col("cluster_id")).as("n_clusters"))
+        .orderBy(col("split"))
+    }),
+
     // ---- per-doc top-k TF-IDF terms (lexical topic profile) ----
     "p36_tfidf_topterms" -> ((s, dir) => {
       TextOps.tfIdfTopTerms(docs(s, dir), "doc_id", "text", k = 5)
@@ -708,6 +723,38 @@ object Pipeline {
           SELECT e.s, rec.reach FROM e JOIN rec ON e.d = rec.id)
         SELECT id AS doc_id, min(reach) AS cluster_id
         FROM rec GROUP BY id ORDER BY doc_id""",
+
+    // Same cluster derivation as p18, then the p33 split hash applied to
+    // the CLUSTER id instead of the doc id.
+    "p39_leakage_free_splits" ->
+      s"""WITH RECURSIVE t AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-5+2),
+                   i -> array_to_string(list_slice(toks, i, i+4), ' '))) AS sh
+          FROM (SELECT doc_id, string_split($oNorm, ' ') AS toks FROM documents)
+          WHERE len(toks) >= 5),
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM t a JOIN t b ON a.doc_id < b.doc_id
+          WHERE round(len(list_intersect(a.sh,b.sh))::double /
+                      len(list_distinct(a.sh || b.sh)), 6) >= 0.5),
+        e AS (SELECT id_a AS s, id_b AS d FROM p
+              UNION ALL SELECT id_b, id_a FROM p),
+        rec AS (
+          SELECT doc_id AS id, doc_id AS reach FROM documents
+          UNION
+          SELECT e.s, rec.reach FROM e JOIN rec ON e.d = rec.id),
+        cl AS (SELECT id AS doc_id, min(reach) AS cluster_id
+               FROM rec GROUP BY id)
+        SELECT split, count(*) AS n_docs,
+               count(DISTINCT cluster_id) AS n_clusters FROM (
+          SELECT cluster_id,
+                 CASE WHEN h < 3865470566 THEN 'train'
+                      WHEN h < 4080218931 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (SELECT cluster_id,
+                       ((cluster_id % 4294967296) * 1103515245) % 4294967296 AS h
+                FROM cl))
+        GROUP BY split ORDER BY split""",
 
     "p17_source_similarity" ->
       s"""WITH s AS (SELECT source,

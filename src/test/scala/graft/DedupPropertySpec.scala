@@ -289,6 +289,40 @@ class DedupPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("leakageFreeSplits keeps planted cross-split duplicates in one split " +
+    "where the id-hash split provably leaks") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def h(id: Long) = ((id % 4294967296L) * 1103515245L) % 4294967296L
+    val trainCut = (0.8 * 4294967296.0).toLong
+    val testCut = (0.9 * 4294967296.0).toLong
+    // Two ids the ID-hash provably sends to different splits, given the
+    // same text (an exact duplicate, jaccard 1.0).
+    val trainId = (1L to 1000L).find(i => h(i) < trainCut).get
+    val testId = (1L to 1000L).find(i => h(i) >= testCut).get
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val filler = (2000L to 2049L).map(i =>
+      (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f w${i}g w${i}h"))
+    val docs = (Seq((trainId, dupText), (testId, dupText)) ++ filler)
+      .toDF("doc_id", "text")
+    // The naive id-hash split separates the duplicate pair (leakage).
+    val idSplits = Sampling.assignSplits(docs, "doc_id", splits)
+      .filter(col("doc_id").isin(trainId, testId))
+      .select("split").distinct().count()
+    assert(idSplits == 2, "planted pair must straddle splits under id hashing")
+    // The cluster-keyed split keeps them together — and no cluster anywhere
+    // spans two splits.
+    val out = Dedup.leakageFreeSplits(docs, "doc_id", "text", splits)
+    val pair = out.filter(col("doc_id").isin(trainId, testId))
+      .select("cluster_id", "split").distinct().collect()
+    assert(pair.length == 1,
+      s"near-dup pair split across ${pair.mkString(",")}")
+    val spanning = out.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("k")).filter(col("k") > 1).count()
+    assert(spanning == 0, "a cluster spans more than one split")
+  }
+
   test("min-label propagation equals union-find with and without the driver finisher") {
     for (threshold <- Seq("0", "1000000"); seed <- Seq(7, 31)) {
       val s = spark.newSession()
