@@ -280,10 +280,13 @@ object Dedup {
     * id-hash split (e.g. [[graft.operators.Sampling.assignSplits]]) leaks:
     * two 0.9-jaccard copies of one page can straddle train and test, and
     * the model is then evaluated on paraphrases of its training data. Cost
-    * on top of the plain split is one [[dupClusters]] pass plus a
-    * broadcast-sized join of the cluster labels (clusters ≪ corpus);
-    * singleton documents are their own cluster, so the realized fractions
-    * still converge to the requested ones.
+    * on top of the plain split is one [[dupClusters]] pass plus one
+    * corpus-sized equi-join re-attaching each document's cluster label
+    * (the label table has one row per DOCUMENT, not per cluster — both
+    * sides shuffle on the id at scale; bucket both by the id column to
+    * make the join exchange-free). Singleton documents are their own
+    * cluster, so the realized fractions still converge to the requested
+    * ones.
     */
   def leakageFreeSplits(df: DataFrame, idCol: String, textCol: String,
                         splits: Seq[(String, Double)],
@@ -296,26 +299,6 @@ object Dedup {
     Sampling.assignSplits(withClusters, "cluster_id", splits)
   }
 
-  /** Connected components over ANY undirected pair list (`id_a`, `id_b`
-    * columns; `ids` supplies the full node set so singletons label
-    * themselves): every node labeled with the min id reachable through
-    * edges. The generic engine behind [[dupClusters]] and
-    * [[graft.operators.Similarity]]-based semantic clustering. Returns
-    * (`id`, `cluster_id`).
-    *
-    * Strategy: min-label propagation (one join+agg per round — optimal for
-    * the shallow components near-dup graphs produce) for up to `maxIters`
-    * rounds; a graph whose diameter exceeds that switches to
-    * [[connectedComponentsStar]], which contracts long paths in O(log²)
-    * rounds instead of O(diameter) — the 100 TB-safe fallback for
-    * adversarial chain-shaped components.
-    *
-    * The loop runs over EDGE-TOUCHED nodes only: in a deduplicated corpus
-    * nearly every document is a singleton whose label can never change, so
-    * iterating over `ids` would shuffle the whole corpus once per round.
-    * Touched nodes are O(edges); singletons label themselves in one final
-    * left join.
-    */
   /** Edge-count threshold below which connected components finish on the
     * driver (union-find + broadcast label join) instead of running more
     * distributed rounds. Default 2^20 edges ≈ 16 MB collected — safe for
@@ -347,10 +330,12 @@ object Dedup {
   }
 
   /** Serial union-find with path compression; roots are the component
-    * minimum, matching the distributed operators' min-label contract.
-    * Package-visible for the parity property tests.
+    * minimum, matching the distributed operators' min-label contract. (The
+    * parity property tests deliberately do NOT call this — they compare
+    * every execution path against an independent reimplementation, so the
+    * driver-finisher path is differentially tested too.)
     */
-  private[graft] def unionFindLabels(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+  private def unionFindLabels(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x: Long): Long = {
       var r = parent.getOrElse(x, x)
@@ -390,6 +375,45 @@ object Dedup {
         coalesce(col("label").cast(idType), col("id")).as("cluster_id"))
   }
 
+  /** Release the cached blocks behind a lazily local-checkpointed frame
+    * that nothing references anymore: walk the execution RDD's dependency
+    * chain to the persisted ancestor and unpersist it. The iterative CC
+    * loops call this on round N's checkpoint once round N+1 has
+    * materialized, so storage holds TWO rounds at any moment instead of
+    * every round until driver GC (ContextCleaner remains the backstop if
+    * the walk ever fails).
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit = {
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    def walk(r: RDD[_]): Option[RDD[_]] =
+      if (r.getStorageLevel != StorageLevel.NONE) Some(r)
+      else r.dependencies.view.flatMap(d => walk(d.rdd)).headOption
+    try walk(df.queryExecution.toRdd).foreach(_.unpersist(blocking = false))
+    catch { case _: Exception => () }
+  }
+
+  /** Connected components over ANY undirected pair list (`id_a`, `id_b`
+    * columns; `ids` supplies the full node set so singletons label
+    * themselves): every node labeled with the min id reachable through
+    * edges. The generic engine behind [[dupClusters]] and
+    * [[graft.operators.Similarity]]-based semantic clustering. Returns
+    * (`id`, `cluster_id`).
+    *
+    * Strategy: below [[localEdgeThreshold]] edges, the driver finisher;
+    * otherwise min-label propagation (one join+agg per round — optimal for
+    * the shallow components near-dup graphs produce) for up to `maxIters`
+    * rounds; a graph whose diameter exceeds that switches to
+    * [[connectedComponentsStar]], which contracts long paths in O(log²)
+    * rounds instead of O(diameter) — the 100 TB-safe fallback for
+    * adversarial chain-shaped components.
+    *
+    * The loop runs over EDGE-TOUCHED nodes only: in a deduplicated corpus
+    * nearly every document is a singleton whose label can never change, so
+    * iterating over `ids` would shuffle the whole corpus once per round.
+    * Touched nodes are O(edges); singletons label themselves in one final
+    * left join.
+    */
   def connectedComponents(ids: DataFrame, pairList: DataFrame,
                           maxIters: Int = 20): DataFrame = {
     val pairs = pairList.select(col("id_a"), col("id_b")).persist()
@@ -411,6 +435,9 @@ object Dedup {
     // truncation costs no extra job.
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(false)
+    // Round N's checkpoint is dead once round N+1 materializes; released
+    // eagerly so storage never holds more than two rounds.
+    var prevCp: DataFrame = labels
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -423,6 +450,8 @@ object Dedup {
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .localCheckpoint(false)
       val changed = next.filter(col("label") =!= col("_old")).count()
+      releaseCheckpoint(prevCp)
+      prevCp = next
       labels = next.select(col("id"), col("label"))
       converged = changed == 0
       iter += 1
@@ -435,6 +464,7 @@ object Dedup {
     // log² of the component size, not its diameter, so chain-shaped
     // components (the propagation worst case) still converge.
     if (!converged) {
+      releaseCheckpoint(prevCp)
       return connectedComponentsStar(ids, pairList)
     }
     // Singletons (never touched by an edge) label themselves.
@@ -528,11 +558,15 @@ object Dedup {
     var converged = false
     var round = 0
     while (!converged && round < maxRounds && sig._1 > 0) {
-      if (sig._1 <= threshold)
-        return finishComponentsLocally(ids, edges.select(
+      if (sig._1 <= threshold) {
+        val out = finishComponentsLocally(ids, edges.select(
           col("u").as("id_a"), col("v").as("id_b")))
+        releaseCheckpoint(edges) // finisher collected eagerly; blocks dead
+        return out
+      }
       val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val nsig = signature(next)
+      releaseCheckpoint(edges)
       edges = next
       converged = nsig == sig
       sig = nsig

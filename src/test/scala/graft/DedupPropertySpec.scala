@@ -289,6 +289,23 @@ class DedupPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("connected components with zero edges labels every node a singleton " +
+    "(both algorithms, with and without the driver finisher)") {
+    for (threshold <- Seq("0", "1000000")) {
+      val s = spark.newSession()
+      s.conf.set("spark.graft.cc.localEdgeThreshold", threshold)
+      import s.implicits._
+      val ids = (0L until 5L).toDF("id")
+      val noEdges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+      val want = (0L until 5L).map(i => i -> i).toMap
+      for (out <- Seq(Dedup.connectedComponents(ids, noEdges),
+                      Dedup.connectedComponentsStar(ids, noEdges))) {
+        val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"threshold=$threshold: $got")
+      }
+    }
+  }
+
   test("leakageFreeSplits keeps planted cross-split duplicates in one split " +
     "where the id-hash split provably leaks") {
     import spark.implicits._
