@@ -11,9 +11,19 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = graft.engine.GraftSession.builder(s"local[$cpus]", "graft-verify")
+    val b = graft.engine.GraftSession.builder(s"local[$cpus]", "graft-verify")
       .config("spark.sql.shuffle.partitions", cpus)
-      .getOrCreate()
+    // Optional conf overrides for mode-flip parity runs — the analog of the
+    // reference rerunning its correctness suites with ADAPTIVE=true
+    // (`tests/tpch_correctness_test.rs:15,144-146`): e.g.
+    // SPARK_GRAFT_CONF="spark.sql.adaptive.enabled=false" must yield the
+    // same 113/113 oracle result as the default AQE-on run.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        b.config(k, v)
+      })
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
