@@ -30,7 +30,9 @@ object Bench {
     "p13_embedding_near_pairs", "p14_minhash_dedup_survivors",
     "p15_winnow_fingerprints", "p17_source_similarity", "p18_dup_clusters",
     "p21_shard_packing", "p22_doc_chunking", "p23_bm25_search",
-    "p30_knn_graph")
+    "p30_knn_graph", "p32_semantic_clusters", "p38_star_components",
+    "p39_leakage_free_splits", "q70_stream_join", "q81_stream_dedup",
+    "q82_stream_sessions")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
