@@ -20,6 +20,17 @@ object GraftSession {
     *  - `dynamic_task_count` (AQE) -> `spark.sql.adaptive.enabled`
     *  - `compression` (lz4) -> `spark.io.compression.codec`
     *  - `max_tasks_per_stage` -> `spark.sql.shuffle.partitions` + AQE coalesce
+    *
+    * Engine-specific knobs (the `spark.graft.*` namespace, settable per
+    * session like any SQL conf):
+    *  - `spark.graft.partialReduce` (default false, like the reference's
+    *    `partial_reduce`): extra merge aggregation below the exchange —
+    *    see [[graft.plans.PartialReduce]], A/B-measured by q34 vs q34b.
+    *  - `spark.graft.cc.localEdgeThreshold` (default 2^20): edge count at
+    *    or below which connected components finish with a bounded driver
+    *    union-find + broadcast label join instead of more shuffle rounds;
+    *    0 forces the fully-distributed paths — see
+    *    [[graft.operators.Dedup.connectedComponents]].
     */
   def defaultConf: Map[String, String] = Map(
     "spark.sql.shuffle.partitions" -> "32",

@@ -463,6 +463,27 @@ object Pipeline {
         .orderBy(col("corpus_id"), col("batch_id"))
     }),
 
+    // ---- sequential ingest semantics (the batch contract of
+    // streaming/Streams.dedupIngest, which StreamingSpec proves the
+    // foreachBatch stream implements): batch 0 = even doc_ids greedily
+    // deduplicated within itself (drop any doc near-dupping a lower even
+    // id), batch 1 = odd doc_ids internally deduplicated the same way,
+    // then admitted only if they near-dup nothing in batch 0's survivors.
+    // The oracle re-derives both greedy rules and the admission filter
+    // with correlated NOT EXISTS over exact jaccard. ----
+    "p40_sequential_ingest" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val b0 = Dedup.minhashDedup(
+        d.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      val b1 = Dedup.incrementalAdmit(
+        b0,
+        Dedup.minhashDedup(d.filter(col("doc_id") % 2 === 1), "doc_id", "text"),
+        "doc_id", "text")
+      b0.select(col("doc_id"), lit(0).as("batch"))
+        .unionByName(b1.select(col("doc_id"), lit(1).as("batch")))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- star-contraction connected components on a planted 200-node
     // chain (successor-id edges): diameter 199 ≫ any propagation budget, so
     // this exercises the O(log²)-round large-star/small-star path — the
@@ -613,6 +634,39 @@ object Pipeline {
           SELECT e.s, rec.reach FROM e JOIN rec ON e.d = rec.id)
         SELECT id, min(reach) AS cluster_id
         FROM rec GROUP BY id ORDER BY id""",
+
+    // Greedy sequential-ingest semantics re-derived with correlated NOT
+    // EXISTS over exact all-pairs jaccard: a doc survives its own batch iff
+    // no lower SAME-PARITY id near-dups it (minhashDedup's greedy rule —
+    // the lower doc need not itself survive), and an odd-batch survivor is
+    // admitted iff no even-batch SURVIVOR near-dups it. Docs under 5 tokens
+    // have no shingles, hence no pairs, hence always survive — the oracle
+    // iterates over ALL documents, not just shingled ones.
+    "p40_sequential_ingest" ->
+      s"""WITH t AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-5+2),
+                   i -> array_to_string(list_slice(toks, i, i+4), ' '))) AS sh
+          FROM (SELECT doc_id, string_split($oNorm, ' ') AS toks FROM documents)
+          WHERE len(toks) >= 5),
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM t a JOIN t b ON a.doc_id < b.doc_id
+          WHERE round(len(list_intersect(a.sh,b.sh))::double /
+                      len(list_distinct(a.sh || b.sh)), 6) >= 0.5),
+        ev AS (
+          SELECT doc_id FROM documents d WHERE doc_id % 2 = 0 AND NOT EXISTS
+            (SELECT 1 FROM p WHERE p.id_b = d.doc_id AND p.id_a % 2 = 0)),
+        od AS (
+          SELECT doc_id FROM documents d WHERE doc_id % 2 = 1 AND NOT EXISTS
+            (SELECT 1 FROM p WHERE p.id_b = d.doc_id AND p.id_a % 2 = 1)),
+        adm AS (
+          SELECT od.doc_id FROM od WHERE NOT EXISTS (
+            SELECT 1 FROM p
+            WHERE (p.id_a = od.doc_id AND p.id_b IN (SELECT doc_id FROM ev))
+               OR (p.id_b = od.doc_id AND p.id_a IN (SELECT doc_id FROM ev))))
+        SELECT doc_id, 0 AS batch FROM ev
+        UNION ALL SELECT doc_id, 1 AS batch FROM adm
+        ORDER BY doc_id""",
 
     // Cross-side all-pairs exact jaccard — the incremental path's candidate
     // restriction (batch x corpus only) changes WHICH pairs are scanned,

@@ -174,6 +174,65 @@ object Streams {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming dedup ingest — the continuous corpus-building front door:
+    * every micro-batch is (1) internally deduplicated
+    * ([[graft.operators.Dedup.minhashDedup]]), (2) filtered to rows that
+    * near-dup nothing in the corpus accumulated so far
+    * ([[graft.operators.Dedup.incrementalAdmit]] — candidates come from a
+    * batch-vs-corpus band join, never a corpus self-join), and (3) appended
+    * to the corpus directory. `foreachBatch` rather than a stream-static
+    * join because admission must read the corpus AS OF this batch,
+    * including rows batch N-1 just admitted.
+    *
+    * Each batch writes to its own `b<batchId>` subdirectory with overwrite
+    * mode, so a replayed micro-batch (failure recovery) rewrites the same
+    * directory instead of duplicating rows — idempotent, exactly-once
+    * output without a transactional table format. The resulting corpus =
+    * the greedy arrival-order dedup of the stream, the same contract as
+    * running minhashDedup + incrementalAdmit batch-by-batch by hand.
+    */
+  def dedupIngest(docs: DataFrame, corpusDir: String,
+                  idCol: String, textCol: String,
+                  shingleLen: Int = 5, threshold: Double = 0.5,
+                  checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    import java.nio.file.{Files, Paths}
+    val writer = docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val internal = Dedup.minhashDedup(batch.toDF(), idCol, textCol,
+          shingleLen = shingleLen, threshold = threshold)
+        // Corpus = every PRIOR batch's subdirectory. The current batch's
+        // own b<batchId> dir is excluded: on micro-batch replay it holds
+        // the failed attempt's output, and admitting the batch against its
+        // own rows would suppress everything to empty.
+        val root = Paths.get(corpusDir)
+        val prior: Seq[String] =
+          if (!Files.isDirectory(root)) Nil
+          else {
+            import scala.jdk.CollectionConverters._
+            val s = Files.list(root)
+            try s.iterator().asScala.toList
+              .filter(p => Files.isDirectory(p) &&
+                p.getFileName.toString != s"b$batchId")
+              .map(_.toString)
+            finally s.close()
+          }
+        val admitted =
+          if (prior.nonEmpty)
+            Dedup.incrementalAdmit(
+              spark.read.option("recursiveFileLookup", "true")
+                .parquet(prior: _*),
+              internal, idCol, textCol, shingleLen, threshold)
+          else internal
+        admitted.write.mode("overwrite").parquet(s"$corpusDir/b$batchId")
+        ()
+    }
+    checkpoint.foldLeft(writer)((w, c) => w.option("checkpointLocation", c))
+      .start()
+  }
+
   /** Read the events table as a FILE STREAM (the parquet file is the
     * micro-batch source), matching `Tables.load`'s nanos handling.
     */

@@ -202,4 +202,49 @@ class StreamingSpec extends AnyFunSuite {
       (7L, "2025-01-01 11:30:00.0", 1L, 0L),
       (8L, "2025-01-01 09:00:00.0", 1L, 0L)))
   }
+
+  test("dedupIngest: streaming corpus build admits novel docs, drops " +
+    "within-batch and cross-batch near-dups, and replays idempotently") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Distinct vocabularies per base doc; near-dups share all but one word.
+    def words(tag: String) = (1 to 12).map(i => s"$tag$i").mkString(" ")
+    val a = words("a"); val b = words("b"); val c = words("c"); val d = words("d")
+    def mutate(t: String) = t.split(" ").dropRight(1).mkString(" ") + " zz"
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft_ingest")
+      .toString + "/corpus"
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.Streams.dedupIngest(
+      input.toDF().toDF("doc_id", "text"), corpusDir, "doc_id", "text")
+    try {
+      // Batch 0: A, A' (within-batch near-dup), B.
+      input.addData((1L, a), (2L, mutate(a)), (3L, b))
+      q.processAllAvailable()
+      // Batch 1: A'' (cross-batch dup of A), C, C' (within-batch), D.
+      input.addData((4L, mutate(a)), (5L, c), (6L, mutate(c)), (7L, d))
+      q.processAllAvailable()
+      val corpus = spark.read.option("recursiveFileLookup", "true")
+        .parquet(corpusDir)
+      assert(corpus.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+        == Seq(1L, 3L, 5L, 7L),
+        "corpus must hold exactly the first representative of each group")
+      assert(spark.read.parquet(s"$corpusDir/b1")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+        == Seq(5L, 7L), "per-batch output layout")
+      // Replay idempotence: plant a FAILED ATTEMPT of the upcoming batch 2
+      // (its doc 8 already sitting in b2). Admission must exclude the
+      // batch's own directory from the corpus — otherwise doc 8 would
+      // near-dup its own failed write and the replay would self-suppress
+      // to empty, losing the batch.
+      val e = words("e"); val f = words("f")
+      Seq((8L, e)).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$corpusDir/b2")
+      input.addData((8L, e), (9L, f))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$corpusDir/b2")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+        == Seq(8L, 9L),
+        "replayed batch must rewrite its own dir, not self-suppress")
+    } finally q.stop()
+  }
 }
