@@ -620,6 +620,48 @@ object Dedup {
       .select(col("cid"), col("bid"), round(col("containment"), 6).as("containment"))
   }
 
+  /** Per-document duplicated-span coverage — the exact-substring-dedup
+    * signal of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"), at token-window granularity: a `windowLen`-token
+    * window is DUPLICATED when the same window also occurs in at least one
+    * OTHER document; per doc, report how many of its DISTINCT windows are
+    * duplicated and the duplicated fraction (set semantics, matching
+    * [[HashExpressions.ShingleHashes]]'s distinct-shingle output — a window
+    * repeated within one doc counts once). Corpora with heavy cross-document
+    * span duplication (mirrored boilerplate, syndicated text) surface
+    * immediately; the fraction is the per-doc decision signal for span-level
+    * cutting or doc-level dropping.
+    *
+    * Scale shape: windows participate only as 64-bit rolling hashes straight
+    * from the token array ([[HashExpressions.ShingleHashes]]) — no window
+    * string is ever materialized or shuffled. Cross-doc detection needs no
+    * countDistinct: a window hash is cross-doc duplicated iff min(doc) !=
+    * max(doc) over its occurrences — one map-side-combinable agg on the
+    * 8-byte hash. The duplicated-hash set (typically a small fraction of all
+    * windows) left-joins back onto the per-(doc, window) relation (AQE broadcasts
+    * it when small), then one per-doc count. The SQL oracle re-derives the
+    * same counts from window STRINGS, so the hashed path is differentially
+    * verified end-to-end (agrees absent 64-bit collisions — negligible at
+    * any realistic cardinality).
+    */
+  def dupSpanCoverage(df: DataFrame, idCol: String, textCol: String,
+                      windowLen: Int = 8): DataFrame = {
+    require(windowLen >= 2, s"windowLen=$windowLen must be >= 2")
+    HashExpressions.register(df.sparkSession)
+    val spans = df.select(col(idCol).as("id"),
+        explode(HashExpressions.shingleHashes(tokens(col(textCol)), windowLen)).as("h"))
+    val dupHashes = spans.groupBy(col("h"))
+      .agg(min(col("id")).as("__mn"), max(col("id")).as("__mx"))
+      .filter(col("__mn") < col("__mx"))
+      .select(col("h"), lit(true).as("__dup"))
+    spans.join(dupHashes, Seq("h"), "left_outer")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_windows"),
+           sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup_windows"))
+      .withColumn("dup_frac",
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
+  }
+
   /** Per-doc 64-bit SimHash signatures. */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),

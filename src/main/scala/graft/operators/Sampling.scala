@@ -82,6 +82,29 @@ object Sampling {
     df.withColumn("split", assign)
   }
 
+  /** Per-group quota cap — the "at most k documents per domain" crawl-
+    * curation rule: within each group keep the `k` rows with the smallest
+    * (bucketHash(id), id), i.e. a deterministic uniform choice that is
+    * stable under reruns, repartitioning, and corpus growth (a kept doc is
+    * only ever evicted by a hash-smaller newcomer, never by layout). Adds
+    * `rk` (1-based rank within the group) to the survivors.
+    *
+    * Scale shape: one shuffle on the group key. The rank <= k filter
+    * compiles to WindowGroupLimit, so each map task forwards at most k rows
+    * per group it sees before the shuffle — a heavy-hitter domain costs
+    * k·numMapTasks shuffled rows, not its full row count, which is what
+    * makes the cap safe on skewed web crawls.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                  k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k=$k must be >= 1")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(bucketHash(col(idCol)), col(idCol))
+    df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
   /** Pack id-ordered rows into contiguous shards of ~`budget` weight (e.g.
     * token count): shard = floor(exclusive-prefix-sum(weight) / budget).
     * The global prefix sum is computed scalably in two phases — range

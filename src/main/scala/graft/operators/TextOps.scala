@@ -235,4 +235,52 @@ object TextOps {
         row_number().over(Window.orderBy(col("score").desc, col("id"))))
       .select(col("id"), col("score"), col("rk"))
   }
+
+  /** Statistical quality scoring via a corpus-trained bigram language model
+    * (the CCNet-style perplexity filter, with the corpus itself as the
+    * training set): per document, the mean negative log2-likelihood of its
+    * token bigrams under add-alpha smoothing —
+    * P(w2|w1) = (C(w1 w2) + alpha) / (C(w1 ·) + alpha·V), where C(w1 ·) is
+    * the context count (sum of bigram counts starting with w1) and V the
+    * corpus vocabulary size. High log-ppl = text the corpus's own statistics
+    * find improbable (noise, gibberish, wrong-language) — the standard
+    * perplexity quality signal without an external LM.
+    *
+    * Scale shape: bigram extraction is a narrow zip_with over the token
+    * array (no explode until counting); model training is two word-count
+    * aggregations keyed by the bigram / context token — the canonical
+    * map-side-combined shuffle that scales to any corpus; scoring is one
+    * equi-join of per-doc bigram occurrences against the model (bigram-typed
+    * key; AQE broadcasts the model when it fits, shuffles when it doesn't)
+    * and a per-doc re-aggregation. No driver-side state beyond the scalar V.
+    * Docs with < 2 tokens have no bigrams and are excluded.
+    */
+  def ngramPerplexity(df: DataFrame, idCol: String, textCol: String,
+                      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha=$alpha must be > 0 (unsmoothed zero-count " +
+      "bigrams would make the log-likelihood infinite)")
+    val toks = tokens(col(textCol))
+    // (id, bigram) occurrences — bigrams built narrowly from the array.
+    val bigrams = df
+      .select(col(idCol).as("id"), toks.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col("id"), explode(
+        zip_with(
+          slice(col("__t"), lit(1), size(col("__t")) - 1),
+          slice(col("__t"), lit(2), size(col("__t")) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bg"))
+    val vocab = df.select(explode(toks).as("w")).agg(countDistinct(col("w"))).head().getLong(0)
+    val bgCounts = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val ctxCounts = bgCounts.groupBy(col("w1")).agg(sum(col("c_bg")).as("c_ctx"))
+    val model = bgCounts.join(ctxCounts, Seq("w1"))
+      .select(col("bg"), col("c_bg"), col("c_ctx"))
+    bigrams.join(model, Seq("bg"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+           sum(-log2((col("c_bg") + lit(alpha)) /
+                     (col("c_ctx") + lit(alpha * vocab)))).as("__nll"))
+      .select(col("id"), col("n_bigrams"),
+        round(col("__nll") / col("n_bigrams"), 4).as("log2_ppl"))
+  }
 }

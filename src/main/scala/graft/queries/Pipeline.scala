@@ -537,10 +537,73 @@ object Pipeline {
         d.filter(pmod(col("doc_id"), lit(10)) === 9),
         "doc_id", "text", shingleLen = 5, minContainment = 0.5)
         .orderBy(col("cid"), col("bid"))
+    }),
+
+    // ---- bigram-LM perplexity scoring (CCNet-style quality filter with
+    // the corpus itself as the LM training set) ----
+    "p41_ngram_perplexity" -> ((s, dir) => {
+      TextOps.ngramPerplexity(docs(s, dir), "doc_id", "text", alpha = 0.5)
+        .orderBy(col("id"))
+    }),
+
+    // ---- exact-substring duplication signal (Lee et al. 2022): per doc,
+    // the fraction of its distinct 8-token windows that also occur in
+    // another document ----
+    "p42_dup_span_coverage" -> ((s, dir) => {
+      Dedup.dupSpanCoverage(docs(s, dir), "doc_id", "text", windowLen = 8)
+        .orderBy(col("id"))
+    }),
+
+    // ---- per-source quota cap: deterministic "at most 10 docs per
+    // domain" crawl-curation rule ----
+    "p43_source_quota_cap" -> ((s, dir) => {
+      Sampling.capPerGroup(docs(s, dir), "source", "doc_id", k = 10)
+        .select(col("doc_id"), col("source"), col("rk"))
+        .orderBy(col("doc_id"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "p41_ngram_perplexity" ->
+      s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents),
+        bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                 i -> list_extract(toks, i) || ' ' || list_extract(toks, i+1))) AS bg
+               FROM t WHERE len(toks) >= 2),
+        v AS (SELECT count(DISTINCT w) AS vocab
+              FROM (SELECT unnest(toks) AS w FROM t)),
+        bc AS (SELECT bg, count(*) AS c_bg FROM bg GROUP BY bg),
+        cc AS (SELECT string_split(bg, ' ')[1] AS w1, sum(c_bg) AS c_ctx
+               FROM bc GROUP BY 1),
+        m AS (SELECT bc.bg, bc.c_bg, cc.c_ctx
+              FROM bc JOIN cc ON string_split(bc.bg, ' ')[1] = cc.w1)
+        SELECT bg.doc_id AS id, count(*) AS n_bigrams,
+               round(sum(-log2((m.c_bg + 0.5) / (m.c_ctx + 0.5 * v.vocab)))
+                     / count(*), 4) AS log2_ppl
+        FROM bg JOIN m ON bg.bg = m.bg, v
+        GROUP BY bg.doc_id ORDER BY id""",
+
+    "p42_dup_span_coverage" ->
+      s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents),
+        w AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                range(1, len(toks) - 8 + 2),
+                i -> array_to_string(list_slice(toks, i, i + 7), ' ')))) AS win
+              FROM t WHERE len(toks) >= 8),
+        d AS (SELECT win FROM w GROUP BY win HAVING min(doc_id) < max(doc_id))
+        SELECT w.doc_id AS id, count(*) AS n_windows,
+               count(d.win) AS n_dup_windows,
+               round(count(d.win)::double / count(*), 6) AS dup_frac
+        FROM w LEFT JOIN d ON w.win = d.win
+        GROUP BY w.doc_id ORDER BY id""",
+
+    "p43_source_quota_cap" ->
+      """WITH r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY ((doc_id % 4294967296) * 1103515245) % 4294967296,
+                        doc_id) AS rk
+           FROM documents)
+         SELECT doc_id, source, cast(rk AS integer) AS rk
+         FROM r WHERE rk <= 10 ORDER BY doc_id""",
+
     "p01_dedup_exact_groups" ->
       s"""SELECT md5($oNorm) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
         FROM documents GROUP BY fp ORDER BY fp""",

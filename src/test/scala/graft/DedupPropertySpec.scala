@@ -359,4 +359,45 @@ class DedupPropertySpec extends AnyFunSuite {
         s"seed=$seed threshold=$threshold: propagation labels diverge from union-find")
     }
   }
+
+  test("dupSpanCoverage: planted shared span is flagged in both docs only") {
+    import spark.implicits._
+    // 3-token windows: doc1 {x y z, y z p, z p q}, doc2 {x y z, y z w},
+    // doc3 {u v w, v w t}. Only "x y z" is cross-doc.
+    val df = Seq(
+      (1L, "x y z p q"),
+      (2L, "x y z w"),
+      (3L, "u v w t")).toDF("doc_id", "text")
+    val out = Dedup.dupSpanCoverage(df, "doc_id", "text", windowLen = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 1L, 0.333333), (2L, 2L, 1L, 0.5), (3L, 2L, 0L, 0.0)),
+      s"got ${out.toSeq}")
+  }
+
+  test("dupSpanCoverage: within-doc repeats don't count, set semantics hold") {
+    import spark.implicits._
+    // doc1 repeats its own window twice but shares nothing cross-doc;
+    // distinct-window semantics: "a b c" counts once, nothing duplicated.
+    val df = Seq(
+      (1L, "a b c a b c"),   // windows as a SET: {a b c, b c a, c a b}
+      (2L, "q r s t")).toDF("doc_id", "text")
+    val out = Dedup.dupSpanCoverage(df, "doc_id", "text", windowLen = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 3L, 0L), (2L, 2L, 0L)), s"got ${out.toSeq}")
+  }
+
+  test("dupSpanCoverage plan: hash-keyed equi-join, no cartesian, no UDF") {
+    import spark.implicits._
+    val df = (1L to 60L).map(i =>
+      (i, (0 until 12).map(j => s"w${(i * 7 + j) % 23}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val plan = Dedup.dupSpanCoverage(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"span join must be an equi-join on the window hash:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"))
+  }
 }

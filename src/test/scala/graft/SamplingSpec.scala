@@ -161,4 +161,47 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(run(3) == run(13), "shard assignment must be layout-independent")
   }
+
+  test("capPerGroup keeps exactly k deterministic rows per group") {
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    def run() = Sampling.capPerGroup(docs, "grp", "id", k = 5)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(2)))
+    val a = run()
+    assert(a.toSet == run().toSet, "cap must be deterministic across runs")
+    val byGroup = a.groupBy(_._1)
+    assert(byGroup.keySet == Set("g0", "g1", "g2"))
+    byGroup.foreach { case (g, rows) =>
+      assert(rows.length == 5, s"group $g kept ${rows.length} != 5")
+      assert(rows.map(_._3).sorted.sameElements(1 to 5), s"group $g ranks")
+    }
+    // Brute-force expected survivors: smallest (bucketHash, id) per group.
+    def h(id: Long) = ((id % 4294967296L) * 1103515245L) % 4294967296L
+    (1L to 100L).groupBy(i => s"g${i % 3}").foreach { case (g, ids) =>
+      val expect = ids.sortBy(i => (h(i), i)).take(5).toSet
+      assert(byGroup(g).map(_._2).toSet == expect, s"group $g survivor set")
+    }
+  }
+
+  test("capPerGroup survivors are only evicted by hash-smaller newcomers") {
+    import spark.implicits._
+    def survivors(n: Long) = Sampling.capPerGroup(
+      (1L to n).map(i => (i, s"g${i % 3}")).toDF("id", "grp"), "grp", "id", 5)
+      .collect().map(_.getLong(0)).toSet
+    val small = survivors(50L)
+    val grown = survivors(100L)
+    // A row kept after growth that already existed must have been kept
+    // before growth — layout/corpus growth can only evict, never admit.
+    assert(grown.filter(_ <= 50L).subsetOf(small),
+      "growth must not admit previously-rejected rows")
+  }
+
+  test("capPerGroup compiles to WindowGroupLimit (map-side bounded cap)") {
+    import spark.implicits._
+    val docs = (1L to 1000L).map(i => (i, s"g${i % 7}")).toDF("id", "grp")
+    val plan = Sampling.capPerGroup(docs, "grp", "id", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k must push a group-limit below the shuffle:\n$plan")
+  }
 }

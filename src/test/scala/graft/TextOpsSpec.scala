@@ -169,4 +169,41 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(1)._3 == 2, s"doc 2 must have exactly 2 dup chunks: $out")
     assert(out(2)._3 == 0, s"doc 3 is clean: $out")
   }
+
+  test("ngramPerplexity matches the hand-computed bigram model") {
+    import spark.implicits._
+    // Corpus: "a b a b", "a b c". Bigram counts: (a b)=3, (b a)=1, (b c)=1;
+    // contexts: C(a .)=3, C(b .)=2; vocab V=3; alpha=0.5.
+    //   P(b|a) = 3.5/4.5, P(a|b) = 1.5/3.5, P(c|b) = 1.5/3.5
+    //   doc1 log2ppl = -(2*log2(3.5/4.5) + log2(1.5/3.5))/3 ~= 0.64918
+    //   doc2 log2ppl = -(log2(3.5/4.5) + log2(1.5/3.5))/2  = log2(3)/2 exactly
+    val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextOps.ngramPerplexity(df, "doc_id", "text", alpha = 0.5)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 2)
+    val withSolo = TextOps.ngramPerplexity(
+      Seq((1L, "a b"), (2L, "solo")).toDF("doc_id", "text"),
+      "doc_id", "text").collect()
+    assert(withSolo.map(_.getLong(0)).toSeq == Seq(1L),
+      "a 1-token doc has no bigrams and must drop")
+    assert(out(0)._1 == 1L && out(0)._2 == 3L)
+    assert(math.abs(out(0)._3 - 0.64918) < 1e-3, s"doc1 score ${out(0)._3}")
+    assert(math.abs(out(1)._3 - math.log(3) / math.log(2) / 2) < 1e-3,
+      s"doc2 score ${out(1)._3}")
+    // Repetitive text the model has seen is more probable than rare text.
+    assert(out(0)._3 < out(1)._3,
+      "the doc made of the corpus's dominant bigram must score lower ppl")
+  }
+
+  test("ngramPerplexity plan: no UDFs, no cartesian, bigram-keyed join only") {
+    import spark.implicits._
+    val df = (1L to 50L).map(i => (i, s"tok${i % 7} tok${i % 5} tok${i % 3} end"))
+      .toDF("doc_id", "text")
+    val plan = TextOps.ngramPerplexity(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"model join must be an equi-join:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"))
+  }
 }
