@@ -105,6 +105,42 @@ object Sampling {
       .filter(col("rk") <= k)
   }
 
+  /** Temperature-based mixture sampling (the multilingual/multi-source
+    * n^alpha reweighting of XLM-R / mC4): sampling probability of source i
+    * is q_i = n_i^alpha / sum_j n_j^alpha, flattening the source
+    * distribution as alpha drops below 1 (alpha=1 keeps natural
+    * proportions; alpha→0 approaches uniform-over-sources). Realized as
+    * deterministic per-source keep-fractions f_i = min(1, budget·q_i/n_i)
+    * applied through [[bucketHash]] — the expected kept count is
+    * budget·q_i (capped at n_i), and membership stays a pure function of
+    * the id (stable under reruns and layout, nested across budgets).
+    *
+    * Scale shape: one |sources|-row aggregate collected to the driver (the
+    * same driver-sized statistics exchange AQE performs), folded back as a
+    * literal cutoff map over one narrow filter pass — no shuffle of the
+    * corpus itself. Keep-fractions are rounded to 6 decimals so an external
+    * system (or the SQL oracle) re-deriving them computes the identical
+    * cutoff; with alpha=0.5 the n^alpha term is sqrt — correctly rounded
+    * IEEE in every engine — making the whole decision bit-reproducible.
+    */
+  def temperatureMixture(df: DataFrame, sourceCol: String, idCol: String,
+                         budget: Long, alpha: Double = 0.5): DataFrame = {
+    require(budget >= 1, s"budget=$budget must be >= 1")
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha=$alpha out of (0,1]")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "corpus has no rows")
+    val denom = counts.values.map(n => math.pow(n.toDouble, alpha)).sum
+    val fractions = counts.map { case (src, n) =>
+      val q = math.pow(n.toDouble, alpha) / denom
+      val f = math.min(1.0, budget * q / n)
+      // 6-decimal rounding: the portability boundary — any engine
+      // recomputing f from (n, budget, alpha) lands on the same cutoff.
+      src -> (math.round(f * 1e6) / 1e6)
+    }
+    mixSources(df, sourceCol, idCol, fractions)
+  }
+
   /** Pack id-ordered rows into contiguous shards of ~`budget` weight (e.g.
     * token count): shard = floor(exclusive-prefix-sum(weight) / budget).
     * The global prefix sum is computed scalably in two phases — range

@@ -560,6 +560,15 @@ object Pipeline {
       Sampling.capPerGroup(docs(s, dir), "source", "doc_id", k = 10)
         .select(col("doc_id"), col("source"), col("rk"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- temperature mixture sampling (XLM-R/mC4 n^alpha reweighting;
+    // alpha=0.5 so the oracle's sqrt is IEEE-exact in both engines) ----
+    "p44_temperature_mixture" -> ((s, dir) => {
+      Sampling.temperatureMixture(docs(s, dir), "source", "doc_id",
+        budget = 200L, alpha = 0.5)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -594,6 +603,20 @@ object Pipeline {
                round(count(d.win)::double / count(*), 6) AS dup_frac
         FROM w LEFT JOIN d ON w.win = d.win
         GROUP BY w.doc_id ORDER BY id""",
+
+    "p44_temperature_mixture" ->
+      """WITH c AS (SELECT source, count(*)::double AS n
+                    FROM documents GROUP BY source),
+         s AS (SELECT sum(sqrt(n)) AS denom FROM c),
+         f AS (SELECT source,
+                 round(least(1.0, 200 * (sqrt(n) / denom) / n) * 1000000)
+                   / 1000000 AS keep
+               FROM c, s)
+         SELECT d.doc_id, d.source
+         FROM documents d JOIN f ON d.source = f.source
+         WHERE ((d.doc_id % 4294967296) * 1103515245) % 4294967296 <
+               cast(trunc(f.keep * 4294967296.0) AS bigint)
+         ORDER BY d.doc_id""",
 
     "p43_source_quota_cap" ->
       """WITH r AS (SELECT doc_id, source,

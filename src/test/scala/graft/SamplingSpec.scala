@@ -196,6 +196,31 @@ class SamplingSpec extends AnyFunSuite {
       "growth must not admit previously-rejected rows")
   }
 
+  test("temperatureMixture flattens a skewed source distribution") {
+    import spark.implicits._
+    // Natural proportions 100 : 10 : 1.
+    val df = ((1L to 1000L).map(i => (i, "src0")) ++
+      (1001L to 1100L).map(i => (i, "src1")) ++
+      (1101L to 1110L).map(i => (i, "src2"))).toDF("id", "source")
+    val kept = Sampling.temperatureMixture(df, "source", "id",
+        budget = 300L, alpha = 0.5)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // q_i ∝ sqrt(n_i): f0 ≈ 0.2118, f1 ≈ 0.67, f2 = min(1, 2.12) = 1.
+    assert(kept("src2") == 10L, s"rarest source must keep all rows: $kept")
+    assert(kept("src0") > 120L && kept("src0") < 300L,
+      s"src0 must downsample toward ~212: $kept")
+    assert(kept("src1").toDouble / 100 > kept("src0").toDouble / 1000,
+      s"keep-rate must rise as source size falls: $kept")
+    // alpha=1 keeps natural proportions: expected kept ≈ budget * n_i / N.
+    val nat = Sampling.temperatureMixture(df, "source", "id",
+        budget = 555L, alpha = 1.0)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(nat("src0") - 500.0) < 50,
+      s"alpha=1 must keep natural proportions: $nat")
+  }
+
   test("capPerGroup compiles to WindowGroupLimit (map-side bounded cap)") {
     import spark.implicits._
     val docs = (1L to 1000L).map(i => (i, s"g${i % 7}")).toDF("id", "grp")
