@@ -662,6 +662,62 @@ object Dedup {
         round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
   }
 
+  /** Exact-substring span CUTTING — the transformation of Lee et al. 2022,
+    * not just the signal ([[dupSpanCoverage]]): every `windowLen`-token
+    * window occurrence whose window also appears in another document is cut
+    * from every document EXCEPT the one with the smallest id (first
+    * occurrence survives, including its own internal repeats); a token is
+    * removed when any cut window covers it. Returns per doc: original token
+    * count, tokens cut, and the rebuilt cleaned text (normalized-token
+    * join; a fully-duplicated doc comes back as the empty string — the
+    * downstream drop decision stays with the caller).
+    *
+    * Scale shape: positional windows are built narrowly (`transform` over
+    * `sequence`, hashing the window with the codegen'd xxhash64 — positions
+    * matter here, so the distinct-set [[HashExpressions.ShingleHashes]]
+    * does not apply) and shuffle only as (id, pos, 8-byte hash). Ownership
+    * is one map-side-combinable min/max agg per hash; covered token
+    * positions expand w-fold but only for CUT windows (the duplicated
+    * minority); reassembly is one per-doc sort of surviving (pos, token)
+    * pairs — bounded by document length, the same per-group bound every
+    * text operator here lives with. The SQL oracle re-derives the cut from
+    * window STRINGS, differentially verifying the hashed path end-to-end.
+    */
+  def cutDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                        windowLen: Int = 8): DataFrame = {
+    require(windowLen >= 2, s"windowLen=$windowLen must be >= 2")
+    val base = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+    val wins = base
+      .filter(size(col("__toks")) >= windowLen)
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), size(col("__toks")) - windowLen),
+          i => xxhash64(array_join(slice(col("__toks"), i + 1, lit(windowLen)), " "))))
+        .as(Seq("pos", "h")))
+    val owners = wins.groupBy(col("h"))
+      .agg(min(col("id")).as("__mn"), max(col("id")).as("__mx"))
+      .filter(col("__mn") < col("__mx"))
+      .select(col("h"), col("__mn"))
+    val covered = wins.join(owners, Seq("h"))
+      .filter(col("id") =!= col("__mn"))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + windowLen - 1)).as("tp"))
+      .distinct()
+    val toksPos = base.select(col("id"),
+      posexplode(col("__toks")).as(Seq("tp", "tok")))
+    val kept = toksPos.join(covered, Seq("id", "tp"), "left_anti")
+      .groupBy(col("id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("tp"), col("tok")))),
+          x => x.getField("tok")), " ").as("clean_text"))
+    val cutCounts = covered.groupBy(col("id")).agg(count(lit(1)).as("n_tokens_cut"))
+    base.select(col("id"), size(col("__toks")).cast("long").as("n_tokens"))
+      .join(cutCounts, Seq("id"), "left_outer")
+      .join(kept, Seq("id"), "left_outer")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_tokens_cut"), lit(0L)).as("n_tokens_cut"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Per-doc 64-bit SimHash signatures. */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),

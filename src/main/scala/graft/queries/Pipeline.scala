@@ -569,6 +569,13 @@ object Pipeline {
         budget = 200L, alpha = 0.5)
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- exact-substring span cutting (Lee et al. 2022): duplicated
+    // 8-token spans removed everywhere but their first-occurrence doc ----
+    "p45_span_cut" -> ((s, dir) => {
+      Dedup.cutDuplicateSpans(docs(s, dir), "doc_id", "text", windowLen = 8)
+        .orderBy(col("id"))
     })
   )
 
@@ -617,6 +624,32 @@ object Pipeline {
          WHERE ((d.doc_id % 4294967296) * 1103515245) % 4294967296 <
                cast(trunc(f.keep * 4294967296.0) AS bigint)
          ORDER BY d.doc_id""",
+
+    "p45_span_cut" ->
+      s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents),
+        w AS (SELECT doc_id, i - 1 AS pos,
+                array_to_string(list_slice(toks, i, i + 7), ' ') AS win
+              FROM t, unnest(range(1, len(toks) - 8 + 2)) AS u(i)
+              WHERE len(toks) >= 8),
+        g AS (SELECT win, min(doc_id) AS mn FROM w GROUP BY win
+              HAVING min(doc_id) < max(doc_id)),
+        cov AS (SELECT DISTINCT w.doc_id, w.pos + v.k AS tp
+                FROM w JOIN g ON w.win = g.win AND w.doc_id <> g.mn,
+                     unnest(range(0, 8)) AS v(k)),
+        tok AS (SELECT doc_id, j - 1 AS tp, list_extract(toks, j) AS tok
+                FROM t, unnest(range(1, len(toks) + 1)) AS u2(j)),
+        kept AS (SELECT tok.doc_id,
+                        string_agg(tok.tok, ' ' ORDER BY tok.tp) AS txt
+                 FROM tok LEFT JOIN cov
+                   ON tok.doc_id = cov.doc_id AND tok.tp = cov.tp
+                 WHERE cov.tp IS NULL GROUP BY tok.doc_id),
+        cuts AS (SELECT doc_id, count(*) AS n_cut FROM cov GROUP BY doc_id)
+        SELECT t.doc_id AS id, cast(len(t.toks) AS bigint) AS n_tokens,
+               cast(coalesce(cuts.n_cut, 0) AS bigint) AS n_tokens_cut,
+               coalesce(kept.txt, '') AS clean_text
+        FROM t LEFT JOIN cuts ON t.doc_id = cuts.doc_id
+               LEFT JOIN kept ON t.doc_id = kept.doc_id
+        ORDER BY id""",
 
     "p43_source_quota_cap" ->
       """WITH r AS (SELECT doc_id, source,

@@ -389,6 +389,50 @@ class DedupPropertySpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 3L, 0L), (2L, 2L, 0L)), s"got ${out.toSeq}")
   }
 
+  test("cutDuplicateSpans removes the span everywhere but its first doc") {
+    import spark.implicits._
+    // Shared 3-token span "x y z" sits mid-doc in 1 and 2; doc 1 (min id)
+    // keeps it, doc 2 loses exactly those 3 tokens; doc 3 untouched.
+    val df = Seq(
+      (1L, "a b x y z c"),
+      (2L, "d x y z e f"),
+      (3L, "g h i j k l")).toDF("doc_id", "text")
+    val out = Dedup.cutDuplicateSpans(df, "doc_id", "text", windowLen = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 6L, 0L, "a b x y z c"),
+      (2L, 6L, 3L, "d e f"),
+      (3L, 6L, 0L, "g h i j k l")), s"got ${out.toSeq}")
+  }
+
+  test("cutDuplicateSpans: overlapping cut windows union their coverage") {
+    import spark.implicits._
+    // Doc 2 embeds doc 1's whole 4-token text; its two overlapping 3-token
+    // windows (t1 t2 t3, t2 t3 t4) both duplicate -> 4 tokens cut, once.
+    val df = Seq(
+      (1L, "t1 t2 t3 t4"),
+      (2L, "pre t1 t2 t3 t4 post")).toDF("doc_id", "text")
+    val out = Dedup.cutDuplicateSpans(df, "doc_id", "text", windowLen = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, "t1 t2 t3 t4"),
+      (2L, 4L, "pre post")), s"got ${out.toSeq}")
+  }
+
+  test("cutDuplicateSpans: a fully-duplicated doc becomes the empty string") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "m n o p"),
+      (2L, "m n o p")).toDF("doc_id", "text")
+    val out = Dedup.cutDuplicateSpans(df, "doc_id", "text", windowLen = 4)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq((1L, 0L, "m n o p"), (2L, 4L, "")),
+      s"got ${out.toSeq}")
+  }
+
   test("dupSpanCoverage plan: hash-keyed equi-join, no cartesian, no UDF") {
     import spark.implicits._
     val df = (1L to 60L).map(i =>
