@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{GraftSession, Tables}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, TextOps}
 
 /** Empirical scale check for the flagship pipeline operators: amplify the
   * sf0.1 corpus N× in-memory (id-remapped copies — same text/embedding
@@ -99,6 +99,19 @@ object ScaleSmoke {
       val pairs = Similarity.axisNearPairs(df, minCos = 0.5, nBits = nBits)
       Dedup.connectedComponents(df.select(col("vec_id").as("id")), pairs).count()
     }, emb1, embN, "semanticClusters")
+    // Round-6 additions: bigram-LM scoring (word-count-shaped aggs + one
+    // bigram join) and span cutting (amplified copies share almost every
+    // window, so this measures the cut path's worst case: nearly all
+    // windows duplicated and expanded w-fold into covered positions).
+    bench2(df => TextOps.ngramPerplexity(df, "doc_id", "text").count(),
+      docs1, docsN, "ngramPerplexity")
+    // Aggregate over the COMPUTED columns: a bare count() lets Catalyst
+    // eliminate the outer joins that carry the whole cut (right sides are
+    // groupBy-distinct on the key), timing an empty plan.
+    bench2(df => Dedup.cutDuplicateSpans(df, "doc_id", "text")
+        .agg(sum(col("n_tokens_cut")), sum(length(col("clean_text"))))
+        .collect().length.toLong,
+      docs1, docsN, "cutDuplicateSpans")
     spark.stop()
   }
 }
