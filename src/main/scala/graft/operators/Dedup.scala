@@ -274,6 +274,45 @@ object Dedup {
       maxIters)
       .select(col("id").as(idCol), col("cluster_id"))
 
+  /** Quality-aware canonical selection: per near-dup cluster, keep the
+    * member with the HIGHEST `score` (ties break to the lowest id) instead
+    * of [[minhashDedup]]'s arbitrary lowest-id survivor — the production
+    * dedup rule when duplicates differ in quality (boilerplate-stripped vs
+    * raw scrapes of one page: keep the clean one). Returns one row per
+    * cluster: (cluster_id, keep_id, best_score, n_members).
+    *
+    * Cost on top of [[dupClusters]] is one narrow score evaluation, a
+    * per-cluster rank-filter that compiles to WindowGroupLimit (each map
+    * task forwards at most one row per cluster before the shuffle), and a
+    * cluster-keyed member count — no extra corpus-wide shuffle beyond the
+    * label join.
+    *
+    * @param score scoring expression over `df`'s columns (e.g.
+    *              [[graft.functions.TextFunctions.qualityScore]] of the
+    *              text column). Must be deterministic: survivors must not
+    *              depend on physical layout.
+    */
+  def bestOfCluster(df: DataFrame, idCol: String, textCol: String,
+                    score: Column,
+                    shingleLen: Int = 5, threshold: Double = 0.5,
+                    k: Int = 64, r: Int = 2): DataFrame = {
+    val clusters = dupClusters(df, idCol, textCol, shingleLen, threshold, k, r)
+      .withColumnRenamed(idCol, "__cid")
+    val scored = df.select(col(idCol).as("__cid"), score.as("__score"))
+      .join(clusters, Seq("__cid"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("__score").desc, col("__cid"))
+    val winners = scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("cluster_id"), col("__cid").as("keep_id"),
+        col("__score").as("best_score"))
+    val sizes = scored.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+    winners.join(sizes, Seq("cluster_id"))
+      .select(col("cluster_id"), col("keep_id"), col("best_score"),
+        col("n_members"))
+  }
+
   /** Leakage-free train/val/test carve-out: split membership is a pure
     * hash of the near-dup CLUSTER id, not the document id, so a document
     * and every near-duplicate of it always land in the same split. A plain

@@ -236,6 +236,114 @@ object TextOps {
       .select(col("id"), col("score"), col("rk"))
   }
 
+  /** Curation funnel report: the per-stage survivor counts of a standard
+    * quality-filter cascade (the first table a corpus-curation team reads).
+    * Stages apply cumulatively, in order:
+    *
+    *   0 input        — every document
+    *   1 min_tokens   — token count >= `minTokens`
+    *   2 lang_known   — rule-based language ID != 'unknown'
+    *   3 quality      — heuristic quality score >= `minQuality`
+    *   4 repetition   — max single-token share <= `maxTokenShare`
+    *                    (the Gopher repetition rule)
+    *
+    * Output: one row per stage with (stage_idx, stage, n_in, n_out).
+    *
+    * Scale shape: stages 1-3 are narrow codegen'd expressions evaluated in
+    * ONE corpus scan; stage 4 reuses [[repetitionStats]] (two map-side-
+    * combined aggregations keyed by (id, gram)); everything reduces to a
+    * single 5-row result — no driver-side iteration, no per-stage rescans
+    * of the corpus.
+    */
+  def filterFunnel(df: DataFrame, idCol: String, textCol: String,
+                   minTokens: Int = 10, minQuality: Double = 0.5,
+                   maxTokenShare: Double = 0.2): DataFrame = {
+    val t = col(textCol)
+    val rep = repetitionStats(df, idCol, textCol)
+      .select(col("id"), col("max_token_share"))
+    val cums = df.select(col(idCol).as("id"),
+        (tokenCount(t) >= minTokens).as("c1"),
+        (langId(t) =!= "unknown").as("c2"),
+        (qualityScore(t) >= minQuality).as("c3"))
+      .join(rep, Seq("id"))
+      .select(
+        col("c1").as("p1"),
+        (col("c1") && col("c2")).as("p2"),
+        (col("c1") && col("c2") && col("c3")).as("p3"),
+        (col("c1") && col("c2") && col("c3") &&
+          col("max_token_share") <= maxTokenShare).as("p4"))
+    val agg = cums.agg(
+      count(lit(1)).as("n0"),
+      sum(col("p1").cast("long")).as("n1"),
+      sum(col("p2").cast("long")).as("n2"),
+      sum(col("p3").cast("long")).as("n3"),
+      sum(col("p4").cast("long")).as("n4"))
+    def stage(i: Int, name: String, nIn: Column, nOut: Column) =
+      struct(lit(i).as("stage_idx"), lit(name).as("stage"),
+        nIn.as("n_in"), nOut.as("n_out"))
+    agg.select(explode(array(
+        stage(0, "input", col("n0"), col("n0")),
+        stage(1, "min_tokens", col("n0"), col("n1")),
+        stage(2, "lang_known", col("n1"), col("n2")),
+        stage(3, "quality", col("n2"), col("n3")),
+        stage(4, "repetition", col("n3"), col("n4")))).as("s"))
+      .select(col("s.stage_idx"), col("s.stage"), col("s.n_in"), col("s.n_out"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * the mean log-likelihood ratio of its token bigrams between a TARGET
+    * distribution (documents matching `isTarget`, e.g. a trusted high-
+    * quality slice) and the RAW corpus distribution —
+    *
+    *   score(d) = (1/|bg(d)|) * sum_bg [ log2 P_t(bg) - log2 P_r(bg) ]
+    *
+    * with add-alpha smoothing over the corpus bigram vocabulary:
+    * P(bg) = (C(bg) + alpha) / (N + alpha*V). High scores = documents that
+    * look like the target slice; sampling proportional to the ratio is the
+    * DSIR recipe for steering a 100 TB crawl toward a curated style without
+    * an external classifier.
+    *
+    * Scale shape mirrors [[ngramPerplexity]]: bigrams are built narrowly
+    * with zip_with (no explode before counting); ONE aggregation keyed by
+    * the bigram produces both models (raw count + conditional target
+    * count); the three model scalars (N_t, N_r, V) are a single driver
+    * aggregate folded in as literals; scoring is one bigram-keyed equi-join
+    * (AQE broadcasts the model when it fits) + per-doc re-aggregation.
+    * Documents with < 2 tokens have no bigrams and are excluded.
+    */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+                        isTarget: Column, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha=$alpha must be > 0 (unsmoothed zero-count " +
+      "bigrams would make the log-ratio infinite)")
+    val toks = tokens(col(textCol))
+    val bigrams = df
+      .select(col(idCol).as("id"), isTarget.as("__tgt"), toks.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col("id"), col("__tgt"), explode(
+        zip_with(
+          slice(col("__t"), lit(1), size(col("__t")) - 1),
+          slice(col("__t"), lit(2), size(col("__t")) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bg"))
+    val model = bigrams.groupBy(col("bg")).agg(
+      count(lit(1)).as("c_r"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("c_t"))
+    val s = model.agg(sum(col("c_r")), sum(col("c_t")), count(lit(1))).head()
+    val (nR, nT, v) = (s.getLong(0).toDouble, s.getLong(1).toDouble,
+      s.getLong(2).toDouble)
+    // Literal denominators precomputed with the same IEEE op order the
+    // oracle uses: alpha*V first, then the addition.
+    val denomT = nT + alpha * v
+    val denomR = nR + alpha * v
+    bigrams.join(model, Seq("bg"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+           sum(log2((col("c_t") + lit(alpha)) / lit(denomT)) -
+               log2((col("c_r") + lit(alpha)) / lit(denomR))).as("__llr"))
+      .select(col("id"), col("n_bigrams"),
+        round(col("__llr") / col("n_bigrams"), 4).as("dsir_logratio"))
+  }
+
   /** Statistical quality scoring via a corpus-trained bigram language model
     * (the CCNet-style perplexity filter, with the corpus itself as the
     * training set): per document, the mean negative log2-likelihood of its

@@ -575,7 +575,36 @@ object Pipeline {
     // 8-token spans removed everywhere but their first-occurrence doc ----
     "p45_span_cut" -> ((s, dir) => {
       Dedup.cutDuplicateSpans(docs(s, dir), "doc_id", "text", windowLen = 8)
+        // Always-true guard that CONSUMES clean_text: without it a bare
+        // count() (Bench) lets Catalyst eliminate the outer joins carrying
+        // the cut, timing an empty plan. No effect on the result set.
+        .where(length(col("clean_text")) >= 0)
         .orderBy(col("id"))
+    }),
+
+    // ---- curation funnel report: cumulative survivor counts of the
+    // standard quality-filter cascade (length -> lang -> quality ->
+    // repetition), one row per stage ----
+    "p46_filter_funnel" -> ((s, dir) => {
+      TextOps.filterFunnel(docs(s, dir), "doc_id", "text",
+        minTokens = 10, minQuality = 0.5, maxTokenShare = 0.2)
+        .orderBy(col("stage_idx"))
+    }),
+
+    // ---- DSIR importance weights: bigram log-likelihood ratio between
+    // the lang='en' target slice and the raw corpus (Xie et al. 2023) ----
+    "p47_dsir_weights" -> ((s, dir) => {
+      TextOps.importanceWeights(docs(s, dir), "doc_id", "text",
+        isTarget = col("lang") === "en", alpha = 0.5)
+        .orderBy(col("id"))
+    }),
+
+    // ---- quality-aware canonical selection: per near-dup cluster keep
+    // the highest-quality member, not the arbitrary lowest id ----
+    "p48_best_of_cluster" -> ((s, dir) => {
+      Dedup.bestOfCluster(docs(s, dir), "doc_id", "text",
+        TF.qualityScore(col("text")), shingleLen = 5, threshold = 0.5)
+        .orderBy(col("cluster_id"))
     })
   )
 
@@ -659,6 +688,109 @@ object Pipeline {
            FROM documents)
          SELECT doc_id, source, cast(rk AS integer) AS rk
          FROM r WHERE rk <= 10 ORDER BY doc_id""",
+
+    "p46_filter_funnel" ->
+      s"""WITH t AS (SELECT doc_id, $oNorm AS norm, $oToks AS toks FROM documents),
+        f AS (SELECT doc_id,
+                len(toks) >= 10 AS c1,
+                (CASE WHEN ' '||norm||' ' LIKE '% the %' OR ' '||norm||' ' LIKE '% and %' THEN 'en'
+                      WHEN ' '||norm||' ' LIKE '% le %' OR ' '||norm||' ' LIKE '% la %' THEN 'fr'
+                      WHEN ' '||norm||' ' LIKE '% der %' OR ' '||norm||' ' LIKE '% und %' THEN 'de'
+                      WHEN ' '||norm||' ' LIKE '% el %' OR ' '||norm||' ' LIKE '% los %' THEN 'es'
+                      ELSE 'unknown' END) <> 'unknown' AS c2,
+                round(
+                  least(len(toks)::double / 100.0, 1.0) * 0.4 +
+                  least((CASE WHEN len(toks) > 0
+                         THEN len(list_filter(toks, x -> x IN
+                           ('the','a','an','and','or','of','to','in','is','it')))::double / len(toks)
+                         ELSE 0.0 END) * 5.0, 1.0) * 0.3 +
+                  (CASE WHEN (CASE WHEN len(toks) > 0
+                              THEN length(regexp_replace(norm, ' ', '', 'g'))::double / len(toks)
+                              ELSE 0.0 END) BETWEEN 3.0 AND 10.0
+                        THEN 1.0 ELSE 0.5 END) * 0.3, 6) >= 0.5 AS c3
+              FROM t),
+        u AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS g FROM t),
+        m1 AS (SELECT doc_id, round(max(c)::double / greatest(max(n), 1), 6) AS share
+               FROM (SELECT doc_id, g, count(*) AS c, max(n) AS n
+                     FROM u GROUP BY doc_id, g)
+               GROUP BY doc_id),
+        p AS (SELECT f.doc_id, f.c1 AS p1, f.c1 AND f.c2 AS p2,
+                     f.c1 AND f.c2 AND f.c3 AS p3,
+                     f.c1 AND f.c2 AND f.c3 AND coalesce(m1.share, 0.0) <= 0.2 AS p4
+              FROM f LEFT JOIN m1 USING (doc_id)),
+        a AS (SELECT count(*) AS n0,
+                     cast(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS bigint) AS n1,
+                     cast(sum(CASE WHEN p2 THEN 1 ELSE 0 END) AS bigint) AS n2,
+                     cast(sum(CASE WHEN p3 THEN 1 ELSE 0 END) AS bigint) AS n3,
+                     cast(sum(CASE WHEN p4 THEN 1 ELSE 0 END) AS bigint) AS n4
+              FROM p)
+        SELECT 0 AS stage_idx, 'input' AS stage, n0 AS n_in, n0 AS n_out FROM a
+        UNION ALL SELECT 1, 'min_tokens', n0, n1 FROM a
+        UNION ALL SELECT 2, 'lang_known', n1, n2 FROM a
+        UNION ALL SELECT 3, 'quality', n2, n3 FROM a
+        UNION ALL SELECT 4, 'repetition', n3, n4 FROM a
+        ORDER BY stage_idx""",
+
+    "p47_dsir_weights" ->
+      s"""WITH t AS (SELECT doc_id, (lang = 'en') AS tgt, $oToks AS toks FROM documents),
+        bg AS (SELECT doc_id, tgt, unnest(list_transform(range(1, len(toks)),
+                 i -> list_extract(toks, i) || ' ' || list_extract(toks, i+1))) AS bg
+               FROM t WHERE len(toks) >= 2),
+        c AS (SELECT bg, count(*) AS c_r,
+                     sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS c_t
+              FROM bg GROUP BY bg),
+        s AS (SELECT sum(c_r)::double AS nr, sum(c_t)::double AS nt,
+                     count(*)::double AS v FROM c)
+        SELECT bg.doc_id AS id, count(*) AS n_bigrams,
+               round(sum(log2((c.c_t + 0.5) / (s.nt + 0.5 * s.v)) -
+                         log2((c.c_r + 0.5) / (s.nr + 0.5 * s.v)))
+                     / count(*), 4) AS dsir_logratio
+        FROM bg JOIN c USING (bg), s
+        GROUP BY bg.doc_id ORDER BY id""",
+
+    // Same recursive-CTE cluster derivation as p18, then the p04 quality
+    // formula picks each cluster's best member (ties to the lowest id).
+    "p48_best_of_cluster" ->
+      s"""WITH RECURSIVE t AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-5+2),
+                   i -> array_to_string(list_slice(toks, i, i+4), ' '))) AS sh
+          FROM (SELECT doc_id, string_split($oNorm, ' ') AS toks FROM documents)
+          WHERE len(toks) >= 5),
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM t a JOIN t b ON a.doc_id < b.doc_id
+          WHERE round(len(list_intersect(a.sh,b.sh))::double /
+                      len(list_distinct(a.sh || b.sh)), 6) >= 0.5),
+        e AS (SELECT id_a AS s, id_b AS d FROM p
+              UNION ALL SELECT id_b, id_a FROM p),
+        rec AS (
+          SELECT doc_id AS id, doc_id AS reach FROM documents
+          UNION
+          SELECT e.s, rec.reach FROM e JOIN rec ON e.d = rec.id),
+        cl AS (SELECT id AS doc_id, min(reach) AS cluster_id
+               FROM rec GROUP BY id),
+        q AS (SELECT doc_id,
+                round(
+                  least(len($oToks)::double / 100.0, 1.0) * 0.4 +
+                  least((CASE WHEN len($oToks) > 0
+                         THEN len(list_filter($oToks, x -> x IN
+                           ('the','a','an','and','or','of','to','in','is','it')))::double / len($oToks)
+                         ELSE 0.0 END) * 5.0, 1.0) * 0.3 +
+                  (CASE WHEN (CASE WHEN len($oToks) > 0
+                              THEN length(regexp_replace($oNorm, ' ', '', 'g'))::double / len($oToks)
+                              ELSE 0.0 END) BETWEEN 3.0 AND 10.0
+                        THEN 1.0 ELSE 0.5 END) * 0.3, 6) AS quality
+              FROM documents),
+        m AS (SELECT cl.cluster_id, cl.doc_id, q.quality,
+                     row_number() OVER (PARTITION BY cl.cluster_id
+                       ORDER BY q.quality DESC, cl.doc_id) AS rk
+              FROM cl JOIN q USING (doc_id)),
+        sz AS (SELECT cluster_id, count(*) AS n_members
+               FROM cl GROUP BY cluster_id)
+        SELECT m.cluster_id, m.doc_id AS keep_id, m.quality AS best_score,
+               sz.n_members
+        FROM m JOIN sz USING (cluster_id)
+        WHERE m.rk = 1 ORDER BY m.cluster_id""",
 
     "p01_dedup_exact_groups" ->
       s"""SELECT md5($oNorm) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies

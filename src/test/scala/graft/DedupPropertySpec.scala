@@ -433,6 +433,27 @@ class DedupPropertySpec extends AnyFunSuite {
       s"got ${out.toSeq}")
   }
 
+  test("bestOfCluster keeps the highest-quality member, not the lowest id") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    // Doc 11 = doc 10 plus four appended stopwords: 5-shingle jaccard
+    // 16/20 = 0.8 (near-dup), but the extra length + stopwords give it the
+    // higher quality score — so the canonical pick must be 11, which the
+    // lowest-id rule (minhashDedup) would discard.
+    val base = (0 until 20).map(i => s"word$i").mkString(" ")
+    val df = Seq(
+      (10L, base),
+      (11L, base + " the and of to"),
+      (50L, (100 until 140).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.bestOfCluster(df, "doc_id", "text",
+        TextFunctions.qualityScore(col("text")))
+      .orderBy("cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(out.toSeq == Seq((10L, 11L, 2L), (50L, 50L, 1L)),
+      s"got ${out.toSeq}")
+  }
+
   test("dupSpanCoverage plan: hash-keyed equi-join, no cartesian, no UDF") {
     import spark.implicits._
     val df = (1L to 60L).map(i =>

@@ -206,4 +206,71 @@ class TextOpsSpec extends AnyFunSuite {
       s"model join must be an equi-join:\n$plan")
     assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"))
   }
+
+  test("filterFunnel: each planted doc drops at exactly its stage") {
+    import spark.implicits._
+    val df = Seq(
+      // A: 2 tokens -> fails min_tokens.
+      (1L, "the cat"),
+      // B: 10 tokens, no marker words -> fails lang_known.
+      (2L, (1 to 10).map(i => s"zq$i").mkString(" ")),
+      // C: 10 tokens incl 'the' (en), quality 0.04+0.15+0.3 = 0.49 < 0.5.
+      (3L, "the abcd efgh ijkl mnop qrst uvwx yzab cdef ghij"),
+      // D: 100 tokens, 30x 'the' -> quality 1.0 but token share 0.3 > 0.2.
+      (4L, (Seq.fill(30)("the") ++ (1 to 70).map(i => s"ok$i")).mkString(" ")),
+      // E: 100 distinct tokens with 10 stopwords -> survives everything.
+      (5L, ("the a an and or of to in is it " +
+        (1 to 90).map(i => s"fin$i").mkString(" ")))
+    ).toDF("doc_id", "text")
+    val out = TextOps.filterFunnel(df, "doc_id", "text",
+        minTokens = 10, minQuality = 0.5, maxTokenShare = 0.2)
+      .orderBy("stage_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0, "input", 5L, 5L),
+      (1, "min_tokens", 5L, 4L),
+      (2, "lang_known", 4L, 3L),
+      (3, "quality", 3L, 2L),
+      (4, "repetition", 2L, 1L)), s"got ${out.toSeq}")
+  }
+
+  test("importanceWeights matches the hand-computed bigram ratio model") {
+    import spark.implicits._
+    // Target doc "a b a b": bigrams {a b:2, b a:1}; raw adds "a b c":
+    // {a b:1, b c:1}. N_t=3, N_r=5, V=3, alpha=0.5.
+    val df = Seq((1L, "a b a b", true), (2L, "a b c", false),
+        (3L, "solo", false))
+      .toDF("doc_id", "text", "is_tgt")
+    val out = TextOps.importanceWeights(df, "doc_id", "text",
+        isTarget = col("is_tgt"), alpha = 0.5)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def lr(ct: Double, cr: Double): Double =
+      math.log((ct + 0.5) / 4.5) / math.log(2) -
+        math.log((cr + 0.5) / 6.5) / math.log(2)
+    val exp1 = BigDecimal((2 * lr(2, 3) + lr(1, 1)) / 3)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp2 = BigDecimal((lr(2, 3) + lr(0, 1)) / 2)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq((1L, 3L), (2L, 2L)),
+      s"1-token docs must drop; got ${out.toSeq}")
+    assert(math.abs(out(0)._3 - exp1) < 1e-9, s"doc1 ${out(0)._3} != $exp1")
+    assert(math.abs(out(1)._3 - exp2) < 1e-9, s"doc2 ${out(1)._3} != $exp2")
+    // The target-looking doc must outscore the one with off-target mass.
+    assert(out(0)._3 > out(1)._3)
+  }
+
+  test("filterFunnel/importanceWeights plans: no UDFs, no cartesian") {
+    import spark.implicits._
+    val df = (1L to 40L).map(i => (i, s"the tok${i % 7} and tok${i % 5} end", i % 2 == 0))
+      .toDF("doc_id", "text", "is_tgt")
+    val p1 = TextOps.filterFunnel(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    val p2 = TextOps.importanceWeights(df, "doc_id", "text", col("is_tgt"))
+      .queryExecution.executedPlan.toString
+    Seq(p1, p2).foreach { p =>
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+      assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"))
+    }
+  }
 }
