@@ -445,6 +445,68 @@ object HashExpressions {
         l: Expression, r: Expression): InterleaveBits = copy(l, r)
   }
 
+  /** Bloom-filter membership probe over a LONG key, with `doGenCode` so the
+    * probe stays inside whole-stage codegen on the corpus hot path. The
+    * serialized filter travels as a plain constructor argument (like the
+    * other expressions' Int parameters): it rides to executors inside the
+    * serialized plan / codegen references array — the same transport Spark's
+    * own runtime bloom pruning uses — and deserializes ONCE per executor
+    * via the transient lazy val, not per row.
+    *
+    * May return true for absent keys (the bloom false-positive rate); never
+    * false for present keys — callers must treat a `true` as "candidate,
+    * verify exactly", which is why [[graft.operators.Dedup]] only uses this
+    * to PRUNE rows ahead of an exact join that re-checks every survivor.
+    */
+  case class BloomContainsLong(child: Expression, bloomData: Array[Byte])
+      extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "bloom_contains_long"
+
+    @transient lazy val bloom: org.apache.spark.util.sketch.BloomFilter =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bloomData))
+
+    override def nullSafeEval(v: Any): Any =
+      java.lang.Boolean.valueOf(bloom.mightContainLong(v.asInstanceOf[Long]))
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("bloom", bloom,
+        classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+      defineCodeGen(ctx, ev, v => s"$ref.mightContainLong($v)")
+    }
+
+    override protected def withNewChildInternal(c: Expression): BloomContainsLong =
+      copy(child = c)
+  }
+
+  def bloomContainsLong(key: Column, bloomData: Array[Byte]): Column = {
+    // Not registry-routed: the filter bytes are run-specific driver state,
+    // not something a SQL text can name. Column wrapping via expr-free
+    // constructor path: reuse call_function on a per-session registered
+    // closure would leak the bytes into the registry — instead build the
+    // Column directly from a registered helper on the session below.
+    org.apache.spark.sql.functions.call_function(
+      registerBloomTemp(key, bloomData), key)
+  }
+
+  // Column construction without non-public Column constructors: register a
+  // uniquely-named temp function closing over the filter bytes, matching the
+  // registry-routed pattern every other expression here uses. Names are
+  // content-addressed (hash of the filter) so repeated calls with the same
+  // filter reuse one entry instead of growing the registry.
+  private def registerBloomTemp(key: Column, bloomData: Array[Byte]): String = {
+    val spark = SparkSession.active
+    val name = "bloom_contains_" +
+      java.lang.Long.toHexString(hash64(bloomData) & Long.MaxValue)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => BloomContainsLong(exprs.head, bloomData), "scala_udf")
+    name
+  }
+
   /** Register SQL-callable forms on a session; `Column` accessors below go
     * through the registry so they work on any Spark build without relying on
     * non-public Column constructors.

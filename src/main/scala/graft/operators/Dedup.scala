@@ -640,7 +640,53 @@ object Dedup {
   def contaminationPairs(corpus: DataFrame, benchmark: DataFrame,
                          idCol: String, textCol: String,
                          shingleLen: Int = 5,
-                         minContainment: Double = 0.5): DataFrame = {
+                         minContainment: Double = 0.5): DataFrame =
+    contaminationCore(corpus, benchmark, idCol, textCol, shingleLen,
+      minContainment, prune = (cs, _) => cs)
+
+  /** [[contaminationPairs]] with a Bloom-filter pre-prune of the corpus
+    * side — the shape that matters when the benchmark's shingle set is too
+    * large to broadcast RAW but fits as a compact bitset: the driver builds
+    * a bloom over the benchmark's distinct shingle hashes (~1.2 bytes/key
+    * at fpp=0.01 — a 100M-shingle benchmark is a ~120 MB filter where the
+    * exact hash set would be 800 MB + join-table overhead) and every
+    * executor drops corpus shingles the filter rejects BEFORE the join
+    * shuffle. On a 100 TB corpus vs a benchmark suite, that eliminates the
+    * shuffle for effectively all of the corpus (a non-member shingle
+    * survives with probability fpp).
+    *
+    * Results are IDENTICAL to [[contaminationPairs]]: blooms have no false
+    * negatives, and every false positive is eliminated by the exact
+    * equi-join that follows — the filter only prunes, never decides. If the
+    * filter would exceed `maxFilterBytes`, the prefilter is skipped and
+    * this degrades to the plain join (same results, no broken broadcast).
+    */
+  def contaminationPairsBloom(corpus: DataFrame, benchmark: DataFrame,
+                              idCol: String, textCol: String,
+                              shingleLen: Int = 5,
+                              minContainment: Double = 0.5,
+                              fpp: Double = 0.01,
+                              maxFilterBytes: Long = 64L << 20): DataFrame =
+    contaminationCore(corpus, benchmark, idCol, textCol, shingleLen,
+      minContainment, prune = { (cs, bs) =>
+        val distinctSh = bs.select(col("sh")).distinct()
+        val n = math.max(distinctSh.count(), 1L)
+        val bits = org.apache.spark.util.sketch.BloomFilter
+          .optimalNumOfBits(n, fpp)
+        if (bits / 8 > maxFilterBytes) cs // honest fallback, same results
+        else {
+          val bloom = distinctSh.stat.bloomFilter("sh", n, fpp)
+          val bos = new java.io.ByteArrayOutputStream()
+          bloom.writeTo(bos)
+          cs.filter(HashExpressions.bloomContainsLong(col("sh"), bos.toByteArray))
+        }
+      })
+
+  private def contaminationCore(corpus: DataFrame, benchmark: DataFrame,
+                                idCol: String, textCol: String,
+                                shingleLen: Int, minContainment: Double,
+                                prune: (DataFrame, DataFrame) => DataFrame)
+      : DataFrame = {
     HashExpressions.register(corpus.sparkSession)
     val cs = corpus.select(col(idCol).as("cid"),
       explode(HashExpressions.shingleHashes(tokens(col(textCol)), shingleLen)).as("sh"))
@@ -650,7 +696,7 @@ object Dedup {
       .filter(size(col("__sharr")) > 0)
       .select(col("bid"), size(col("__sharr")).as("nb"),
         explode(col("__sharr")).as("sh"))
-    cs.join(bs, Seq("sh"))
+    prune(cs, bs).join(bs, Seq("sh"))
       .groupBy(col("cid"), col("bid"))
       .agg(count(lit(1)).as("__inter"), max(col("nb")).as("__nb"))
       .withColumn("containment",

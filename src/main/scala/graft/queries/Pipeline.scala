@@ -605,6 +605,19 @@ object Pipeline {
       Dedup.bestOfCluster(docs(s, dir), "doc_id", "text",
         TF.qualityScore(col("text")), shingleLen = 5, threshold = 0.5)
         .orderBy(col("cluster_id"))
+    }),
+
+    // ---- bloom-prefiltered decontamination: identical result to the
+    // exact join (the bloom only prunes; survivors are exactly verified),
+    // at a lower containment threshold than p26 so both paths and both
+    // thresholds are covered ----
+    "p49_bloom_decontamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contaminationPairsBloom(
+        d.filter(pmod(col("doc_id"), lit(10)) =!= 9),
+        d.filter(pmod(col("doc_id"), lit(10)) === 9),
+        "doc_id", "text", shingleLen = 5, minContainment = 0.3)
+        .orderBy(col("cid"), col("bid"))
     })
   )
 
@@ -1234,6 +1247,23 @@ object Pipeline {
                round(len(list_intersect(c.sh, b.sh))::double / len(b.sh), 6) AS containment
         FROM c, b
         WHERE len(list_intersect(c.sh, b.sh))::double / len(b.sh) >= 0.5
+        ORDER BY cid, bid""",
+
+    // The bloom prefilter cannot change results (no false negatives; false
+    // positives die in the exact join), so the oracle is p26's exact
+    // containment join at the lower threshold.
+    "p49_bloom_decontamination" ->
+      s"""WITH t AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-5+2),
+                   i -> array_to_string(list_slice(toks, i, i+4), ' '))) AS sh
+          FROM (SELECT doc_id, string_split($oNorm, ' ') AS toks FROM documents)
+          WHERE len(toks) >= 5),
+        c AS (SELECT * FROM t WHERE doc_id % 10 <> 9),
+        b AS (SELECT * FROM t WHERE doc_id % 10 = 9)
+        SELECT c.doc_id AS cid, b.doc_id AS bid,
+               round(len(list_intersect(c.sh, b.sh))::double / len(b.sh), 6) AS containment
+        FROM c, b
+        WHERE len(list_intersect(c.sh, b.sh))::double / len(b.sh) >= 0.3
         ORDER BY cid, bid""",
 
     "p19_deterministic_sample" ->

@@ -433,6 +433,53 @@ class DedupPropertySpec extends AnyFunSuite {
       s"got ${out.toSeq}")
   }
 
+  test("contaminationPairsBloom: identical results, bloom probe in the plan") {
+    import spark.implicits._
+    // Benchmark = 3 docs; corpus = 2 contaminated copies + 40 unrelated.
+    val bench = (0 until 3).map(i =>
+      (900L + i, (0 until 20).map(j => s"bm${i}_$j").mkString(" ")))
+    val contaminated = Seq(
+      (1L, (0 until 20).map(j => s"bm0_$j").mkString(" ") + " extra tail"),
+      (2L, (0 until 12).map(j => s"bm1_$j").mkString(" ")))
+    val clean = (100 until 140).map(i =>
+      (i.toLong, (0 until 20).map(j => s"cl${i}_$j").mkString(" ")))
+    val corpus = (contaminated ++ clean).toDF("doc_id", "text")
+    val benchDf = bench.toDF("doc_id", "text")
+    val exact = Dedup.contaminationPairs(corpus, benchDf, "doc_id", "text",
+      shingleLen = 5, minContainment = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val bloomed = Dedup.contaminationPairsBloom(corpus, benchDf, "doc_id", "text",
+      shingleLen = 5, minContainment = 0.3)
+    val got = bloomed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == exact && got.map(t => (t._1, t._2)) == Set((1L, 900L), (2L, 901L)),
+      s"bloom path must equal the exact join: $got vs $exact")
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_contains"),
+      s"corpus side must carry the bloom probe filter:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"))
+  }
+
+  test("BloomContainsLong: no false negatives, prunes non-members, codegen-able") {
+    import spark.implicits._
+    import graft.functions.HashExpressions
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
+    (0L until 1000L).foreach(i => bloom.putLong(i * 7919L))
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val bytes = bos.toByteArray
+    val members = (0L until 1000L).map(_ * 7919L).toDF("k")
+      .filter(HashExpressions.bloomContainsLong(col("k"), bytes)).count()
+    assert(members == 1000L, "a bloom filter must never reject a member")
+    val nonMembers = (1L to 10000L).map(_ * 7919L + 3L).toDF("k")
+      .filter(HashExpressions.bloomContainsLong(col("k"), bytes)).count()
+    assert(nonMembers < 500L, // fpp 0.01 with 10k probes: ~100 expected
+      s"bloom must prune the vast majority of non-members, kept $nonMembers")
+    // The probe participates in whole-stage codegen (not a fallback).
+    assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
+      .isAssignableFrom(classOf[HashExpressions.BloomContainsLong]))
+  }
+
   test("bestOfCluster keeps the highest-quality member, not the lowest id") {
     import spark.implicits._
     import graft.functions.TextFunctions
