@@ -141,6 +141,46 @@ object Sampling {
     mixSources(df, sourceCol, idCol, fractions)
   }
 
+  /** Deterministic global shuffle for training order: every row gets a
+    * `shuffle_pos` in [0, N) — its position in the corpus ordered by
+    * (seeded id hash, id) — so shard writers, resumed jobs, and external
+    * systems all reproduce the SAME training order from (data, seed) alone,
+    * with a different permutation per seed. The standard "shuffle the
+    * corpus before SGD" step, made a pure function of the data.
+    *
+    * Scale shape: the hash key is uniform on [0, 2^32), so key-range
+    * buckets are balanced BY CONSTRUCTION (no sampling, no skew); the
+    * global position is the same two-phase distributed prefix sum as
+    * [[packByBudget]] — per-bucket counts (≤P rows) to the driver, offsets
+    * folded back, within-bucket row_number — no single-partition window
+    * anywhere. Ties (hash collisions) break by id, so the permutation is
+    * total and layout-independent.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: Long = 0L,
+                           numPartitions: Int = 0): DataFrame = {
+    val m = 4294967296L // 2^32
+    require(seed >= 0 && seed < m, s"seed=$seed out of [0, 2^32)")
+    val p = if (numPartitions > 0) numPartitions
+            else df.sparkSession.sessionState.conf.numShufflePartitions
+    val key = pmod((pmod(col(idCol).cast("long"), lit(m)) + lit(seed)) *
+      lit(1103515245L), lit(m))
+    val width = m / p + (if (m % p == 0) 0L else 1L)
+    val withKey = df.withColumn("__sk", key)
+      .withColumn("__pid", (col("__sk") / lit(width)).cast("int"))
+    val totals = withKey.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until p).scanLeft(0L)((acc, i) => acc + totals.getOrElse(i, 0L))
+    val offsetExpr = (0 until p).foldLeft(lit(0L)) { (acc, i) =>
+      when(col("__pid") === i, lit(offsets(i))).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__sk"), col(idCol))
+    withKey
+      .withColumn("shuffle_pos",
+        offsetExpr + row_number().over(w).cast("long") - 1L)
+      .drop("__sk", "__pid")
+  }
+
   /** Pack id-ordered rows into contiguous shards of ~`budget` weight (e.g.
     * token count): shard = floor(exclusive-prefix-sum(weight) / budget).
     * The global prefix sum is computed scalably in two phases — range

@@ -618,6 +618,15 @@ object Pipeline {
         d.filter(pmod(col("doc_id"), lit(10)) === 9),
         "doc_id", "text", shingleLen = 5, minContainment = 0.3)
         .orderBy(col("cid"), col("bid"))
+    }),
+
+    // ---- deterministic global shuffle: reproducible training order as a
+    // pure function of (data, seed); distributed two-phase prefix sum, no
+    // single-partition window ----
+    "p50_deterministic_shuffle" -> ((s, dir) => {
+      Sampling.deterministicShuffle(docs(s, dir), "doc_id", seed = 12345L)
+        .select(col("doc_id"), col("shuffle_pos"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1265,6 +1274,13 @@ object Pipeline {
         FROM c, b
         WHERE len(list_intersect(c.sh, b.sh))::double / len(b.sh) >= 0.3
         ORDER BY cid, bid""",
+
+    "p50_deterministic_shuffle" ->
+      """SELECT doc_id,
+           cast(row_number() OVER (
+             ORDER BY ((doc_id % 4294967296 + 12345) * 1103515245) % 4294967296,
+                      doc_id) - 1 AS bigint) AS shuffle_pos
+         FROM documents ORDER BY doc_id""",
 
     "p19_deterministic_sample" ->
       """SELECT doc_id, source FROM documents

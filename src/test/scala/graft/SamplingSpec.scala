@@ -229,4 +229,33 @@ class SamplingSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"),
       s"rank<=k must push a group-limit below the shuffle:\n$plan")
   }
+
+  test("deterministicShuffle: exact permutation, seed-dependent, layout-stable") {
+    import spark.implicits._
+    val ids = (1L to 997L).toDF("id")
+    val pos = Sampling.deterministicShuffle(ids, "id", seed = 7L)
+      .select(col("id"), col("shuffle_pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // Positions are exactly 0..N-1 — a total permutation, no gap, no dup.
+    assert(pos.map(_._2).sorted.toSeq == (0L until 997L).toSeq)
+    // Not the identity order (the hash actually permutes).
+    assert(pos.sortBy(_._2).map(_._1).take(20).toSeq != (1L to 20L).toSeq)
+    // A different seed yields a different permutation.
+    val pos2 = Sampling.deterministicShuffle(ids, "id", seed = 8L)
+      .select(col("id"), col("shuffle_pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(pos.exists { case (id, p) => pos2(id) != p })
+    // Identical under a different physical layout (pure function of data).
+    val reparted = Sampling.deterministicShuffle(ids.repartition(13), "id",
+        seed = 7L)
+      .select(col("id"), col("shuffle_pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(pos.forall { case (id, p) => reparted(id) == p },
+      "shuffle_pos must not depend on partitioning")
+    // No single-partition exchange in the plan (the 100 TB guard).
+    val plan = Sampling.deterministicShuffle(ids, "id", seed = 7L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"global rank must not serialize through one partition:\n$plan")
+  }
 }
