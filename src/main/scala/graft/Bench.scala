@@ -34,7 +34,8 @@ object Bench {
     "p39_leakage_free_splits", "q70_stream_join", "q81_stream_dedup",
     "q82_stream_sessions", "p41_ngram_perplexity", "p42_dup_span_coverage",
     "p45_span_cut", "p47_dsir_weights", "p48_best_of_cluster",
-    "p49_bloom_decontamination", "p50_deterministic_shuffle")
+    "p49_bloom_decontamination", "p50_deterministic_shuffle",
+    "p51_cdc_chunks")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

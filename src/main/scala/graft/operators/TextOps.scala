@@ -42,6 +42,51 @@ object TextOps {
       .withColumn("n_chunk_tokens", size(split(col("chunk"), " ")))
   }
 
+  /** Content-defined chunking (the FastCDC/rsync family, at token
+    * granularity): a chunk boundary falls AFTER every token whose hash is
+    * ≡ 0 mod `avgChunkTokens`, so expected chunk length is
+    * `avgChunkTokens` and — unlike [[chunkByTokens]]'s fixed windows —
+    * boundaries are a function of CONTENT alone: inserting or deleting
+    * text shifts only the chunks it touches, and every later chunk keeps
+    * its identity (same text ⇒ same fingerprint). That shift-robustness is
+    * what makes chunk-level dedup work on incremental crawls, where
+    * yesterday's page returns with one extra paragraph.
+    *
+    * The boundary hash is [[graft.functions.HashExpressions.AsciiSum]] —
+    * deliberately DuckDB-mirrorable so the whole chunking is
+    * oracle-verifiable; production would swap in a stronger rolling hash
+    * (the plumbing is identical). Empty tokens are never boundaries (both
+    * engines agree by explicit guard).
+    *
+    * Scale shape: ONE shuffle on the doc id serves both the per-doc
+    * running boundary count (window) and the chunk reassembly groupBy —
+    * hash-partitioning on id satisfies the (id, chunk_id) clustering, so
+    * no second exchange. Work per doc is linear in its token count.
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                avgChunkTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(avgChunkTokens >= 2,
+      s"avgChunkTokens=$avgChunkTokens must be >= 2")
+    graft.functions.HashExpressions.register(df.sparkSession)
+    val toksPos = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .select(col("id"), posexplode(col("__toks")).as(Seq("pos", "tok")))
+    val flagged = toksPos.withColumn("__bd",
+      when(length(col("tok")) > 0 &&
+        pmod(graft.functions.HashExpressions.asciiSum(col("tok")),
+          lit(avgChunkTokens.toLong)) === 0, 1L).otherwise(0L))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    flagged
+      .withColumn("chunk_id", coalesce(sum(col("__bd")).over(w), lit(0L)))
+      .groupBy(col("id"), col("chunk_id"))
+      .agg(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ").as("chunk"),
+        count(lit(1)).cast("long").as("n_chunk_tokens"))
+  }
+
   /** PII patterns, applied in declaration order (SSN before phone so the
     * more specific pattern wins its span). RE2-compatible syntax — the same
     * patterns run under Java regex (Spark) and RE2-family engines.

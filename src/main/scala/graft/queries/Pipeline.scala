@@ -627,6 +627,26 @@ object Pipeline {
       Sampling.deterministicShuffle(docs(s, dir), "doc_id", seed = 12345L)
         .select(col("doc_id"), col("shuffle_pos"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- content-defined chunking + chunk-level cross-doc dedup signal:
+    // shift-robust boundaries (FastCDC family), per-doc duplicated-chunk
+    // fraction ----
+    "p51_cdc_chunks" -> ((s, dir) => {
+      val ch = TextOps.cdcChunks(docs(s, dir), "doc_id", "text",
+          avgChunkTokens = 16)
+        .withColumn("fp", md5(col("chunk")))
+      val dup = ch.groupBy(col("fp"))
+        .agg(min(col("id")).as("__mn"), max(col("id")).as("__mx"))
+        .filter(col("__mn") < col("__mx"))
+        .select(col("fp"), lit(1L).as("__d"))
+      ch.join(dup, Seq("fp"), "left_outer")
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_chunks"),
+             sum(when(col("__d").isNotNull, 1L).otherwise(0L)).as("n_dup_chunks"))
+        .withColumn("dup_frac",
+          round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6))
+        .orderBy(col("id"))
     })
   )
 
@@ -1281,6 +1301,29 @@ object Pipeline {
              ORDER BY ((doc_id % 4294967296 + 12345) * 1103515245) % 4294967296,
                       doc_id) - 1 AS bigint) AS shuffle_pos
          FROM documents ORDER BY doc_id""",
+
+    "p51_cdc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $oToks AS toks FROM documents),
+        tok AS (SELECT doc_id, j - 1 AS pos, list_extract(toks, j) AS tok
+                FROM t, unnest(range(1, len(toks) + 1)) AS u(j)),
+        b AS (SELECT doc_id, pos, tok,
+                CASE WHEN tok <> '' AND
+                  list_sum(list_transform(string_split(tok, ''), c -> ascii(c))) % 16 = 0
+                THEN 1 ELSE 0 END AS bd
+              FROM tok),
+        g AS (SELECT doc_id, pos, tok,
+                coalesce(sum(bd) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+              FROM b),
+        ch AS (SELECT doc_id, chunk_id,
+                 md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+               FROM g GROUP BY doc_id, chunk_id),
+        d AS (SELECT fp FROM ch GROUP BY fp HAVING min(doc_id) < max(doc_id))
+        SELECT ch.doc_id AS id, count(*) AS n_chunks,
+               count(d.fp) AS n_dup_chunks,
+               round(count(d.fp)::double / count(*), 6) AS dup_frac
+        FROM ch LEFT JOIN d ON ch.fp = d.fp
+        GROUP BY ch.doc_id ORDER BY id""",
 
     "p19_deterministic_sample" ->
       """SELECT doc_id, source FROM documents

@@ -260,6 +260,37 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(0)._3 > out(1)._3)
   }
 
+  test("cdcChunks: boundaries are content-defined and shift-robust") {
+    import spark.implicits._
+    // ascii_sum('p') = 112 = 16*7 -> 'p' is a boundary token at avg=16;
+    // t1..t5, x, y, z are not (sums mod 16 nonzero).
+    val a = "t1 t2 p t3 t4 p t5"
+    val shifted = "x y z " + a
+    val df = Seq((1L, a), (2L, shifted)).toDF("doc_id", "text")
+    val chunks = TextOps.cdcChunks(df, "doc_id", "text", avgChunkTokens = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val c1 = chunks.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq
+    val c2 = chunks.filter(_._1 == 2L).sortBy(_._2).map(_._3).toSeq
+    assert(c1 == Seq("t1 t2 p", "t3 t4 p", "t5"), s"doc1 chunks: $c1")
+    // Prefix insertion changes ONLY the first chunk; every later chunk
+    // keeps its exact identity — the CDC property fixed windows lack.
+    assert(c2 == Seq("x y z t1 t2 p", "t3 t4 p", "t5"), s"doc2 chunks: $c2")
+    // Token conservation: chunks partition the token stream in order.
+    assert(c1.mkString(" ") == a && c2.mkString(" ") == shifted)
+  }
+
+  test("cdcChunks plan: one exchange serves window and reassembly") {
+    import spark.implicits._
+    val df = (1L to 40L).map(i => (i, s"w${i % 11} p w${i % 7} q"))
+      .toDF("doc_id", "text")
+    val plan = TextOps.cdcChunks(df, "doc_id", "text", 16)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"id-partitioning must serve both window and groupBy, got $exchanges:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"))
+  }
+
   test("filterFunnel/importanceWeights plans: no UDFs, no cartesian") {
     import spark.implicits._
     val df = (1L to 40L).map(i => (i, s"the tok${i % 7} and tok${i % 5} end", i % 2 == 0))
