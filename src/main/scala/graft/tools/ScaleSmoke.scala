@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{GraftSession, Tables}
-import graft.operators.{Dedup, Similarity, TextOps}
+import graft.operators.{Dedup, Sampling, Similarity, TextOps}
 
 /** Empirical scale check for the flagship pipeline operators: amplify the
   * sf0.1 corpus N× in-memory (id-remapped copies — same text/embedding
@@ -112,6 +112,16 @@ object ScaleSmoke {
         .agg(sum(col("n_tokens_cut")), sum(length(col("clean_text"))))
         .collect().length.toLong,
       docs1, docsN, "cutDuplicateSpans")
+    // Global training-order shuffle (two-phase prefix sum — its claim is
+    // precisely "no single-partition bottleneck", so the exponent is the
+    // evidence) and CDC chunking (window + reassembly on one shuffle).
+    // Both aggregate over the computed column so nothing is eliminated.
+    bench2(df => Sampling.deterministicShuffle(df, "doc_id")
+        .agg(max(col("shuffle_pos"))).collect().length.toLong,
+      docs1, docsN, "deterministicShuffle")
+    bench2(df => TextOps.cdcChunks(df, "doc_id", "text", avgChunkTokens = 16)
+        .agg(sum(length(col("chunk")))).collect().length.toLong,
+      docs1, docsN, "cdcChunks")
     spark.stop()
   }
 }
