@@ -167,9 +167,16 @@ object Sampling {
     val width = m / p + (if (m % p == 0) 0L else 1L)
     val withKey = df.withColumn("__sk", key)
       .withColumn("__pid", (col("__sk") / lit(width)).cast("int"))
-    val totals = withKey.groupBy(col("__pid"))
+    val totalRows = withKey.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .collect()
+    // A null id hashes to a null bucket and has no position in the
+    // permutation — fail loudly (matching packByBudget) instead of
+    // emitting colliding or null positions.
+    require(!totalRows.exists(_.isNullAt(0)),
+      s"deterministicShuffle: rows with a null `$idCol` have no shuffle " +
+        "position; filter or key them first")
+    val totals = totalRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until p).scanLeft(0L)((acc, i) => acc + totals.getOrElse(i, 0L))
     val offsetExpr = (0 until p).foldLeft(lit(0L)) { (acc, i) =>
       when(col("__pid") === i, lit(offsets(i))).otherwise(acc)

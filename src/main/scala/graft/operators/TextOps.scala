@@ -317,12 +317,14 @@ object TextOps {
         (col("c1") && col("c2") && col("c3")).as("p3"),
         (col("c1") && col("c2") && col("c3") &&
           col("max_token_share") <= maxTokenShare).as("p4"))
+    // coalesce: sums over an EMPTY corpus are null — the funnel must then
+    // report five all-zero stages, not five null rows.
     val agg = cums.agg(
       count(lit(1)).as("n0"),
-      sum(col("p1").cast("long")).as("n1"),
-      sum(col("p2").cast("long")).as("n2"),
-      sum(col("p3").cast("long")).as("n3"),
-      sum(col("p4").cast("long")).as("n4"))
+      coalesce(sum(col("p1").cast("long")), lit(0L)).as("n1"),
+      coalesce(sum(col("p2").cast("long")), lit(0L)).as("n2"),
+      coalesce(sum(col("p3").cast("long")), lit(0L)).as("n3"),
+      coalesce(sum(col("p4").cast("long")), lit(0L)).as("n4"))
     def stage(i: Int, name: String, nIn: Column, nOut: Column) =
       struct(lit(i).as("stage_idx"), lit(name).as("stage"),
         nIn.as("n_in"), nOut.as("n_out"))
@@ -374,6 +376,15 @@ object TextOps {
       count(lit(1)).as("c_r"),
       sum(when(col("__tgt"), 1L).otherwise(0L)).as("c_t"))
     val s = model.agg(sum(col("c_r")), sum(col("c_t")), count(lit(1))).head()
+    // Empty corpus / no doc with >= 2 tokens: the sums aggregate nothing
+    // and come back null — return the (empty) correctly-typed result
+    // instead of NPEing on getLong.
+    if (s.isNullAt(0)) {
+      return bigrams.groupBy(col("id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          lit(0.0).as("dsir_logratio"))
+        .select(col("id"), col("n_bigrams"), col("dsir_logratio"))
+    }
     val (nR, nT, v) = (s.getLong(0).toDouble, s.getLong(1).toDouble,
       s.getLong(2).toDouble)
     // Literal denominators precomputed with the same IEEE op order the

@@ -47,4 +47,38 @@ class EdgeCaseSpec extends AnyFunSuite {
     val groups = nulled.groupBy(col("k")).agg(count(lit(1)).as("n")).collect()
     assert(groups.length == 1 && groups(0).isNullAt(0) && groups(0).getLong(1) == 100L)
   }
+
+  test("round-6 operators on degenerate input: empty corpus, no bigrams, null ids") {
+    import spark.implicits._
+    import graft.operators.{Sampling, TextOps}
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // filterFunnel on an empty corpus: five all-zero stages, no nulls.
+    val funnel = TextOps.filterFunnel(empty, "doc_id", "text")
+      .orderBy("stage_idx").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(funnel.length == 5 && funnel.forall(t => t._2 == 0L && t._3 == 0L),
+      s"empty funnel must be all zeros: ${funnel.toSeq}")
+    // importanceWeights when NO document has two tokens (model is empty):
+    // empty typed result, not an NPE on the null model scalars.
+    val short = Seq((1L, "solo"), (2L, "x")).toDF("doc_id", "text")
+    val iw = TextOps.importanceWeights(short, "doc_id", "text", lit(true))
+    assert(iw.count() == 0 &&
+      iw.columns.toSeq == Seq("id", "n_bigrams", "dsir_logratio"))
+    assert(TextOps.importanceWeights(empty, "doc_id", "text", lit(true))
+      .count() == 0)
+    // deterministicShuffle: a null id has no position — loud failure.
+    val withNull = Seq(Some(1L), Some(2L), None).toDF("id")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.deterministicShuffle(withNull, "id").collect()
+    }
+    assert(e.getMessage.contains("null"), e.getMessage)
+    // Empty input shuffles to an empty permutation.
+    assert(Sampling.deterministicShuffle(empty.select(col("doc_id").as("id")),
+      "id").count() == 0)
+    // cdcChunks drops null/empty-token docs instead of erroring.
+    val nullText = Seq((1L, "a b c"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    assert(TextOps.cdcChunks(nullText, "doc_id", "text", 16)
+      .select(col("id")).distinct().collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
 }
