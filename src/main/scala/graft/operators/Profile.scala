@@ -40,4 +40,36 @@ object Profile {
         min(col("v")).as("min_value"),
         max(col("v")).as("max_value"))
   }
+
+  /** Join/partition-key skew report: the top-`k` heaviest values of
+    * `keyCol` with their row counts, corpus share, and skew factor
+    * (count / mean-count-per-distinct-value). The question every shuffle
+    * plan at 100 TB hangs on — "is this key safe to partition by, or does
+    * one value own a reducer?" — answered BEFORE the job runs; feed the
+    * flagged values to [[graft.operators.Skew.saltedJoin]] or AQE's skew
+    * handling.
+    *
+    * Shape: one map-side-combined (key) count — shuffle carries one row
+    * per distinct key — then the corpus totals fold in from a single-row
+    * aggregate and a TakeOrderedAndProject keeps the top-k; nulls count as
+    * a key (a mostly-null join column is the worst skew of all). Ties
+    * break by key string for determinism.
+    */
+  def skewReport(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val t = counts.agg(sum(col("n")), count(lit(1))).head()
+    if (t.isNullAt(0))
+      return counts.select(col("key"), col("n"),
+        lit(0.0).as("share"), lit(0.0).as("skew_factor"))
+    val (total, distinct) = (t.getLong(0), t.getLong(1))
+    val mean = total.toDouble / distinct
+    counts
+      .orderBy(col("n").desc, col("key"))
+      .limit(k)
+      .select(col("key"), col("n"),
+        round(col("n").cast("double") / total, 6).as("share"),
+        round(col("n").cast("double") / mean, 6).as("skew_factor"))
+  }
 }

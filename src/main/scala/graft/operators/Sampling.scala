@@ -141,6 +141,40 @@ object Sampling {
     mixSources(df, sourceCol, idCol, fractions)
   }
 
+  /** [[temperatureMixture]] with source sizes measured in a WEIGHT column
+    * (token or byte counts) instead of document counts — training budgets
+    * are token budgets, and a source of few huge documents must be treated
+    * as large. q_i ∝ w_i^alpha over per-source total weight w_i; keep
+    * fraction f_i = min(1, budget·q_i/w_i), so expected kept WEIGHT per
+    * source is budget·q_i (capped). Membership stays the same pure
+    * [[bucketHash]] of the id: a document is kept or dropped atomically
+    * (fractional-document budgets make no sense for training), so realized
+    * weight converges to the target as corpus size grows.
+    *
+    * Same scale shape as the unweighted form: one |sources|-row aggregate
+    * to the driver, fractions rounded to 6 decimals for cross-engine
+    * re-derivation, one narrow filter pass, no corpus shuffle.
+    */
+  def temperatureMixtureWeighted(df: DataFrame, sourceCol: String,
+                                 idCol: String, weightCol: String,
+                                 budget: Long, alpha: Double = 0.5): DataFrame = {
+    require(budget >= 1, s"budget=$budget must be >= 1")
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha=$alpha out of (0,1]")
+    val weights = df.groupBy(col(sourceCol))
+      .agg(sum(col(weightCol)).cast("long").as("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(weights.nonEmpty, "corpus has no rows")
+    require(weights.values.forall(_ > 0),
+      s"every source needs positive total `$weightCol`; got ${weights.filter(_._2 <= 0)}")
+    val denom = weights.values.map(w => math.pow(w.toDouble, alpha)).sum
+    val fractions = weights.map { case (src, w) =>
+      val q = math.pow(w.toDouble, alpha) / denom
+      val f = math.min(1.0, budget * q / w)
+      src -> (math.round(f * 1e6) / 1e6)
+    }
+    mixSources(df, sourceCol, idCol, fractions)
+  }
+
   /** Deterministic global shuffle for training order: every row gets a
     * `shuffle_pos` in [0, N) — its position in the corpus ordered by
     * (seeded id hash, id) — so shard writers, resumed jobs, and external

@@ -647,6 +647,22 @@ object Pipeline {
         .withColumn("dup_frac",
           round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6))
         .orderBy(col("id"))
+    }),
+
+    // ---- token-budget temperature mixture: source sizes measured in
+    // chars (the training-budget unit), not documents ----
+    "p52_token_temperature" -> ((s, dir) => {
+      Sampling.temperatureMixtureWeighted(docs(s, dir), "source", "doc_id",
+        "n_chars", budget = 20000L, alpha = 0.5)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- join-key skew report: top heavy hitters of a shuffle key with
+    // share and skew factor — the pre-flight check for partitioning ----
+    "p53_skew_report" -> ((s, dir) => {
+      Profile.skewReport(Tables.load(s, dir, "lineitem"), "l_partkey", k = 10)
+        .orderBy(col("n").desc, col("key"))
     })
   )
 
@@ -1324,6 +1340,28 @@ object Pipeline {
                round(count(d.fp)::double / count(*), 6) AS dup_frac
         FROM ch LEFT JOIN d ON ch.fp = d.fp
         GROUP BY ch.doc_id ORDER BY id""",
+
+    "p52_token_temperature" ->
+      """WITH c AS (SELECT source, sum(n_chars)::double AS w
+                    FROM documents GROUP BY source),
+         s AS (SELECT sum(sqrt(w)) AS denom FROM c),
+         f AS (SELECT source,
+                 round(least(1.0, 20000 * (sqrt(w) / denom) / w) * 1000000)
+                   / 1000000 AS keep
+               FROM c, s)
+         SELECT d.doc_id, d.source
+         FROM documents d JOIN f ON d.source = f.source
+         WHERE ((d.doc_id % 4294967296) * 1103515245) % 4294967296 <
+               cast(trunc(f.keep * 4294967296.0) AS bigint)
+         ORDER BY d.doc_id""",
+
+    "p53_skew_report" ->
+      """WITH c AS (SELECT cast(l_partkey AS varchar) AS key, count(*) AS n
+                    FROM lineitem GROUP BY 1),
+         t AS (SELECT sum(n)::double AS total, count(*)::double AS nd FROM c)
+         SELECT key, n, round(n / t.total, 6) AS share,
+                round(n / (t.total / t.nd), 6) AS skew_factor
+         FROM c, t ORDER BY n DESC, key LIMIT 10""",
 
     "p19_deterministic_sample" ->
       """SELECT doc_id, source FROM documents

@@ -50,4 +50,23 @@ class ProfileSpec extends AnyFunSuite {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(shuffles == 2, s"expected 2 hash exchanges, got $shuffles:\n$plan")
   }
+
+  test("skewReport surfaces the planted heavy hitter with the right factor") {
+    import spark.implicits._
+    // 900 rows of key 7 + 100 distinct singleton keys + 10 nulls:
+    // 102 distinct keys (null counts), total 1010, mean ≈ 9.902.
+    val d = (Seq.fill(900)(Some(7L)) ++ (1000L to 1099L).map(Some(_)) ++
+      Seq.fill(10)(Option.empty[Long])).toDF("k")
+    val rows = Profile.skewReport(d, "k", k = 3).collect()
+    assert(rows.length == 3)
+    val top = rows.head
+    assert(top.getString(0) == "7" && top.getLong(1) == 900L)
+    assert(math.abs(top.getDouble(2) - 900.0 / 1010) < 1e-6)
+    assert(top.getDouble(3) > 80.0, // 900 / (1010/102) ≈ 90.9
+      s"skew factor must flag the hitter: ${top.getDouble(3)}")
+    // Null keys are a reported group (mostly-null join keys ARE skew).
+    assert(rows.exists(r => r.isNullAt(0) && r.getLong(1) == 10L))
+    // Empty input: empty report, no division by zero.
+    assert(Profile.skewReport(d.filter(lit(false)), "k").count() == 0)
+  }
 }

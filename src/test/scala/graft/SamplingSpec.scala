@@ -230,6 +230,32 @@ class SamplingSpec extends AnyFunSuite {
       s"rank<=k must push a group-limit below the shuffle:\n$plan")
   }
 
+  test("temperatureMixtureWeighted: few huge docs count as a LARGE source") {
+    import spark.implicits._
+    // srcBig: 20 docs of 10k chars (200k total); srcSmall: 200 docs of
+    // 100 chars (20k total). By DOC count srcSmall is 10x bigger; by
+    // weight srcBig is 10x bigger — the weighted mixture must downsample
+    // srcBig harder (lower keep fraction) despite its tiny doc count.
+    val df = ((1L to 20L).map(i => (i, "srcBig", 10000L)) ++
+      (101L to 300L).map(i => (i, "srcSmall", 100L)))
+      .toDF("id", "source", "n_chars")
+    val kept = Sampling.temperatureMixtureWeighted(df, "source", "id",
+        "n_chars", budget = 100000L, alpha = 0.5)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // q ∝ sqrt(w): qBig ≈ 0.76, qSmall ≈ 0.24. fBig = 1e5*0.76/200000
+    // ≈ 0.38; fSmall = min(1, 1e5*0.24/20000) = min(1, 1.2) -> all 200.
+    assert(kept.getOrElse("srcSmall", 0L) == 200L,
+      s"small-weight source must keep everything: $kept")
+    assert(kept.getOrElse("srcBig", 0L) < 15L,
+      s"heavy-weight source must downsample despite few docs: $kept")
+    // Zero/negative weights are rejected loudly.
+    val bad = Seq((1L, "s", 0L)).toDF("id", "source", "n_chars")
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMixtureWeighted(bad, "source", "id", "n_chars", 10L)
+    }
+  }
+
   test("deterministicShuffle: exact permutation, seed-dependent, layout-stable") {
     import spark.implicits._
     val ids = (1L to 997L).toDF("id")
