@@ -153,6 +153,74 @@ object VectorExpressions {
         l: Expression, r: Expression): L2Squared = copy(l, r)
   }
 
+  /** Johnson–Lindenstrauss sign projection kernel: out[j] = Σ_d ±x_d,
+    * sign from an arithmetic hash of (d·outDims + j + seed) — the same
+    * LCG-multiplier hash as `Sampling.bucketHash`, so a SQL oracle
+    * re-derives the exact matrix. Accumulation is d-ascending per output
+    * dim (bit-identical to `list_sum(list_transform(range(...)))`).
+    * Returns null if the input array is null or any element is null.
+    */
+  def signProjectJava(a: ArrayData, aFloat: Boolean, outDims: Int,
+                      seed: Long): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Double](outDims)
+    var j = 0
+    while (j < outDims) {
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        if (a.isNullAt(d)) return null
+        val x = if (aFloat) a.getFloat(d).toDouble else a.getDouble(d)
+        val h = ((d.toLong * outDims + j + seed) * 1103515245L) & 0xFFFFFFFFL
+        acc += (if (h < 2147483648L) x else -x)
+        d += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** sign_project(array<float|double>, outDims, seed) -> array<double>:
+    * the 4–16× dimensionality cut applied before ANN indexing at corpus
+    * scale (JL lemma: random ±1 projections preserve pairwise geometry in
+    * expectation). Codegen'd for the same hot-path reason as [[DotProduct]];
+    * the deterministic hash-derived matrix means no driver-held state and
+    * no broadcast — any executor (or engine) regenerates the same matrix.
+    */
+  case class SignProject(child: Expression, outDims: Int, seed: Long)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def prettyName: String = "sign_project"
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+
+    private lazy val childFloat = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case ArrayType(DoubleType, _) => false
+      case other => throw new IllegalArgumentException(
+        s"sign_project expects array<float> or array<double>, got " +
+          s"${other.simpleString}; cast the argument")
+    }
+
+    override def nullSafeEval(a: Any): Any =
+      signProjectJava(a.asInstanceOf[ArrayData], childFloat, outDims, seed)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val res = ctx.freshName("projRes")
+        s"""
+           |org.apache.spark.sql.catalyst.util.ArrayData $res =
+           |  graft.functions.VectorExpressions.signProjectJava(
+           |    $a, $childFloat, $outDims, ${seed}L);
+           |if ($res == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $res; }
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): SignProject =
+      copy(child = c)
+  }
+
   /** Coerced constructors — the single builder both registration paths
     * (session extension injection and temp-function registration) share.
     */
@@ -160,12 +228,24 @@ object VectorExpressions {
     DotProduct(coerce(a), coerce(b))
   def l2sqExpr(a: Expression, b: Expression): Expression =
     L2Squared(coerce(a), coerce(b))
+  def signProjectExpr(a: Expression, outDims: Int, seed: Long): Expression =
+    SignProject(coerce(a), outDims, seed)
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_f", exprs => dotExpr(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "l2sq_f", exprs => l2sqExpr(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sign_project", exprs => {
+        val row = org.apache.spark.sql.catalyst.InternalRow.empty
+        val dims = exprs(1).eval(row).asInstanceOf[Int]
+        val seed = exprs(2).eval(row) match {
+          case i: Int => i.toLong
+          case l: Long => l
+        }
+        signProjectExpr(exprs(0), dims, seed)
+      }, "scala_udf")
   }
 
   // The Column API resolves through the function registry (public-API-only
@@ -187,5 +267,12 @@ object VectorExpressions {
   def l2sqF(a: Column, b: Column): Column = {
     ensureRegistered()
     call_function("l2sq_f", a, b)
+  }
+
+  def signProjectF(vec: Column, outDims: Int, seed: Long): Column = {
+    ensureRegistered()
+    call_function("sign_project", vec,
+      org.apache.spark.sql.functions.lit(outDims),
+      org.apache.spark.sql.functions.lit(seed))
   }
 }

@@ -663,6 +663,17 @@ object Pipeline {
     "p53_skew_report" -> ((s, dir) => {
       Profile.skewReport(Tables.load(s, dir, "lineitem"), "l_partkey", k = 10)
         .orderBy(col("n").desc, col("key"))
+    }),
+
+    // ---- JL sign projection: 64 -> 16 dims via a hash-derived ±1 matrix
+    // (no driver state, any engine regenerates the matrix); exploded to
+    // scalar rows for the exact oracle compare ----
+    "p54_sign_projection" -> ((s, dir) => {
+      emb(s, dir).select(col("vec_id"),
+          posexplode(graft.functions.VectorExpressions.signProjectF(
+            col("embedding"), 16, 42L)).as(Seq("dim", "__v")))
+        .select(col("vec_id"), col("dim"), round(col("__v"), 6).as("v"))
+        .orderBy(col("vec_id"), col("dim"))
     })
   )
 
@@ -1362,6 +1373,15 @@ object Pipeline {
          SELECT key, n, round(n / t.total, 6) AS share,
                 round(n / (t.total / t.nd), 6) AS skew_factor
          FROM c, t ORDER BY n DESC, key LIMIT 10""",
+
+    "p54_sign_projection" ->
+      """SELECT e.vec_id, j.d AS dim,
+           round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+             i -> e.embedding[i]::double *
+               (CASE WHEN (((i - 1) * 16 + j.d + 42) * 1103515245) % 4294967296
+                          < 2147483648 THEN 1.0 ELSE -1.0 END))), 6) AS v
+         FROM embeddings e, unnest(range(0, 16)) AS j(d)
+         ORDER BY vec_id, dim""",
 
     "p19_deterministic_sample" ->
       """SELECT doc_id, source FROM documents

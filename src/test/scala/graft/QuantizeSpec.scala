@@ -47,4 +47,40 @@ class QuantizeSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), "quantization must not shuffle")
     assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"))
   }
+
+  test("signProject: deterministic, balanced matrix, geometry-preserving") {
+    import spark.implicits._
+    import graft.functions.VectorExpressions
+    val rnd = new scala.util.Random(11)
+    def vec(): Seq[Float] = Seq.fill(64)(rnd.nextFloat() * 2 - 1)
+    val base = (0 until 30).map(i => (i.toLong, vec()))
+    // Near-dups: tiny perturbation of bases 0-9.
+    val dups = (0 until 10).map(i =>
+      (100L + i, base(i)._2.map(x => x + 0.001f)))
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val proj = df.select(col("vec_id"),
+        VectorExpressions.signProjectF(col("embedding"), 16, 7L).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(proj.values.forall(_.length == 16))
+    // Determinism: same input -> same projection (run twice).
+    val proj2 = df.select(col("vec_id"),
+        VectorExpressions.signProjectF(col("embedding"), 16, 7L).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(proj == proj2)
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    // Near-dup pairs project close; random pairs project far — the JL
+    // geometry that makes the projection usable for ANN bucketing.
+    val dupDist = (0 until 10).map(i => l2(proj(i.toLong), proj(100L + i)))
+    val farDist = (0 until 10).map(i => l2(proj(i.toLong), proj((i + 15).toLong)))
+    assert(dupDist.max < farDist.min / 10,
+      s"dup distances $dupDist must be far below random $farDist")
+    // Matrix balance: ± signs near 50/50 (hash uniformity) — measured by
+    // projecting the all-ones vector: each out dim = (#plus - #minus).
+    val ones = Seq((0L, Seq.fill(64)(1.0f))).toDF("vec_id", "embedding")
+    val sums = ones.select(VectorExpressions.signProjectF(col("embedding"), 16, 7L))
+      .head().getSeq[Double](0)
+    assert(sums.forall(s => math.abs(s) <= 24),
+      s"sign matrix badly unbalanced: $sums")
+  }
 }
