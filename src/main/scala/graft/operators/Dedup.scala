@@ -274,6 +274,31 @@ object Dedup {
       maxIters)
       .select(col("id").as(idCol), col("cluster_id"))
 
+  /** Corpus snapshot diff: per-id status between two snapshots of a
+    * corpus — `added` (only in the new snapshot), `removed` (only in the
+    * old), `changed` (present in both, normalized-text fingerprint
+    * differs), `unchanged`. The first question of every incremental
+    * crawl/ingest cycle ("what actually changed since yesterday"), and
+    * the input that scopes downstream work: only `added`/`changed` rows
+    * need re-dedup, re-scoring, or re-embedding.
+    *
+    * Scale shape: each side reduces to a slim (id, 16-byte fingerprint)
+    * relation before the single full-outer equi-join on the id — document
+    * text never crosses the shuffle. Bucket both snapshots by the id
+    * column to make the join exchange-free on repeated daily runs.
+    */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    def fps(df: DataFrame, fpName: String) =
+      df.select(col(idCol).as("id"), fingerprint(col(textCol)).as(fpName))
+    fps(oldDf, "__fp_old").join(fps(newDf, "__fp_new"), Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("__fp_old").isNull, "added")
+          .when(col("__fp_new").isNull, "removed")
+          .when(col("__fp_old") =!= col("__fp_new"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Quality-aware canonical selection: per near-dup cluster, keep the
     * member with the HIGHEST `score` (ties break to the lowest id) instead
     * of [[minhashDedup]]'s arbitrary lowest-id survivor — the production

@@ -674,6 +674,20 @@ object Pipeline {
             col("embedding"), 16, 42L)).as(Seq("dim", "__v")))
         .select(col("vec_id"), col("dim"), round(col("__v"), 6).as("v"))
         .orderBy(col("vec_id"), col("dim"))
+    }),
+
+    // ---- corpus snapshot diff: synthetic old/new snapshots carved from
+    // the documents table (old = id%7!=0 as-is; new = id%5!=0 with every
+    // id%3==0 doc edited) -> per-id added/removed/changed/unchanged ----
+    "p55_corpus_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val oldSnap = d.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      val newSnap = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      Dedup.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+        .orderBy(col("id"))
     })
   )
 
@@ -1382,6 +1396,22 @@ object Pipeline {
                           < 2147483648 THEN 1.0 ELSE -1.0 END))), 6) AS v
          FROM embeddings e, unnest(range(0, 16)) AS j(d)
          ORDER BY vec_id, dim""",
+
+    "p55_corpus_diff" ->
+      s"""WITH o AS (SELECT doc_id, md5($oNorm) AS fp
+                     FROM documents WHERE doc_id % 7 <> 0),
+         n AS (SELECT doc_id,
+                 md5(trim(lower(regexp_replace(
+                   CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END,
+                   '\\s+', ' ', 'g')))) AS fp
+               FROM documents WHERE doc_id % 5 <> 0)
+         SELECT coalesce(o.doc_id, n.doc_id) AS id,
+                CASE WHEN o.doc_id IS NULL THEN 'added'
+                     WHEN n.doc_id IS NULL THEN 'removed'
+                     WHEN o.fp <> n.fp THEN 'changed'
+                     ELSE 'unchanged' END AS status
+         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+         ORDER BY id""",
 
     "p19_deterministic_sample" ->
       """SELECT doc_id, source FROM documents

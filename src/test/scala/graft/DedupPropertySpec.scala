@@ -480,6 +480,23 @@ class DedupPropertySpec extends AnyFunSuite {
       .isAssignableFrom(classOf[HashExpressions.BloomContainsLong]))
   }
 
+  test("corpusDiff labels added/removed/changed/unchanged correctly") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, "alpha text"), (2L, "bravo text"),
+      (3L, "charlie text")).toDF("doc_id", "text")
+    val newSnap = Seq((2L, "bravo text"), (3L, "charlie EDITED"),
+      (4L, "delta text"),
+      // Whitespace/case-only edits are NOT changes: the fingerprint
+      // normalizes, so reformatting a page doesn't trigger reprocessing.
+      (5L, "echo  Text"), (6L, "foxtrot")).toDF("doc_id", "text")
+    val withEcho = oldSnap.union(Seq((5L, "echo text"), (6L, "foxtrot old"))
+      .toDF("doc_id", "text"))
+    val out = Dedup.corpusDiff(withEcho, newSnap, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+      4L -> "added", 5L -> "unchanged", 6L -> "changed"), s"got $out")
+  }
+
   test("bestOfCluster keeps the highest-quality member, not the lowest id") {
     import spark.implicits._
     import graft.functions.TextFunctions
