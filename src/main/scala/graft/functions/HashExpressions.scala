@@ -483,28 +483,21 @@ object HashExpressions {
       copy(child = c)
   }
 
+  // Registry-routed like every other expression here, but through ONE
+  // fixed registration: the filter bytes travel as a BINARY literal
+  // argument the builder evaluates at analysis time. A per-filter closure
+  // registration would leak each (up to maxFilterBytes) byte array into
+  // sessionState.functionRegistry forever; a literal lives and dies with
+  // the plan that carries it.
   def bloomContainsLong(key: Column, bloomData: Array[Byte]): Column = {
-    // Not registry-routed: the filter bytes are run-specific driver state,
-    // not something a SQL text can name. Column wrapping via expr-free
-    // constructor path: reuse call_function on a per-session registered
-    // closure would leak the bytes into the registry — instead build the
-    // Column directly from a registered helper on the session below.
-    org.apache.spark.sql.functions.call_function(
-      registerBloomTemp(key, bloomData), key)
-  }
-
-  // Column construction without non-public Column constructors: register a
-  // uniquely-named temp function closing over the filter bytes, matching the
-  // registry-routed pattern every other expression here uses. Names are
-  // content-addressed (hash of the filter) so repeated calls with the same
-  // filter reuse one entry instead of growing the registry.
-  private def registerBloomTemp(key: Column, bloomData: Array[Byte]): String = {
     val spark = SparkSession.active
-    val name = "bloom_contains_" +
-      java.lang.Long.toHexString(hash64(bloomData) & Long.MaxValue)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => BloomContainsLong(exprs.head, bloomData), "scala_udf")
-    name
+      "bloom_contains_long",
+      exprs => BloomContainsLong(exprs.head,
+        exprs(1).eval(InternalRow.empty).asInstanceOf[Array[Byte]]),
+      "scala_udf")
+    org.apache.spark.sql.functions.call_function(
+      "bloom_contains_long", key, org.apache.spark.sql.functions.lit(bloomData))
   }
 
   /** Register SQL-callable forms on a session; `Column` accessors below go

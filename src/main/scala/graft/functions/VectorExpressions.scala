@@ -163,6 +163,10 @@ object VectorExpressions {
   def signProjectJava(a: ArrayData, aFloat: Boolean, outDims: Int,
                       seed: Long): ArrayData = {
     val n = a.numElements()
+    // Empty input -> null, matching the oracle form (DuckDB's list_sum of
+    // an empty list is NULL, not 0): a zero-length embedding must not
+    // silently project to the zero vector.
+    if (n == 0) return null
     val out = new Array[Double](outDims)
     var j = 0
     while (j < outDims) {

@@ -289,12 +289,19 @@ object Dedup {
     */
   def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
                  idCol: String, textCol: String): DataFrame = {
-    def fps(df: DataFrame, fpName: String) =
-      df.select(col(idCol).as("id"), fingerprint(col(textCol)).as(fpName))
-    fps(oldDf, "__fp_old").join(fps(newDf, "__fp_new"), Seq("id"), "full_outer")
+    // Presence is a per-side marker column, NOT fingerprint nullness: a row
+    // with NULL text has a null fingerprint but IS present, and deciding
+    // membership from the fp would label a deleted null-text doc 'added'.
+    // A null-vs-non-null fp comparison is null -> falls through to
+    // 'unchanged' (matching SQL CASE semantics in the oracle).
+    def fps(df: DataFrame, fpName: String, inName: String) =
+      df.select(col(idCol).as("id"), fingerprint(col(textCol)).as(fpName),
+        lit(true).as(inName))
+    fps(oldDf, "__fp_old", "__in_old")
+      .join(fps(newDf, "__fp_new", "__in_new"), Seq("id"), "full_outer")
       .select(col("id"),
-        when(col("__fp_old").isNull, "added")
-          .when(col("__fp_new").isNull, "removed")
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
           .when(col("__fp_old") =!= col("__fp_new"), "changed")
           .otherwise("unchanged").as("status"))
   }
@@ -694,17 +701,22 @@ object Dedup {
                               maxFilterBytes: Long = 64L << 20): DataFrame =
     contaminationCore(corpus, benchmark, idCol, textCol, shingleLen,
       minContainment, prune = { (cs, bs) =>
-        val distinctSh = bs.select(col("sh")).distinct()
-        val n = math.max(distinctSh.count(), 1L)
-        val bits = org.apache.spark.util.sketch.BloomFilter
-          .optimalNumOfBits(n, fpp)
-        if (bits / 8 > maxFilterBytes) cs // honest fallback, same results
-        else {
-          val bloom = distinctSh.stat.bloomFilter("sh", n, fpp)
-          val bos = new java.io.ByteArrayOutputStream()
-          bloom.writeTo(bos)
-          cs.filter(HashExpressions.bloomContainsLong(col("sh"), bos.toByteArray))
-        }
+        // Persisted: both the sizing count and the bloom build aggregate
+        // this relation — without the persist the benchmark side would
+        // tokenize+shingle+shuffle twice.
+        val distinctSh = bs.select(col("sh")).distinct().persist()
+        try {
+          val n = math.max(distinctSh.count(), 1L)
+          val bits = org.apache.spark.util.sketch.BloomFilter
+            .optimalNumOfBits(n, fpp)
+          if (bits / 8 > maxFilterBytes) cs // honest fallback, same results
+          else {
+            val bloom = distinctSh.stat.bloomFilter("sh", n, fpp)
+            val bos = new java.io.ByteArrayOutputStream()
+            bloom.writeTo(bos)
+            cs.filter(HashExpressions.bloomContainsLong(col("sh"), bos.toByteArray))
+          }
+        } finally distinctSh.unpersist()
       })
 
   private def contaminationCore(corpus: DataFrame, benchmark: DataFrame,

@@ -59,17 +59,21 @@ object Profile {
     require(k >= 1, s"k=$k must be >= 1")
     val counts = df.groupBy(col(keyCol).cast("string").as("key"))
       .agg(count(lit(1)).as("n"))
-    val t = counts.agg(sum(col("n")), count(lit(1))).head()
-    if (t.isNullAt(0))
-      return counts.select(col("key"), col("n"),
-        lit(0.0).as("share"), lit(0.0).as("skew_factor"))
-    val (total, distinct) = (t.getLong(0), t.getLong(1))
-    val mean = total.toDouble / distinct
-    counts
+    // Totals stay IN the plan (1-row cross join, broadcast by AQE) instead
+    // of an eager .head(): no driver-blocking job at construction time, and
+    // the identical aggregation subtree below both sides lets Spark reuse
+    // the exchange rather than scanning df twice. Same IEEE op order as
+    // the oracle: n / total and n / (total / nd). Empty input yields an
+    // empty report (cross join with the 1-row totals of nothing).
+    val totals = counts.agg(sum(col("n")).as("__total"),
+      count(lit(1)).cast("double").as("__nd"))
+    counts.crossJoin(totals)
       .orderBy(col("n").desc, col("key"))
       .limit(k)
       .select(col("key"), col("n"),
-        round(col("n").cast("double") / total, 6).as("share"),
-        round(col("n").cast("double") / mean, 6).as("skew_factor"))
+        round(col("n").cast("double") / col("__total").cast("double"), 6)
+          .as("share"),
+        round(col("n").cast("double") /
+          (col("__total").cast("double") / col("__nd")), 6).as("skew_factor"))
   }
 }

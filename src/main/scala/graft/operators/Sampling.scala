@@ -160,9 +160,18 @@ object Sampling {
                                  budget: Long, alpha: Double = 0.5): DataFrame = {
     require(budget >= 1, s"budget=$budget must be >= 1")
     require(alpha > 0.0 && alpha <= 1.0, s"alpha=$alpha out of (0,1]")
-    val weights = df.groupBy(col(sourceCol))
+    val weightRows = df.groupBy(col(sourceCol))
       .agg(sum(col(weightCol)).cast("long").as("w"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect()
+    // Null sources would silently drop in mixSources' equality filter while
+    // still inflating the denominator; an all-null weight column sums to
+    // null. Both are data bugs — fail with the cause, not an NPE.
+    require(!weightRows.exists(_.isNullAt(0)),
+      s"temperatureMixtureWeighted: rows with a null `$sourceCol` cannot " +
+        "be mixed; filter or key them first")
+    require(!weightRows.exists(_.isNullAt(1)),
+      s"some source has only null `$weightCol` values; clean the weights first")
+    val weights = weightRows.map(r => r.getString(0) -> r.getLong(1)).toMap
     require(weights.nonEmpty, "corpus has no rows")
     require(weights.values.forall(_ > 0),
       s"every source needs positive total `$weightCol`; got ${weights.filter(_._2 <= 0)}")

@@ -495,6 +495,16 @@ class DedupPropertySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed",
       4L -> "added", 5L -> "unchanged", 6L -> "changed"), s"got $out")
+    // Presence comes from row membership, NOT fingerprint nullness: a
+    // null-text doc present only in the OLD snapshot is 'removed' (the
+    // fp-based formulation would call it 'added' and trigger re-ingest of
+    // a deleted doc).
+    val nullOld = Seq((7L, null.asInstanceOf[String]), (8L, "keep"))
+      .toDF("doc_id", "text")
+    val nullNew = Seq((8L, "keep")).toDF("doc_id", "text")
+    val out2 = Dedup.corpusDiff(nullOld, nullNew, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2 == Map(7L -> "removed", 8L -> "unchanged"), s"got $out2")
   }
 
   test("bestOfCluster keeps the highest-quality member, not the lowest id") {
