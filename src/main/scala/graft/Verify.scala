@@ -17,7 +17,7 @@ object Verify {
     // reference rerunning its correctness suites with ADAPTIVE=true
     // (`tests/tpch_correctness_test.rs:15,144-146`): e.g.
     // SPARK_GRAFT_CONF="spark.sql.adaptive.enabled=false" must yield the
-    // same 113/113 oracle result as the default AQE-on run.
+    // same full-corpus oracle result as the default AQE-on run.
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.nonEmpty)
       .foreach { kv =>
         val Array(k, v) = kv.split("=", 2)
