@@ -55,6 +55,27 @@ object Profile {
     * a key (a mostly-null join column is the worst skew of all). Ties
     * break by key string for determinism.
     */
+  /** Percent-rank of `valueCol` WITHIN each `groupCol` group — the robust
+    * per-source normalization curation thresholds need: "drop docs below
+    * the 5th length percentile of THEIR source" keeps a code-heavy source
+    * and a prose source each on their own scale, where one global
+    * threshold would gut whichever source skews short. Ties share a rank
+    * (pure function of the data); a single-row group ranks 0.0.
+    *
+    * Shape: one shuffle on the group key, then a per-group sorted window —
+    * work per group is linear. A pathologically dominant single group
+    * funnels through one task; at that scale compute the ranks with the
+    * two-phase prefix-sum pattern ([[graft.operators.Sampling.packByBudget]])
+    * keyed by (group, value) instead.
+    */
+  def percentRankWithin(df: DataFrame, groupCol: String,
+                        valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("pct", round(
+      percent_rank().over(
+        Window.partitionBy(col(groupCol)).orderBy(col(valueCol))), 6))
+  }
+
   def skewReport(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
     val counts = df.groupBy(col(keyCol).cast("string").as("key"))

@@ -688,6 +688,15 @@ object Pipeline {
             concat(col("text"), lit(" v2"))).otherwise(col("text")))
       Dedup.corpusDiff(oldSnap, newSnap, "doc_id", "text")
         .orderBy(col("id"))
+    }),
+
+    // ---- per-source length percentile: robust per-source outlier flags
+    // (a global length threshold would gut whichever source skews short) ----
+    "p56_source_percentile" -> ((s, dir) => {
+      Profile.percentRankWithin(docs(s, dir), "source", "n_chars")
+        .select(col("doc_id"), col("source"), col("n_chars"), col("pct"),
+          (col("pct") < 0.05 || col("pct") > 0.99).as("is_outlier"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1412,6 +1421,15 @@ object Pipeline {
                      ELSE 'unchanged' END AS status
          FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
          ORDER BY id""",
+
+    "p56_source_percentile" ->
+      """WITH p AS (SELECT doc_id, source, n_chars,
+             round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars),
+                   6) AS pct
+           FROM documents)
+         SELECT doc_id, source, n_chars, pct,
+                (pct < 0.05 OR pct > 0.99) AS is_outlier
+         FROM p ORDER BY doc_id""",
 
     "p19_deterministic_sample" ->
       """SELECT doc_id, source FROM documents

@@ -51,6 +51,20 @@ class ProfileSpec extends AnyFunSuite {
     assert(shuffles == 2, s"expected 2 hash exchanges, got $shuffles:\n$plan")
   }
 
+  test("percentRankWithin: per-group scale, shared tie ranks, singleton is 0") {
+    import spark.implicits._
+    val d = Seq(
+      // Group a: values 10,20,20,40 -> pct 0, 1/3, 1/3, 1.
+      ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 20L), ("a", 4L, 40L),
+      // Group b: a single row ranks 0 regardless of its value.
+      ("b", 5L, 99999L)).toDF("source", "id", "v")
+    val out = Profile.percentRankWithin(d, "source", "v")
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(out(1L) == 0.0 && out(4L) == 1.0 && out(5L) == 0.0)
+    assert(out(2L) == out(3L) && math.abs(out(2L) - 1.0 / 3) < 1e-5,
+      s"ties must share a rank: $out")
+  }
+
   test("skewReport surfaces the planted heavy hitter with the right factor") {
     import spark.implicits._
     // 900 rows of key 7 + 100 distinct singleton keys + 10 nulls:
