@@ -697,6 +697,21 @@ object Pipeline {
         .select(col("doc_id"), col("source"), col("n_chars"), col("pct"),
           (col("pct") < 0.05 || col("pct") > 0.99).as("is_outlier"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- end-to-end curation pipeline: quality filter -> exact dedup ->
+    // per-source quota cap -> deterministic training-order shuffle, each
+    // stage a proven operator, the WHOLE chain under one oracle ----
+    "p57_curation_pipeline" -> ((s, dir) => {
+      val filtered = docs(s, dir).filter(
+        TF.tokenCount(col("text")) >= 10 &&
+          TF.langId(col("text")) =!= "unknown" &&
+          TF.qualityScore(col("text")) >= 0.5)
+      val deduped = Dedup.exact(filtered, "doc_id", "text")
+      val capped = Sampling.capPerGroup(deduped, "source", "doc_id", k = 50)
+      Sampling.deterministicShuffle(capped, "doc_id", seed = 99L)
+        .select(col("doc_id"), col("source"), col("shuffle_pos"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1430,6 +1445,46 @@ object Pipeline {
          SELECT doc_id, source, n_chars, pct,
                 (pct < 0.05 OR pct > 0.99) AS is_outlier
          FROM p ORDER BY doc_id""",
+
+    // The full curation chain re-derived stage by stage: each CTE is the
+    // oracle form already proven for its operator (p46 filter conditions,
+    // p02 exact dedup, p43 quota cap, p50 shuffle).
+    "p57_curation_pipeline" ->
+      s"""WITH t AS (SELECT doc_id, source, $oNorm AS norm, $oToks AS toks
+                     FROM documents),
+        f AS (SELECT doc_id, source, norm FROM t
+              WHERE len(toks) >= 10
+                AND (CASE WHEN ' '||norm||' ' LIKE '% the %' OR ' '||norm||' ' LIKE '% and %' THEN 'en'
+                          WHEN ' '||norm||' ' LIKE '% le %' OR ' '||norm||' ' LIKE '% la %' THEN 'fr'
+                          WHEN ' '||norm||' ' LIKE '% der %' OR ' '||norm||' ' LIKE '% und %' THEN 'de'
+                          WHEN ' '||norm||' ' LIKE '% el %' OR ' '||norm||' ' LIKE '% los %' THEN 'es'
+                          ELSE 'unknown' END) <> 'unknown'
+                AND round(
+                  least(len(toks)::double / 100.0, 1.0) * 0.4 +
+                  least((CASE WHEN len(toks) > 0
+                         THEN len(list_filter(toks, x -> x IN
+                           ('the','a','an','and','or','of','to','in','is','it')))::double / len(toks)
+                         ELSE 0.0 END) * 5.0, 1.0) * 0.3 +
+                  (CASE WHEN (CASE WHEN len(toks) > 0
+                              THEN length(regexp_replace(norm, ' ', '', 'g'))::double / len(toks)
+                              ELSE 0.0 END) BETWEEN 3.0 AND 10.0
+                        THEN 1.0 ELSE 0.5 END) * 0.3, 6) >= 0.5),
+        dd AS (SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY md5(norm)
+                                          ORDER BY doc_id) AS rn
+                FROM f) WHERE rn = 1),
+        cap AS (SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source
+                         ORDER BY ((doc_id % 4294967296) * 1103515245) % 4294967296,
+                                  doc_id) AS rk
+                FROM dd) WHERE rk <= 50)
+        SELECT doc_id, source,
+               cast(row_number() OVER (
+                 ORDER BY ((doc_id % 4294967296 + 99) * 1103515245) % 4294967296,
+                          doc_id) - 1 AS bigint) AS shuffle_pos
+        FROM cap ORDER BY doc_id""",
 
     "p19_deterministic_sample" ->
       """SELECT doc_id, source FROM documents
