@@ -460,6 +460,25 @@ class DedupPropertySpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"))
   }
 
+  test("contaminationPairsBloom size-bound fallback: no bloom probe, same results") {
+    import spark.implicits._
+    val bench = Seq((900L, (0 until 20).map(j => s"fb$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, (0 until 20).map(j => s"fb$j").mkString(" ")),
+      (2L, (50 until 80).map(j => s"zz$j").mkString(" "))).toDF("doc_id", "text")
+    // maxFilterBytes=0 forces the honest fallback: identical results, no
+    // probe in the plan (never a broken oversized broadcast).
+    val fb = Dedup.contaminationPairsBloom(corpus, bench, "doc_id", "text",
+      shingleLen = 5, minContainment = 0.3, maxFilterBytes = 0L)
+    val exact = Dedup.contaminationPairs(corpus, bench, "doc_id", "text",
+      shingleLen = 5, minContainment = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fb.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == exact)
+    assert(!fb.queryExecution.executedPlan.toString.contains("bloom_contains"),
+      "fallback must not carry a bloom probe")
+  }
+
   test("BloomContainsLong: no false negatives, prunes non-members, codegen-able") {
     import spark.implicits._
     import graft.functions.HashExpressions
