@@ -391,13 +391,22 @@ object TextOps {
     // oracle uses: alpha*V first, then the addition.
     val denomT = nT + alpha * v
     val denomR = nR + alpha * v
+    // Each per-bigram log-ratio term is quantized to a fixed-scale DECIMAL
+    // BEFORE the per-doc sum: decimal addition is exact and order-
+    // independent, so the result is byte-identical under any partitioning /
+    // partial-aggregation order (a raw double sum drifted ~1e-13 with
+    // layout, which round(,4) amplified to visible diffs near rounding
+    // boundaries — the p27 labelCentroids pattern, applied here).
+    import org.apache.spark.sql.types.DecimalType
     bigrams.join(model, Seq("bg"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_bigrams"),
-           sum(log2((col("c_t") + lit(alpha)) / lit(denomT)) -
-               log2((col("c_r") + lit(alpha)) / lit(denomR))).as("__llr"))
+           sum((log2((col("c_t") + lit(alpha)) / lit(denomT)) -
+                log2((col("c_r") + lit(alpha)) / lit(denomR)))
+             .cast(DecimalType(28, 12))).as("__llr"))
       .select(col("id"), col("n_bigrams"),
-        round(col("__llr") / col("n_bigrams"), 4).as("dsir_logratio"))
+        round(col("__llr").cast("double") / col("n_bigrams"), 4)
+          .as("dsir_logratio"))
   }
 
   /** Statistical quality scoring via a corpus-trained bigram language model

@@ -849,8 +849,10 @@ object Pipeline {
         s AS (SELECT sum(c_r)::double AS nr, sum(c_t)::double AS nt,
                      count(*)::double AS v FROM c)
         SELECT bg.doc_id AS id, count(*) AS n_bigrams,
-               round(sum(log2((c.c_t + 0.5) / (s.nt + 0.5 * s.v)) -
-                         log2((c.c_r + 0.5) / (s.nr + 0.5 * s.v)))
+               round(cast(sum(cast(
+                       log2((c.c_t + 0.5) / (s.nt + 0.5 * s.v)) -
+                       log2((c.c_r + 0.5) / (s.nr + 0.5 * s.v))
+                     AS DECIMAL(28,12))) AS double)
                      / count(*), 4) AS dsir_logratio
         FROM bg JOIN c USING (bg), s
         GROUP BY bg.doc_id ORDER BY id""",
