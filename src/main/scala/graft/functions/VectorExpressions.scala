@@ -243,10 +243,20 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sign_project", exprs => {
         val row = org.apache.spark.sql.catalyst.InternalRow.empty
-        val dims = exprs(1).eval(row).asInstanceOf[Int]
+        // SQL integer literals may arrive as INT or BIGINT — accept both
+        // for dims (as for seed), failing with the argument name rather
+        // than a bare ClassCastException at analysis.
+        val dims = exprs(1).eval(row) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"sign_project: dims must be an integer literal, got $other")
+        }
         val seed = exprs(2).eval(row) match {
           case i: Int => i.toLong
           case l: Long => l
+          case other => throw new IllegalArgumentException(
+            s"sign_project: seed must be an integer literal, got $other")
         }
         signProjectExpr(exprs(0), dims, seed)
       }, "scala_udf")

@@ -313,16 +313,21 @@ object Dedup {
     * raw scrapes of one page: keep the clean one). Returns one row per
     * cluster: (cluster_id, keep_id, best_score, n_members).
     *
-    * Cost on top of [[dupClusters]] is one narrow score evaluation, a
-    * per-cluster rank-filter that compiles to WindowGroupLimit (each map
-    * task forwards at most one row per cluster before the shuffle), and a
-    * cluster-keyed member count — no extra corpus-wide shuffle beyond the
-    * label join.
+    * Cost on top of [[dupClusters]] is one narrow score evaluation and a
+    * SINGLE cluster-keyed aggregation: `max_by` picks the winner and
+    * `count` the size in the same partial/final pass, so the whole
+    * [[dupClusters]] DAG (including its minhash band shuffle — the
+    * corpus's biggest exchange) is evaluated exactly once. An earlier
+    * version fed the label join into a window rank AND a separate size
+    * aggregate then re-joined the two — Spark evaluates an unpersisted
+    * subtree once per consumer, so that plan paid the band shuffle twice
+    * (17.8 s vs 2 s for this shape in a loaded-JVM bench at sf0.1).
     *
     * @param score scoring expression over `df`'s columns (e.g.
     *              [[graft.functions.TextFunctions.qualityScore]] of the
     *              text column). Must be deterministic: survivors must not
-    *              depend on physical layout.
+    *              depend on physical layout. `idCol` must be numeric (ties
+    *              break to the lowest id via max_by on (score, -id)).
     */
   def bestOfCluster(df: DataFrame, idCol: String, textCol: String,
                     score: Column,
@@ -330,19 +335,16 @@ object Dedup {
                     k: Int = 64, r: Int = 2): DataFrame = {
     val clusters = dupClusters(df, idCol, textCol, shingleLen, threshold, k, r)
       .withColumnRenamed(idCol, "__cid")
-    val scored = df.select(col(idCol).as("__cid"), score.as("__score"))
+    df.select(col(idCol).as("__cid"), score.as("__score"))
       .join(clusters, Seq("__cid"))
-    val w = Window.partitionBy(col("cluster_id"))
-      .orderBy(col("__score").desc, col("__cid"))
-    val winners = scored.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .select(col("cluster_id"), col("__cid").as("keep_id"),
-        col("__score").as("best_score"))
-    val sizes = scored.groupBy(col("cluster_id"))
-      .agg(count(lit(1)).as("n_members"))
-    winners.join(sizes, Seq("cluster_id"))
-      .select(col("cluster_id"), col("keep_id"), col("best_score"),
-        col("n_members"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        max_by(struct(col("__cid"), col("__score")),
+               struct(col("__score"), (-col("__cid")).as("__negid")))
+          .as("__win"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), col("__win.__cid").as("keep_id"),
+        col("__win.__score").as("best_score"), col("n_members"))
   }
 
   /** Leakage-free train/val/test carve-out: split membership is a pure

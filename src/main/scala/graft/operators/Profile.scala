@@ -41,6 +41,31 @@ object Profile {
         max(col("v")).as("max_value"))
   }
 
+  /** Percent-rank of `valueCol` WITHIN each `groupCol` group — the robust
+    * per-source normalization curation thresholds need: "drop docs below
+    * the 5th length percentile of THEIR source" keeps a code-heavy source
+    * and a prose source each on their own scale, where one global
+    * threshold would gut whichever source skews short. Ties share a rank
+    * (pure function of the data); a single-row group ranks 0.0. Null
+    * values sort LAST (highest ranks) — matching the SQL-standard /
+    * DuckDB percent_rank default, where Spark's own default is NULLS
+    * FIRST and would hand nulls the lowest percentiles.
+    *
+    * Shape: one shuffle on the group key, then a per-group sorted window —
+    * work per group is linear. A pathologically dominant single group
+    * funnels through one task; at that scale compute the ranks with the
+    * two-phase prefix-sum pattern ([[graft.operators.Sampling.packByBudget]])
+    * keyed by (group, value) instead.
+    */
+  def percentRankWithin(df: DataFrame, groupCol: String,
+                        valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("pct", round(
+      percent_rank().over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(col(valueCol).asc_nulls_last)), 6))
+  }
+
   /** Join/partition-key skew report: the top-`k` heaviest values of
     * `keyCol` with their row counts, corpus share, and skew factor
     * (count / mean-count-per-distinct-value). The question every shuffle
@@ -55,27 +80,6 @@ object Profile {
     * a key (a mostly-null join column is the worst skew of all). Ties
     * break by key string for determinism.
     */
-  /** Percent-rank of `valueCol` WITHIN each `groupCol` group — the robust
-    * per-source normalization curation thresholds need: "drop docs below
-    * the 5th length percentile of THEIR source" keeps a code-heavy source
-    * and a prose source each on their own scale, where one global
-    * threshold would gut whichever source skews short. Ties share a rank
-    * (pure function of the data); a single-row group ranks 0.0.
-    *
-    * Shape: one shuffle on the group key, then a per-group sorted window —
-    * work per group is linear. A pathologically dominant single group
-    * funnels through one task; at that scale compute the ranks with the
-    * two-phase prefix-sum pattern ([[graft.operators.Sampling.packByBudget]])
-    * keyed by (group, value) instead.
-    */
-  def percentRankWithin(df: DataFrame, groupCol: String,
-                        valueCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    df.withColumn("pct", round(
-      percent_rank().over(
-        Window.partitionBy(col(groupCol)).orderBy(col(valueCol))), 6))
-  }
-
   def skewReport(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
     val counts = df.groupBy(col(keyCol).cast("string").as("key"))

@@ -127,8 +127,16 @@ object Sampling {
                          budget: Long, alpha: Double = 0.5): DataFrame = {
     require(budget >= 1, s"budget=$budget must be >= 1")
     require(alpha > 0.0 && alpha <= 1.0, s"alpha=$alpha out of (0,1]")
-    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val countRows = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect()
+    // A null source has no mixture weight: it would inflate the n^alpha
+    // denominator here yet never match mixSources' equality filter — those
+    // rows would silently vanish and their budget share never be realized.
+    // Same loud failure as temperatureMixtureWeighted.
+    require(!countRows.exists(_.isNullAt(0)),
+      s"temperatureMixture: rows with a null `$sourceCol` have no mixture " +
+        "weight; filter or key them first")
+    val counts = countRows.map(r => r.getString(0) -> r.getLong(1)).toMap
     require(counts.nonEmpty, "corpus has no rows")
     val denom = counts.values.map(n => math.pow(n.toDouble, alpha)).sum
     val fractions = counts.map { case (src, n) =>
@@ -221,14 +229,19 @@ object Sampling {
         "position; filter or key them first")
     val totals = totalRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until p).scanLeft(0L)((acc, i) => acc + totals.getOrElse(i, 0L))
-    val offsetExpr = (0 until p).foldLeft(lit(0L)) { (acc, i) =>
-      when(col("__pid") === i, lit(offsets(i))).otherwise(acc)
-    }
+    // Offsets are folded back via a BROADCAST JOIN on the ≤P-row
+    // (bucket, offset) table, not a P-branch `when` chain: a chained
+    // conditional is a P-deep expression tree — linear per-row eval and a
+    // codegen blowup once P reaches cluster-real partition counts (1000+).
+    // The join is on the window's own partition key, so it adds no
+    // exchange before the window shuffle.
+    val offsetDf = broadcast(df.sparkSession.createDataFrame(
+      (0 until p).map(i => (i, offsets(i)))).toDF("__pid", "__boff"))
     val w = Window.partitionBy(col("__pid")).orderBy(col("__sk"), col(idCol))
-    withKey
+    withKey.join(offsetDf, Seq("__pid"))
       .withColumn("shuffle_pos",
-        offsetExpr + row_number().over(w).cast("long") - 1L)
-      .drop("__sk", "__pid")
+        col("__boff") + row_number().over(w).cast("long") - 1L)
+      .drop("__sk", "__pid", "__boff")
   }
 
   /** Pack id-ordered rows into contiguous shards of ~`budget` weight (e.g.
@@ -290,15 +303,17 @@ object Sampling {
       .agg(sum(col(weightCol)).cast("long").as("__w"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until p).scanLeft(0L)((acc, i) => acc + totals.getOrElse(i, 0L))
-    val offsetExpr = (0 until p).foldLeft(lit(0L)) { (acc, i) =>
-      when(col("__pid") === i, lit(offsets(i))).otherwise(acc)
-    }
+    // Broadcast-join the ≤P-row (bucket, offset) table instead of a
+    // P-branch `when` chain (see deterministicShuffle for why the chain
+    // degrades at cluster-real P).
+    val offsetDf = broadcast(spark.createDataFrame(
+      (0 until p).map(i => (i, offsets(i)))).toDF("__pid", "__boff"))
     // Phase 2: within-bucket exclusive running sum + the bucket offset.
     val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    withPid
-      .withColumn("__excl", offsetExpr + coalesce(sum(col(weightCol)).over(w), lit(0L)))
+    withPid.join(offsetDf, Seq("__pid"))
+      .withColumn("__excl", col("__boff") + coalesce(sum(col(weightCol)).over(w), lit(0L)))
       .withColumn("shard", floor(col("__excl") / budget).cast("int"))
-      .drop("__pid", "__excl")
+      .drop("__pid", "__excl", "__boff")
   }
 }

@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.engine.Tables
+import Relational.{osum, oavg}
+
+/** TPC-DS-derived shapes the self-authored corpus didn't cover (the
+  * reference proves itself on all 99, `tests/tpcds_correctness_test.rs` +
+  * `testdata/tpcds/queries/`): correlated-EXISTS chains with a
+  * disjunction, a multi-way INTERSECT subquery feeding the main join with
+  * a scalar-average HAVING gate, and the zero-filled channel-union rollup
+  * report — each adapted to the driver schema. These run through
+  * `spark.sql` deliberately: the coverage target is Catalyst's subquery
+  * decorrelation / set-op machinery on shapes a DataFrame author rarely
+  * writes by hand.
+  */
+object DsShapes {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- TPC-DS q10 shape (`testdata/tpcds/queries/q10.sql`): IN-list
+    // dim filter + correlated EXISTS AND (EXISTS OR EXISTS) chain, then a
+    // demographic-style count rollup. Catalyst decorrelates each EXISTS to
+    // a semi/existence join; the disjunction forces ExistenceJoin (flag
+    // columns) rather than plain left-semi.
+    "q84_exists_chain" -> ((s, dir) => {
+      Tables.register(s, dir, "customer", "orders", "lineitem", "nation")
+      s.sql("""
+        SELECT c_mktsegment, count(*) AS cnt
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_name IN ('NATION_1','NATION_3','NATION_5','NATION_7','NATION_9')
+          AND EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND extract(YEAR FROM o.o_orderdate) = 1995)
+          AND (EXISTS (SELECT 1 FROM orders o2
+                       JOIN lineitem l ON l.l_orderkey = o2.o_orderkey
+                       WHERE o2.o_custkey = c.c_custkey
+                         AND l.l_returnflag = 'R')
+               OR EXISTS (SELECT 1 FROM orders o3
+                          WHERE o3.o_custkey = c.c_custkey
+                            AND o3.o_totalprice > 250000))
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    }),
+
+    // ---- TPC-DS q14 shape (`testdata/tpcds/queries/q14.sql`): the
+    // cross_items CTE is a 3-way INTERSECT of per-"channel" key sets
+    // (years stand in for store/catalog/web) gating the main aggregation,
+    // with an avg_sales scalar subquery as the HAVING floor.
+    "q85_cross_channel_parts" -> ((s, dir) => {
+      Tables.register(s, dir, "lineitem", "orders", "part")
+      s.sql(s"""
+        WITH cross_parts AS (
+          SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE extract(YEAR FROM o_orderdate) = 1995
+          INTERSECT
+          SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE extract(YEAR FROM o_orderdate) = 1996
+          INTERSECT
+          SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE extract(YEAR FROM o_orderdate) = 1997),
+        avg_rev AS (
+          SELECT ${oavg("l_extendedprice * (1 - l_discount)")} AS ar
+          FROM lineitem)
+        SELECT p_brand, count(*) AS n_sales,
+               ${osum("l_extendedprice * (1 - l_discount)")} AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_partkey IN (SELECT l_partkey FROM cross_parts)
+        GROUP BY p_brand
+        HAVING ${osum("l_extendedprice * (1 - l_discount)")} >
+               2000 * (SELECT ar FROM avg_rev)
+        ORDER BY p_brand""")
+    }),
+
+    // ---- TPC-DS q5 shape (`testdata/tpcds/queries/q5.sql`): sales and
+    // returns unioned with zero-filled placeholder columns into one
+    // channel relation, joined to dims, rolled up with a grand total.
+    "q86_channel_rollup" -> ((s, dir) => {
+      Tables.register(s, dir, "orders", "lineitem", "customer", "nation")
+      s.sql(s"""
+        WITH sales_returns AS (
+          SELECT o_custkey AS custkey, o_totalprice AS sales,
+                 cast(0 AS double) AS returns_
+          FROM orders
+          UNION ALL
+          SELECT o.o_custkey, cast(0 AS double), l.l_extendedprice
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_returnflag = 'R')
+        SELECT coalesce(n_name, 'ALL') AS nation, count(*) AS n_events,
+               ${osum("sales", 2)} AS sales, ${osum("returns_", 2)} AS returns_
+        FROM sales_returns sr
+        JOIN customer c ON sr.custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY ROLLUP (n_name)
+        ORDER BY nation""")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q84_exists_chain" ->
+      """SELECT c_mktsegment, count(*) AS cnt
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_name IN ('NATION_1','NATION_3','NATION_5','NATION_7','NATION_9')
+          AND EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND extract(YEAR FROM o.o_orderdate) = 1995)
+          AND (EXISTS (SELECT 1 FROM orders o2
+                       JOIN lineitem l ON l.l_orderkey = o2.o_orderkey
+                       WHERE o2.o_custkey = c.c_custkey
+                         AND l.l_returnflag = 'R')
+               OR EXISTS (SELECT 1 FROM orders o3
+                          WHERE o3.o_custkey = c.c_custkey
+                            AND o3.o_totalprice > 250000))
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q85_cross_channel_parts" ->
+      s"""WITH cross_parts AS (
+          SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE extract(YEAR FROM o_orderdate) = 1995
+          INTERSECT
+          SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE extract(YEAR FROM o_orderdate) = 1996
+          INTERSECT
+          SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE extract(YEAR FROM o_orderdate) = 1997),
+        avg_rev AS (
+          SELECT ${oavg("l_extendedprice * (1 - l_discount)")} AS ar
+          FROM lineitem)
+        SELECT p_brand, count(*) AS n_sales,
+               ${osum("l_extendedprice * (1 - l_discount)")} AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_partkey IN (SELECT l_partkey FROM cross_parts)
+        GROUP BY p_brand
+        HAVING ${osum("l_extendedprice * (1 - l_discount)")} >
+               2000 * (SELECT ar FROM avg_rev)
+        ORDER BY p_brand""",
+
+    "q86_channel_rollup" ->
+      s"""WITH sales_returns AS (
+          SELECT o_custkey AS custkey, o_totalprice AS sales,
+                 cast(0 AS double) AS returns_
+          FROM orders
+          UNION ALL
+          SELECT o.o_custkey, cast(0 AS double), l.l_extendedprice
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_returnflag = 'R')
+        SELECT coalesce(n_name, 'ALL') AS nation, count(*) AS n_events,
+               ${osum("sales", 2)} AS sales, ${osum("returns_", 2)} AS returns_
+        FROM sales_returns sr
+        JOIN customer c ON sr.custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY ROLLUP (n_name)
+        ORDER BY nation"""
+  )
+}

@@ -198,10 +198,24 @@ object Pipeline {
     // as p09 (measured overlap on this corpus: 0.87-1.0). ----
     "p15_winnow_fingerprints" -> ((s, dir) => {
       HashExpressions.register(s)
+      // The pair list is materialized ONCE (localCheckpoint; output is
+      // |pairs| rows — tiny next to the corpus): it feeds three consumers
+      // below, and without materialization each re-evaluates the whole
+      // minhash band-shuffle + verify DAG (driver benches measured 5-8 s
+      // of pure recompute at sf0.1 for three rounds). Winnow fingerprints
+      // are then computed only for docs that appear in some pair (semi-
+      // join), not the full corpus, and that small frame is materialized
+      // too so the a-side and b-side joins share one evaluation — at
+      // 100 TB this is the floor: one corpus pass for pair generation,
+      // one corpus scan for the semi-join, winnowing |pair-docs| texts.
       val pairs = Dedup.nearDupPairs(docs(s, dir), "doc_id", "text",
-        shingleLen = 5, threshold = 0.5)
-      val wf = docs(s, dir).select(col("doc_id"),
-        HashExpressions.winnowFingerprints(col("text"), 5, 4).as("wf"))
+        shingleLen = 5, threshold = 0.5).localCheckpoint()
+      val ids = pairs.select(explode(array(col("id_a"), col("id_b")))
+        .as("doc_id")).distinct()
+      val wf = docs(s, dir).join(ids, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          HashExpressions.winnowFingerprints(col("text"), 5, 4).as("wf"))
+        .localCheckpoint()
       pairs
         .join(wf.select(col("doc_id").as("id_a"), col("wf").as("wf_a")), Seq("id_a"))
         .join(wf.select(col("doc_id").as("id_b"), col("wf").as("wf_b")), Seq("id_b"))

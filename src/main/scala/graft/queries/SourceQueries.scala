@@ -56,6 +56,40 @@ object SourceQueries {
         .orderBy(col("s_nationkey"))
     }),
 
+    // Mid-query work discovery (reference `work_unit_feed.rs:125-180`):
+    // the feed starts with ONE unit; the remaining units are offered only
+    // AFTER the running streaming query has fully processed everything
+    // available at start — so rows from late-discovered units reaching the
+    // result proves runtime discovery, not planning-time snapshot. The
+    // aggregate over the memory sink must equal the full-supplier oracle.
+    // feed.maxUnitsPerBatch=1 exercises the admission cap on the same run.
+    "q83_feed_discovery" -> ((s, dir) => {
+      val files = DerivedSources.supplierCsvMultiFiles(s, dir)
+      val feedId =
+        s"supplier-dyn-${java.util.UUID.randomUUID().toString.take(8)}"
+      val f = feed.DynamicWorkUnitFeed.create(feedId)
+      val (first, rest) = files.splitAt(1)
+      f.offer(first.map(p => feed.CsvWorkUnit(p, header = true)))
+      val stream = s.readStream
+        .format("graft.sources.feed.WorkUnitFeedTableProvider")
+        .option("feed.id", feedId)
+        .option("feed.maxUnitsPerBatch", "1")
+        .option("schema",
+          "s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
+        .load()
+      val sink = s"q83_${feedId.replace("-", "_")}"
+      val all = graft.streaming.Streams.runToMemoryStaged(stream, sink,
+        stages = Seq(() => {
+          f.offer(rest.map(p => feed.CsvWorkUnit(p, header = true)))
+          f.close()
+        }))
+      feed.DynamicWorkUnitFeed.remove(feedId)
+      all.groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"),
+             max(col("s_acctbal")).as("max_acctbal"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     "q50_expr_keyed_shuffle" -> ((s, dir) => {
       HashExpressions.register(s)
       Tables.load(s, dir, "documents")
@@ -207,6 +241,14 @@ object SourceQueries {
          FROM documents GROUP BY hk ORDER BY hk""",
 
     "q51_work_unit_feed" ->
+      """SELECT s_nationkey, count(*) AS n_suppliers,
+              max(s_acctbal) AS max_acctbal
+         FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
+
+    // Identical oracle to q51 on purpose: late-discovered units must
+    // change NOTHING about the result — the full supplier table arrives
+    // either way; only the discovery timing differs.
+    "q83_feed_discovery" ->
       """SELECT s_nationkey, count(*) AS n_suppliers,
               max(s_acctbal) AS max_acctbal
          FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",

@@ -60,6 +60,24 @@ object DerivedSources {
     finally stream.close()
   }
 
+  /** Supplier CSV split into SEVERAL part files — the multi-unit feed
+    * shape ([[graft.sources.feed.DynamicWorkUnitFeed]] needs units it can
+    * stage across micro-batches). Which rows land in which file is
+    * layout-dependent; the UNION of the files is always exactly the
+    * supplier table, which is all the feed contract (and the oracle)
+    * observes. Split by key range so the derivation is deterministic.
+    */
+  def supplierCsvMultiFiles(spark: SparkSession, sfDir: String): Seq[String] = {
+    val dir = ensure(derivedDir(sfDir, "supplier_csv_multi", "supplier")) { d =>
+      Tables.load(spark, sfDir, "supplier")
+        .repartitionByRange(4, col("s_suppkey"))
+        .write.mode("overwrite").option("header", "true").csv(d)
+    }
+    val stream = Files.list(Paths.get(dir))
+    try stream.toArray.map(_.toString).filter(_.endsWith(".csv")).sorted.toSeq
+    finally stream.close()
+  }
+
   /** Supplier table as CSV with header; read back with the parquet schema
     * (CSV carries no types — the explicit schema path is the one users hit).
     */

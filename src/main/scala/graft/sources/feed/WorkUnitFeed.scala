@@ -130,6 +130,100 @@ case class AvroWorkUnit(path: String,
     new AvroWorkUnitReader(this, schema)
 }
 
+/** Runtime (mid-query) work discovery — the reference's defining feed
+  * behavior that the batch path above cannot express: its coordinator
+  * STREAMS units to a running query with per-partition backpressure
+  * (`/root/reference/src/work_unit_feed/work_unit_feed.rs:125-180`;
+  * chunked dispatch in `src/coordinator/query_coordinator.rs:38-41`), so
+  * work discovered after execution starts still reaches the running
+  * query's result. Spark's batch DSv2 fixes the partition list at
+  * `planInputPartitions` — once planned, late units are invisible. The
+  * micro-batch streaming path below lifts that: each trigger drains the
+  * units offered since the previous trigger, so a unit offered while the
+  * query is RUNNING joins a later micro-batch of the same query.
+  *
+  * Backpressure: the reference dispatches units in bounded chunks per
+  * worker; the analog here is `feed.maxUnitsPerBatch`, an admission cap on
+  * units per micro-batch — Spark's trigger loop then naturally paces
+  * intake to processing speed (a slow sink delays the next trigger, which
+  * delays the next drain), the same effect as the reference's bounded
+  * channel.
+  *
+  * Feeds are per-query-run transients (exactly the reference's feed
+  * lifetime, coordinator-scoped): offsets index an in-memory driver
+  * buffer, so a checkpoint-restarted query re-reads from whatever the
+  * feed currently holds rather than recovering history.
+  */
+object DynamicWorkUnitFeed {
+  final class Feed {
+    private[feed] val queue = new ConcurrentLinkedQueue[WorkUnit]()
+    @volatile private[feed] var closed = false
+    def offer(units: Seq[WorkUnit]): Unit = {
+      require(!closed, "cannot offer units to a closed feed")
+      units.foreach(queue.add)
+    }
+    def close(): Unit = closed = true
+  }
+  private val feeds = TrieMap.empty[String, Feed]
+
+  def create(id: String): Feed = {
+    val f = new Feed
+    feeds.put(id, f)
+    f
+  }
+  def get(id: String): Feed = feeds.getOrElse(id,
+    throw new IllegalStateException(s"no dynamic work-unit feed '$id'"))
+  def remove(id: String): Unit = feeds.remove(id)
+}
+
+private[feed] case class FeedOffset(n: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = n.toString
+}
+
+/** Driver-side micro-batch stream over a [[DynamicWorkUnitFeed]]: offsets
+  * count units admitted so far; `latestOffset` drains newly-offered units
+  * into a monotonic buffer and admits at most `maxUnitsPerBatch` beyond
+  * the last planned end.
+  */
+private[feed] class WorkUnitFeedMicroBatchStream(
+    feedId: String, schema: StructType, maxUnitsPerBatch: Int)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val buffer = scala.collection.mutable.ArrayBuffer.empty[WorkUnit]
+  private var lastPlannedEnd = 0L
+
+  private def drain(): Unit = {
+    val q = DynamicWorkUnitFeed.get(feedId).queue
+    var u = q.poll()
+    while (u != null) { buffer += u; u = q.poll() }
+  }
+
+  override def initialOffset(): Offset = FeedOffset(0L)
+
+  override def latestOffset(): Offset = synchronized {
+    drain()
+    val avail = buffer.size.toLong
+    val cap = if (maxUnitsPerBatch > 0)
+      math.min(avail, lastPlannedEnd + maxUnitsPerBatch) else avail
+    FeedOffset(cap)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    synchronized {
+      val (s, e) = (start.asInstanceOf[FeedOffset].n, end.asInstanceOf[FeedOffset].n)
+      lastPlannedEnd = math.max(lastPlannedEnd, e)
+      buffer.slice(s.toInt, e.toInt).toArray
+    }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CsvWorkUnitReaderFactory(schema)
+  override def deserializeOffset(json: String): Offset = FeedOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
 class WorkUnitFeedTableProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val ddl = options.get("schema")
@@ -155,9 +249,11 @@ class WorkUnitFeedTable(schema: StructType, feedId: String)
   override def name(): String = s"work_unit_feed($feedId)"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val maxUnitsPerBatch = options.getInt("feed.maxUnitsPerBatch", 0)
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = schema
@@ -169,8 +265,16 @@ class WorkUnitFeedTable(schema: StructType, feedId: String)
           override def createReaderFactory(): PartitionReaderFactory =
             new CsvWorkUnitReaderFactory(schema)
         }
+        // Streaming path: `spark.readStream` against the same feed id
+        // (registered via [[DynamicWorkUnitFeed]]) — units offered while
+        // the query runs join later micro-batches; see
+        // [[WorkUnitFeedMicroBatchStream]].
+        override def toMicroBatchStream(checkpointLocation: String)
+            : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+          new WorkUnitFeedMicroBatchStream(feedId, schema, maxUnitsPerBatch)
       }
     }
+  }
 }
 
 class CsvWorkUnitReaderFactory(schema: StructType)

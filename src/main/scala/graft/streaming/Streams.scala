@@ -289,6 +289,48 @@ object Streams {
     * that window would observe the reduced value — callers running a
     * multithreaded driver should plan batch work on a separate session.
     */
+  /** [[runToMemory]] with mid-stream stages: after all data available at
+    * start is fully processed, each `stage` thunk runs ON THE RUNNING
+    * query (e.g. offering new units to a [[graft.sources.feed.DynamicWorkUnitFeed]]),
+    * followed by another run-to-quiescence — proving that work discovered
+    * AFTER earlier micro-batches completed still reaches the same query's
+    * result. This is the synchronous-verification shape of the reference's
+    * runtime feed (`work_unit_feed.rs:125-180`): coordinator keeps feeding
+    * a live query.
+    */
+  def runToMemoryStaged(df: DataFrame, name: String,
+                        stages: Seq[() => Unit],
+                        mode: OutputMode = OutputMode.Append(),
+                        statePartitions: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val ckptBase =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+        "/dev/shm/graft_ckpt" else sys.props("java.io.tmpdir") + "/graft_ckpt"
+    val ckpt = s"$ckptBase/$name-${java.util.UUID.randomUUID()}"
+    val q = startLock.synchronized {
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, statePartitions.toString)
+      try df.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt).outputMode(mode).start()
+      finally spark.conf.set(key, prev)
+    }
+    try {
+      q.processAllAvailable()
+      stages.foreach { st => st(); q.processAllAvailable() }
+    } finally {
+      q.stop()
+      try {
+        import java.nio.file.{Files, Paths}
+        import scala.jdk.CollectionConverters._
+        val root = Paths.get(ckpt)
+        if (Files.exists(root))
+          Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      } catch { case _: Exception => () }
+    }
+    spark.table(name)
+  }
+
   def runToMemory(df: DataFrame, name: String,
                   mode: OutputMode = OutputMode.Complete(),
                   statePartitions: Int = 8): DataFrame = {

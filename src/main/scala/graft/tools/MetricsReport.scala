@@ -23,6 +23,16 @@ object MetricsReport {
                          gcTimeMs: Long, runTimeMs: Long,
                          p50Ms: Long, p95Ms: Long, maxMs: Long)
 
+  /** One task's metrics — the `PerTask` display format of the reference's
+    * task-metrics rewriter (`src/metrics/task_metrics_rewriter.rs:20-38`,
+    * `Aggregated | PerTask`): the row you need when ONE straggler task is
+    * the problem and a stage rollup averages it away.
+    */
+  case class TaskReport(stageId: Int, taskId: Long, host: String,
+                        durationMs: Long, recordsRead: Long,
+                        shuffleReadBytes: Long, shuffleWriteBytes: Long,
+                        spillBytes: Long)
+
   /** Bounded per-stage task-duration tracker — the reference ships
     * latency percentiles per metric via DDSketch (`Cargo.toml:41`,
     * `worker.proto:218-366` P50/P75/P95/P99 types) precisely so the
@@ -57,7 +67,18 @@ object MetricsReport {
   /** Run the DataFrame to completion, collecting a per-stage rollup of task
     * metrics observed during its execution.
     */
-  def collect(df: DataFrame): Seq[StageReport] = {
+  def collect(df: DataFrame): Seq[StageReport] =
+    collectWithTasks(df, maxTasksPerStage = 0)._1
+
+  /** [[collect]] plus per-task rows. Driver memory stays bounded at scale:
+    * at most `maxTasksPerStage` tasks are retained PER STAGE, evicting the
+    * fastest first — so what survives on a million-task query is exactly
+    * the straggler tail the PerTask format exists to expose (the stage
+    * rollup + percentiles above already summarize the rest). 0 retains no
+    * per-task rows.
+    */
+  def collectWithTasks(df: DataFrame, maxTasksPerStage: Int = 128)
+      : (Seq[StageReport], Seq[TaskReport]) = {
     val spark = df.sparkSession
     // TrieMap + per-entry synchronization: the listener-bus thread mutates
     // while the settle loop below reads concurrently; a plain mutable.Map
@@ -65,6 +86,10 @@ object MetricsReport {
     val perStage = scala.collection.concurrent.TrieMap.empty[Int, Array[Long]]
     val durations = scala.collection.concurrent.TrieMap.empty[Int, DurationSketch]
     val stageNames = scala.collection.concurrent.TrieMap.empty[Int, (String, Int)]
+    // Per-stage bounded min-heap on duration: keeps the SLOWEST
+    // maxTasksPerStage tasks (stragglers), evicts the fastest.
+    val perTask = scala.collection.concurrent.TrieMap
+      .empty[Int, mutable.PriorityQueue[TaskReport]]
     val listener = new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
@@ -81,6 +106,20 @@ object MetricsReport {
           }
           durations.getOrElseUpdate(t.stageId, new DurationSketch())
             .add(m.executorRunTime)
+          if (maxTasksPerStage > 0) {
+            val heap = perTask.getOrElseUpdate(t.stageId,
+              mutable.PriorityQueue.empty[TaskReport](
+                Ordering.by[TaskReport, Long](_.durationMs).reverse))
+            heap.synchronized {
+              heap.enqueue(TaskReport(t.stageId, t.taskInfo.taskId,
+                t.taskInfo.host, m.executorRunTime,
+                m.inputMetrics.recordsRead,
+                m.shuffleReadMetrics.totalBytesRead,
+                m.shuffleWriteMetrics.bytesWritten,
+                m.memoryBytesSpilled + m.diskBytesSpilled))
+              while (heap.size > maxTasksPerStage) heap.dequeue()
+            }
+          }
         }
       }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
@@ -104,7 +143,7 @@ object MetricsReport {
         if (snapshot() == before) stable += 1 else stable = 0
       }
     } finally spark.sparkContext.removeSparkListener(listener)
-    perStage.toSeq.sortBy(_._1).map { case (id, a) =>
+    val stages = perStage.toSeq.sortBy(_._1).map { case (id, a) =>
       val (name, _) = stageNames.getOrElse(id, ("?", 0))
       val c = a.synchronized(a.clone())
       val d = durations.get(id)
@@ -113,6 +152,21 @@ object MetricsReport {
         d.map(_.quantile(0.95)).getOrElse(0L),
         d.map(_.maxMs).getOrElse(0L))
     }
+    val tasks = perTask.toSeq.sortBy(_._1).flatMap { case (_, heap) =>
+      heap.synchronized(heap.toSeq).sortBy(t => (-t.durationMs, t.taskId))
+    }
+    (stages, tasks)
+  }
+
+  def renderPerTask(tasks: Seq[TaskReport]): String = {
+    val header = f"${"stage"}%-6s ${"task"}%6s ${"durMs"}%7s " +
+      f"${"records"}%10s ${"shufRead"}%10s ${"shufWrite"}%10s " +
+      f"${"spill"}%8s  host"
+    (header +: tasks.map { t =>
+      f"${t.stageId}%-6d ${t.taskId}%6d ${t.durationMs}%7d " +
+        f"${t.recordsRead}%10d ${t.shuffleReadBytes}%10d " +
+        f"${t.shuffleWriteBytes}%10d ${t.spillBytes}%8d  ${t.host}"
+    }).mkString("\n")
   }
 
   def render(reports: Seq[StageReport]): String = {
@@ -127,15 +181,30 @@ object MetricsReport {
     }).mkString("\n")
   }
 
+  /** `runMain graft.tools.MetricsReport [query] [sfDir] [aggregated|per-task]`
+    * — the reference's two display formats
+    * (`task_metrics_rewriter.rs:20-38`); per-task prints the rollup AND
+    * the straggler-ordered task rows.
+    */
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("q03_shipping_priority")
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val format = if (args.length > 2) args(2) else "aggregated"
     val spark = GraftSession.builder("local[8]", "graft-metrics")
       .config("spark.sql.shuffle.partitions", "8")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    println(s"=== TASK METRICS $name @ $sfDir ===")
-    println(render(collect(SparkEntry.queries(name)(spark, sfDir))))
+    println(s"=== TASK METRICS $name @ $sfDir ($format) ===")
+    format match {
+      case "per-task" =>
+        val (stages, tasks) =
+          collectWithTasks(SparkEntry.queries(name)(spark, sfDir))
+        println(render(stages))
+        println()
+        println(renderPerTask(tasks))
+      case _ =>
+        println(render(collect(SparkEntry.queries(name)(spark, sfDir))))
+    }
     spark.stop()
   }
 }

@@ -65,6 +65,18 @@ class ProfileSpec extends AnyFunSuite {
       s"ties must share a rank: $out")
   }
 
+  test("percentRankWithin sorts nulls LAST (matching SQL-standard percent_rank)") {
+    import spark.implicits._
+    // Spark's default sort is NULLS FIRST, which would hand null values
+    // the LOWEST percentiles; the oracle (DuckDB) ranks them last.
+    val d = Seq(("a", 1L, Some(10L)), ("a", 2L, Some(20L)),
+      ("a", 3L, Option.empty[Long])).toDF("source", "id", "v")
+    val out = Profile.percentRankWithin(d, "source", "v")
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(out(1L) == 0.0 && out(2L) == 0.5 && out(3L) == 1.0,
+      s"null v must take the highest rank, not the lowest: $out")
+  }
+
   test("skewReport surfaces the planted heavy hitter with the right factor") {
     import spark.implicits._
     // 900 rows of key 7 + 100 distinct singleton keys + 10 nulls:

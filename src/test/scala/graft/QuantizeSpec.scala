@@ -83,4 +83,21 @@ class QuantizeSpec extends AnyFunSuite {
     assert(sums.forall(s => math.abs(s) <= 24),
       s"sign matrix badly unbalanced: $sums")
   }
+
+  test("sign_project SQL accepts INT and BIGINT literals for dims and seed") {
+    import spark.implicits._
+    import graft.functions.VectorExpressions
+    VectorExpressions.register(spark)
+    val df = Seq((1L, Seq.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    df.createOrReplaceTempView("sp_lit_test")
+    // 4L parses as a BIGINT literal — previously a bare ClassCastException
+    // on the dims argument (seed already handled both).
+    val a = spark.sql(
+      "SELECT sign_project(embedding, 4, 9) AS p FROM sp_lit_test")
+      .head().getSeq[Double](0)
+    val b = spark.sql(
+      "SELECT sign_project(embedding, 4L, 9L) AS p FROM sp_lit_test")
+      .head().getSeq[Double](0)
+    assert(a == b && a.length == 4)
+  }
 }

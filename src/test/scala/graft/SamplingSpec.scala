@@ -256,6 +256,19 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("temperatureMixture rejects null sources loudly (like the weighted form)") {
+    import spark.implicits._
+    // A null source would inflate the n^alpha denominator yet never match
+    // mixSources' equality filter — rows silently vanish and their budget
+    // share is never realized. Must fail with the cause instead.
+    val withNull = Seq((1L, Some("a")), (2L, Some("a")), (3L, None))
+      .toDF("id", "source")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.temperatureMixture(withNull, "source", "id", budget = 2L)
+    }
+    assert(e.getMessage.contains("null"))
+  }
+
   test("deterministicShuffle: exact permutation, seed-dependent, layout-stable") {
     import spark.implicits._
     val ids = (1L to 997L).toDF("id")
@@ -283,5 +296,27 @@ class SamplingSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"),
       s"global rank must not serialize through one partition:\n$plan")
+  }
+
+  test("per-bucket offsets fold back via broadcast join, not a P-deep when chain") {
+    import spark.implicits._
+    // At cluster-real partition counts (here P=200) a chained
+    // `when(__pid===i, ...)` offset expression is a 200-deep conditional —
+    // linear per-row eval and a codegen blowup. The offsets must come in
+    // as a broadcast-joined ≤P-row table instead.
+    val ids = (1L to 997L).toDF("id")
+    val sPlan = Sampling.deterministicShuffle(ids, "id", seed = 7L,
+        numPartitions = 200)
+      .queryExecution.executedPlan.toString
+    assert(sPlan.contains("BroadcastHashJoin"),
+      s"offset fold-back must be a broadcast join:\n$sPlan")
+    assert(!sPlan.contains("CASE WHEN (__pid"),
+      "offset fold-back must not be a per-partition conditional chain")
+    val docs = (1L to 500L).map(i => (i, 7L)).toDF("id", "w")
+    val pPlan = Sampling.packByBudget(docs, "id", "w", 100L,
+        numPartitions = 200)
+      .queryExecution.executedPlan.toString
+    assert(pPlan.contains("BroadcastHashJoin"),
+      s"packByBudget offset fold-back must be a broadcast join:\n$pPlan")
   }
 }

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.feed.{CsvWorkUnit, WorkUnitFeedRegistry}
+import graft.sources.feed.{CsvWorkUnit, DynamicWorkUnitFeed, WorkUnitFeedRegistry}
 
 /** The work-unit-feed source must (a) produce exactly the rows of the fed
   * files, (b) consult the driver-side provider at EXECUTION time — a feed
@@ -100,5 +100,62 @@ class WorkUnitFeedSpec extends AnyFunSuite {
     // A missing file must degrade to "no preference", never fail the scan.
     assert(CsvWorkUnit("/no/such/file.csv", header = true)
       .preferredLocations().isEmpty)
+  }
+
+  private def readDynamicFeed(id: String, maxPerBatch: Int) =
+    spark.readStream.format("graft.sources.feed.WorkUnitFeedTableProvider")
+      .option("feed.id", id)
+      .option("feed.maxUnitsPerBatch", maxPerBatch.toString)
+      .option("schema", "k BIGINT, v STRING")
+      .load()
+
+  // The reference's defining feed behavior: units stream INTO a running
+  // query (work_unit_feed.rs:125-180) — work discovered after execution
+  // starts still reaches the result. Batch DSv2 can't do this (partitions
+  // fix at planInputPartitions); the micro-batch path must.
+  test("units offered after earlier micro-batches completed reach the running query") {
+    val f1 = writeCsv("dyn1", Seq("1,x"))
+    val f2 = writeCsv("dyn2", Seq("2,y"))
+    val f3 = writeCsv("dyn3", Seq("3,z"))
+    val feed = DynamicWorkUnitFeed.create("dyn-t1")
+    feed.offer(Seq(CsvWorkUnit(f1, header = true)))
+    val q = readDynamicFeed("dyn-t1", maxPerBatch = 0)
+      .writeStream.format("memory").queryName("dyn_t1_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dyn_t1_sink").count() == 1,
+        "first batch must hold only the initially-known unit")
+      // Discovered mid-query — AFTER the first batch fully processed.
+      feed.offer(Seq(CsvWorkUnit(f2, header = true),
+        CsvWorkUnit(f3, header = true)))
+      q.processAllAvailable()
+      val rows = spark.table("dyn_t1_sink").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(rows == Seq((1L, "x"), (2L, "y"), (3L, "z")),
+        s"late-discovered units must join the same query's result: $rows")
+    } finally { q.stop(); DynamicWorkUnitFeed.remove("dyn-t1") }
+  }
+
+  // The reference dispatches units in bounded chunks
+  // (query_coordinator.rs:38-41); the admission-cap analog must bound
+  // units (hence rows, at 1 row/unit here) per micro-batch.
+  test("maxUnitsPerBatch bounds admission per micro-batch (backpressure)") {
+    val files = (0 until 5).map(i => writeCsv(s"bp$i", Seq(s"$i,r$i")))
+    val feed = DynamicWorkUnitFeed.create("dyn-bp")
+    feed.offer(files.map(CsvWorkUnit(_, header = true)))
+    val q = readDynamicFeed("dyn-bp", maxPerBatch = 2)
+      .writeStream.format("memory").queryName("dyn_bp_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dyn_bp_sink").count() == 5,
+        "all units must eventually process")
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 3,
+        s"5 units at cap 2 need >= 3 batches, got ${batches.length}")
+      assert(batches.forall(_.numInputRows <= 2),
+        s"a batch exceeded the 2-unit cap: ${batches.map(_.numInputRows).toSeq}")
+    } finally { q.stop(); DynamicWorkUnitFeed.remove("dyn-bp") }
   }
 }
