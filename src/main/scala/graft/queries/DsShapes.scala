@@ -92,6 +92,50 @@ object DsShapes {
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         GROUP BY ROLLUP (n_name)
         ORDER BY nation""")
+    }),
+
+    // ---- TPC-H q21 shape (`testdata/tpch/queries/q21.sql`): the hardest
+    // decorrelation in the TPC-H suite — EXISTS and NOT EXISTS over the
+    // SAME fact table, both correlated to the outer row on one key with a
+    // supplier INEQUALITY inside. Adapted to the driver schema (no
+    // receipt/commit dates): 'R'-flagged lines stand in for "late".
+    // Catalyst plans left-semi + left-anti joins whose condition mixes the
+    // equi key with the non-equi suppkey predicate.
+    "q88_waiting_supplier" -> ((s, dir) => {
+      Tables.register(s, dir, "supplier", "lineitem", "orders", "nation")
+      s.sql("""
+        SELECT s_name, count(*) AS numwait
+        FROM supplier, lineitem l1, orders, nation
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+          AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20""")
+    }),
+
+    // ---- TPC-DS q88 shape (`testdata/tpcds/queries/q88.sql`): eight
+    // uncorrelated single-row COUNT subqueries cross-joined into one wide
+    // row — the planner must recognize eight independent scalar aggregates
+    // (Spark: one ReusedExchange-able scan each feeding a 1-row
+    // BroadcastNestedLoopJoin chain; DuckDB: eight uncorrelated scalars).
+    // Hour-of-day buckets over events stand in for the store time slots.
+    "q89_hour_buckets" -> ((s, dir) => {
+      Tables.register(s, dir, "events")
+      val buckets = (0 until 8).map { i =>
+        val lo = i * 3; val hi = lo + 2
+        s"(SELECT count(*) AS h${lo}_$hi FROM events " +
+          s"WHERE extract(HOUR FROM ts) BETWEEN $lo AND $hi " +
+          "AND event_type IN ('click','view','purchase')) " + ('a' + i).toChar
+      }
+      s.sql("SELECT * FROM " + buckets.mkString(", "))
     })
   )
 
@@ -149,6 +193,33 @@ object DsShapes {
         JOIN customer c ON sr.custkey = c.c_custkey
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         GROUP BY ROLLUP (n_name)
-        ORDER BY nation"""
+        ORDER BY nation""",
+
+    "q88_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        FROM supplier, lineitem l1, orders, nation
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+          AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20""",
+
+    "q89_hour_buckets" -> {
+      val buckets = (0 until 8).map { i =>
+        val lo = i * 3; val hi = lo + 2
+        s"(SELECT count(*) AS h${lo}_$hi FROM events " +
+          s"WHERE extract(HOUR FROM ts) BETWEEN $lo AND $hi " +
+          "AND event_type IN ('click','view','purchase')) " + ('a' + i).toChar
+      }
+      "SELECT * FROM " + buckets.mkString(", ")
+    }
   )
 }

@@ -350,6 +350,25 @@ object Relational {
         .limit(100)
     }),
 
+    // ---- q34's aggregation routed through the RUNTIME NDV sizer
+    // (reference sampler -> boundary sizing, sampler.rs:38-563): a narrow
+    // pre-pass measures key NDV/null%, and because l_orderkey's NDV
+    // crosses the (query-lowered) combine threshold the plan takes the
+    // high-cardinality path — explicit repartition to an NDV-derived
+    // partition count, where map-side combine is worthless and AQE's
+    // bytes-only coalescing can't size hash-agg state. Same oracle as
+    // q34: sizing must never change the answer. ----
+    "q87_ndv_sized_agg" -> ((s, dir) => {
+      val (out, decision) = graft.engine.NdvSizing.sizedAggregate(
+        t(s, dir, "lineitem"), Seq("l_orderkey"),
+        Seq(dsum(col("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n_items")),
+        combineNdvThreshold = 1000L, keysPerPartition = 4096L)
+      assert(decision.repartitioned, s"expected high-NDV path, got $decision")
+      out.filter(col("sum_qty") > 100)
+        .orderBy(col("sum_qty").desc, col("l_orderkey"))
+        .limit(100)
+    }),
+
     // ---- sessionization via stacked windows (gap > 30 min ⇒ new session) ----
     "q35_sessionize" -> ((s, dir) => {
       val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -544,6 +563,12 @@ object Relational {
 
     // Identical oracle to q34: PartialReduce must never change the answer.
     "q34b_highcard_agg_partial_reduce" ->
+      s"""SELECT l_orderkey, ${osum("l_quantity", 2)} AS sum_qty, count(*) AS n_items
+        FROM lineitem GROUP BY l_orderkey HAVING ${osum("l_quantity", 2)} > 100
+        ORDER BY sum_qty DESC, l_orderkey LIMIT 100""",
+
+    // Identical oracle to q34: NDV-driven sizing must never change the answer.
+    "q87_ndv_sized_agg" ->
       s"""SELECT l_orderkey, ${osum("l_quantity", 2)} AS sum_qty, count(*) AS n_items
         FROM lineitem GROUP BY l_orderkey HAVING ${osum("l_quantity", 2)} > 100
         ORDER BY sum_qty DESC, l_orderkey LIMIT 100""",
