@@ -122,4 +122,50 @@ object NdvSizing {
     (out, SizingDecision(stats, wantRepartition,
       if (wantRepartition) n else -1, dropNulls))
   }
+
+  /** What [[sizedEquiJoin]] decided and why. */
+  case class JoinSizingDecision(left: KeyStats, right: KeyStats,
+                                broadcastRight: Boolean, numPartitions: Int)
+
+  /** Average on-wire row width estimate from the schema — the same
+    * defaultSize arithmetic [[graft.tools.CostModel]] uses at plan time,
+    * here paired with a MEASURED row count.
+    */
+  private def estimatedBytes(df: DataFrame, rows: Long): Long =
+    rows * math.max(8, df.schema.fields.map(_.dataType.defaultSize).sum)
+
+  /** NDV-sized inner equi-join — the join half of the reference sampler's
+    * boundary sizing. Both sides' keys are measured (two narrow pre-passes);
+    * the decisions, in order:
+    *
+    *  1. If the right side's measured rows × schema width fit under
+    *     `broadcastBytes`, hint BROADCAST: a measured row count beats the
+    *     file-size estimate Spark's static threshold uses (a 10 GB scan
+    *     that filters to 10k rows broadcasts here; static planning can't
+    *     see that, and AQE only converts after the first shuffle stage of
+    *     the join materializes a map output it could have skipped).
+    *  2. Otherwise shuffle both sides to n = ceil(max(ndvL, ndvR) /
+    *     keysPerPartition) partitions on the key (bounded hash/sort state
+    *     per task regardless of the static conf).
+    *
+    * Inner-join null keys never match, so Catalyst's own IsNotNull infer
+    * already prunes them — measured nullFrac is reported in the decision
+    * for observability, not acted on here.
+    */
+  def sizedEquiJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                    maxPartitions: Int = 4096,
+                    broadcastBytes: Long = 32L * 1024 * 1024,
+                    keysPerPartition: Long = targetKeysPerPartition): (DataFrame, JoinSizingDecision) = {
+    val (ls, rs) = (keyStats(left, keys), keyStats(right, keys))
+    if (estimatedBytes(right, rs.rows) <= broadcastBytes) {
+      (left.join(org.apache.spark.sql.functions.broadcast(right), keys),
+        JoinSizingDecision(ls, rs, broadcastRight = true, -1))
+    } else {
+      val n = math.max(1, math.min(maxPartitions.toLong,
+        (math.max(ls.ndv, rs.ndv) + keysPerPartition - 1) / keysPerPartition)).toInt
+      val cols = keys.map(col)
+      (left.repartition(n, cols: _*).join(right.repartition(n, cols: _*), keys),
+        JoinSizingDecision(ls, rs, broadcastRight = false, n))
+    }
+  }
 }

@@ -136,6 +136,57 @@ object DsShapes {
           "AND event_type IN ('click','view','purchase')) " + ('a' + i).toChar
       }
       s.sql("SELECT * FROM " + buckets.mkString(", "))
+    }),
+
+    // ---- ClickBench q17/q18 shape
+    // (`testdata/clickbench/queries/q17.sql`-ish: "SELECT UserID,
+    // SearchPhrase, COUNT(*) ... GROUP BY UserID, SearchPhrase ORDER BY
+    // COUNT(*) DESC LIMIT 10"): high-cardinality two-key aggregation over
+    // a semi-structured column, then a GLOBAL top-k on the aggregate —
+    // the web-analytics hot path. The JSON key plays SearchPhrase; ties
+    // broken on both keys so the top-10 is layout-deterministic. Spark
+    // plans partial agg → key shuffle → TakeOrderedAndProject.
+    "q90_clickbench_topk" -> ((s, dir) => {
+      Tables.register(s, dir, "events")
+      s.sql(s"""
+        SELECT user_id, get_json_object(props, '$$.k') AS phrase,
+               count(*) AS cnt, ${oavg("value", 2)} AS avg_value
+        FROM events
+        WHERE event_type <> 'error'
+        GROUP BY user_id, get_json_object(props, '$$.k')
+        ORDER BY cnt DESC, user_id, phrase
+        LIMIT 10""")
+    }),
+
+    // ---- TPC-DS q23 shape (`testdata/tpcds/queries/q23.sql`): THREE
+    // levels of nesting — the main query is gated by two IN-subqueries,
+    // one of which (best_customers) contains a scalar subquery whose
+    // operand is itself a grouped subquery (max of per-customer sums).
+    // Catalyst: two decorrelated semi-joins over a scalar-subquery plan
+    // with its own aggregate below it. Decimal sums throughout so the
+    // HAVING threshold can't flip on float summation order.
+    "q91_frequent_best" -> ((s, dir) => {
+      Tables.register(s, dir, "lineitem", "orders", "customer")
+      s.sql(s"""
+        WITH frequent_parts AS (
+          SELECT l_partkey FROM lineitem
+          GROUP BY l_partkey HAVING count(*) > 4),
+        best_customers AS (
+          SELECT o_custkey FROM orders
+          GROUP BY o_custkey
+          HAVING ${osum("o_totalprice", 2)} > 0.5 * (
+            SELECT max(total) FROM (
+              SELECT ${osum("o_totalprice", 2)} AS total
+              FROM orders GROUP BY o_custkey) t))
+        SELECT c_mktsegment, count(*) AS n_lines,
+               ${osum("l_extendedprice * (1 - l_discount)")} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_partkey IN (SELECT l_partkey FROM frequent_parts)
+          AND o_custkey IN (SELECT o_custkey FROM best_customers)
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")
     })
   )
 
@@ -220,6 +271,36 @@ object DsShapes {
           "AND event_type IN ('click','view','purchase')) " + ('a' + i).toChar
       }
       "SELECT * FROM " + buckets.mkString(", ")
-    }
+    },
+
+    "q90_clickbench_topk" ->
+      s"""SELECT user_id, json_extract_string(props, '$$.k') AS phrase,
+               count(*) AS cnt, ${oavg("value", 2)} AS avg_value
+        FROM events
+        WHERE event_type <> 'error'
+        GROUP BY user_id, json_extract_string(props, '$$.k')
+        ORDER BY cnt DESC, user_id, phrase
+        LIMIT 10""",
+
+    "q91_frequent_best" ->
+      s"""WITH frequent_parts AS (
+          SELECT l_partkey FROM lineitem
+          GROUP BY l_partkey HAVING count(*) > 4),
+        best_customers AS (
+          SELECT o_custkey FROM orders
+          GROUP BY o_custkey
+          HAVING ${osum("o_totalprice", 2)} > 0.5 * (
+            SELECT max(total) FROM (
+              SELECT ${osum("o_totalprice", 2)} AS total
+              FROM orders GROUP BY o_custkey) t))
+        SELECT c_mktsegment, count(*) AS n_lines,
+               ${osum("l_extendedprice * (1 - l_discount)")} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_partkey IN (SELECT l_partkey FROM frequent_parts)
+          AND o_custkey IN (SELECT o_custkey FROM best_customers)
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment"""
   )
 }

@@ -86,6 +86,35 @@ class NdvSizingSpec extends AnyFunSuite {
     assert(dropped.count() == 5, "null group filtered before the shuffle")
   }
 
+  test("sizedEquiJoin broadcasts a measured-small right side") {
+    import spark.implicits._
+    val left = (1L to 5000L).map(i => (i % 100, i)).toDF("k", "lv")
+    val right = (0L until 100L).map(i => (i, s"dim$i")).toDF("k", "rv")
+    val (out, d) = NdvSizing.sizedEquiJoin(left, right, Seq("k"))
+    assert(d.broadcastRight && d.numPartitions == -1)
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(out.count() == 5000)
+  }
+
+  test("sizedEquiJoin shuffles both sides to an NDV-derived partition count") {
+    import spark.implicits._
+    val left = (1L to 20000L).map(i => (i, i * 2)).toDF("k", "lv")
+    val right = (1L to 20000L).map(i => (i, i * 3)).toDF("k", "rv")
+    val (out, d) = NdvSizing.sizedEquiJoin(left, right, Seq("k"),
+      broadcastBytes = 1L, keysPerPartition = 4096L)
+    assert(!d.broadcastRight)
+    assert(d.numPartitions >= 4 && d.numPartitions <= 6,
+      s"numPartitions=${d.numPartitions} from ndv=(${d.left.ndv},${d.right.ndv})")
+    val reps = out.queryExecution.optimizedPlan.collect {
+      case r: RepartitionByExpression => r
+    }
+    assert(reps.size == 2 &&
+      reps.forall(_.optNumPartitions.contains(d.numPartitions)),
+      s"expected both sides repartitioned to ${d.numPartitions}")
+    assert(out.count() == 20000)
+  }
+
   test("sizing never changes the answer: both paths agree with plain groupBy") {
     import spark.implicits._
     val df = (1 to 3000).map(i => (i % 101, i.toLong)).toDF("k", "x")
