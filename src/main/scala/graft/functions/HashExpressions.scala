@@ -34,38 +34,50 @@ object HashExpressions {
     (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
   }
 
+  /** Runtime kernel for [[SimHash64]] — public so generated Java code calls
+    * it via the object's static forwarder (the [[nfcJava]] pattern). */
+  def simhash64Java(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = hash64(arr.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
   /** 64-bit SimHash over an array<string> of tokens: per-token 64-bit hash,
     * per-bit ±1 vote, sign of each bit-sum forms the signature. Near-dup
-    * docs ⇒ small hamming distance (`bit_count(a ^ b)`).
+    * docs ⇒ small hamming distance (`bit_count(a ^ b)`). Carries
+    * `doGenCode` (a one-call static-forwarder body) so the sketch pass
+    * stays inside whole-stage codegen with the scan/filter around it.
     */
-  case class SimHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "simhash64"
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val votes = new Array[Int](64)
-      var i = 0
-      while (i < arr.numElements()) {
-        if (!arr.isNullAt(i)) {
-          val h = hash64(arr.getUTF8String(i).getBytes)
-          var b = 0
-          while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-            b += 1
-          }
-        }
-        i += 1
-      }
-      var sig = 0L
-      var b = 0
-      while (b < 64) {
-        if (votes(b) > 0) sig |= (1L << b)
-        b += 1
-      }
-      java.lang.Long.valueOf(sig)
-    }
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(simhash64Java(input.asInstanceOf[ArrayData]))
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.HashExpressions.simhash64Java($c)")
 
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
   }
@@ -122,16 +134,27 @@ object HashExpressions {
     * signature — filter them out before LSH banding or they form one
     * degenerate bucket.
     */
+  /** Static kernel for [[MinHashSignature]] (codegen entry point). */
+  def minhashSignatureJava(arr: ArrayData, shingleLen: Int, k: Int): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      minhashMinima(arr, shingleLen, k))
+
   case class MinHashSignature(child: Expression, shingleLen: Int, k: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(k >= 1 && k <= 1024, s"k=$k out of range [1,1024]")
     require(shingleLen >= 1, s"shingleLen=$shingleLen must be >= 1")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "minhash_signature"
 
     override def nullSafeEval(input: Any): Any =
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        minhashMinima(input.asInstanceOf[ArrayData], shingleLen, k))
+      minhashSignatureJava(input.asInstanceOf[ArrayData], shingleLen, k)
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.HashExpressions.minhashSignatureJava($c, $shingleLen, $k)")
 
     override protected def withNewChildInternal(c: Expression): MinHashSignature =
       copy(child = c)
@@ -142,28 +165,39 @@ object HashExpressions {
     * band). Skips materializing the signature array when only banding is
     * needed — the candidate-generation hot path.
     */
+  /** Static kernel for [[MinHashBandHashes]] (codegen entry point). */
+  def minhashBandsJava(arr: ArrayData, shingleLen: Int, k: Int, r: Int): ArrayData = {
+    val mins = minhashMinima(arr, shingleLen, k)
+    val bands = new Array[Long](k / r)
+    var b = 0
+    while (b < k / r) {
+      var acc = SHINGLE_SEED + b
+      var i = b * r
+      while (i < (b + 1) * r) {
+        acc = splitmix64(acc ^ mins(i))
+        i += 1
+      }
+      bands(b) = acc
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(bands)
+  }
+
   case class MinHashBandHashes(child: Expression, shingleLen: Int, k: Int, r: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(k % r == 0, s"k=$k not divisible by band width r=$r")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "minhash_bands"
 
-    override def nullSafeEval(input: Any): Any = {
-      val mins = minhashMinima(input.asInstanceOf[ArrayData], shingleLen, k)
-      val bands = new Array[Long](k / r)
-      var b = 0
-      while (b < k / r) {
-        var acc = SHINGLE_SEED + b
-        var i = b * r
-        while (i < (b + 1) * r) {
-          acc = splitmix64(acc ^ mins(i))
-          i += 1
-        }
-        bands(b) = acc
-        b += 1
-      }
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(bands)
-    }
+    override def nullSafeEval(input: Any): Any =
+      minhashBandsJava(input.asInstanceOf[ArrayData], shingleLen, k, r)
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.HashExpressions.minhashBandsJava($c, $shingleLen, $k, $r)")
 
     override protected def withNewChildInternal(c: Expression): MinHashBandHashes =
       copy(child = c)
@@ -178,39 +212,49 @@ object HashExpressions {
     * and compares ~5× cheaper than the string. Collision probability across
     * a 2^64 space is negligible at any realistic corpus cardinality.
     */
+  /** Static kernel for [[ShingleHashes]] (codegen entry point). */
+  def shingleHashesJava(arr: ArrayData, shingleLen: Int): ArrayData = {
+    val n = arr.numElements()
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) = if (arr.isNullAt(i)) 0L else hash64(arr.getUTF8String(i).getBytes)
+      i += 1
+    }
+    val out = new java.util.HashSet[java.lang.Long]()
+    var j = 0
+    while (j <= n - shingleLen) {
+      var base = SHINGLE_SEED
+      var t = j
+      while (t < j + shingleLen) {
+        base = splitmix64(base ^ th(t))
+        t += 1
+      }
+      out.add(base)
+      j += 1
+    }
+    val res = new Array[Long](out.size)
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { res(k) = it.next(); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(res)
+  }
+
   case class ShingleHashes(child: Expression, shingleLen: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(shingleLen >= 1, s"shingleLen=$shingleLen must be >= 1")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "shingle_hashes"
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val th = new Array[Long](n)
-      var i = 0
-      while (i < n) {
-        th(i) = if (arr.isNullAt(i)) 0L else hash64(arr.getUTF8String(i).getBytes)
-        i += 1
-      }
-      val out = new java.util.HashSet[java.lang.Long]()
-      var j = 0
-      while (j <= n - shingleLen) {
-        var base = SHINGLE_SEED
-        var t = j
-        while (t < j + shingleLen) {
-          base = splitmix64(base ^ th(t))
-          t += 1
-        }
-        out.add(base)
-        j += 1
-      }
-      val res = new Array[Long](out.size)
-      val it = out.iterator()
-      var k = 0
-      while (it.hasNext) { res(k) = it.next(); k += 1 }
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(res)
-    }
+    override def nullSafeEval(input: Any): Any =
+      shingleHashesJava(input.asInstanceOf[ArrayData], shingleLen)
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.HashExpressions.shingleHashesJava($c, $shingleLen)")
 
     override protected def withNewChildInternal(c: Expression): ShingleHashes =
       copy(child = c)
@@ -223,36 +267,48 @@ object HashExpressions {
     * turning ANN search into an equi-join on bucket id (SURVEY.md §7
     * "LSH-bucketed variant as the scale path").
     */
+  /** Static kernel for [[HyperplaneLsh]] (codegen entry point); `isFloat`
+    * is baked in at plan time from the child's array element type. */
+  def hyperplaneLshJava(arr: ArrayData, nBits: Int, seed: Long,
+                        isFloat: Boolean): Int = {
+    val n = arr.numElements()
+    var bucket = 0
+    var b = 0
+    while (b < nBits) {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val v = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        // ±1 weight from the (seed, bit, dim) coordinate hash
+        val w = if ((splitmix64(seed * 1000003L + b.toLong * 10007L + i) & 1L) == 1L) 1.0 else -1.0
+        s += v * w
+        i += 1
+      }
+      if (s > 0) bucket |= (1 << b)
+      b += 1
+    }
+    bucket
+  }
+
   case class HyperplaneLsh(child: Expression, nBits: Int, seed: Long)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(nBits >= 1 && nBits <= 32, s"nBits=$nBits out of range [1,32]")
     override def dataType: DataType = IntegerType
     override def prettyName: String = "hyperplane_lsh"
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val elemType = child.dataType.asInstanceOf[ArrayType].elementType
-      val n = arr.numElements()
-      var bucket = 0
-      var b = 0
-      while (b < nBits) {
-        var s = 0.0
-        var i = 0
-        while (i < n) {
-          val v = elemType match {
-            case FloatType => arr.getFloat(i).toDouble
-            case _ => arr.getDouble(i)
-          }
-          // ±1 weight from the (seed, bit, dim) coordinate hash
-          val w = if ((splitmix64(seed * 1000003L + b.toLong * 10007L + i) & 1L) == 1L) 1.0 else -1.0
-          s += v * w
-          i += 1
-        }
-        if (s > 0) bucket |= (1 << b)
-        b += 1
-      }
-      java.lang.Integer.valueOf(bucket)
-    }
+    private def isFloat: Boolean =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Integer.valueOf(
+        hyperplaneLshJava(input.asInstanceOf[ArrayData], nBits, seed, isFloat))
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.HashExpressions.hyperplaneLshJava($c, $nBits, ${seed}L, $isFloat)")
 
     override protected def withNewChildInternal(c: Expression): HyperplaneLsh = copy(child = c)
   }
@@ -266,16 +322,12 @@ object HashExpressions {
     * overlap is the classic plagiarism/near-dup signal over a corpus.
     * Returns a sorted distinct array<long>.
     */
-  case class WinnowFingerprints(child: Expression, k: Int, w: Int)
-      extends UnaryExpression with CodegenFallback {
-    require(k >= 2 && w >= 1, s"need k>=2, w>=1 (got k=$k, w=$w)")
-    override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def prettyName: String = "winnow_fingerprints"
-
-    override def nullSafeEval(input: Any): Any = {
-      val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
-      val n = bytes.length - k + 1
-      if (n <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+  /** Static kernel for [[WinnowFingerprints]] (codegen entry point). */
+  def winnowJava(s: org.apache.spark.unsafe.types.UTF8String,
+                 k: Int, w: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length - k + 1
+    if (n <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
       // Rolling k-gram hashes (splitmix of a polynomial accumulator keeps
       // the roll cheap and the distribution uniform).
       val gh = new Array[Long](n)
@@ -302,7 +354,23 @@ object HashExpressions {
         start += 1
       }
       new org.apache.spark.sql.catalyst.util.GenericArrayData(sel.toArray)
-    }
+  }
+
+  case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+      extends UnaryExpression {
+    require(k >= 2 && w >= 1, s"need k>=2, w>=1 (got k=$k, w=$w)")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "winnow_fingerprints"
+
+    override def nullSafeEval(input: Any): Any =
+      winnowJava(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.HashExpressions.winnowJava($c, $k, $w)")
 
     override protected def withNewChildInternal(c: Expression): WinnowFingerprints =
       copy(child = c)

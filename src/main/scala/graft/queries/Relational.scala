@@ -369,6 +369,24 @@ object Relational {
         .limit(100)
     }),
 
+    // ---- the join half of the runtime sampler (q87's aggregation twin):
+    // sizedEquiJoin measures both sides, sees the filtered orders side
+    // fits the broadcast budget by MEASURED row count (not file-size
+    // estimate), and hints BROADCAST. Decision asserted so the driver run
+    // exercises the measured-broadcast path; oracle is the plain join. ----
+    "q92_ndv_sized_join" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+      val (joined, decision) = graft.engine.NdvSizing.sizedEquiJoin(
+        t(s, dir, "lineitem"), urgent, Seq("l_orderkey"))
+      assert(decision.broadcastRight, s"expected measured broadcast, got $decision")
+      joined.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+             dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // ---- sessionization via stacked windows (gap > 30 min ⇒ new session) ----
     "q35_sessionize" -> ((s, dir) => {
       val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -572,6 +590,13 @@ object Relational {
       s"""SELECT l_orderkey, ${osum("l_quantity", 2)} AS sum_qty, count(*) AS n_items
         FROM lineitem GROUP BY l_orderkey HAVING ${osum("l_quantity", 2)} > 100
         ORDER BY sum_qty DESC, l_orderkey LIMIT 100""",
+
+    "q92_ndv_sized_join" ->
+      s"""SELECT o_orderstatus, count(*) AS n_items,
+               ${osum("l_extendedprice * (1 - l_discount)")} AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "q35_sessionize" ->
       """WITH g AS (
