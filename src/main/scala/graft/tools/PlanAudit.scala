@@ -21,10 +21,13 @@ object PlanAudit {
     // p27 crossJoins every row against the BROADCAST per-label centroid
     // table (|labels| rows by construction) — nearest-prototype assignment
     // is a scan × tiny-constant, not a quadratic join.
+    // q89 cross-joins eight SINGLE-ROW scalar aggregates (the TPC-DS q88
+    // shape): every BroadcastNestedLoopJoin build side is exactly one row,
+    // so the "nested loop" is 8 constant-cost merges, not a quadratic join.
     val crossByDesign = Set("q27_inequality_join", "q28_cross_join",
       "q29_scalar_subquery", "p07_jaccard_pairs", "p10_embedding_topk",
       "p13_embedding_near_pairs", "p17_source_similarity",
-      "q26_null_aware_anti", "p27_centroid_confusion")
+      "q26_null_aware_anti", "p27_centroid_confusion", "q89_hour_buckets")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
