@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.functions.call_function
@@ -382,19 +381,29 @@ object HashExpressions {
     * per-row binary-in/binary-out expression, no shuffle participation —
     * is what this pins down for 100 TB pipelines).
     */
+  /** Static kernel for [[ByteStride]] (codegen entry point). */
+  def byteStrideJava(bytes: Array[Byte], n: Int): Array[Byte] = {
+    val out = new Array[Byte]((bytes.length + n - 1) / n)
+    var i = 0
+    while (i < out.length) { out(i) = bytes(i * n); i += 1 }
+    out
+  }
+
   case class ByteStride(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(n >= 1, s"stride n=$n must be >= 1")
     override def dataType: DataType = BinaryType
     override def prettyName: String = "byte_stride"
 
-    override def nullSafeEval(input: Any): Any = {
-      val bytes = input.asInstanceOf[Array[Byte]]
-      val out = new Array[Byte]((bytes.length + n - 1) / n)
-      var i = 0
-      while (i < out.length) { out(i) = bytes(i * n); i += 1 }
-      out
-    }
+    override def nullSafeEval(input: Any): Any =
+      byteStrideJava(input.asInstanceOf[Array[Byte]], n)
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.HashExpressions.byteStrideJava($c, $n)")
 
     override protected def withNewChildInternal(c: Expression): ByteStride = copy(c)
   }
@@ -442,18 +451,30 @@ object HashExpressions {
     * ASCII text). Grouping on an expression Spark cannot see through proves
     * the engine shuffles correctly on computed keys.
     */
+  /** Static kernel for [[AsciiSum]] (codegen entry point). */
+  def asciiSumJava(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val bytes = s.getBytes
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) { acc += (bytes(i) & 0xFF); i += 1 }
+    acc
+  }
+
   case class AsciiSum(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "ascii_sum"
 
-    override def nullSafeEval(input: Any): Any = {
-      val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
-      var s = 0L
-      var i = 0
-      while (i < bytes.length) { s += (bytes(i) & 0xFF); i += 1 }
-      java.lang.Long.valueOf(s)
-    }
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(asciiSumJava(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]))
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.HashExpressions.asciiSumJava($c)")
 
     override protected def withNewChildInternal(c: Expression): AsciiSum = copy(c)
   }

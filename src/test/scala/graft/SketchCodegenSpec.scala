@@ -25,7 +25,11 @@ class SketchCodegenSpec extends AnyFunSuite {
     "minhash_signature(toks, 3, 16)",
     "minhash_bands(toks, 3, 16, 2)",
     "shingle_hashes(toks, 3)",
-    "winnow_fingerprints(text, 4, 3)")
+    "winnow_fingerprints(text, 4, 3)",
+    "ascii_sum(text)",
+    // hex(): a raw binary column would compare by array object identity
+    // in Row.toString, not by value.
+    "hex(byte_stride(cast(text AS binary), 3))")
 
   private def fixture(s: org.apache.spark.sql.SparkSession) = {
     import s.implicits._
@@ -85,7 +89,9 @@ class SketchCodegenSpec extends AnyFunSuite {
         classOf[HashExpressions.MinHashBandHashes],
         classOf[HashExpressions.ShingleHashes],
         classOf[HashExpressions.WinnowFingerprints],
-        classOf[HashExpressions.HyperplaneLsh]).foreach { c =>
+        classOf[HashExpressions.HyperplaneLsh],
+        classOf[HashExpressions.AsciiSum],
+        classOf[HashExpressions.ByteStride]).foreach { c =>
       assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
         .isAssignableFrom(c), s"${c.getSimpleName} regressed to CodegenFallback")
     }
