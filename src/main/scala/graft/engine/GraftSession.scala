@@ -48,11 +48,16 @@ object GraftSession {
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.parquet.filterPushdown" -> "true",
     "spark.ui.enabled" -> "false",
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    // reader rejects; read nanos as long session-wide (Tables.load
-    // truncates to microsecond timestamps). Session-level because the
-    // flag has no per-read DataFrameReader option.
-    "spark.sql.legacy.parquet.nanosAsLong" -> "true"
+    // events.ts has shipped as TIMESTAMP(NANOS) (one fixture generation)
+    // and TIMESTAMP(µs, isAdjustedToUTC=false) (the next); both flags are
+    // session-level because neither has a per-read DataFrameReader option.
+    // nanosAsLong lets NANOS files read at all (as LongType;
+    // Tables.normalizeEventTs truncates to µs timestamps), and
+    // inferTimestampNTZ=false makes naive-µs files read as TimestampType —
+    // the session tz is UTC, so the instants match what DuckDB reads, and
+    // event-time ops (withWatermark, unix_micros) stay legal.
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false"
   )
 
   /** Cluster-scale conf on top of [[defaultConf]] — the arithmetic a 100 TB

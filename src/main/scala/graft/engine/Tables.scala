@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Table registry over the driver-generated parquet directories.
   *
@@ -20,20 +20,39 @@ object Tables {
     Seq("customer", "orders", "lineitem", "events", "documents", "embeddings")
   val all: Seq[String] = dims ++ facts
 
+  /** Normalize whatever physical encoding `events.ts` arrives in to a plain
+    * session-tz TIMESTAMP. The fixture has been regenerated with different
+    * encodings across rounds — TIMESTAMP(NANOS) (reads as LongType under the
+    * nanosAsLong legacy flag), then TIMESTAMP(µs, isAdjustedToUTC=false)
+    * (reads as TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ default) — and
+    * every downstream event-time consumer (`withWatermark`, `unix_micros`,
+    * as-of joins) requires TimestampType. Matching on the observed type
+    * absorbs the next re-encoding instead of failing on it; the reference's
+    * correctness suites survive fixture regeneration the same way
+    * (`tests/tpch_correctness_test.rs:204-218` regenerates data on demand).
+    * Session timeZone is UTC (GraftSession.defaultConf), so a naive-µs cast
+    * denotes the same instants DuckDB reads.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    if (!df.schema.fieldNames.contains("ts")) df
+    else df.schema("ts").dataType match {
+      // nanos-as-long legacy: truncate to µs with integer `div`, not double
+      // division — ns-since-epoch exceeds double's 53-bit mantissa.
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df // already TimestampType (or a future sane encoding)
+    }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
-    // rejects; read nanos as long and truncate to microsecond timestamps
-    // (integer `div`, not double division — ns-since-epoch exceeds double's
-    // 53-bit mantissa).
     if (name == "events") {
-      // The nanosAsLong flag lives in GraftSession.defaultConf; set it
-      // here too for sessions not built through GraftSession (idempotent,
-      // but documented as session-global).
+      // Both flags live in GraftSession.defaultConf; set them here too for
+      // sessions not built through GraftSession (idempotent, session-global):
+      // nanosAsLong lets TIMESTAMP(NANOS) files read at all, and
+      // inferTimestampNTZ=false reads naive-µs files directly as
+      // TimestampType (UTC session) rather than TIMESTAMP_NTZ.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$dir/$name.parquet")
-      if (df.schema("ts").dataType == LongType)
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else df
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

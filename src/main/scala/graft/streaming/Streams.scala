@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.types.LongType
+import graft.engine.Tables
 
 /** Structured Streaming surface: watermarked windowed aggregation and
   * custom session state — the streaming semantics the reference models in
@@ -238,6 +238,7 @@ object Streams {
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     // The file stream source requires a DIRECTORY; stage the single events
     // file into a scratch dir once (hardlink when possible, copy otherwise).
@@ -268,9 +269,8 @@ object Streams {
       }
     }
     val stream = spark.readStream.schema(raw.schema).parquet(streamDir.toString)
-    if (raw.schema("ts").dataType == LongType)
-      stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else stream
+    // Same nanos/NTZ/timestamp normalization as the batch path.
+    Tables.normalizeEventTs(stream)
   }
 
   // Guards the set-conf → start() → restore-conf window in [[runToMemory]]
