@@ -397,13 +397,22 @@ object TextOps {
     // partial-aggregation order (a raw double sum drifted ~1e-13 with
     // layout, which round(,4) amplified to visible diffs near rounding
     // boundaries — the p27 labelCentroids pattern, applied here).
+    //
+    // The grid is 1e-6, NOT finer: log2 is not correctly rounded in either
+    // engine, so Spark and the DuckDB oracle can disagree by 1 ulp
+    // (~1e-16) per term. Against a 1e-6 grid a 1-ulp straddle of a cell
+    // boundary is ~1e-9-probable per term (vs ~1e-3 against the 1e-12 grid
+    // this first shipped with, which hash-mismatched under a different
+    // DuckDB build), and even a straddle shifts the per-doc sum by only
+    // 1e-6 — invisible to round(,4) except exactly on a .00005 boundary.
+    // The oracle SQL mirrors the same CAST(... AS DECIMAL(28,6)).
     import org.apache.spark.sql.types.DecimalType
     bigrams.join(model, Seq("bg"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_bigrams"),
            sum((log2((col("c_t") + lit(alpha)) / lit(denomT)) -
                 log2((col("c_r") + lit(alpha)) / lit(denomR)))
-             .cast(DecimalType(28, 12))).as("__llr"))
+             .cast(DecimalType(28, 6))).as("__llr"))
       .select(col("id"), col("n_bigrams"),
         round(col("__llr").cast("double") / col("n_bigrams"), 4)
           .as("dsir_logratio"))

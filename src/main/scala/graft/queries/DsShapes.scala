@@ -17,7 +17,93 @@ import Relational.{osum, oavg}
   */
 object DsShapes {
 
+  /** TPC-DS q47/q57 family (`testdata/tpcds/queries/q47.sql`, `q57.sql`):
+    * monthly grouped sums per dimension group, a running average window over
+    * the year partition (the reference's DataFusion-modified variant adds
+    * ORDER BY d_moy, making avg_monthly_sales a RUNNING average — mirrored
+    * here), and the previous/next month's sum attached to each row. The
+    * reference expresses prev/next as a triple self-join on rank()±1; the
+    * Spark-first form is lag/lead over the same ordering — identical
+    * semantics (rank is unique per partition because the input is grouped by
+    * the partition + order keys) with ONE window pass over one shuffle
+    * instead of three joins of the aggregate with itself.
+    *
+    * Float discipline (shared Spark/DuckDB text): monthly sums and their
+    * window re-sums stay DECIMAL (exact under any partial-agg or
+    * segment-tree order — DuckDB aggregates windows via segment trees, so a
+    * double window sum would drift); doubles appear only at the final
+    * division and output casts, where IEEE ops on identical inputs are
+    * correctly rounded and bit-identical across engines. The average is
+    * emitted UNROUNDED: round(x, 4) is where the engines diverge (Spark
+    * rounds the exact binary value via BigDecimal HALF_UP; DuckDB scales in
+    * floating point first), observed flipping the 4th decimal on real rows.
+    */
+  private def movingAvgSql(
+      dimCols: String, facts: String, dateCol: String, measure: String,
+      yr: Int, minDev: Double): String = {
+    val y = s"cast(extract(YEAR FROM $dateCol) AS integer)"
+    val m = s"cast(extract(MONTH FROM $dateCol) AS integer)"
+    s"""WITH v1 AS (
+        SELECT $dimCols, $y AS yr, $m AS moy,
+               sum(cast(($measure) AS decimal(18,4))) AS sum_sales_dec
+        FROM $facts
+        WHERE $y = $yr
+           OR ($y = ${yr - 1} AND $m = 12)
+           OR ($y = ${yr + 1} AND $m = 1)
+        GROUP BY $dimCols, $y, $m),
+      v2 AS (
+        SELECT $dimCols, yr, moy, sum_sales_dec,
+               cast(sum(sum_sales_dec) OVER (PARTITION BY $dimCols, yr
+                                             ORDER BY moy) AS double)
+                 / (count(*) OVER (PARTITION BY $dimCols, yr ORDER BY moy))
+                 AS avg_monthly,
+               lag(sum_sales_dec) OVER (PARTITION BY $dimCols
+                                        ORDER BY yr, moy) AS psum_dec,
+               lead(sum_sales_dec) OVER (PARTITION BY $dimCols
+                                         ORDER BY yr, moy) AS nsum_dec
+        FROM v1)
+      SELECT $dimCols, yr, moy,
+             cast(sum_sales_dec AS double) AS sum_sales,
+             avg_monthly AS avg_monthly_sales,
+             cast(psum_dec AS double) AS psum,
+             cast(nsum_dec AS double) AS nsum
+      FROM v2
+      WHERE yr = $yr AND avg_monthly > 0
+        AND abs(cast(sum_sales_dec AS double) - avg_monthly) / avg_monthly
+              > $minDev
+        AND psum_dec IS NOT NULL AND nsum_dec IS NOT NULL
+      ORDER BY $dimCols, yr, moy"""
+  }
+
+  // q47 analog: two dim attributes (customer nation × market segment) over
+  // the orders fact; q57 analog: one dim attribute (supplier nation) over
+  // the lineitem fact with revenue as the measure.
+  private val q93Sql = movingAvgSql(
+    dimCols = "n_name, c_mktsegment",
+    facts = """orders JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey""",
+    dateCol = "o_orderdate", measure = "o_totalprice",
+    yr = 1995, minDev = 0.1)
+  private val q94Sql = movingAvgSql(
+    dimCols = "n_name",
+    facts = """lineitem JOIN supplier ON l_suppkey = s_suppkey
+               JOIN nation ON s_nationkey = n_nationkey""",
+    dateCol = "l_shipdate", measure = "l_extendedprice * (1 - l_discount)",
+    yr = 1995, minDev = 0.02)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- TPC-DS q47 shape: moving-average deviation report, two dims ----
+    "q93_moving_avg_sales" -> ((s, dir) => {
+      Tables.register(s, dir, "orders", "customer", "nation")
+      s.sql(q93Sql)
+    }),
+
+    // ---- TPC-DS q57 shape: same family, one dim, lineitem fact ----
+    "q94_moving_avg_revenue" -> ((s, dir) => {
+      Tables.register(s, dir, "lineitem", "supplier", "nation")
+      s.sql(q94Sql)
+    }),
+
     // ---- TPC-DS q10 shape (`testdata/tpcds/queries/q10.sql`): IN-list
     // dim filter + correlated EXISTS AND (EXISTS OR EXISTS) chain, then a
     // demographic-style count rollup. Catalyst decorrelates each EXISTS to
@@ -191,6 +277,12 @@ object DsShapes {
   )
 
   val oracles: Map[String, String] = Map(
+    // The moving-average SQL is engine-portable by construction (decimal
+    // window sums, double only at correctly-rounded ops) — the oracle IS
+    // the same text Spark runs.
+    "q93_moving_avg_sales" -> q93Sql,
+    "q94_moving_avg_revenue" -> q94Sql,
+
     "q84_exists_chain" ->
       """SELECT c_mktsegment, count(*) AS cnt
         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
