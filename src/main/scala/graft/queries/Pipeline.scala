@@ -726,6 +726,30 @@ object Pipeline {
       Sampling.deterministicShuffle(capped, "doc_id", seed = 99L)
         .select(col("doc_id"), col("source"), col("shuffle_pos"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- REAL image decode: planted PNGs (genuine ImageIO-encoded
+    // streams, pixels closed-form in media_id) decoded back with
+    // javax.imageio; the oracle recomputes width/height/channels/pixel-sum
+    // from the planted rule without owning a codec. `decoded` pins that
+    // the codec path (not the stub fallback) produced every row. ----
+    "p58_image_decode" -> ((s, dir) => {
+      Multimodal.decodeImageFeatures(Multimodal.plantPngs(docs(s, dir)))
+        .select(col("media_id"), col("width"), col("height"),
+          col("n_channels"), col("pixel_sum"), col("decoded"))
+        .orderBy(col("media_id"))
+    }),
+
+    // ---- REAL image resize: decode -> 2x2 box-filter pool (integer-floor
+    // mean) -> PNG re-encode -> decode again. The oracle recomputes every
+    // pooled pixel from the planted rule, so the whole
+    // encode->decode->resample->re-encode->decode chain is value-checked. ----
+    "p59_image_resize" -> ((s, dir) => {
+      Multimodal.decodeImageFeatures(
+        Multimodal.resizePooled(Multimodal.plantPngs(docs(s, dir)), 2))
+        .select(col("media_id"), col("width"), col("height"),
+          col("pixel_sum"), col("decoded"))
+        .orderBy(col("media_id"))
     })
   )
 
@@ -866,7 +890,7 @@ object Pipeline {
                round(cast(sum(cast(
                        log2((c.c_t + 0.5) / (s.nt + 0.5 * s.v)) -
                        log2((c.c_r + 0.5) / (s.nr + 0.5 * s.v))
-                     AS DECIMAL(28,12))) AS double)
+                     AS DECIMAL(28,6))) AS double)
                      / count(*), 4) AS dsir_logratio
         FROM bg JOIN c USING (bg), s
         GROUP BY bg.doc_id ORDER BY id""",
@@ -1731,6 +1755,37 @@ object Pipeline {
         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
                 ORDER BY tfidf DESC, term) AS rk FROM s)
         SELECT doc_id, term, tf, tfidf, cast(rk AS integer) AS rk
-        FROM r WHERE rk <= 5 ORDER BY doc_id, rk"""
+        FROM r WHERE rk <= 5 ORDER BY doc_id, rk""",
+
+    // Planted-PNG rule recomputed codec-free: w = 8 + id%9, h = 8 + id%7,
+    // pixel(i) = (id*7 + i*13) mod 256 row-major (Multimodal.plantPngs).
+    "p58_image_decode" ->
+      """SELECT doc_id AS media_id,
+              cast(8 + (doc_id % 9) AS integer) AS width,
+              cast(8 + (doc_id % 7) AS integer) AS height,
+              cast(1 AS integer) AS n_channels,
+              cast(list_sum(list_transform(
+                     range(0, (8 + (doc_id % 9)) * (8 + (doc_id % 7))),
+                     i -> (doc_id * 7 + i * 13) % 256)) AS bigint) AS pixel_sum,
+              true AS decoded
+        FROM documents ORDER BY media_id""",
+
+    // 2x2 box-filter pool of the planted rule: output pixel (bx,by) =
+    // floor(mean of the 4 source pixels), trailing odd row/col dropped —
+    // exactly Multimodal.resizePooled's integer arithmetic.
+    "p59_image_resize" ->
+      """WITH p AS (SELECT doc_id, 8 + (doc_id % 9) AS w, 8 + (doc_id % 7) AS h
+                  FROM documents)
+        SELECT doc_id AS media_id,
+              cast(w // 2 AS integer) AS width,
+              cast(h // 2 AS integer) AS height,
+              cast(list_sum(list_transform(range(0, (w // 2) * (h // 2)),
+                     j -> list_sum(list_transform(range(0, 4),
+                            d -> (doc_id * 7 +
+                                  (((j // (w // 2)) * 2 + d // 2) * w +
+                                   (j % (w // 2)) * 2 + (d % 2)) * 13) % 256))
+                          // 4)) AS bigint) AS pixel_sum,
+              true AS decoded
+        FROM p ORDER BY media_id"""
   )
 }

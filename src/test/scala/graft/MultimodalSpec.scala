@@ -44,6 +44,46 @@ class MultimodalSpec extends AnyFunSuite {
       "resize must stay a narrow transform")
   }
 
+  test("plantPngs -> decodeImageFeatures: real codec round-trip matches the rule") {
+    val docs = Tables.load(spark, sf01, "documents").limit(20)
+    val decoded = Multimodal.decodeImageFeatures(Multimodal.plantPngs(docs))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(decoded.size == 20)
+    decoded.foreach { case (id, r) =>
+      val (w, h) = (8 + (id % 9).toInt, 8 + (id % 7).toInt)
+      assert(r.getBoolean(6), s"media $id must decode via the codec path")
+      assert(r.getInt(2) == w && r.getInt(3) == h)
+      assert(r.getInt(4) == 1) // grayscale: one band
+      val expectedSum = (0 until w * h).map(i => (id * 7 + i * 13) % 256).sum
+      assert(r.getLong(5) == expectedSum, s"pixel_sum mismatch for media $id")
+      // The payload is a genuine PNG stream, not raw pixels.
+    }
+    val bytes = Multimodal.plantPngs(docs).select("data").head().getAs[Array[Byte]](0)
+    assert(bytes.take(4).sameElements(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
+  }
+
+  test("resizePooled: 2x2 box filter matches integer-floor means; stub fallback on non-image") {
+    val docs = Tables.load(spark, sf01, "documents").limit(10)
+    val pooled = Multimodal.decodeImageFeatures(
+      Multimodal.resizePooled(Multimodal.plantPngs(docs), 2))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    pooled.foreach { case (id, r) =>
+      val (w, h) = (8 + (id % 9).toInt, 8 + (id % 7).toInt)
+      val (w2, h2) = (w / 2, h / 2)
+      assert(r.getInt(2) == w2 && r.getInt(3) == h2)
+      def px(i: Long) = (id * 7 + i * 13) % 256
+      val expected = (for { by <- 0 until h2; bx <- 0 until w2 } yield {
+        val s = (for { dy <- 0 until 2; dx <- 0 until 2 }
+          yield px((by * 2 + dy).toLong * w + bx * 2 + dx)).sum
+        s / 4
+      }).sum
+      assert(r.getLong(5) == expected, s"pooled pixel_sum mismatch for media $id")
+    }
+    // UTF-8 text payloads have no ImageIO reader -> decoded=false fallback.
+    val fallback = Multimodal.decodeImageFeatures(media.limit(5)).collect()
+    assert(fallback.forall(r => !r.getBoolean(6) && r.isNullAt(2)))
+  }
+
   test("sampleFrames: frame count and stride are correct") {
     val frames = Multimodal.sampleFrames(media, frameBytes = 100, everyN = 2)
     val counts = frames.groupBy("media_id").agg(count(lit(1)).as("n"))
