@@ -77,19 +77,26 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    // Failure marker preservation: a sub-millisecond failure must not round
-    // to "0.000" and masquerade as a success.
     def ms(v: Double): String =
-      (if (v < 0 && v > -0.001) BigDecimal("-0.001")
-       else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP))
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
         .bigDecimal.toPlainString
+    // Failures serialize as null, not a negative sentinel: a negative
+    // number in a timing map reads as data (and breaks sum(queries) ==
+    // value); null is unambiguous, and the failure text lives in "errors".
     def qmap(rs: Iterable[(String, Double)]): String =
-      rs.map { case (k, v) => jstr(k) + ":" + ms(v) }.mkString("{", ",", "}")
+      rs.map { case (k, v) => jstr(k) + ":" + (if (v < 0) "null" else ms(v)) }
+        .mkString("{", ",", "}")
     val total = results.values.filter(_ > 0).sum
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     // Full detail (every query, ms precision + all errors) for the repo.
+    // run_host/run_at distinguish a build-machine run from a grading-machine
+    // run of the SAME file — both write BENCH_DETAIL.json in place, and
+    // round-7 review lost that provenance.
+    val runMeta = s""""run_host":${jstr(
+      java.net.InetAddress.getLocalHost.getHostName)},"run_at":${jstr(
+      java.time.Instant.now.toString)},"cpus":$cpus"""
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"agg":"min","queries":${
+      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"agg":"min",$runMeta,"queries":${
         qmap(results)},"errors":$errs,"n_failed":${errors.size},"n_queries":${
         results.size},"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
@@ -97,8 +104,11 @@ object Bench {
     // Compact stdout line: headline queries only, ms precision, truncated
     // errors — must survive a ~2000-char stdout tail buffer intact.
     val head = headline.flatMap(n => results.get(n).map(n -> _))
-    val errsShort = errors.take(3)
-      .map { case (k, v) => jstr(k) + ":" + jstr(v.take(60)) }
+    // ALL failures appear on the stdout line (names matter more than
+    // messages — round 7's stdout dropped 2 of 5 failure names); messages
+    // are truncated hard to protect the ~2000-char tail budget.
+    val errsShort = errors
+      .map { case (k, v) => jstr(k) + ":" + jstr(v.take(40)) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","iters":$iters,"agg":"min","queries":${
       qmap(head)},"errors":$errsShort,"n_failed":${errors.size},"n_queries":${
