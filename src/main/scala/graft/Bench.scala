@@ -35,7 +35,8 @@ object Bench {
     "q82_stream_sessions", "p41_ngram_perplexity", "p42_dup_span_coverage",
     "p45_span_cut", "p47_dsir_weights", "p48_best_of_cluster",
     "p49_bloom_decontamination", "p50_deterministic_shuffle",
-    "p51_cdc_chunks", "p57_curation_pipeline")
+    "p51_cdc_chunks", "p57_curation_pipeline", "p58_image_decode",
+    "q93_moving_avg_sales")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

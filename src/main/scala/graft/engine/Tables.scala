@@ -2,7 +2,8 @@ package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType,
+  TimestampNTZType, TimestampType}
 
 /** Table registry over the driver-generated parquet directories.
   *
@@ -43,6 +44,28 @@ object Tables {
       case _ => df // already TimestampType (or a future sane encoding)
     }
 
+  /** Normalize the embeddings table against fixture-regeneration drift of
+    * the kind that broke events in round 7: the typed vector kernels
+    * (`dot_f`, `l2sq_f`, `sign_project` — [[graft.functions.VectorExpressions]])
+    * require `array<float>`, and ids join as long. A regenerated fixture
+    * that stores `array<double>` (numpy's default dtype) or a narrower id
+    * would otherwise fail ~15 p-queries on type plumbing, zero on
+    * semantics — so absorb it here, at the single load site.
+    */
+  def normalizeEmbeddings(df: DataFrame): DataFrame = {
+    val f = df.schema.fieldNames.toSet
+    val vecFixed =
+      if (f.contains("embedding") && (df.schema("embedding").dataType match {
+        case ArrayType(FloatType, _) => false
+        case ArrayType(_, _) => true
+        case _ => false
+      })) df.withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+      else df
+    if (f.contains("vec_id") && vecFixed.schema("vec_id").dataType != LongType)
+      vecFixed.withColumn("vec_id", col("vec_id").cast(LongType))
+    else vecFixed
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // Both flags live in GraftSession.defaultConf; set them here too for
@@ -53,7 +76,9 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    } else if (name == "embeddings")
+      normalizeEmbeddings(spark.read.parquet(s"$dir/$name.parquet"))
+    else spark.read.parquet(s"$dir/$name.parquet")
   }
 
   /** Register selected tables as temp views named after the table —

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{GraftSession, Tables}
-import graft.operators.{Dedup, Sampling, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 
 /** Empirical scale check for the flagship pipeline operators: amplify the
   * sf0.1 corpus N× in-memory (id-remapped copies — same text/embedding
@@ -162,6 +162,13 @@ object ScaleSmoke {
     bench2(df => TextOps.cdcChunks(df, "doc_id", "text", avgChunkTokens = 16)
         .agg(sum(length(col("chunk")))).collect().length.toLong,
       docs1, docsN, "cdcChunks")
+    // Round-8 addition: the real-codec image path (PNG encode -> ImageIO
+    // decode, per-row pure compute, no shuffle) — linear by construction;
+    // the exponent pins that the mapPartitions plumbing adds no
+    // cross-partition coupling.
+    bench2(df => Multimodal.decodeImageFeatures(Multimodal.plantPngs(df))
+        .agg(sum(col("pixel_sum"))).collect().length.toLong,
+      docs1, docsN, "imageDecode")
     spark.stop()
   }
 }

@@ -13,6 +13,41 @@ import graft.engine.Tables
 class EdgeCaseSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("fixture-drift normalization: ts encodings and embedding element types") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // nanos-as-long legacy encoding -> µs-truncated TimestampType
+    val nanos = Seq((1L, 1700000000123456789L)).toDF("event_id", "ts")
+    val fromNanos = Tables.normalizeEventTs(nanos)
+    assert(fromNanos.schema("ts").dataType == TimestampType)
+    assert(fromNanos.select(unix_micros(col("ts"))).head().getLong(0) ==
+      1700000000123456L)
+    // TIMESTAMP_NTZ (the round-7 regenerated encoding) -> TimestampType,
+    // same instant under the UTC session tz
+    val ntz = Seq(1L).toDF("event_id")
+      .withColumn("ts", timestamp_micros(lit(1700000000123456L))
+        .cast(TimestampNTZType))
+    val fromNtz = Tables.normalizeEventTs(ntz)
+    assert(fromNtz.schema("ts").dataType == TimestampType)
+    assert(fromNtz.select(unix_micros(col("ts"))).head().getLong(0) ==
+      1700000000123456L)
+    // no ts column, already-correct type: both pass through untouched
+    assert(Tables.normalizeEventTs(Seq(1L).toDF("x")).schema ==
+      Seq(1L).toDF("x").schema)
+    assert(Tables.normalizeEventTs(fromNtz).schema("ts").dataType ==
+      TimestampType)
+    // embeddings drifted to numpy-default array<double> + int32 ids: the
+    // typed vector kernels need array<float> and long ids
+    val drifted = Seq((1, Seq(1.5d, 2.5d), 0)).toDF("vec_id", "embedding", "label")
+      .withColumn("vec_id", col("vec_id").cast(IntegerType))
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    drifted.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val loaded = Tables.load(spark, dir, "embeddings")
+    assert(loaded.schema("embedding").dataType == ArrayType(FloatType))
+    assert(loaded.schema("vec_id").dataType == LongType)
+    assert(loaded.select(col("embedding")(0)).head().getFloat(0) == 1.5f)
+  }
+
   test("zero-column rows survive a repartition exchange with exact cardinality") {
     val n = 4321L
     import spark.implicits._
