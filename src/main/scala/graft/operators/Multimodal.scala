@@ -205,6 +205,81 @@ object Multimodal {
       }(enc)
   }
 
+  /** Deterministic planted-WAV generator: one 8-bit unsigned PCM mono clip
+    * per document, REALLY encoded with the JDK's `javax.sound.sampled` WAV
+    * writer (RIFF/fmt/data chunks, a second genuine codec beside PNG).
+    * Closed-form in `media_id`: sample_rate = 8000 + (id mod 5)*1000,
+    * n = 64 + id mod 32 frames, sample(i) = (id*13 + i*29) mod 256 —
+    * so a SQL oracle predicts every decoded statistic codec-free.
+    */
+  def plantWavs(docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    docs.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val rate = 8000 + (id % 5).toInt * 1000
+        val n = 64 + (id % 32).toInt
+        val samples = Array.tabulate[Byte](n)(i => ((id * 13 + i * 29) % 256).toByte)
+        val fmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+          rate.toFloat, 8, 1, 1, rate.toFloat, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(samples), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Row(id, "audio", bos.toByteArray,
+          Row(null, null, rate, "audio/wav"))
+      }
+    }(enc)
+  }
+
+  /** Output schema of [[decodeAudioFeatures]] — same degradation contract
+    * as [[decodedSchema]]: undecodable payloads yield `decoded=false`.
+    */
+  val decodedAudioSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("n_frames", LongType, nullable = true),
+    StructField("amp_sum", LongType, nullable = true),
+    StructField("decoded", BooleanType, nullable = false)))
+
+  /** REAL audio decode: `AudioSystem.getAudioInputStream` over the binary
+    * payload, emitting format metadata and the unsigned amplitude sum of
+    * the raw PCM frames. Payloads the sound stack cannot parse produce the
+    * `decoded=false` fallback row.
+    */
+  def decodeAudioFeatures(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(decodedAudioSchema)
+    media.select(col("media_id"), col("modality"), col("data"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val modality = r.getString(1)
+          // positional access: mapPartitions rows carry no schema
+          val bytes =
+            Option(r.getAs[Array[Byte]](2)).getOrElse(Array.emptyByteArray)
+          val decodedRow =
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val fmt = ais.getFormat
+              val pcm = ais.readAllBytes()
+              var sum = 0L
+              var i = 0
+              while (i < pcm.length) { sum += pcm(i) & 0xFF; i += 1 }
+              Row(id, modality, fmt.getSampleRate.toInt, fmt.getChannels,
+                ais.getFrameLength, sum, true)
+            } catch { case _: Exception => null }
+          if (decodedRow == null)
+            Row(id, modality, null, null, null, null, false)
+          else decodedRow
+        }
+      }(enc)
+  }
+
   /** STUB decode: byte histogram over 4 buckets + byte entropy proxy.
     * ??? -- replace with a real codec (e.g. javax.imageio / ffmpeg bindings)
     * when the runtime has them. Deterministic so tests and oracles hold.
