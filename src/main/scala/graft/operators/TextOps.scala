@@ -382,8 +382,10 @@ object TextOps {
     if (s.isNullAt(0)) {
       return bigrams.groupBy(col("id"))
         .agg(count(lit(1)).as("n_bigrams"),
+          lit(0L).as("llr_micro"),
           lit(0.0).as("dsir_logratio"))
-        .select(col("id"), col("n_bigrams"), col("dsir_logratio"))
+        .select(col("id"), col("n_bigrams"), col("llr_micro"),
+          col("dsir_logratio"))
     }
     val (nR, nT, v) = (s.getLong(0).toDouble, s.getLong(1).toDouble,
       s.getLong(2).toDouble)
@@ -400,12 +402,19 @@ object TextOps {
     //
     // The grid is 1e-6, NOT finer: log2 is not correctly rounded in either
     // engine, so Spark and the DuckDB oracle can disagree by 1 ulp
-    // (~1e-16) per term. Against a 1e-6 grid a 1-ulp straddle of a cell
-    // boundary is ~1e-9-probable per term (vs ~1e-3 against the 1e-12 grid
-    // this first shipped with, which hash-mismatched under a different
-    // DuckDB build), and even a straddle shifts the per-doc sum by only
-    // 1e-6 — invisible to round(,4) except exactly on a .00005 boundary.
-    // The oracle SQL mirrors the same CAST(... AS DECIMAL(28,6)).
+    // (~1e-16) per term; against a 1e-6 grid a 1-ulp straddle of a cell
+    // boundary is ~1e-9-probable per term. The oracle SQL mirrors the same
+    // CAST(... AS DECIMAL(28,6)).
+    //
+    // llr_micro is the EXACT decimal sum scaled to an integer (×10^6):
+    // decimal arithmetic is exact in both engines, so this column is
+    // bit-stable across engines, versions, and partitionings. The derived
+    // mean (dsir_logratio) stays available for callers, but any cross-
+    // engine comparison surface should hash llr_micro + n_bigrams, never
+    // the double: `round(double, 4)` itself is engine-dependent (Spark
+    // rounds via exact BigDecimal HALF_UP on the binary double; DuckDB's
+    // double round multiplies by 10^4, and that path has changed across
+    // DuckDB releases).
     import org.apache.spark.sql.types.DecimalType
     bigrams.join(model, Seq("bg"))
       .groupBy(col("id"))
@@ -414,6 +423,7 @@ object TextOps {
                 log2((col("c_r") + lit(alpha)) / lit(denomR)))
              .cast(DecimalType(28, 6))).as("__llr"))
       .select(col("id"), col("n_bigrams"),
+        (col("__llr") * lit(1000000L)).cast("long").as("llr_micro"),
         round(col("__llr").cast("double") / col("n_bigrams"), 4)
           .as("dsir_logratio"))
   }

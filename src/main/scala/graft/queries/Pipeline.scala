@@ -608,8 +608,12 @@ object Pipeline {
     // ---- DSIR importance weights: bigram log-likelihood ratio between
     // the lang='en' target slice and the raw corpus (Xie et al. 2023) ----
     "p47_dsir_weights" -> ((s, dir) => {
+      // Hash surface is integer-only (llr_micro = exact decimal LLR sum
+      // ×10^6): the derived double mean is engine/version-fragile under
+      // round() and lives on the operator, not the comparison surface.
       TextOps.importanceWeights(docs(s, dir), "doc_id", "text",
         isTarget = col("lang") === "en", alpha = 0.5)
+        .select(col("id"), col("n_bigrams"), col("llr_micro"))
         .orderBy(col("id"))
     }),
 
@@ -887,11 +891,10 @@ object Pipeline {
         s AS (SELECT sum(c_r)::double AS nr, sum(c_t)::double AS nt,
                      count(*)::double AS v FROM c)
         SELECT bg.doc_id AS id, count(*) AS n_bigrams,
-               round(cast(sum(cast(
+               cast(sum(cast(
                        log2((c.c_t + 0.5) / (s.nt + 0.5 * s.v)) -
                        log2((c.c_r + 0.5) / (s.nr + 0.5 * s.v))
-                     AS DECIMAL(28,6))) AS double)
-                     / count(*), 4) AS dsir_logratio
+                     AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS llr_micro
         FROM bg JOIN c USING (bg), s
         GROUP BY bg.doc_id ORDER BY id""",
 

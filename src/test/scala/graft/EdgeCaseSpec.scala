@@ -98,7 +98,7 @@ class EdgeCaseSpec extends AnyFunSuite {
     val short = Seq((1L, "solo"), (2L, "x")).toDF("doc_id", "text")
     val iw = TextOps.importanceWeights(short, "doc_id", "text", lit(true))
     assert(iw.count() == 0 &&
-      iw.columns.toSeq == Seq("id", "n_bigrams", "dsir_logratio"))
+      iw.columns.toSeq == Seq("id", "n_bigrams", "llr_micro", "dsir_logratio"))
     assert(TextOps.importanceWeights(empty, "doc_id", "text", lit(true))
       .count() == 0)
     // deterministicShuffle: a null id has no position — loud failure.

@@ -244,20 +244,36 @@ class TextOpsSpec extends AnyFunSuite {
     val out = TextOps.importanceWeights(df, "doc_id", "text",
         isTarget = col("is_tgt"), alpha = 0.5)
       .orderBy("id").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     def lr(ct: Double, cr: Double): Double =
       math.log((ct + 0.5) / 4.5) / math.log(2) -
         math.log((cr + 0.5) / 6.5) / math.log(2)
+    def q6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // llr_micro = exact integer form of the 1e-6-quantized per-term sum.
+    val micro1 = ((q6(lr(2, 3)) * 2 + q6(lr(1, 1))) * 1000000).toLongExact
+    val micro2 = ((q6(lr(2, 3)) + q6(lr(0, 1))) * 1000000).toLongExact
     val exp1 = BigDecimal((2 * lr(2, 3) + lr(1, 1)) / 3)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     val exp2 = BigDecimal((lr(2, 3) + lr(0, 1)) / 2)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(out.map(t => (t._1, t._2)).toSeq == Seq((1L, 3L), (2L, 2L)),
       s"1-token docs must drop; got ${out.toSeq}")
-    assert(math.abs(out(0)._3 - exp1) < 1e-9, s"doc1 ${out(0)._3} != $exp1")
-    assert(math.abs(out(1)._3 - exp2) < 1e-9, s"doc2 ${out(1)._3} != $exp2")
+    assert(out(0)._3 == micro1, s"doc1 llr_micro ${out(0)._3} != $micro1")
+    assert(out(1)._3 == micro2, s"doc2 llr_micro ${out(1)._3} != $micro2")
+    assert(math.abs(out(0)._4 - exp1) < 1e-9, s"doc1 ${out(0)._4} != $exp1")
+    assert(math.abs(out(1)._4 - exp2) < 1e-9, s"doc2 ${out(1)._4} != $exp2")
     // The target-looking doc must outscore the one with off-target mass.
-    assert(out(0)._3 > out(1)._3)
+    assert(out(0)._4 > out(1)._4)
+    // The derived double mean is consistent with the exact integer column
+    // (property the operator contract promises: dsir_logratio ==
+    // round(llr_micro/1e6/n_bigrams, 4) up to the double division).
+    out.foreach { case (id, n, micro, mean) =>
+      val rebuilt = BigDecimal(micro.toDouble / 1e6 / n)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(rebuilt - mean) < 1e-9,
+        s"doc $id: mean $mean inconsistent with llr_micro $micro / n=$n")
+    }
   }
 
   test("cdcChunks: boundaries are content-defined and shift-robust") {
