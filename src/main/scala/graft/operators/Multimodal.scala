@@ -146,7 +146,9 @@ object Multimodal {
     * unlike `java.awt.Image.getScaledInstance`, whose resampling is
     * implementation-defined. Rows ImageIO cannot decode fall back to
     * [[resizeStub]]'s byte-stride behavior so mixed-modality frames keep
-    * flowing.
+    * flowing; images smaller than one factor×factor block (no complete
+    * block to pool) pass through unchanged rather than emitting fabricated
+    * pixels.
     */
   def resizePooled(media: DataFrame, factor: Int): DataFrame = {
     require(factor >= 1, s"factor=$factor must be >= 1")
@@ -167,12 +169,19 @@ object Multimodal {
             // no-codec fallback: byte stride, like resizeStub
             val strided = Array.range(0, bytes.length, factor).map(bytes(_))
             Row(r.getLong(0), r.getString(1), strided, meta)
+          } else if (img.getRaster.getWidth < factor ||
+                     img.getRaster.getHeight < factor) {
+            // Degenerate pool: the image is smaller than one factor×factor
+            // block, so no block completes. Pass the row through unchanged
+            // (payload + metadata) instead of fabricating an uninitialized
+            // 1×1 image that claims to be a resize.
+            Row(r.getLong(0), r.getString(1), bytes, meta)
           } else {
             val raster = img.getRaster
             val (w, h) = (raster.getWidth, raster.getHeight)
             val (w2, h2) = (w / factor, h / factor)
             val out = new java.awt.image.BufferedImage(
-              math.max(w2, 1), math.max(h2, 1),
+              w2, h2,
               java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
             val outRaster = out.getRaster
             var by = 0
@@ -197,7 +206,7 @@ object Multimodal {
             val bos = new java.io.ByteArrayOutputStream()
             javax.imageio.ImageIO.write(out, "png", bos)
             Row(r.getLong(0), r.getString(1), bos.toByteArray,
-              Row(math.max(w2, 1), math.max(h2, 1),
+              Row(w2, h2,
                 if (meta == null || meta.isNullAt(2)) null else meta.getInt(2),
                 "image/png"))
           }

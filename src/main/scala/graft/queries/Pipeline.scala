@@ -754,6 +754,18 @@ object Pipeline {
         .select(col("media_id"), col("width"), col("height"),
           col("pixel_sum"), col("decoded"))
         .orderBy(col("media_id"))
+    }),
+
+    // ---- REAL audio decode: planted WAVs (genuine javax.sound RIFF/fmt/
+    // data streams, samples closed-form in media_id) decoded back with
+    // AudioSystem; the oracle recomputes sample-rate/frame-count/amplitude
+    // sum from the planted rule without owning a codec. `decoded` pins the
+    // codec path produced every row. ----
+    "p60_audio_decode" -> ((s, dir) => {
+      Multimodal.decodeAudioFeatures(Multimodal.plantWavs(docs(s, dir)))
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("n_frames"), col("amp_sum"), col("decoded"))
+        .orderBy(col("media_id"))
     })
   )
 
@@ -1789,6 +1801,20 @@ object Pipeline {
                                    (j % (w // 2)) * 2 + (d % 2)) * 13) % 256))
                           // 4)) AS bigint) AS pixel_sum,
               true AS decoded
-        FROM p ORDER BY media_id"""
+        FROM p ORDER BY media_id""",
+
+    // Planted-WAV rule recomputed codec-free: rate = 8000 + (id%5)*1000,
+    // n = 64 + id%32 frames, sample(i) = (id*13 + i*29) mod 256
+    // (Multimodal.plantWavs; 8-bit unsigned mono PCM, so amp_sum is the
+    // plain sum of the sample values).
+    "p60_audio_decode" ->
+      """SELECT doc_id AS media_id,
+              cast(8000 + (doc_id % 5) * 1000 AS integer) AS sample_rate,
+              cast(1 AS integer) AS channels,
+              cast(64 + (doc_id % 32) AS bigint) AS n_frames,
+              cast(list_sum(list_transform(range(0, 64 + (doc_id % 32)),
+                     i -> (doc_id * 13 + i * 29) % 256)) AS bigint) AS amp_sum,
+              true AS decoded
+        FROM documents ORDER BY media_id"""
   )
 }

@@ -84,6 +84,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fallback.forall(r => !r.getBoolean(6) && r.isNullAt(2)))
   }
 
+  test("plantWavs -> decodeAudioFeatures: real codec round-trip matches the rule") {
+    val docs = Tables.load(spark, sf01, "documents").limit(20)
+    val planted = Multimodal.plantWavs(docs)
+    // The payload is a genuine RIFF/WAVE stream, not raw samples.
+    val bytes = planted.select("data").head().getAs[Array[Byte]](0)
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF" &&
+      new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    val decoded = Multimodal.decodeAudioFeatures(planted)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(decoded.size == 20)
+    decoded.foreach { case (id, r) =>
+      val rate = 8000 + (id % 5).toInt * 1000
+      val n = 64 + (id % 32).toInt
+      assert(r.getBoolean(6), s"media $id must decode via the codec path")
+      assert(r.getInt(2) == rate && r.getInt(3) == 1)
+      assert(r.getLong(4) == n.toLong, s"n_frames mismatch for media $id")
+      val expectedSum = (0 until n).map(i => (id * 13 + i * 29) % 256).sum
+      assert(r.getLong(5) == expectedSum, s"amp_sum mismatch for media $id")
+    }
+  }
+
+  test("decodeAudioFeatures: undecodable payloads degrade to decoded=false") {
+    // UTF-8 text payloads are not a sound stream -> fallback row, not a
+    // job failure (the per-row degradation contract shared with images).
+    val fallback = Multimodal.decodeAudioFeatures(media.limit(5)).collect()
+    assert(fallback.length == 5)
+    assert(fallback.forall(r => !r.getBoolean(6) && r.isNullAt(2) &&
+      r.isNullAt(4) && r.isNullAt(5)))
+  }
+
+  test("resizePooled: image smaller than one block passes through unchanged") {
+    val docs = Tables.load(spark, sf01, "documents").limit(5)
+    val planted = Multimodal.plantPngs(docs) // 8..16 x 8..14 px
+    val orig = planted.collect().map(r => r.getLong(0) -> r).toMap
+    // factor=32 exceeds every planted dimension: no block completes, so the
+    // row must pass through with payload and metadata intact (never an
+    // all-zero 1x1 fabrication).
+    val out = Multimodal.resizePooled(planted, 32).collect()
+    assert(out.length == orig.size)
+    out.foreach { r =>
+      val o = orig(r.getLong(0))
+      assert(r.getAs[Array[Byte]](2).sameElements(o.getAs[Array[Byte]](2)))
+      assert(r.getStruct(3) == o.getStruct(3))
+    }
+  }
+
   test("sampleFrames: frame count and stride are correct") {
     val frames = Multimodal.sampleFrames(media, frameBytes = 100, everyN = 2)
     val counts = frames.groupBy("media_id").agg(count(lit(1)).as("n"))
