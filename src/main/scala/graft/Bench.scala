@@ -36,14 +36,22 @@ object Bench {
     "p45_span_cut", "p47_dsir_weights", "p48_best_of_cluster",
     "p49_bloom_decontamination", "p50_deterministic_shuffle",
     "p51_cdc_chunks", "p57_curation_pipeline", "p58_image_decode",
-    "q93_moving_avg_sales")
+    "q93_moving_avg_sales", "p60_audio_decode", "h01", "h09", "h18", "h21")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.builder(s"local[$cpus]", "graft-bench")
+    val b = GraftSession.builder(s"local[$cpus]", "graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
-      .getOrCreate()
+    // Same override hook as Verify: lets the cluster-conf A/B (the
+    // GraftSession.clusterConf translation run in local mode) go through
+    // the identical bench harness, stamped in provenance below.
+    val overrides = sys.env.getOrElse("SPARK_GRAFT_CONF", "")
+    overrides.split(",").filter(_.nonEmpty).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      b.config(k, v)
+    }
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup outside the timed loop: the first query otherwise
     // absorbs ~5s of JIT + parquet-reader initialization that belongs to
@@ -89,28 +97,65 @@ object Bench {
         .mkString("{", ",", "}")
     val total = results.values.filter(_ > 0).sum
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    // Per-stage breakdown of the 5 slowest queries (one extra run each,
+    // outside the timed loop): the p23/q44 class of driver-only outliers
+    // on proven-cheap plans becomes self-explaining data in the committed
+    // artifact instead of a round-long investigation. Stage rows carry the
+    // metrics that distinguish "plan is expensive" (run_ms concentrated in
+    // one stage, shuffle/spill bytes) from "machine noise" (wall time >>
+    // sum of stage run time).
+    val slowest = results.filter(_._2 > 0).toSeq.sortBy(-_._2).take(5)
+    val breakdown = slowest.map { case (name, wallSec) =>
+      val t0 = System.nanoTime()
+      val (stages, rerun) =
+        try {
+          val reps = graft.tools.MetricsReport
+            .collect(SparkEntry.queries(name)(spark, sfDir))
+          (reps, (System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => (Seq.empty, -1.0) }
+      val stageRows = stages.sortBy(-_.runTimeMs).take(8).map { st =>
+        s"""{"stage":${st.stageId},"tasks":${st.numTasks},"run_ms":${
+          st.runTimeMs},"p95_ms":${st.p95Ms},"max_ms":${st.maxMs},"records":${
+          st.recordsRead},"shuffle_read_b":${st.shuffleReadBytes},"shuffle_write_b":${
+          st.shuffleWriteBytes},"spill_b":${st.spillBytes},"gc_ms":${st.gcTimeMs}}"""
+      }.mkString("[", ",", "]")
+      jstr(name) + ":" + s"""{"bench_sec":${ms(wallSec)},"rerun_sec":${
+        ms(rerun)},"stages":$stageRows}"""
+    }.mkString("{", ",", "}")
     // Full detail (every query, ms precision + all errors) for the repo.
     // run_host/run_at distinguish a build-machine run from a grading-machine
     // run of the SAME file — both write BENCH_DETAIL.json in place, and
-    // round-7 review lost that provenance.
-    val runMeta = s""""run_host":${jstr(
-      java.net.InetAddress.getLocalHost.getHostName)},"run_at":${jstr(
-      java.time.Instant.now.toString)},"cpus":$cpus"""
+    // round-7 review lost that provenance. Hostname lookup can throw on
+    // hosts with broken name resolution and runs AFTER the whole bench —
+    // never let it discard a completed run.
+    val host =
+      try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: Exception => sys.env.getOrElse("HOSTNAME", "unknown") }
+    val runMeta = s""""run_host":${jstr(host)},"run_at":${jstr(
+      java.time.Instant.now.toString)},"cpus":$cpus,"conf_overrides":${jstr(overrides)}"""
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"agg":"min",$runMeta,"queries":${
         qmap(results)},"errors":$errs,"n_failed":${errors.size},"n_queries":${
-        results.size},"sf":"$sfDir"}"""
+        results.size},"slowest_breakdown":$breakdown,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes("UTF-8"))
     // Compact stdout line: headline queries only, ms precision, truncated
     // errors — must survive a ~2000-char stdout tail buffer intact.
     val head = headline.flatMap(n => results.get(n).map(n -> _))
-    // ALL failures appear on the stdout line (names matter more than
-    // messages — round 7's stdout dropped 2 of 5 failure names); messages
-    // are truncated hard to protect the ~2000-char tail budget.
-    val errsShort = errors
-      .map { case (k, v) => jstr(k) + ":" + jstr(v.take(40)) }
-      .mkString("{", ",", "}")
+    // Failure names matter more than messages (round 7's stdout dropped 2
+    // of 5 failure names) — but a MASS failure (e.g. missing fixture dir)
+    // must not overflow the ~2000-char tail budget either: cap at 20 names,
+    // messages only on the first 5, and an explicit "+N more" marker so
+    // n_failed stays interpretable even when the map is truncated.
+    val errsShort = {
+      val shown = errors.take(20).zipWithIndex.map { case ((k, v), i) =>
+        jstr(k) + ":" + jstr(if (i < 5) v.take(40) else "")
+      }
+      val more =
+        if (errors.size > 20) Seq(jstr("...") + ":" + jstr(s"+${errors.size - 20} more"))
+        else Nil
+      (shown ++ more).mkString("{", ",", "}")
+    }
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","iters":$iters,"agg":"min","queries":${
       qmap(head)},"errors":$errsShort,"n_failed":${errors.size},"n_queries":${
       results.size},"sf":"$sfDir"}""")

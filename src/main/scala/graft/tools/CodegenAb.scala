@@ -74,10 +74,14 @@ object CodegenAb {
       (n, dflt, interp)
     }
 
+    // Hostname lookup can throw on misconfigured resolvers and runs after
+    // the whole A/B — never let provenance stamping lose a completed run.
+    val host =
+      try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: Exception => sys.env.getOrElse("HOSTNAME", "unknown") }
     val json = rows.map { case (n, d, i) =>
       s""""$n":{"default":${f"$d%.3f"},"no_codegen":${f"$i%.3f"}}"""
-    }.mkString("{", ",", s""","sf":"$sfDir","cpus":$cpus,"iters":$iters,"run_host":"${
-      java.net.InetAddress.getLocalHost.getHostName}"}""")
+    }.mkString("{", ",", s""","sf":"$sfDir","cpus":$cpus,"iters":$iters,"run_host":"$host"}""")
     println(json)
     java.nio.file.Files.write(
       java.nio.file.Paths.get("AB_CODEGEN.json"), json.getBytes("UTF-8"))
