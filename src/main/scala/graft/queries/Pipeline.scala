@@ -766,6 +766,38 @@ object Pipeline {
         .select(col("media_id"), col("sample_rate"), col("channels"),
           col("n_frames"), col("amp_sum"), col("decoded"))
         .orderBy(col("media_id"))
+    }),
+
+    // ---- mixed-modality curation funnel: the realistic multimodal-corpus
+    // shape now that both codecs are real. One corpus split three ways
+    // (planted PNGs / planted WAVs / raw text bytes), each modality's
+    // feature extracted through its OWN real decode path (ImageIO pixel
+    // sum, javax.sound amplitude sum, UTF-8 byte length), then a shared
+    // quality gate + metadata-fingerprint dedup — decode stats never
+    // shuffle payloads, only (id, modality, feature). The oracle recomputes
+    // every feature closed-form, so a silent codec regression in EITHER
+    // decoder breaks this row. ----
+    "p61_multimodal_funnel" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val img = Multimodal.decodeImageFeatures(
+          Multimodal.plantPngs(d.filter(col("doc_id") % 3 === 0)))
+        .select(col("media_id"), lit("image").as("modality"),
+          col("pixel_sum").as("feature"))
+      val aud = Multimodal.decodeAudioFeatures(
+          Multimodal.plantWavs(d.filter(col("doc_id") % 3 === 1)))
+        .select(col("media_id"), lit("audio").as("modality"),
+          col("amp_sum").as("feature"))
+      val txt = d.filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id").as("media_id"), lit("text").as("modality"),
+          length(encode(col("text"), "UTF-8")).cast("long").as("feature"))
+      img.unionByName(aud).unionByName(txt)
+        .withColumn("passed", col("feature") % 10 < 8)
+        .withColumn("fingerprint", col("feature") % 97)
+        .groupBy(col("modality"))
+        .agg(count(lit(1)).as("n_in"),
+          sum(when(col("passed"), 1L).otherwise(0L)).as("n_pass"),
+          countDistinct(when(col("passed"), col("fingerprint"))).as("n_unique"))
+        .orderBy(col("modality"))
     })
   )
 
@@ -1815,6 +1847,31 @@ object Pipeline {
               cast(list_sum(list_transform(range(0, 64 + (doc_id % 32)),
                      i -> (doc_id * 13 + i * 29) % 256)) AS bigint) AS amp_sum,
               true AS decoded
-        FROM documents ORDER BY media_id"""
+        FROM documents ORDER BY media_id""",
+
+    // Mixed-modality funnel: every per-modality feature recomputed
+    // closed-form (image/audio planted rules as p58/p60; text = UTF-8
+    // byte length), then the same gate + fingerprint-dedup aggregation.
+    "p61_multimodal_funnel" ->
+      """WITH f AS (
+          SELECT doc_id AS media_id, 'image' AS modality,
+                 cast(list_sum(list_transform(
+                        range(0, (8 + (doc_id % 9)) * (8 + (doc_id % 7))),
+                        i -> (doc_id * 7 + i * 13) % 256)) AS bigint) AS feature
+          FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id, 'audio',
+                 cast(list_sum(list_transform(range(0, 64 + (doc_id % 32)),
+                        i -> (doc_id * 13 + i * 29) % 256)) AS bigint)
+          FROM documents WHERE doc_id % 3 = 1
+          UNION ALL
+          SELECT doc_id, 'text', cast(octet_length(encode(text)) AS bigint)
+          FROM documents WHERE doc_id % 3 = 2),
+        g AS (SELECT modality, feature, feature % 10 < 8 AS passed,
+                     feature % 97 AS fingerprint FROM f)
+        SELECT modality, count(*) AS n_in,
+               cast(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS bigint) AS n_pass,
+               cast(count(DISTINCT CASE WHEN passed THEN fingerprint END) AS bigint) AS n_unique
+        FROM g GROUP BY modality ORDER BY modality"""
   )
 }
