@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.queries.{CbPort, DsShapes, FunctionQueries, Pipeline, Relational, Relational2, SourceQueries, TemporalQueries, TpchPort}
+import graft.queries.{CbPort, DsPort, DsShapes, FunctionQueries, Pipeline, Relational, Relational2, SourceQueries, TemporalQueries, TpchPort}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -34,12 +34,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ SourceQueries.queries ++
       FunctionQueries.queries ++ TemporalQueries.queries ++
-      DsShapes.queries ++ Pipeline.queries ++ TpchPort.queries ++ CbPort.queries
+      DsShapes.queries ++ Pipeline.queries ++ TpchPort.queries ++ CbPort.queries ++
+      DsPort.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Relational2.oracles ++ SourceQueries.oracles ++
       FunctionQueries.oracles ++ TemporalQueries.oracles ++
-      DsShapes.oracles ++ Pipeline.oracles ++ TpchPort.oracles ++ CbPort.oracles
+      DsShapes.oracles ++ Pipeline.oracles ++ TpchPort.oracles ++ CbPort.oracles ++
+      DsPort.oracles
 }
