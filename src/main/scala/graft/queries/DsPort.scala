@@ -181,7 +181,7 @@ object DsPort {
                 WHEN 0 THEN 'TX' WHEN 1 THEN 'OH' WHEN 2 THEN 'CA' WHEN 3 THEN 'GA'
                 WHEN 4 THEN 'NY' WHEN 5 THEN 'IL' WHEN 6 THEN 'FL' WHEN 7 THEN 'WA'
                 WHEN 8 THEN 'MI' ELSE 'PA' END AS ca_state,
-              lpad(cast((n * 7 + 13) % 100000 AS string), 5, '0') AS ca_zip,
+              lpad(cast((n % 40) * 7 + 13 AS string), 5, '0') AS ca_zip,
               'United States' AS ca_country,
               cast(-5 - (n % 4) AS double) AS ca_gmt_offset,
               CASE cast(n % 3 AS int) WHEN 0 THEN 'apartment'
@@ -244,7 +244,7 @@ object DsPort {
               CASE cast(n_nationkey % 5 AS int)
                 WHEN 0 THEN 'TN' WHEN 1 THEN 'OH' WHEN 2 THEN 'CA' WHEN 3 THEN 'GA'
                 ELSE 'NY' END AS s_state,
-              lpad(cast((n_nationkey % 12 * 31 + 17) % 100000 AS string), 5, '0') AS s_zip,
+              lpad(cast((n_nationkey % 12 * 35 + 13) % 100000 AS string), 5, '0') AS s_zip,
               cast(n_nationkey % 12 % 5 AS int) AS s_company_id,
               'Company_' || cast(n_nationkey % 12 % 5 AS string) AS s_company_name,
               cast(1 + n_nationkey % 10 AS int) AS s_market_id,
@@ -350,7 +350,7 @@ object DsPort {
               cast((o_custkey * 13 + l_partkey * 7 + l_linenumber) % 625 AS bigint) AS cdemo,
               cast((o_custkey * 11 + l_orderkey) % 625 AS bigint) AS hdemo,
               cast(o_custkey % 625 AS bigint) AS addr,
-              cast((l_orderkey + l_linenumber) % 12 AS bigint) AS stk,
+              cast((l_orderkey + l_linenumber * 5) % 12 AS bigint) AS stk,
               cast((l_partkey + l_linenumber) % 5 AS bigint) AS whk,
               cast(l_orderkey % 4 AS bigint) AS cck,
               cast((l_partkey * 3 + l_orderkey) % 100 AS bigint) AS cpk,
@@ -443,7 +443,7 @@ object DsPort {
               cast(ck AS bigint) AS ws_ship_customer_sk, addr AS ws_ship_addr_sk,
               hdemo AS ws_ship_hdemo_sk, smk AS ws_ship_mode_sk,
               cast((ok + pk) % 30 AS bigint) AS ws_web_page_sk,
-              cast((ok + ln) % 12 AS bigint) AS ws_web_site_sk,
+              cast((ok + ln * 5) % 12 AS bigint) AS ws_web_site_sk,
               whk AS ws_warehouse_sk, prk AS ws_promo_sk,
               cast(ok AS bigint) AS ws_order_number,
               qty AS ws_quantity, unit_whole AS ws_wholesale_cost,
