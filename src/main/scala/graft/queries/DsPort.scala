@@ -349,7 +349,8 @@ object DsPort {
               floor(floor(l_extendedprice * 0.6) * 0.25) * 1e0 AS ship_cost,
               cast((o_custkey * 13 + l_partkey * 7 + l_linenumber) % 625 AS bigint) AS cdemo,
               cast((o_custkey * 11 + l_orderkey) % 625 AS bigint) AS hdemo,
-              cast(o_custkey % 625 AS bigint) AS addr,
+              CASE WHEN (l_orderkey * 7 + l_partkey) % 20 = 0 THEN NULL
+                ELSE cast(o_custkey % 625 AS bigint) END AS addr,
               cast((l_orderkey + l_linenumber * 5) % 12 AS bigint) AS stk,
               cast((l_partkey + l_linenumber) % 5 AS bigint) AS whk,
               cast(l_orderkey % 4 AS bigint) AS cck,
