@@ -350,6 +350,8 @@ object DsPort {
               cast((o_custkey * 13 + l_partkey * 7 + l_linenumber) % 625 AS bigint) AS cdemo,
               cast((o_custkey * 11 + l_orderkey) % 625 AS bigint) AS hdemo,
               CASE WHEN (l_orderkey * 7 + l_partkey) % 20 = 0 THEN NULL
+                WHEN (l_orderkey + l_partkey) % 4 = 0
+                  THEN cast((o_custkey + l_orderkey) % 625 AS bigint)
                 ELSE cast(o_custkey % 625 AS bigint) END AS addr,
               cast((l_orderkey + l_linenumber * 5) % 12 AS bigint) AS stk,
               cast((l_partkey + l_linenumber) % 5 AS bigint) AS whk,
