@@ -2187,7 +2187,8 @@ ORDER BY cs1.product_name,
          cs2.s1""",
 
     // q65: class-4 month_seq window 1176+ → 1200+ (synthesized
-    // month_seq starts at 1200 = 1995-01).
+    // month_seq starts at 1200 = 1995-01); class-3 revenue/brand/price
+    // tie-breaks (i_item_desc repeats across items).
     "d65" ->
       """SELECT s_store_name,
        i_item_desc,
@@ -2224,7 +2225,10 @@ WHERE sb.ss_store_sk = sc.ss_store_sk
   AND s_store_sk = sc.ss_store_sk
   AND i_item_sk = sc.ss_item_sk
 ORDER BY s_store_name NULLS FIRST,
-         i_item_desc NULLS FIRST
+         i_item_desc NULLS FIRST,
+         sc.revenue NULLS FIRST,
+         i_brand NULLS FIRST,
+         i_current_price NULLS FIRST
 LIMIT 100"""
   )
 }
