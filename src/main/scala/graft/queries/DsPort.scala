@@ -545,11 +545,25 @@ object DsPort {
   /** Register in Spark: fixture base tables, then adapter views BOTH under
     * their td_ names (used by `inventory` and handy for debugging) and
     * under the bare TPC-DS names the query bodies use. */
+  /** Analyzed adapter DataFrames per (session, dir). Analysis resolves
+    * the fixture views into the plan, so a cached DataFrame stays correct
+    * even after another query family re-binds `customer` etc.; repeat
+    * calls only re-bind the 24 temp views instead of re-analyzing 27 SQL
+    * texts (the corpus runs 99 d-queries back-to-back in one session). */
+  private val analyzed =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[(String, DataFrame)]]()
+
   private[queries] def register(s: SparkSession, dir: String): Unit = {
-    Tables.register(s, dir, "region", "nation", "customer", "part",
-      "orders", "lineitem")
-    adapters.foreach { case (tdName, sql) =>
-      val df = s.sql(sql) // analyzed against current bindings, eagerly
+    val dfs = analyzed.computeIfAbsent((s, dir), _ => {
+      Tables.register(s, dir, "region", "nation", "customer", "part",
+        "orders", "lineitem")
+      adapters.map { case (tdName, sql) =>
+        val df = s.sql(sql) // analyzed against current bindings, eagerly
+        df.createOrReplaceTempView(tdName) // later adapters reference td_ names
+        tdName -> df
+      }
+    })
+    dfs.foreach { case (tdName, df) =>
       df.createOrReplaceTempView(tdName)
       if (tdName != "td_seq625" && tdName != "td_dd" && tdName != "td_fact")
         df.createOrReplaceTempView(tdName.stripPrefix("td_"))
