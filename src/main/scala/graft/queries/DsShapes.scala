@@ -273,6 +273,47 @@ object DsShapes {
           AND o_custkey IN (SELECT o_custkey FROM best_customers)
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment""")
+    }),
+
+    // ---- time-space two-level aggregation over a filtered dim join
+    // (`tests/join.rs:229-250` test_join_time_space_agg_hive): per-key
+    // 30-minute-binned MAX inside, AVG of the binned maxima outside —
+    // dim × fact with the dim filter pushed below the join, one shuffle
+    // per aggregation level. The bin is emitted as epoch seconds (BIGINT)
+    // so the bucket arithmetic is engine-neutral; the AVG of arbitrary
+    // doubles goes through the exact decimal-sum pattern. ----
+    "q95_time_space_agg" -> ((s, dir) => {
+      Tables.register(s, dir, "events", "customer")
+      s.sql(s"""
+        SELECT env, time_bin,
+               ${osum("mx", 6)} / count(*) AS avg_max_value,
+               count(*) AS n_bins
+        FROM (
+          SELECT user_id, c_mktsegment AS env,
+                 cast(floor(unix_timestamp(ts) / 1800) * 1800 AS bigint) AS time_bin,
+                 max(value) AS mx
+          FROM events JOIN customer ON user_id = c_custkey
+          WHERE c_mktsegment = 'BUILDING'
+          GROUP BY user_id, c_mktsegment,
+                   cast(floor(unix_timestamp(ts) / 1800) * 1800 AS bigint)) a
+        GROUP BY env, time_bin
+        ORDER BY env, time_bin""")
+    }),
+
+    // ---- range-predicate EXISTS (`tests/multi_task_collect_join_repros
+    // .rs:117-118`): a correlated EXISTS whose predicate is a band, not an
+    // equality — Catalyst decorrelates to a BroadcastNestedLoopJoin
+    // LeftSemi (the build side is the 100-row supplier, so the loop is
+    // |customer| × tiny, not quadratic; exempted in PlanAudit). ----
+    "q96_theta_exists" -> ((s, dir) => {
+      Tables.register(s, dir, "supplier", "customer")
+      s.sql("""
+        SELECT s_suppkey, s_name
+        FROM supplier s
+        WHERE EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_acctbal > s.s_acctbal - 50
+                        AND c.c_acctbal < s.s_acctbal + 50)
+        ORDER BY s_suppkey""")
     })
   )
 
@@ -393,6 +434,29 @@ object DsShapes {
         WHERE l_partkey IN (SELECT l_partkey FROM frequent_parts)
           AND o_custkey IN (SELECT o_custkey FROM best_customers)
         GROUP BY c_mktsegment
-        ORDER BY c_mktsegment"""
+        ORDER BY c_mktsegment""",
+
+    "q95_time_space_agg" ->
+      s"""SELECT env, time_bin,
+               ${osum("mx", 6)} / count(*) AS avg_max_value,
+               count(*) AS n_bins
+        FROM (
+          SELECT user_id, c_mktsegment AS env,
+                 cast(floor(epoch(ts) / 1800) * 1800 AS bigint) AS time_bin,
+                 max(value) AS mx
+          FROM events JOIN customer ON user_id = c_custkey
+          WHERE c_mktsegment = 'BUILDING'
+          GROUP BY user_id, c_mktsegment,
+                   cast(floor(epoch(ts) / 1800) * 1800 AS bigint)) a
+        GROUP BY env, time_bin
+        ORDER BY env, time_bin""",
+
+    "q96_theta_exists" ->
+      """SELECT s_suppkey, s_name
+        FROM supplier s
+        WHERE EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_acctbal > s.s_acctbal - 50
+                        AND c.c_acctbal < s.s_acctbal + 50)
+        ORDER BY s_suppkey"""
   )
 }
