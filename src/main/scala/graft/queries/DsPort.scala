@@ -553,7 +553,7 @@ object DsPort {
   private val analyzed =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[(String, DataFrame)]]()
 
-  private[queries] def register(s: SparkSession, dir: String): Unit = {
+  private[graft] def register(s: SparkSession, dir: String): Unit = {
     val dfs = analyzed.computeIfAbsent((s, dir), _ => {
       Tables.register(s, dir, "region", "nation", "customer", "part",
         "orders", "lineitem")
