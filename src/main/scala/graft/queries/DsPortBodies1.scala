@@ -1162,20 +1162,22 @@ ORDER BY i_category NULLS FIRST,
 LIMIT 100""",
 
     // q21: class-4 price band 0.99-1.49 → 59.99-70.49 (synthesized
-    // i_current_price spans 45..128).
+    // i_current_price spans 45..128); class-2 bigint casts on the integer
+    // sums (DuckDB HUGEINT → pandas float) and the ratio filter in double
+    // form (*1e0, 2e0/3e0 — Spark decimal vs DuckDB double division).
     "d21" ->
       """SELECT *
 FROM
   (SELECT w_warehouse_name,
           i_item_id,
-          sum(CASE
+          cast(sum(CASE
                   WHEN (cast(d_date AS date) < CAST ('2000-03-11' AS date)) THEN inv_quantity_on_hand
                   ELSE 0
-              END) AS inv_before,
-          sum(CASE
+              END) AS bigint) AS inv_before,
+          cast(sum(CASE
                   WHEN (cast(d_date AS date) >= CAST ('2000-03-11' AS date)) THEN inv_quantity_on_hand
                   ELSE 0
-              END) AS inv_after
+              END) AS bigint) AS inv_after
    FROM inventory,
         warehouse,
         item,
@@ -1188,9 +1190,9 @@ FROM
    GROUP BY w_warehouse_name,
             i_item_id) x
 WHERE (CASE
-           WHEN inv_before > 0 THEN (inv_after*1.000) / inv_before
+           WHEN inv_before > 0 THEN (inv_after*1e0) / inv_before
            ELSE NULL
-       END) BETWEEN 2.000/3.000 AND 3.000/2.000
+       END) BETWEEN 2e0/3e0 AND 3e0/2e0
 ORDER BY w_warehouse_name NULLS FIRST,
          i_item_id NULLS FIRST
 LIMIT 100""",

@@ -1094,10 +1094,11 @@ WHERE d_year = 1999
 ORDER BY sum_sales - avg_monthly_sales, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10
 LIMIT 100""",
 
-    // q48: class-1 alias on the bare sum; class-4 price bands and state
-    // lists rescaled into the synthesized domains (d13's mapping).
+    // q48: class-1 alias on the bare sum; class-2 bigint cast on the
+    // integer sum (DuckDB HUGEINT → pandas float); class-4 price bands and
+    // state lists rescaled into the synthesized domains (d13's mapping).
     "d48" ->
-      """SELECT SUM (ss_quantity) sum_quantity
+      """SELECT cast(SUM (ss_quantity) AS bigint) sum_quantity
 FROM store_sales,
      store,
      customer_demographics,

@@ -5,12 +5,19 @@ Usage: python3 tools/check.py <sfDir> <outDir>
 Reads each <outDir>/<name>/ parquet result + <outDir>/oracle_sql.json,
 runs the oracle in DuckDB over <sfDir>'s tables, sorts columns by name and
 rows by value, and compares cell-by-cell (exact, with float bit-equality).
+
+Type-strict (since r10): the driver hashes TYPED values, so `359` (int64)
+vs `359.0` (float64) is a driver FAIL even though Python's `==` passes.
+This checker now compares per-column dtype classes first and fails on any
+int-vs-float (or Decimal-vs-float, etc.) pair, with a "missing bigint
+cast?" hint — the class of bug that shipped d21/d48 red in round 9.
 """
 import sys, os, json, glob
 import duckdb
 import pyarrow.parquet as pq
 import pandas as pd
 import math
+from decimal import Decimal
 
 TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]
@@ -30,6 +37,39 @@ def cells_equal(a, b):
     except (TypeError, ValueError):
         pass
     return a == b
+
+def dtype_class(series):
+    """Collapse a column to a coarse type class for strict comparison.
+
+    int-vs-float must FAIL (the driver's typed hash distinguishes them);
+    within-class width differences (int32 vs int64) are tolerated because
+    both sides' values still hash equal after the driver's canonicalization.
+    """
+    dt = series.dtype
+    if pd.api.types.is_bool_dtype(dt): return "bool"
+    if pd.api.types.is_integer_dtype(dt): return "int"
+    if pd.api.types.is_float_dtype(dt): return "float"
+    if pd.api.types.is_datetime64_any_dtype(dt): return "timestamp"
+    # object columns: classify by the first non-null value
+    for v in series:
+        if v is None: continue
+        try:
+            if pd.isna(v): continue
+        except (TypeError, ValueError):
+            pass
+        if isinstance(v, bool): return "bool"
+        if isinstance(v, Decimal): return "decimal"
+        if isinstance(v, int): return "int"
+        if isinstance(v, float): return "float"
+        if isinstance(v, str): return "str"
+        if isinstance(v, (bytes, bytearray)): return "binary"
+        return type(v).__name__
+    return "all-null"
+
+def dtypes_compatible(sc, dc):
+    if sc == dc: return True
+    if "all-null" in (sc, dc): return True
+    return False
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -59,6 +99,18 @@ def main(sf_dir, out_dir):
             n_fail += 1; continue
         if len(s) != len(d):
             print(f"FAIL {name}: rows {len(s)} vs {len(d)}"); n_fail += 1; continue
+        type_bad = None
+        for col in s.columns:
+            sc, dc = dtype_class(s[col]), dtype_class(d[col])
+            if not dtypes_compatible(sc, dc):
+                hint = ""
+                if {sc, dc} <= {"int", "float", "decimal"}:
+                    hint = " (missing cast(... AS bigint) / AS double bridge?)"
+                type_bad = f"col={col}: spark={sc}({s[col].dtype}) duck={dc}({d[col].dtype}){hint}"
+                break
+        if type_bad:
+            print(f"FAIL {name}: dtype mismatch {type_bad}")
+            n_fail += 1; continue
         bad = None
         for col in s.columns:
             sv, dv = s[col].tolist(), d[col].tolist()
