@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
 
 import graft.engine.Tables
 
@@ -542,33 +543,114 @@ object DsPort {
     }.mkString("'")
   }
 
-  /** Register in Spark: fixture base tables, then adapter views BOTH under
-    * their td_ names (used by `inventory` and handy for debugging) and
-    * under the bare TPC-DS names the query bodies use. */
-  /** Analyzed adapter DataFrames per (session, dir). Analysis resolves
-    * the fixture views into the plan, so a cached DataFrame stays correct
-    * even after another query family re-binds `customer` etc.; repeat
-    * calls only re-bind the 24 temp views instead of re-analyzing 27 SQL
-    * texts (the corpus runs 99 d-queries back-to-back in one session). */
-  private val analyzed =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[(String, DataFrame)]]()
+  /** Register in Spark: adapter outputs BOTH under their td_ names
+    * (handy for debugging) and under the bare TPC-DS names the query
+    * bodies use — all backed by parquet materialized once per fixture
+    * directory (below).
+    *
+    * r09 cached only the ANALYZED DataFrames, so every reference to
+    * store_sales/catalog_sales/web_sales re-executed the
+    * `lineitem ⋈ orders ⋈ calendar` derivation — d49's stage breakdown
+    * showed six full derivation scans before any query work, and the
+    * pattern repeated across all 99 d-queries (roughly half the d-suite
+    * bench time). A real deployment reads STORED fact tables; the
+    * scale-correct analog is to materialize the 27 deterministic adapter
+    * outputs once per fixture dir as parquet — `td_fact` first, so the
+    * six channel tables derive from the stored fact instead of six more
+    * joins — and register plain parquet scans, which also gives the
+    * d-suite date filters parquet row-group pruning for free.
+    *
+    * The cache is keyed by a fingerprint of the fixture files (driver
+    * regeneration → new key → fresh materialization) and holds only
+    * paths + schemas — no SparkSession references, so stopped sessions
+    * are collectable (the r09 cache strongly retained them; ADVICE r09).
+    * The DuckDB oracle prelude below is untouched: the oracle still
+    * re-derives everything from the same fixture SQL, keeping the
+    * differential check independent of this cache.
+    */
+  private case class Mat(name: String, path: String, schema: StructType)
 
-  private[graft] def register(s: SparkSession, dir: String): Unit = {
-    val dfs = analyzed.computeIfAbsent((s, dir), _ => {
-      Tables.register(s, dir, "region", "nation", "customer", "part",
-        "orders", "lineitem")
-      adapters.map { case (tdName, sql) =>
-        val df = s.sql(sql) // analyzed against current bindings, eagerly
-        df.createOrReplaceTempView(tdName) // later adapters reference td_ names
-        tdName -> df
-      }
-    })
-    dfs.foreach { case (tdName, df) =>
-      df.createOrReplaceTempView(tdName)
-      if (tdName != "td_seq625" && tdName != "td_dd" && tdName != "td_fact")
-        df.createOrReplaceTempView(tdName.stripPrefix("td_"))
-    }
+  private val materialized =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Mat]]()
+
+  /** Adapter outputs large enough to keep multiple parquet files. */
+  private val heavyTables = Set("td_fact", "td_store_sales", "td_store_returns",
+    "td_catalog_sales", "td_catalog_returns", "td_web_sales", "td_web_returns",
+    "td_inventory")
+
+  /** Fixture tables the adapter SQL reads; their sizes+mtimes key the cache. */
+  private val fixtureInputs =
+    Seq("region", "nation", "customer", "part", "orders", "lineitem")
+
+  private def fingerprint(dir: String): String = {
+    def stamp(f: java.io.File): String =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName).map(stamp).mkString("[", ",", "]")
+      else s"${f.getName}:${f.length}:${f.lastModified}"
+    val src = fixtureInputs
+      .map(t => new java.io.File(s"$dir/$t.parquet"))
+      .map(f => if (f.exists) stamp(f) else "absent")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest((dir +: src).mkString("|").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
   }
+
+  private def readFile(f: java.io.File): String =
+    new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+
+  private def writeFile(f: java.io.File, s: String): Unit =
+    java.nio.file.Files.write(f.toPath, s.getBytes("UTF-8"))
+
+  private def loadManifest(root: java.io.File): Seq[Mat] =
+    readFile(new java.io.File(root, "_ORDER")).split("\n").toSeq.map { n =>
+      Mat(n, new java.io.File(root, n).getAbsolutePath,
+        DataType.fromJson(readFile(new java.io.File(root, s"$n.schema")))
+          .asInstanceOf[StructType])
+    }
+
+  private def materialize(s: SparkSession, dir: String): Seq[Mat] = {
+    val key = fingerprint(dir)
+    materialized.computeIfAbsent(key, _ => {
+      val root = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")), s"graft-dsport/$key")
+      if (!new java.io.File(root, "_DONE").exists()) {
+        val tmp = new java.io.File(root.getParentFile,
+          s"${root.getName}.tmp-${java.util.UUID.randomUUID()}")
+        tmp.mkdirs()
+        Tables.register(s, dir, fixtureInputs: _*)
+        adapters.foreach { case (tdName, sql) =>
+          val df = s.sql(sql) // analyzed against current bindings, eagerly
+          val out = new java.io.File(tmp, tdName).getAbsolutePath
+          val parts = if (heavyTables(tdName)) 8 else 1
+          df.repartition(parts).write.mode("overwrite").parquet(out)
+          val stored = s.read.parquet(out)
+          // later adapters derive from the STORED output, not a re-derivation
+          stored.createOrReplaceTempView(tdName)
+          writeFile(new java.io.File(tmp, s"$tdName.schema"), stored.schema.json)
+        }
+        writeFile(new java.io.File(tmp, "_ORDER"), adapters.map(_._1).mkString("\n"))
+        writeFile(new java.io.File(tmp, "_DONE"), "")
+        // atomic publish; lose gracefully if a concurrent JVM won the race
+        try java.nio.file.Files.move(tmp.toPath, root.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileSystemException =>
+          if (new java.io.File(root, "_DONE").exists())
+            org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+          else throw new IllegalStateException(
+            s"DsPort cache publish failed and $root is incomplete")
+        }
+      }
+      loadManifest(root)
+    })
+  }
+
+  private[graft] def register(s: SparkSession, dir: String): Unit =
+    materialize(s, dir).foreach { m =>
+      val df = s.read.schema(m.schema).parquet(m.path)
+      df.createOrReplaceTempView(m.name)
+      if (m.name != "td_seq625" && m.name != "td_dd" && m.name != "td_fact")
+        df.createOrReplaceTempView(m.name.stripPrefix("td_"))
+    }
 
   private val prelude: String =
     adapters.map { case (n, sql) => s"$n AS ($sql)" }.mkString(",\n")
@@ -581,9 +663,39 @@ object DsPort {
       s"WITH $prelude\n$b"
   }
 
-  private def bodies: Seq[(String, String)] =
-    DsPortBodies1.bodies ++ DsPortBodies2.bodies ++ DsPortBodies3.bodies ++
-      DsPortBodies4.bodies
+  /** [[rename]] tracks literal boundaries by splitting on every single
+    * quote. `''` pairs (escaped quote or empty literal, d84's
+    * `coalesce(c_last_name, '')`) are parity-NEUTRAL under that scheme:
+    * the segment between adjacent quotes is empty, so the even-parity
+    * slot rename() would rewrite contains nothing, and every non-empty
+    * literal segment keeps odd parity — escaped quotes therefore cannot
+    * corrupt the rename. The one genuine hazard is a LONE apostrophe in
+    * a `--` comment, which flips parity for the rest of the body and
+    * renames table tokens INSIDE later string literals (ADVICE r09).
+    * Enforce that invariant at construction so a future body violating
+    * it fails loudly with its query name instead. */
+  private lazy val bodies: Seq[(String, String)] = {
+    val all = DsPortBodies1.bodies ++ DsPortBodies2.bodies ++
+      DsPortBodies3.bodies ++ DsPortBodies4.bodies
+    all.foreach { case (name, body) =>
+      var parity = 0
+      var i = 0
+      while (i < body.length) {
+        body.charAt(i) match {
+          case '\'' => parity ^= 1; i += 1
+          case '-' if parity == 0 && i + 1 < body.length &&
+              body.charAt(i + 1) == '-' =>
+            val eol = body.indexOf('\n', i) match { case -1 => body.length; case e => e }
+            require(!body.substring(i, eol).contains("'"),
+              s"$name: apostrophe in a -- comment would break rename(): " +
+                body.substring(i, eol))
+            i = eol
+          case _ => i += 1
+        }
+      }
+    }
+    all
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     bodies.map { case (name, body) =>

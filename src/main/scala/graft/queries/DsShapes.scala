@@ -281,7 +281,14 @@ object DsShapes {
     // dim × fact with the dim filter pushed below the join, one shuffle
     // per aggregation level. The bin is emitted as epoch seconds (BIGINT)
     // so the bucket arithmetic is engine-neutral; the AVG of arbitrary
-    // doubles goes through the exact decimal-sum pattern. ----
+    // doubles goes through the exact decimal-sum pattern.
+    // UTC DEPENDENCY (ADVICE r09): Spark's unix_timestamp(ts) here and
+    // DuckDB's epoch(ts) in the oracle agree only because GraftSession
+    // pins spark.sql.session.timeZone=UTC — the fixture's naive-µs ts is
+    // cast to TIMESTAMP in session tz (Tables.normalizeEventTs), so a
+    // non-UTC override would shift every 1800 s bucket boundary. The pin
+    // is part of the engine contract (GraftSession.defaultConf), not an
+    // accident of this query. ----
     "q95_time_space_agg" -> ((s, dir) => {
       Tables.register(s, dir, "events", "customer")
       s.sql(s"""

@@ -47,11 +47,23 @@ object PlanAudit {
   }
 
   /** All nodes, descending through AQE stages (collect() alone does not
-    * cross QueryStageExec boundaries). */
+    * cross QueryStageExec boundaries). Used by [[boundedDim]], so it
+    * deliberately does NOT cross into subquery plans — a bounded dim scan
+    * stays bounded regardless of what a filter subquery does. */
   private def expand(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
     case q: QueryStageExec        => expand(q.plan)
     case other => other +: other.children.flatMap(expand)
+  }
+
+  /** Audit traversal: [[expand]] plus the physical plans inside
+    * scalar/IN/EXISTS subquery expressions (`plan.subqueries`), which
+    * live in `innerChildren`, not `children` — without this a
+    * CartesianProduct inside a subquery passes silently (ADVICE r09; the
+    * pre-r09 treeString check covered them by accident). */
+  private def expandWithSubqueries(p: SparkPlan): Seq[SparkPlan] = {
+    val top = expand(p)
+    top ++ top.flatMap(_.subqueries.flatMap(expandWithSubqueries))
   }
 
   /** Columns of the two bounded dimension tables (25 / 5 rows at every
@@ -105,7 +117,7 @@ object PlanAudit {
       try {
         val df = fn(spark, sfDir)
         df.collect()
-        val all = expand(df.queryExecution.executedPlan)
+        val all = expandWithSubqueries(df.queryExecution.executedPlan)
         val offending = all.collect {
           case j: CartesianProductExec
             if !linearByConstruction(j.left, j.right) => "CartesianProduct"
