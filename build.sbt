@@ -32,3 +32,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // one-line JSON from stdout, and sbt's default logger decorates every
 // line with [info]/[error] tags that break JSON parsing.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// The interactive Shell (graft.tools.Shell) reads stdin in the forked JVM.
+run / connectInput := true

@@ -7,9 +7,15 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // Optional third arg (builder-side iteration only; the driver passes
-    // two): comma-separated query names to restrict the dump to.
-    val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+    // two): comma-separated query names to restrict the dump to. An entry
+    // matches exactly ("d21") or as an underscore prefix ("p01" matches
+    // "p01_exact_dedup" — the pipeline/relational names carry suffixes).
+    val only: Option[String => Boolean] =
+      if (args.length > 2) {
+        val entries = args(2).split(",").toSet
+        Some(name => entries.contains(name) ||
+          entries.exists(e => name.startsWith(e + "_")))
+      } else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val b = graft.engine.GraftSession.builder(s"local[$cpus]", "graft-verify")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,7 +33,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => only.forall(_(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -48,7 +54,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
+      .filter { case (k, _) => only.forall(_(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

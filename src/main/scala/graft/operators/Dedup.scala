@@ -708,10 +708,14 @@ object Dedup {
         // tokenize+shingle+shuffle twice.
         val distinctSh = bs.select(col("sh")).distinct().persist()
         try {
-          val n = math.max(distinctSh.count(), 1L)
+          val n = distinctSh.count()
           val bits = org.apache.spark.util.sketch.BloomFilter
-            .optimalNumOfBits(n, fpp)
-          if (bits / 8 > maxFilterBytes) cs // honest fallback, same results
+            .optimalNumOfBits(math.max(n, 1L), fpp)
+          // Empty benchmark set: stat.bloomFilter over zero rows yields a
+          // null-buffer filter that NPEs on serialization. The join below
+          // is empty regardless, so prune everything.
+          if (n == 0) cs.filter(lit(false))
+          else if (bits / 8 > maxFilterBytes) cs // honest fallback, same results
           else {
             val bloom = distinctSh.stat.bloomFilter("sh", n, fpp)
             val bos = new java.io.ByteArrayOutputStream()

@@ -272,7 +272,7 @@ object CbPort {
   private def duckArm(body: String): String =
     tsSecs.replaceAllIn(body, m => s"make_timestamp((${m.group(1)}) * 1000000)")
 
-  private def register(s: SparkSession, dir: String): Unit = {
+  private[graft] def register(s: SparkSession, dir: String): Unit = {
     Tables.register(s, dir, "events")
     s.sql(hitsView).createOrReplaceTempView("hits")
   }

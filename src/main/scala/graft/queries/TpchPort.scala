@@ -810,7 +810,7 @@ order by
     * BEFORE any `createOrReplaceTempView` (Spark analysis is eager), so
     * the same-name replacement cannot self-reference.
     */
-  private def register(s: SparkSession, dir: String): Unit = {
+  private[graft] def register(s: SparkSession, dir: String): Unit = {
     Tables.register(s, dir, "region", "nation", "customer", "supplier",
       "part", "orders", "lineitem")
     val exts = Seq(
