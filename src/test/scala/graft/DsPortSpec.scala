@@ -74,6 +74,24 @@ class DsPortSpec extends AnyFunSuite {
     }
   }
 
+  test("adapter tables are stored scans, not per-query derivations") {
+    // r10: register materializes the 27 adapter outputs to parquet once
+    // per fixture dir. A regression back to view-backed derivation would
+    // re-run the lineitem ⋈ orders ⋈ calendar join on every fact
+    // reference (the r09 d49 pathology) — pin the plan shape: a bare
+    // fact-table read must be a single relation with no join below it.
+    graft.queries.DsPort.register(spark, dir)
+    Seq("store_sales", "catalog_returns", "inventory").foreach { t =>
+      val plan = spark.table(t).queryExecution.optimizedPlan.toString
+      assert(!plan.toLowerCase.contains("join"),
+        s"$t is not a stored scan:\n${plan.take(400)}")
+    }
+    // Idempotent: re-register rebinds the same stored data.
+    val n1 = spark.table("store_sales").count()
+    graft.queries.DsPort.register(spark, dir)
+    assert(spark.table("store_sales").count() == n1)
+  }
+
   test("store zips lie inside the address-zip progression (q24 join)") {
     val caZips = view("customer_address")
       .select("ca_zip").distinct().collect().map(_.getString(0)).toSet
