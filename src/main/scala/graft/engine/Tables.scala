@@ -85,8 +85,13 @@ object Tables {
     * prefer this in query builders over [[registerAll]] so a query does not
     * pay schema reads for the 10-table catalog it doesn't touch.
     */
-  def register(spark: SparkSession, dir: String, names: String*): Unit =
+  def register(spark: SparkSession, dir: String, names: String*): Unit = {
+    // Bare fixture names collide with suite adapter views (`customer`,
+    // `orders`, ...) — any fixture bind invalidates the suite marker so
+    // the next suite register re-binds (CatalogState).
+    CatalogState.invalidate(spark)
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+  }
 
   /** Register every table as a temp view named after the table. */
   def registerAll(spark: SparkSession, dir: String): Unit =

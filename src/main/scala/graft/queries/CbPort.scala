@@ -272,10 +272,11 @@ object CbPort {
   private def duckArm(body: String): String =
     tsSecs.replaceAllIn(body, m => s"make_timestamp((${m.group(1)}) * 1000000)")
 
-  private[graft] def register(s: SparkSession, dir: String): Unit = {
-    Tables.register(s, dir, "events")
-    s.sql(hitsView).createOrReplaceTempView("hits")
-  }
+  private[graft] def register(s: SparkSession, dir: String): Unit =
+    graft.engine.CatalogState.bindIfNeeded(s, s"clickbench:$dir") {
+      Tables.register(s, dir, "events")
+      s.sql(hitsView).createOrReplaceTempView("hits")
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     bodies.map { case (name, body) =>

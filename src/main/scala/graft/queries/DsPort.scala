@@ -645,11 +645,13 @@ object DsPort {
   }
 
   private[graft] def register(s: SparkSession, dir: String): Unit =
-    materialize(s, dir).foreach { m =>
-      val df = s.read.schema(m.schema).parquet(m.path)
-      df.createOrReplaceTempView(m.name)
-      if (m.name != "td_seq625" && m.name != "td_dd" && m.name != "td_fact")
-        df.createOrReplaceTempView(m.name.stripPrefix("td_"))
+    graft.engine.CatalogState.bindIfNeeded(s, s"tpcds:$dir") {
+      materialize(s, dir).foreach { m =>
+        val df = s.read.schema(m.schema).parquet(m.path)
+        df.createOrReplaceTempView(m.name)
+        if (m.name != "td_seq625" && m.name != "td_dd" && m.name != "td_fact")
+          df.createOrReplaceTempView(m.name.stripPrefix("td_"))
+      }
     }
 
   private val prelude: String =

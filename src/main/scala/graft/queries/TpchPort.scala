@@ -810,16 +810,17 @@ order by
     * BEFORE any `createOrReplaceTempView` (Spark analysis is eager), so
     * the same-name replacement cannot self-reference.
     */
-  private[graft] def register(s: SparkSession, dir: String): Unit = {
-    Tables.register(s, dir, "region", "nation", "customer", "supplier",
-      "part", "orders", "lineitem")
-    val exts = Seq(
-      "partsupp" -> partsuppExt, "customer" -> customerExt,
-      "supplier" -> supplierExt, "part" -> partExt,
-      "orders" -> ordersExt, "lineitem" -> lineitemExt)
-    exts.map { case (n, sql) => n -> s.sql(sql) }
-      .foreach { case (n, df) => df.createOrReplaceTempView(n) }
-  }
+  private[graft] def register(s: SparkSession, dir: String): Unit =
+    graft.engine.CatalogState.bindIfNeeded(s, s"tpch:$dir") {
+      Tables.register(s, dir, "region", "nation", "customer", "supplier",
+        "part", "orders", "lineitem")
+      val exts = Seq(
+        "partsupp" -> partsuppExt, "customer" -> customerExt,
+        "supplier" -> supplierExt, "part" -> partExt,
+        "orders" -> ordersExt, "lineitem" -> lineitemExt)
+      exts.map { case (n, sql) => n -> s.sql(sql) }
+        .foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     bodies.map { case (name, body) =>

@@ -82,7 +82,10 @@ object Shell {
       case ":help" => help
       case ":suite" =>
         suites.get(rest) match {
-          case Some(reg) => reg(spark, dir); s"suite: $rest (${dir})"
+          case Some(reg) =>
+            // A user may have shadowed views manually; force a re-bind.
+            graft.engine.CatalogState.invalidate(spark)
+            reg(spark, dir); s"suite: $rest (${dir})"
           case None => s"unknown suite '$rest'; one of ${suites.keys.toSeq.sorted.mkString(", ")}"
         }
       case ":tables" =>
