@@ -21,18 +21,52 @@ import org.apache.spark.sql.SparkSession
   * no static state, no retention.
   */
 object CatalogState {
-  private val key = "spark.graft.catalog.bound"
+  private val suiteKey = "spark.graft.catalog.bound"
+  private val fixtureKey = "spark.graft.catalog.fixture"
 
   /** Run `bind` unless this exact token is already the session's current
-    * binding; record the token after a successful bind. */
+    * binding; record the token after a successful bind. Binding a suite
+    * also clears the fixture-set record: suite views shadow bare fixture
+    * names (`customer`, `orders`, ...), so the next fixture register must
+    * re-bind them. */
   def bindIfNeeded(s: SparkSession, token: String)(bind: => Unit): Unit =
-    if (!s.conf.getOption(key).contains(token)) {
+    if (!s.conf.getOption(suiteKey).contains(token)) {
       bind
-      s.conf.set(key, token)
+      s.conf.set(suiteKey, token)
+      s.conf.set(fixtureKey, "")
     }
+
+  /** Whether a suite's views are currently bound (and may shadow bare
+    * fixture names). */
+  def suiteBound(s: SparkSession): Boolean =
+    s.conf.getOption(suiteKey).exists(_.nonEmpty)
 
   /** Called by any binder outside the suite registers (fixture table
     * binds, interactive rebinds): the next suite register must re-bind. */
-  def invalidate(s: SparkSession): Unit =
-    if (s.conf.getOption(key).exists(_.nonEmpty)) s.conf.set(key, "")
+  def invalidate(s: SparkSession): Unit = {
+    if (s.conf.getOption(suiteKey).exists(_.nonEmpty)) s.conf.set(suiteKey, "")
+    if (s.conf.getOption(fixtureKey).exists(_.nonEmpty)) s.conf.set(fixtureKey, "")
+  }
+
+  private def fixtureState(s: SparkSession): (String, Set[String]) =
+    s.conf.getOption(fixtureKey).getOrElse("") match {
+      case "" => ("", Set.empty)
+      case v =>
+        val i = v.indexOf('|')
+        (v.substring(0, i), v.substring(i + 1).split(",").filter(_.nonEmpty).toSet)
+    }
+
+  /** Of `names`, the fixture tables not already bound pristine for `dir`
+    * in this session (a dir switch means none are). */
+  def missingFixture(s: SparkSession, dir: String, names: Seq[String]): Seq[String] = {
+    val (cdir, bound) = fixtureState(s)
+    if (cdir != dir) names else names.filterNot(bound)
+  }
+
+  /** Record that `names` are now bound pristine for `dir`. */
+  def recordFixture(s: SparkSession, dir: String, names: Seq[String]): Unit = {
+    val (cdir, bound) = fixtureState(s)
+    val set = (if (cdir == dir) bound ++ names else names.toSet).toSeq.sorted
+    s.conf.set(fixtureKey, dir + "|" + set.mkString(","))
+  }
 }

@@ -88,9 +88,15 @@ object Tables {
   def register(spark: SparkSession, dir: String, names: String*): Unit = {
     // Bare fixture names collide with suite adapter views (`customer`,
     // `orders`, ...) — any fixture bind invalidates the suite marker so
-    // the next suite register re-binds (CatalogState).
-    CatalogState.invalidate(spark)
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    // the next suite register re-binds. Conversely, fixture tables
+    // already bound pristine for this dir (tracked in CatalogState, reset
+    // whenever a suite shadows them) are skipped, so a stretch of
+    // same-family queries stops paying a parquet footer read per table
+    // per query.
+    if (CatalogState.suiteBound(spark)) CatalogState.invalidate(spark)
+    val missing = CatalogState.missingFixture(spark, dir, names)
+    missing.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    if (missing.nonEmpty) CatalogState.recordFixture(spark, dir, names)
   }
 
   /** Register every table as a temp view named after the table. */

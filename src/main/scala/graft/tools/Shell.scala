@@ -59,6 +59,9 @@ object Shell {
     if (line.isEmpty) ""
     else if (line.startsWith(":")) command(spark, dir, line)
     else {
+      // Raw SQL may CREATE/DROP temp views behind the binding markers —
+      // force the next suite/fixture register to re-bind.
+      graft.engine.CatalogState.invalidate(spark)
       val df = spark.sql(line)
       val rows = df.limit(201).collect()
       val shown = df.limit(200)

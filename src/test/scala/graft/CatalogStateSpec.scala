@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{CatalogState, Tables}
+
+/** Pins the session binding-marker semantics ([[graft.engine.CatalogState]]):
+  * suite registers no-op while their token is current, but ANY fixture
+  * bind (which shadows the suite's bare names) or explicit invalidation
+  * forces a re-bind — getting this wrong silently serves one family's
+  * `customer` to another family's query.
+  */
+class CatalogStateSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def customerCols: Set[String] =
+    spark.table("customer").schema.fieldNames.toSet
+
+  test("suite -> fixture -> suite alternation rebinds each time") {
+    graft.queries.DsPort.register(spark, sf001)
+    assert(customerCols.contains("c_customer_sk"), "TPC-DS customer bound")
+    Tables.register(spark, sf001, "customer")
+    assert(!customerCols.contains("c_customer_sk"), "fixture customer restored")
+    assert(customerCols == Set("c_custkey", "c_name", "c_nationkey",
+      "c_acctbal", "c_mktsegment"))
+    graft.queries.DsPort.register(spark, sf001)
+    assert(customerCols.contains("c_customer_sk"), "suite re-bound after fixture")
+  }
+
+  test("fixture register rebinds names a suite shadowed, skips pristine ones") {
+    Tables.register(spark, sf001, "customer", "orders")
+    // TPC-H extends customer with synthesized address/phone/comment.
+    graft.queries.TpchPort.register(spark, sf001)
+    assert(customerCols.contains("c_address"), "TPC-H extended customer bound")
+    Tables.register(spark, sf001, "customer")
+    assert(!customerCols.contains("c_address"),
+      "fixture register must rebind a suite-shadowed name, not skip it")
+  }
+
+  test("explicit invalidation forces a suite re-bind") {
+    graft.queries.TpchPort.register(spark, sf001)
+    assert(customerCols.contains("c_address"))
+    Tables.register(spark, sf001, "customer") // fixture shadows it back
+    CatalogState.invalidate(spark)
+    graft.queries.TpchPort.register(spark, sf001)
+    assert(customerCols.contains("c_address"), "re-bound after invalidate")
+  }
+
+  test("a fixture-dir switch rebinds the same table names") {
+    Tables.register(spark, sf001, "customer")
+    val n1 = spark.table("customer").count()
+    Tables.register(spark, sf01, "customer")
+    val n2 = spark.table("customer").count()
+    assert(n2 > n1, s"sf0.01 customer ($n2) must exceed sf0.001 ($n1)")
+    Tables.register(spark, sf001, "customer")
+    assert(spark.table("customer").count() == n1)
+  }
+}
