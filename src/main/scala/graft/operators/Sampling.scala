@@ -137,7 +137,9 @@ object Sampling {
       s"temperatureMixture: rows with a null `$sourceCol` have no mixture " +
         "weight; filter or key them first")
     val counts = countRows.map(r => r.getString(0) -> r.getLong(1)).toMap
-    require(counts.nonEmpty, "corpus has no rows")
+    // An EMPTY corpus is not a data bug — incremental pipelines see empty
+    // batches routinely — the mixture of nothing is nothing.
+    if (counts.isEmpty) return df.limit(0)
     val denom = counts.values.map(n => math.pow(n.toDouble, alpha)).sum
     val fractions = counts.map { case (src, n) =>
       val q = math.pow(n.toDouble, alpha) / denom
@@ -180,7 +182,8 @@ object Sampling {
     require(!weightRows.exists(_.isNullAt(1)),
       s"some source has only null `$weightCol` values; clean the weights first")
     val weights = weightRows.map(r => r.getString(0) -> r.getLong(1)).toMap
-    require(weights.nonEmpty, "corpus has no rows")
+    // Empty corpus: empty mixture, same reasoning as temperatureMixture.
+    if (weights.isEmpty) return df.limit(0)
     require(weights.values.forall(_ > 0),
       s"every source needs positive total `$weightCol`; got ${weights.filter(_._2 <= 0)}")
     val denom = weights.values.map(w => math.pow(w.toDouble, alpha)).sum

@@ -433,6 +433,18 @@ class DedupPropertySpec extends AnyFunSuite {
       s"got ${out.toSeq}")
   }
 
+  test("contaminationPairsBloom: empty benchmark yields empty, not an NPE") {
+    // Found by the r10 sliced-sf0.1 run: stat.bloomFilter over zero rows
+    // serializes a null buffer; the prune must short-circuit instead.
+    import spark.implicits._
+    val corpus = (0 until 10).map(i =>
+      (i.toLong, (0 until 20).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val emptyBench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.contaminationPairsBloom(corpus, emptyBench, "doc_id", "text",
+      shingleLen = 5, minContainment = 0.3).count() == 0)
+  }
+
   test("contaminationPairsBloom: identical results, bloom probe in the plan") {
     import spark.implicits._
     // Benchmark = 3 docs; corpus = 2 contaminated copies + 40 unrelated.

@@ -196,6 +196,19 @@ class SamplingSpec extends AnyFunSuite {
       "growth must not admit previously-rejected rows")
   }
 
+  test("temperature mixtures of an EMPTY corpus are empty, not an error") {
+    // Incremental pipelines see empty batches routinely; the p49 class of
+    // empty-input crash must not exist here (found by the r10 empty-input
+    // sweep: these used to `require(counts.nonEmpty)`).
+    import spark.implicits._
+    val empty = Seq.empty[(String, Long, Long)].toDF("source", "id", "tokens")
+    val m = Sampling.temperatureMixture(empty, "source", "id", budget = 100L)
+    assert(m.count() == 0 && m.columns.toSeq == Seq("source", "id", "tokens"))
+    val w = Sampling.temperatureMixtureWeighted(
+      empty, "source", "id", "tokens", budget = 100L)
+    assert(w.count() == 0 && w.columns.toSeq == Seq("source", "id", "tokens"))
+  }
+
   test("temperatureMixture flattens a skewed source distribution") {
     import spark.implicits._
     // Natural proportions 100 : 10 : 1.
