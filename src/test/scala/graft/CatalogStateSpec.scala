@@ -46,6 +46,23 @@ class CatalogStateSpec extends AnyFunSuite {
     assert(customerCols.contains("c_address"), "re-bound after invalidate")
   }
 
+  test("markers and bindings are per-session (newSession isolation)") {
+    // A second session over the same SparkContext has its own catalog and
+    // its own RuntimeConf: suite bindings and markers must not leak —
+    // and the materialized-parquet cache (keyed by fixture dir, not
+    // session) must serve both sessions the same data.
+    Tables.register(spark, sf001, "customer")
+    val s2 = spark.newSession()
+    graft.queries.DsPort.register(s2, sf001)
+    assert(s2.table("customer").schema.fieldNames.contains("c_customer_sk"),
+      "TPC-DS customer bound in the second session")
+    assert(!customerCols.contains("c_customer_sk"),
+      "first session's fixture customer must be untouched")
+    graft.queries.DsPort.register(spark, sf001)
+    assert(spark.table("store_sales").count() == s2.table("store_sales").count(),
+      "both sessions read the same materialized adapter parquet")
+  }
+
   test("a fixture-dir switch rebinds the same table names") {
     Tables.register(spark, sf001, "customer")
     val n1 = spark.table("customer").count()
