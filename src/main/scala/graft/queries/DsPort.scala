@@ -590,8 +590,11 @@ object DsPort {
     val src = fixtureInputs
       .map(t => new java.io.File(s"$dir/$t.parquet"))
       .map(f => if (f.exists) stamp(f) else "absent")
+    // The adapter SQL is part of the key: editing a definition must not
+    // serve parquet materialized from the previous text.
+    val defs = adapters.map { case (n, sql) => s"$n=$sql" }
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest((dir +: src).mkString("|").getBytes("UTF-8"))
+    md.digest((dir +: src ++: defs).mkString("|").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
   }
 
