@@ -25,15 +25,17 @@ object CatalogState {
   private val fixtureKey = "spark.graft.catalog.fixture"
 
   /** Run `bind` unless this exact token is already the session's current
-    * binding; record the token after a successful bind. Binding a suite
-    * also clears the fixture-set record: suite views shadow bare fixture
-    * names (`customer`, `orders`, ...), so the next fixture register must
-    * re-bind them. */
+    * binding; record the token only after a SUCCESSFUL bind. Both markers
+    * are cleared before binding starts: the bind shadows bare fixture
+    * names as it goes, so if it throws mid-way the session must look
+    * unbound (a stale fixture-pristine record would make a later
+    * `Tables.register` skip a name the partial bind already shadowed and
+    * silently serve the wrong table). */
   def bindIfNeeded(s: SparkSession, token: String)(bind: => Unit): Unit =
     if (!s.conf.getOption(suiteKey).contains(token)) {
+      invalidate(s)
       bind
       s.conf.set(suiteKey, token)
-      s.conf.set(fixtureKey, "")
     }
 
   /** Whether a suite's views are currently bound (and may shadow bare

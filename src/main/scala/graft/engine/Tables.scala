@@ -102,4 +102,22 @@ object Tables {
   /** Register every table as a temp view named after the table. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     register(spark, dir, all: _*)
+
+  /** Write `df` as a single plain parquet FILE at `target` — the fixture
+    * layout (one file per table, not a directory), which DuckDB's
+    * `FROM '<path>'` and the driver's readers expect. Shared by the
+    * fixture-derivation tools (SliceFixture, EmptySweep). */
+  def writeSingleParquet(df: DataFrame, target: java.io.File): Unit = {
+    val tmp = new java.io.File(target.getParentFile,
+      s".write-tmp-${target.getName}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")) match {
+      case Array(p) => p
+      case other => throw new IllegalStateException(
+        s"expected exactly one part file in $tmp, found ${other.length}")
+    }
+    java.nio.file.Files.move(part.toPath, target.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
 }

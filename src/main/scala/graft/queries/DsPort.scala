@@ -613,34 +613,47 @@ object DsPort {
 
   private def materialize(s: SparkSession, dir: String): Seq[Mat] = {
     val key = fingerprint(dir)
+    val root = new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir")), s"graft-dsport/$key")
+    def onDisk = new java.io.File(root, "_DONE").exists()
+    // Revalidate a memory hit against disk: the documented cold-rebuild
+    // recipe is `rm -rf /tmp/graft-dsport`, and a live session must
+    // recover from it by re-materializing, not serve dead paths forever.
+    if (materialized.containsKey(key) && !onDisk) materialized.remove(key)
     materialized.computeIfAbsent(key, _ => {
-      val root = new java.io.File(
-        new java.io.File(sys.props("java.io.tmpdir")), s"graft-dsport/$key")
-      if (!new java.io.File(root, "_DONE").exists()) {
+      if (!onDisk) {
         val tmp = new java.io.File(root.getParentFile,
           s"${root.getName}.tmp-${java.util.UUID.randomUUID()}")
         tmp.mkdirs()
-        Tables.register(s, dir, fixtureInputs: _*)
-        adapters.foreach { case (tdName, sql) =>
-          val df = s.sql(sql) // analyzed against current bindings, eagerly
-          val out = new java.io.File(tmp, tdName).getAbsolutePath
-          val parts = if (heavyTables(tdName)) 8 else 1
-          df.repartition(parts).write.mode("overwrite").parquet(out)
-          val stored = s.read.parquet(out)
-          // later adapters derive from the STORED output, not a re-derivation
-          stored.createOrReplaceTempView(tdName)
-          writeFile(new java.io.File(tmp, s"$tdName.schema"), stored.schema.json)
-        }
-        writeFile(new java.io.File(tmp, "_ORDER"), adapters.map(_._1).mkString("\n"))
-        writeFile(new java.io.File(tmp, "_DONE"), "")
-        // atomic publish; lose gracefully if a concurrent JVM won the race
-        try java.nio.file.Files.move(tmp.toPath, root.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.nio.file.FileSystemException =>
-          if (new java.io.File(root, "_DONE").exists())
+        var published = false
+        try {
+          Tables.register(s, dir, fixtureInputs: _*)
+          adapters.foreach { case (tdName, sql) =>
+            val df = s.sql(sql) // analyzed against current bindings, eagerly
+            val out = new java.io.File(tmp, tdName).getAbsolutePath
+            val parts = if (heavyTables(tdName)) 8 else 1
+            df.repartition(parts).write.mode("overwrite").parquet(out)
+            val stored = s.read.parquet(out)
+            // later adapters derive from the STORED output, not a re-derivation
+            stored.createOrReplaceTempView(tdName)
+            writeFile(new java.io.File(tmp, s"$tdName.schema"), stored.schema.json)
+          }
+          writeFile(new java.io.File(tmp, "_ORDER"), adapters.map(_._1).mkString("\n"))
+          writeFile(new java.io.File(tmp, "_DONE"), "")
+          // atomic publish; lose gracefully if a concurrent JVM won the race
+          try {
+            java.nio.file.Files.move(tmp.toPath, root.toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            published = true
+          } catch { case _: java.nio.file.FileSystemException =>
+            if (!onDisk) throw new IllegalStateException(
+              s"DsPort cache publish failed and $root is incomplete")
+          }
+        } finally {
+          // A failed or losing-race build must not leak fixture-scale
+          // partial parquet under /tmp.
+          if (!published && tmp.exists())
             org.apache.commons.io.FileUtils.deleteDirectory(tmp)
-          else throw new IllegalStateException(
-            s"DsPort cache publish failed and $root is incomplete")
         }
       }
       loadManifest(root)

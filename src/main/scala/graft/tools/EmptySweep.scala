@@ -20,14 +20,10 @@ object EmptySweep {
     new File(src).listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
       val name = f.getName.stripSuffix(".parquet")
       val target = new File(d, f.getName)
-      if (emptied(name)) {
-        val tmp = new File(d, s".tmp-$name")
-        spark.read.parquet(f.getAbsolutePath).limit(0)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
-        val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
-        Files.move(part.toPath, target.toPath, StandardCopyOption.REPLACE_EXISTING)
-        org.apache.commons.io.FileUtils.deleteDirectory(tmp)
-      } else Files.copy(f.toPath, target.toPath, StandardCopyOption.REPLACE_EXISTING)
+      if (emptied(name))
+        graft.engine.Tables.writeSingleParquet(
+          spark.read.parquet(f.getAbsolutePath).limit(0), target)
+      else Files.copy(f.toPath, target.toPath, StandardCopyOption.REPLACE_EXISTING)
     }
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
       .filter(n => n.startsWith("p") ||

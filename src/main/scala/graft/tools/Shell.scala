@@ -63,16 +63,13 @@ object Shell {
       // force the next suite/fixture register to re-bind.
       graft.engine.CatalogState.invalidate(spark)
       val df = spark.sql(line)
-      val rows = df.limit(201).collect()
-      val shown = df.limit(200)
-      // showString is private; materialize a bounded show via the public
-      // API: collect is already bounded to 201 rows above.
+      // One execution: show() bounds itself at 200 rows and prints its
+      // own "only showing top 200 rows" footer when truncated.
       val out = new java.io.ByteArrayOutputStream()
       Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
-        shown.show(200, truncate = 40)
+        df.show(200, truncate = 40)
       }
-      val more = if (rows.length > 200) "... (truncated at 200 rows)\n" else ""
-      out.toString("UTF-8") + more
+      out.toString("UTF-8")
     }
   }
 
@@ -94,6 +91,8 @@ object Shell {
       case ":tables" =>
         spark.catalog.listTables().collect().map(_.name).sorted.mkString("\n")
       case ":explain" =>
+        // Same arbitrary-SQL surface as the raw path (DDL shadows views).
+        graft.engine.CatalogState.invalidate(spark)
         Explain.analyze(spark.sql(rest.stripSuffix(";")))
       case ":q" =>
         graft.SparkEntry.queries.get(rest) match {

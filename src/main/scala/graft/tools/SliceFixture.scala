@@ -52,13 +52,9 @@ object SliceFixture {
       val target = new File(dst, f.getName)
       sliceKeys.get(table) match {
         case Some(key) =>
-          val tmp = new File(dst, s".slice-tmp-$table")
-          spark.read.parquet(f.getAbsolutePath)
-            .filter(pmod(floor(col(key) / stride), lit(mod)) === 0)
-            .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
-          val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
-          Files.move(part.toPath, target.toPath, StandardCopyOption.REPLACE_EXISTING)
-          org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+          graft.engine.Tables.writeSingleParquet(
+            spark.read.parquet(f.getAbsolutePath)
+              .filter(pmod(floor(col(key) / stride), lit(mod)) === 0), target)
           println(s"[slice] $table: 1/$mod of rows by $key -> $target")
         case None =>
           Files.copy(f.toPath, target.toPath, StandardCopyOption.REPLACE_EXISTING)

@@ -90,6 +90,15 @@ class DsPortSpec extends AnyFunSuite {
     val n1 = spark.table("store_sales").count()
     graft.queries.DsPort.register(spark, dir)
     assert(spark.table("store_sales").count() == n1)
+    // Cold-rebuild recovery: the documented recipe deletes the on-disk
+    // cache under a LIVE session; the next register must re-materialize
+    // rather than serve dead paths from the in-memory map.
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir")), "graft-dsport"))
+    graft.engine.CatalogState.invalidate(spark)
+    graft.queries.DsPort.register(spark, dir)
+    assert(spark.table("store_sales").count() == n1,
+      "register must recover from rm -rf of the materialization cache")
   }
 
   test("store zips lie inside the address-zip progression (q24 join)") {

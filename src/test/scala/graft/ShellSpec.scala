@@ -49,6 +49,6 @@ class ShellSpec extends AnyFunSuite {
 
   test("row output is bounded at 200 rows") {
     val out = run("SELECT explode(sequence(1, 500)) AS v;")
-    assert(out.contains("truncated at 200 rows"))
+    assert(out.contains("only showing top 200 rows"))
   }
 }
