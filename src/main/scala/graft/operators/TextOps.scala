@@ -35,6 +35,11 @@ object TextOps {
     val nChunks = greatest(
       ceil((size(toks) - overlap).cast("double") / stride).cast("int"), lit(1))
     df.select(col(idCol), toks.as("__toks"), nChunks.as("__n"))
+      // NULL text tokenizes to a NULL array, which would otherwise emit a
+      // single chunk=NULL garbage row per such doc; a doc with no text
+      // has no chunks. (Empty text still yields one empty chunk — the
+      // "short docs get one chunk" coverage property.)
+      .filter(col("__toks").isNotNull)
       .select(col(idCol),
         posexplode(transform(sequence(lit(0), col("__n") - 1),
           i => array_join(slice(col("__toks"), i * stride + 1, lit(chunkTokens)), " ")))
