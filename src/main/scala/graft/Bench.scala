@@ -64,9 +64,31 @@ object Bench {
     // Best-of-N per query (the reference's harness reports p50 of 5
     // iterations — `/root/reference/README.md:72-75`; N=2 amortizes JIT and
     // plan-cache warmup the same way without tripling the wall clock).
+    // SPARK_GRAFT_BENCH_AGG=p50 switches to the reference's exact
+    // methodology (median of the iterations) for A/B runs; the driver's
+    // default run keeps iters=2/agg=min so BENCH_r* stays comparable.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt.max(1)
+    val agg = sys.env.getOrElse("SPARK_GRAFT_BENCH_AGG", "min")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Family-sorted iteration + one UNTIMED warm pass per family: queries
+    // used to run in Map hash order, so every suite switch (CatalogState
+    // rebind + fresh codegen for that suite's expression shapes) landed
+    // inside the timed iterations of whichever query happened to follow the
+    // switch — manufacturing 10× phantom "regressions" on untouched queries
+    // (q58 2.09 s wall vs 110 ms stage time, round 10). Sorting by name
+    // groups each family (c/d/h/p/q) contiguously, and the first query of
+    // each family runs once untimed so the switch cost is paid outside the
+    // measurement — the same reason the reference's harness warms before
+    // its 5 timed iterations (`/root/reference/benchmarks/src/run.rs`).
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    def familyOf(name: String): String = name.takeWhile(!_.isDigit)
+    var curFamily = ""
+    val results = ordered.map { case (name, fn) =>
+      val fam = familyOf(name)
+      if (fam != curFamily) {
+        curFamily = fam
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -82,7 +104,10 @@ object Bench {
       // entry), and then reports a NEGATIVE time so n_failed always equals
       // the count of negative times — one consistent signal.
       val good = times.filter(_ > 0)
-      val best = if (good.nonEmpty) good.min else times.map(-_).min
+      val best =
+        if (good.isEmpty) times.map(-_).min
+        else if (agg == "p50") good.sorted.apply((good.size - 1) / 2)
+        else good.min
       name -> (if (errors.contains(name)) -best.abs else best)
     }
     def jstr(s: String): String =
@@ -99,7 +124,8 @@ object Bench {
     def qmap(rs: Iterable[(String, Double)]): String =
       rs.map { case (k, v) => jstr(k) + ":" + (if (v < 0) "null" else ms(v)) }
         .mkString("{", ",", "}")
-    val total = results.values.filter(_ > 0).sum
+    val resultsMap = results.toMap
+    val total = results.map(_._2).filter(_ > 0).sum
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     // Per-stage breakdown of the 5 slowest queries (one extra run each,
     // outside the timed loop): the p23/q44 class of driver-only outliers
@@ -108,7 +134,7 @@ object Bench {
     // metrics that distinguish "plan is expensive" (run_ms concentrated in
     // one stage, shuffle/spill bytes) from "machine noise" (wall time >>
     // sum of stage run time).
-    val slowest = results.filter(_._2 > 0).toSeq.sortBy(-_._2).take(5)
+    val slowest = results.filter(_._2 > 0).sortBy(-_._2).take(5)
     val breakdown = slowest.map { case (name, wallSec) =>
       val t0 = System.nanoTime()
       val (stages, rerun) =
@@ -138,14 +164,14 @@ object Bench {
     val runMeta = s""""run_host":${jstr(host)},"run_at":${jstr(
       java.time.Instant.now.toString)},"cpus":$cpus,"conf_overrides":${jstr(overrides)}"""
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"agg":"min",$runMeta,"queries":${
+      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"agg":"$agg",$runMeta,"queries":${
         qmap(results)},"errors":$errs,"n_failed":${errors.size},"n_queries":${
         results.size},"slowest_breakdown":$breakdown,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes("UTF-8"))
     // Compact stdout line: headline queries only, ms precision, truncated
     // errors — must survive a ~2000-char stdout tail buffer intact.
-    val head = headline.flatMap(n => results.get(n).map(n -> _))
+    val head = headline.flatMap(n => resultsMap.get(n).map(n -> _))
     // Failure names matter more than messages (round 7's stdout dropped 2
     // of 5 failure names) — but a MASS failure (e.g. missing fixture dir)
     // must not overflow the ~2000-char tail budget either: cap at 20 names,
@@ -160,7 +186,7 @@ object Bench {
         else Nil
       (shown ++ more).mkString("{", ",", "}")
     }
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","iters":$iters,"agg":"min","queries":${
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","iters":$iters,"agg":"$agg","queries":${
       qmap(head)},"errors":$errsShort,"n_failed":${errors.size},"n_queries":${
       results.size},"sf":"$sfDir"}""")
     spark.stop()

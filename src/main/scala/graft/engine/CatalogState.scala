@@ -65,10 +65,18 @@ object CatalogState {
     if (cdir != dir) names else names.filterNot(bound)
   }
 
-  /** Record that `names` are now bound pristine for `dir`. */
+  /** Record that `names` are now bound pristine for `dir`. Tokens may
+    * carry a `name@fingerprint` suffix (Tables.register stamps file
+    * length+mtime); recording a new token for a name evicts any older
+    * token of the same name, so a regenerated file can't leave a stale
+    * fingerprint that would match again after a later revert. */
   def recordFixture(s: SparkSession, dir: String, names: Seq[String]): Unit = {
     val (cdir, bound) = fixtureState(s)
-    val set = (if (cdir == dir) bound ++ names else names.toSet).toSeq.sorted
+    def keyOf(t: String): String = t.takeWhile(_ != '@')
+    val newKeys = names.map(keyOf).toSet
+    val kept =
+      if (cdir == dir) bound.filterNot(t => newKeys(keyOf(t))) else Set.empty[String]
+    val set = (kept ++ names).toSeq.sorted
     s.conf.set(fixtureKey, dir + "|" + set.mkString(","))
   }
 }

@@ -94,9 +94,20 @@ object Tables {
     // same-family queries stops paying a parquet footer read per table
     // per query.
     if (CatalogState.suiteBound(spark)) CatalogState.invalidate(spark)
-    val missing = CatalogState.missingFixture(spark, dir, names)
+    // The pristine-skip token carries the file's (length, lastModified):
+    // an in-place fixture regeneration mid-session (plausible with the
+    // long-lived Shell) changes the token, so the table counts as missing
+    // and re-binds instead of serving the stale view. Two cheap stat
+    // calls per table per query vs a silent wrong-data hazard.
+    def tag(n: String): String = {
+      val f = new java.io.File(s"$dir/$n.parquet")
+      s"$n@${f.length}:${f.lastModified}"
+    }
+    val tags = names.map(tag)
+    val missing = CatalogState.missingFixture(spark, dir, tags)
+      .map(_.takeWhile(_ != '@'))
     missing.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
-    if (missing.nonEmpty) CatalogState.recordFixture(spark, dir, names)
+    if (missing.nonEmpty) CatalogState.recordFixture(spark, dir, tags)
   }
 
   /** Register every table as a temp view named after the table. */

@@ -703,26 +703,33 @@ object Dedup {
                               maxFilterBytes: Long = 64L << 20): DataFrame =
     contaminationCore(corpus, benchmark, idCol, textCol, shingleLen,
       minContainment, prune = { (cs, bs) =>
-        // Persisted: both the sizing count and the bloom build aggregate
-        // this relation — without the persist the benchmark side would
-        // tokenize+shingle+shuffle twice.
-        val distinctSh = bs.select(col("sh")).distinct().persist()
-        try {
-          val n = distinctSh.count()
-          val bits = org.apache.spark.util.sketch.BloomFilter
-            .optimalNumOfBits(math.max(n, 1L), fpp)
-          // Empty benchmark set: stat.bloomFilter over zero rows yields a
-          // null-buffer filter that NPEs on serialization. The join below
-          // is empty regardless, so prune everything.
-          if (n == 0) cs.filter(lit(false))
-          else if (bits / 8 > maxFilterBytes) cs // honest fallback, same results
-          else {
-            val bloom = distinctSh.stat.bloomFilter("sh", n, fpp)
-            val bos = new java.io.ByteArrayOutputStream()
-            bloom.writeTo(bos)
-            cs.filter(HashExpressions.bloomContainsLong(col("sh"), bos.toByteArray))
-          }
-        } finally distinctSh.unpersist()
+        // Single-pass sizing: each bs row is one (doc, distinct-shingle)
+        // pair (ShingleHashes emits per-doc distinct hashes), so count(bs)
+        // = Σ per-doc distinct counts ≥ the global distinct count — a
+        // narrow map-side count instead of r10's distinct().persist() +
+        // count() + bloom-over-cached-distinct (a wide shuffle plus a
+        // cached second pass). Overestimating n only WIDENS the filter
+        // (effective fpp drops below the requested one); the bloom is then
+        // built directly over bs — duplicate inserts are idempotent, so
+        // skipping the distinct changes nothing.
+        val n = bs.count()
+        val bits = org.apache.spark.util.sketch.BloomFilter
+          .optimalNumOfBits(math.max(n, 1L), fpp)
+        // Empty benchmark set: stat.bloomFilter over zero rows yields a
+        // null-buffer filter that NPEs on serialization. The join below
+        // is empty regardless, so prune everything.
+        if (n == 0) cs.filter(lit(false))
+        // The overestimate can trip this cap earlier than the exact
+        // distinct count would (shingles shared across benchmark docs are
+        // counted once per doc) — the fallback is the plain join either
+        // way: same results, just no pre-prune.
+        else if (bits / 8 > maxFilterBytes) cs // honest fallback, same results
+        else {
+          val bloom = bs.stat.bloomFilter("sh", n, fpp)
+          val bos = new java.io.ByteArrayOutputStream()
+          bloom.writeTo(bos)
+          cs.filter(HashExpressions.bloomContainsLong(col("sh"), bos.toByteArray))
+        }
       })
 
   private def contaminationCore(corpus: DataFrame, benchmark: DataFrame,

@@ -598,6 +598,19 @@ object DsPort {
       .map("%02x".format(_)).mkString.take(16)
   }
 
+  /** Materialization cache root. User-scoped (`graft-dsport-<user>`) so a
+    * multi-user host can't serve one user's leftover directory to another
+    * or fail the atomic publish on foreign permissions (ADVICE r10);
+    * overridable via `-Dgraft.dsport.cache.dir` for tests or deliberate
+    * shared-cache setups. */
+  private[graft] def cacheBaseDir: java.io.File = {
+    val user = sys.props.getOrElse("user.name", "nouser")
+      .replaceAll("[^A-Za-z0-9_.-]", "_")
+    new java.io.File(sys.props.getOrElse("graft.dsport.cache.dir",
+      new java.io.File(new java.io.File(sys.props("java.io.tmpdir")),
+        s"graft-dsport-$user").getAbsolutePath))
+  }
+
   private def readFile(f: java.io.File): String =
     new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
 
@@ -613,11 +626,10 @@ object DsPort {
 
   private def materialize(s: SparkSession, dir: String): Seq[Mat] = {
     val key = fingerprint(dir)
-    val root = new java.io.File(
-      new java.io.File(sys.props("java.io.tmpdir")), s"graft-dsport/$key")
+    val root = new java.io.File(cacheBaseDir, key)
     def onDisk = new java.io.File(root, "_DONE").exists()
     // Revalidate a memory hit against disk: the documented cold-rebuild
-    // recipe is `rm -rf /tmp/graft-dsport`, and a live session must
+    // recipe is `rm -rf /tmp/graft-dsport-$USER`, and a live session must
     // recover from it by re-materializing, not serve dead paths forever.
     if (materialized.containsKey(key) && !onDisk) materialized.remove(key)
     materialized.computeIfAbsent(key, _ => {
@@ -708,6 +720,19 @@ object DsPort {
               s"$name: apostrophe in a -- comment would break rename(): " +
                 body.substring(i, eol))
             i = eol
+          case '/' if parity == 0 && i + 1 < body.length &&
+              body.charAt(i + 1) == '*' =>
+            // Same hazard as `--` comments, block form: rename() doesn't
+            // know about comments, so a lone apostrophe inside /* */
+            // would flip its quote parity for the rest of the body
+            // (latent — no current body uses block comments; ADVICE r10).
+            val end = body.indexOf("*/", i + 2) match {
+              case -1 => body.length; case e => e + 2
+            }
+            require(!body.substring(i, end).contains("'"),
+              s"$name: apostrophe in a /* */ comment would break rename(): " +
+                body.substring(i, end))
+            i = end
           case _ => i += 1
         }
       }

@@ -70,6 +70,16 @@ object MetricsReport {
   def collect(df: DataFrame): Seq[StageReport] =
     collectWithTasks(df, maxTasksPerStage = 0)._1
 
+  /** Rows AND stage rollup from one execution — for callers that need the
+    * result for a differential check alongside the metrics (SpillProof:
+    * spill bytes > 0 and results identical to the unstarved run). */
+  def collectWithResult(df: DataFrame)
+      : (Array[org.apache.spark.sql.Row], Seq[StageReport]) = {
+    var rows: Array[org.apache.spark.sql.Row] = Array.empty
+    val (stages, _) = instrumented(df, 0) { rows = df.collect() }
+    (rows, stages)
+  }
+
   /** [[collect]] plus per-task rows. Driver memory stays bounded at scale:
     * at most `maxTasksPerStage` tasks are retained PER STAGE, evicting the
     * fastest first — so what survives on a million-task query is exactly
@@ -78,6 +88,10 @@ object MetricsReport {
     * per-task rows.
     */
   def collectWithTasks(df: DataFrame, maxTasksPerStage: Int = 128)
+      : (Seq[StageReport], Seq[TaskReport]) =
+    instrumented(df, maxTasksPerStage) { df.collect(); () }
+
+  private def instrumented(df: DataFrame, maxTasksPerStage: Int)(body: => Unit)
       : (Seq[StageReport], Seq[TaskReport]) = {
     val spark = df.sparkSession
     // TrieMap + per-entry synchronization: the listener-bus thread mutates
@@ -128,7 +142,7 @@ object MetricsReport {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      df.collect()
+      body
       // The listener bus is async; give queued task-end events a moment to
       // drain (the private waitUntilEmpty isn't accessible from here).
       // Settled = two consecutive identical snapshots — an empty snapshot

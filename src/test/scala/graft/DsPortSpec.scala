@@ -93,8 +93,8 @@ class DsPortSpec extends AnyFunSuite {
     // Cold-rebuild recovery: the documented recipe deletes the on-disk
     // cache under a LIVE session; the next register must re-materialize
     // rather than serve dead paths from the in-memory map.
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(
-      new java.io.File(sys.props("java.io.tmpdir")), "graft-dsport"))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      graft.queries.DsPort.cacheBaseDir)
     graft.engine.CatalogState.invalidate(spark)
     graft.queries.DsPort.register(spark, dir)
     assert(spark.table("store_sales").count() == n1,

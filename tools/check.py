@@ -14,6 +14,8 @@ cast?" hint — the class of bug that shipped d21/d48 red in round 9.
 """
 import sys, os, json, glob
 import duckdb
+import numbers
+import numpy as np
 import pyarrow.parquet as pq
 import pandas as pd
 import math
@@ -57,10 +59,15 @@ def dtype_class(series):
             if pd.isna(v): continue
         except (TypeError, ValueError):
             pass
-        if isinstance(v, bool): return "bool"
+        # numbers.Integral/Real (not bare int/float): numpy scalars inside
+        # object columns (np.int64, np.float64) are NOT Python int/float,
+        # so bare-isinstance checks misclassified them and the strict dtype
+        # gate could spuriously fail (ADVICE r10). bool is Integral — keep
+        # it first (np.bool_ is not, hence the explicit pair).
+        if isinstance(v, (bool, np.bool_)): return "bool"
         if isinstance(v, Decimal): return "decimal"
-        if isinstance(v, int): return "int"
-        if isinstance(v, float): return "float"
+        if isinstance(v, numbers.Integral): return "int"
+        if isinstance(v, numbers.Real): return "float"
         if isinstance(v, str): return "str"
         if isinstance(v, (bytes, bytearray)): return "binary"
         return type(v).__name__
