@@ -1,0 +1,138 @@
+package graft.tools
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.TaskContext
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{GraftSession, Tables}
+import graft.operators.{Dedup, Multimodal, Sampling}
+
+/** Task-retry safety proof: on a 1000-executor fleet, individual task
+  * failures (preemption, bad node, OOM-kill) are routine — Spark
+  * re-executes the failed task and the query must still produce the
+  * RIGHT answer, which holds only if every operator is deterministic and
+  * idempotent per partition (a retried task must recompute exactly what
+  * the lost attempt would have produced). The reference gets the same
+  * property from DataFusion's deterministic execution + its
+  * error-propagation tests (`tests/error_propagation.rs`); this tool
+  * proves it for the engine's own surface: custom codegen'd expressions
+  * (MinHash), hash-keyed sampling, and the mapPartitions multimodal
+  * path.
+  *
+  * Mechanism: a `local[8,3]` master (maxFailures=3 — the shared test
+  * session's `local[8]` kills the job on the FIRST failure, which is why
+  * this is a standalone main and not a spec). A fail-once UDF guard
+  * (`FailOnce`) throws exactly once per (run-tag, partition) — the
+  * retried attempt finds the marker and proceeds — so every partition of
+  * the guarded stage is computed once by a FAILED task and once by its
+  * retry. A listener counts the failures; the result must be
+  * bit-identical to the unguarded baseline.
+  *
+  * Usage: `runMain graft.tools.RetryProof [sfDir]`. Exits 1 on any
+  * divergence or if no task failure was actually injected.
+  */
+object RetryProof {
+
+  /** Executor-side fail-once registry. local-mode executors share the
+    * driver JVM, so a static map is visible to retries; on a real cluster
+    * the same proof works per-executor (the retry lands on SOME executor;
+    * determinism is what's proven, the map only schedules the failure).
+    */
+  object FailOnce {
+    val fired = new ConcurrentHashMap[String, java.lang.Boolean]()
+    def passOrThrowOnce(tag: String): Boolean = {
+      val pid = TaskContext.getPartitionId()
+      if (FailOnce.fired.putIfAbsent(s"$tag#$pid", true) == null)
+        throw new RuntimeException(s"injected task failure $tag#$pid (attempt " +
+          s"${TaskContext.get().attemptNumber()})")
+      true
+    }
+  }
+
+  case class Outcome(name: String, failedTasks: Long, rows: Int,
+                     identical: Boolean) {
+    def ok: Boolean = failedTasks > 0 && identical
+  }
+
+  private def withFailureCount[T](spark: SparkSession)(body: => T): (T, Long) = {
+    val failed = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.reason != org.apache.spark.Success) failed.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val r =
+      try body
+      finally spark.sparkContext.removeSparkListener(listener)
+    // listener bus is async; settle briefly
+    Thread.sleep(300)
+    (r, failed.get())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = GraftSession.builder("local[8,3]", "graft-retry-proof")
+      .config("spark.sql.shuffle.partitions", "8")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val guard = udf((tag: String) => FailOnce.passOrThrowOnce(tag))
+    // The guard must not be constant-folded or pushed past the work it
+    // guards; referencing a data column keeps it row-level in the stage.
+    def guarded(df: DataFrame, tag: String): DataFrame =
+      df.filter(guard(concat(lit(tag), lit("")))) // non-foldable via udf
+
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    val orders = Tables.load(spark, sfDir, "orders")
+
+    // Each case builds its query through `wrap`, applied to the INPUT
+    // relation — so the injected failure lands in the MAP-side stage
+    // (scan + partial work) and the retry must regenerate shuffle output
+    // the downstream stages then consume: the full recompute path a lost
+    // node exercises, not just a re-run of the final stage.
+    val cases: Seq[(String, (DataFrame => DataFrame) => DataFrame)] = Seq(
+      // shuffle join + 2-phase agg
+      ("join_agg", wrap =>
+        wrap(lineitem).join(orders, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))),
+      // custom codegen'd MinHash banding + bucket join
+      ("minhash", wrap =>
+        Dedup.minhashCandidates(wrap(docs), "doc_id", "text")),
+      // hash-keyed deterministic sampling (retry must pick the SAME rows)
+      ("hash_sample", wrap =>
+        Sampling.deterministicSample(wrap(docs), "doc_id", 0.5)),
+      // mapPartitions multimodal decode (JVM codec path)
+      ("image_decode", wrap =>
+        Multimodal.decodeImageFeatures(Multimodal.plantPngs(wrap(docs)))
+          .select(col("media_id"), col("width"), col("height"),
+            col("pixel_sum"))))
+
+    val outcomes = cases.map { case (name, build) =>
+      val baseline = build(identity).collect()
+      val tag = name + "@" + System.nanoTime()
+      val (rows, failed) = withFailureCount(spark) {
+        build(df => guarded(df, tag)).collect()
+      }
+      Outcome(name, failed, rows.length,
+        rows.length == baseline.length &&
+          SpillProof.resultHash(rows) == SpillProof.resultHash(baseline))
+    }
+
+    println(f"${"case"}%-14s ${"failed_tasks"}%12s ${"rows"}%8s  identical")
+    outcomes.foreach { o =>
+      println(f"${o.name}%-14s ${o.failedTasks}%12d ${o.rows}%8d  " +
+        (if (o.identical) "yes" else "NO") + (if (o.ok) "" else "  <- FAIL"))
+    }
+    val bad = outcomes.filterNot(_.ok)
+    println(s"[retry-proof] ${outcomes.size - bad.size}/${outcomes.size} ok " +
+      s"(master=local[8,3], sf=$sfDir)")
+    spark.stop()
+    if (bad.nonEmpty) sys.exit(1)
+  }
+}
