@@ -72,4 +72,36 @@ class CatalogStateSpec extends AnyFunSuite {
     Tables.register(spark, sf001, "customer")
     assert(spark.table("customer").count() == n1)
   }
+
+  test("in-place fixture regeneration forces a rebind (no stale view)") {
+    // The pristine-skip token carries (length, mtime) — ADVICE r10: a
+    // regenerated parquet file mid-session must be re-read, not served
+    // from the old binding.
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stale-test").toFile
+    try {
+      val target = new java.io.File(dir, "documents.parquet")
+      Tables.writeSingleParquet(
+        Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text"), target)
+      Tables.register(spark, dir.getAbsolutePath, "documents")
+      assert(spark.table("documents").count() == 2)
+      // Pristine skip: a second register with the file untouched no-ops.
+      Tables.register(spark, dir.getAbsolutePath, "documents")
+      assert(spark.table("documents").count() == 2)
+      // Regenerate in place (content + length change; mtime may or may
+      // not tick within fs resolution — length alone must suffice).
+      Tables.writeSingleParquet(
+        Seq((1L, "one"), (2L, "two"), (3L, "three e e")).toDF("doc_id", "text"),
+        target)
+      Tables.register(spark, dir.getAbsolutePath, "documents")
+      assert(spark.table("documents").count() == 3,
+        "regenerated fixture must be re-bound, not served stale")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      // Leave no binding to a deleted dir for later suites.
+      CatalogState.invalidate(spark)
+      Tables.register(spark, sf001, "documents")
+    }
+  }
 }
