@@ -36,7 +36,8 @@ object Bench {
     "p45_span_cut", "p47_dsir_weights", "p48_best_of_cluster",
     "p49_bloom_decontamination", "p50_deterministic_shuffle",
     "p51_cdc_chunks", "p57_curation_pipeline", "p58_image_decode",
-    "q93_moving_avg_sales", "p60_audio_decode", "h01", "h09", "h18", "h21")
+    "q93_moving_avg_sales", "p60_audio_decode", "p62_video_frames",
+    "h01", "h09", "h18", "h21")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

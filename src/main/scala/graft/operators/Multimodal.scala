@@ -14,12 +14,17 @@ import org.apache.spark.sql.types._
   *    decode and resample actual pixels, end-to-end and oracle-checked
   *    (the planted pixel rule is closed-form, so DuckDB recomputes the
   *    decoded stats without any codec).
-  *  - Video/audio codecs are NOT available in this environment, so those
-  *    decode steps remain clearly-marked deterministic STUBs
-  *    ([[fakeDecodeFeatures]], [[resizeStub]], [[sampleFrames]]) — and
-  *    [[decodeImageFeatures]] degrades to a `decoded=false` row on any
-  *    payload ImageIO has no reader for, which is the no-codec fallback
-  *    contract.
+  *  - Multi-frame video is a REAL codec path too (since r11): the JDK's
+  *    GIF reader/writer handle frame SEQUENCES, so [[plantGifs]] →
+  *    [[sampleVideoFrames]] is genuine demux → decode → frame-sample over
+  *    an animated container, with planted pixels closed-form so the whole
+  *    chain is oracle-checked. Containers the JDK has no demuxer for
+  *    (MP4/MKV/WebM) remain out of scope in this environment.
+  *  - The remaining deterministic STUBs ([[fakeDecodeFeatures]],
+  *    [[resizeStub]], [[sampleFrames]]) stand in only where no JDK codec
+  *    exists — and [[decodeImageFeatures]] degrades to a `decoded=false`
+  *    row on any payload ImageIO has no reader for, which is the no-codec
+  *    fallback contract.
   *
   * The Spark-side shape is what matters at 100 TB either way: binary
   * payloads stay columnar in parquet, flow through narrow per-partition
@@ -333,9 +338,123 @@ object Multimodal {
         col("meta.format").as("format")))
   }
 
+  /** Deterministic planted animated-GIF generator: one MULTI-FRAME GIF per
+    * document, really encoded with the JDK's ImageIO GIF writer
+    * (`prepareWriteSequence`/`writeToSequence` — the codec path ships in
+    * every JDK). Closed-form in `media_id`:
+    * `n_frames = 3 + id%4`, `w = 8 + id%5`, `h = 6 + id%3`,
+    * `pixel(f, i) = (id*11 + f*17 + i*13) mod 256` (row-major, frame f) —
+    * so a SQL oracle predicts every frame's decoded statistics without a
+    * codec, while the `data` bytes are a genuine GIF89a stream. An
+    * explicit 256-gray palette (`IndexColorModel` with `palette[j] = j`)
+    * makes the encode lossless: decoded raster samples ARE the planted
+    * values (verified bit-exact in `MultimodalSpec`).
+    */
+  def plantGifs(docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    docs.select(col("doc_id")).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val gray = Array.tabulate[Byte](256)(_.toByte)
+      val cm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = 3 + (id % 4).toInt
+        val w = 8 + (id % 5).toInt
+        val h = 6 + (id % 3).toInt
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < n) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+          val raster = img.getRaster
+          var i = 0
+          while (i < w * h) {
+            raster.setSample(i % w, i / w, 0,
+              ((id * 11 + f * 17 + i * 13) % 256).toInt)
+            i += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        ios.close()
+        writer.dispose()
+        Row(id, "video", bos.toByteArray, Row(w, h, null, "image/gif"))
+      }
+    }(enc)
+  }
+
+  /** Output schema of [[sampleVideoFrames]]: one row per SAMPLED frame,
+    * nullable stats because an undecodable payload degrades to a single
+    * `decoded=false` row instead of failing the job. */
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = true),
+    StructField("n_frames", IntegerType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("pixel_sum", LongType, nullable = true),
+    StructField("decoded", BooleanType, nullable = false)))
+
+  /** REAL video frame sampling: demux the multi-frame container with the
+    * JDK's GIF reader (`getNumImages(true)`), decode every `everyN`-th
+    * frame, and emit its dimensions + band-0 pixel sum. This is the
+    * decode-side contract a training pipeline needs from video at 100 TB —
+    * a narrow mapPartitions pass in which the heavy payload NEVER
+    * shuffles; only the per-frame statistics (a few dozen bytes) continue
+    * into joins/aggregations. [[sampleFrames]] remains the byte-stride
+    * stub for containers without a JDK demuxer.
+    */
+  def sampleVideoFrames(media: DataFrame, everyN: Int): DataFrame = {
+    require(everyN >= 1, "everyN must be >= 1")
+    val enc = org.apache.spark.sql.Encoders.row(frameSchema)
+    media.select(col("media_id"), col("modality"), col("data"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val modality = r.getString(1)
+          val bytes =
+            if (r.isNullAt(2)) Array.emptyByteArray
+            else r.getAs[Array[Byte]](2)
+          val frames =
+            try {
+              val reader = javax.imageio.ImageIO
+                .getImageReadersByFormatName("gif").next()
+              try {
+                reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+                  new java.io.ByteArrayInputStream(bytes)))
+                val n = reader.getNumImages(true)
+                (0 until n by everyN).map { f =>
+                  val img = reader.read(f)
+                  val raster = img.getRaster
+                  val (w, h) = (img.getWidth, img.getHeight)
+                  var sum = 0L
+                  var i = 0
+                  while (i < w * h) {
+                    sum += raster.getSample(i % w, i / w, 0)
+                    i += 1
+                  }
+                  Row(id, modality, f, n, w, h, sum, true)
+                }
+              } finally reader.dispose()
+            } catch { case _: Exception => Seq.empty[Row] }
+          if (frames.isEmpty) Seq(Row(id, modality, null, null, null, null, null, false))
+          else frames
+        }
+      }(enc)
+  }
+
   /** Frame-sampling stub for video-like payloads: fixed-stride byte slices
-    * standing in for frames — real implementation would demux; the
-    * partitioning/explode shape is the part that transfers.
+    * standing in for frames — real demux for JDK-supported containers is
+    * [[sampleVideoFrames]]; this remains the shape-only path for
+    * containers without a JDK demuxer.
     */
   def sampleFrames(media: DataFrame, frameBytes: Int, everyN: Int): DataFrame =
     media

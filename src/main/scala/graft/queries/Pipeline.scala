@@ -798,6 +798,19 @@ object Pipeline {
           sum(when(col("passed"), 1L).otherwise(0L)).as("n_pass"),
           countDistinct(when(col("passed"), col("fingerprint"))).as("n_unique"))
         .orderBy(col("modality"))
+    }),
+
+    // ---- REAL video frame sampling: planted multi-frame GIFs (genuine
+    // GIF89a streams from the JDK's sequence-capable writer, frame pixels
+    // closed-form in media_id) demuxed + decoded back with the JDK's GIF
+    // reader, every 2nd frame. The oracle recomputes frame indices,
+    // counts, dimensions AND per-frame pixel sums from the planted rule —
+    // a full differential check through a real multi-frame codec. ----
+    "p62_video_frames" -> ((s, dir) => {
+      Multimodal.sampleVideoFrames(Multimodal.plantGifs(docs(s, dir)), 2)
+        .select(col("media_id"), col("frame_idx"), col("n_frames"),
+          col("width"), col("height"), col("pixel_sum"), col("decoded"))
+        .orderBy(col("media_id"), col("frame_idx"))
     })
   )
 
@@ -1872,6 +1885,23 @@ object Pipeline {
         SELECT modality, count(*) AS n_in,
                cast(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS bigint) AS n_pass,
                cast(count(DISTINCT CASE WHEN passed THEN fingerprint END) AS bigint) AS n_unique
-        FROM g GROUP BY modality ORDER BY modality"""
+        FROM g GROUP BY modality ORDER BY modality""",
+
+    // Every-2nd-frame sample of the planted multi-frame GIF rule:
+    // n_frames = 3 + id%4, w = 8 + id%5, h = 6 + id%3,
+    // pixel(f, i) = (id*11 + f*17 + i*13) % 256.
+    "p62_video_frames" ->
+      """SELECT d.doc_id AS media_id,
+              cast(u.f AS integer) AS frame_idx,
+              cast(3 + (d.doc_id % 4) AS integer) AS n_frames,
+              cast(8 + (d.doc_id % 5) AS integer) AS width,
+              cast(6 + (d.doc_id % 3) AS integer) AS height,
+              cast(list_sum(list_transform(
+                     range(0, (8 + (d.doc_id % 5)) * (6 + (d.doc_id % 3))),
+                     i -> (d.doc_id * 11 + u.f * 17 + i * 13) % 256)) AS bigint)
+                AS pixel_sum,
+              true AS decoded
+        FROM documents d, unnest(range(0, 3 + (d.doc_id % 4), 2)) AS u(f)
+        ORDER BY media_id, frame_idx"""
   )
 }

@@ -146,4 +146,48 @@ class MultimodalSpec extends AnyFunSuite {
       .select("frame").head().getAs[Array[Byte]](0)
     assert(f0.nonEmpty && f0.length <= 100)
   }
+
+  test("plantGifs -> sampleVideoFrames: real multi-frame codec round-trip " +
+      "matches the rule") {
+    import SparkTestSession.spark.implicits._
+    val docs = (0L until 12L).toDF("doc_id")
+    val gifs = Multimodal.plantGifs(docs)
+    // Payloads are genuine GIF89a streams.
+    val sig = gifs.select(col("data")).head().getAs[Array[Byte]](0)
+    assert(new String(sig.take(6), "US-ASCII") == "GIF89a")
+    // Sample EVERY frame: indices, count, dims, and per-frame pixel sums
+    // must equal the planted closed form — bit-exact through the codec.
+    val frames = Multimodal.sampleVideoFrames(gifs, 1).collect()
+    assert(frames.forall(_.getBoolean(7)), "all planted gifs must decode")
+    val byId = frames.groupBy(_.getLong(0))
+    (0L until 12L).foreach { id =>
+      val n = 3 + (id % 4).toInt
+      val w = 8 + (id % 5).toInt
+      val h = 6 + (id % 3).toInt
+      val fs = byId(id).sortBy(_.getInt(2))
+      assert(fs.length == n, s"id=$id frames=${fs.length} expected=$n")
+      fs.zipWithIndex.foreach { case (r, f) =>
+        assert(r.getInt(2) == f && r.getInt(3) == n &&
+          r.getInt(4) == w && r.getInt(5) == h)
+        val expected = (0 until w * h).map(i => (id * 11 + f * 17 + i * 13) % 256).sum
+        assert(r.getLong(6) == expected,
+          s"id=$id frame=$f sum=${r.getLong(6)} expected=$expected")
+      }
+    }
+    // everyN=2 keeps exactly the even indices.
+    val sampled = Multimodal.sampleVideoFrames(gifs, 2).collect()
+    sampled.foreach(r => assert(r.getInt(2) % 2 == 0))
+    assert(sampled.length ==
+      (0L until 12L).map(id => (3 + (id % 4).toInt + 1) / 2).sum)
+  }
+
+  test("sampleVideoFrames: undecodable payloads degrade to decoded=false") {
+    val junk = media.limit(3) // UTF-8 text payloads — no GIF signature
+    val out = Multimodal.sampleVideoFrames(junk, 1).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(!r.getBoolean(7))
+      assert(r.isNullAt(2) && r.isNullAt(6))
+    }
+  }
 }
