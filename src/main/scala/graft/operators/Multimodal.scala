@@ -342,7 +342,7 @@ object Multimodal {
     * document, really encoded with the JDK's ImageIO GIF writer
     * (`prepareWriteSequence`/`writeToSequence` — the codec path ships in
     * every JDK). Closed-form in `media_id`:
-    * `n_frames = 3 + id%4`, `w = 8 + id%5`, `h = 6 + id%3`,
+    * `n_frames = 3 + id%4`, `w = 8 + id%5`, `h = 10 + id%3`,
     * `pixel(f, i) = (id*11 + f*17 + i*13) mod 256` (row-major, frame f) —
     * so a SQL oracle predicts every frame's decoded statistics without a
     * codec, while the `data` bytes are a genuine GIF89a stream. An
@@ -360,7 +360,11 @@ object Multimodal {
         val id = r.getLong(0)
         val n = 3 + (id % 4).toInt
         val w = 8 + (id % 5).toInt
-        val h = 6 + (id % 3).toInt
+        // h >= 10 keeps 2x2-pooled frames at height >= 5: the JDK's GIF
+        // WRITER corrupts the LZW stream for images shorter than 5 rows
+        // (verified empirically: every h in 2..4 round-trips wrong, every
+        // h >= 5 is bit-exact) — resizeVideoPooled guards the same bound.
+        val h = 10 + (id % 3).toInt
         val writer = javax.imageio.ImageIO
           .getImageWritersByFormatName("gif").next()
         val bos = new java.io.ByteArrayOutputStream()
@@ -447,6 +451,173 @@ object Multimodal {
             } catch { case _: Exception => Seq.empty[Row] }
           if (frames.isEmpty) Seq(Row(id, modality, null, null, null, null, null, false))
           else frames
+        }
+      }(enc)
+  }
+
+  /** REAL video resize: demux every frame, `factor`×`factor` box-filter
+    * pool it (integer-floor mean, trailing partial blocks dropped — the
+    * same arithmetic as [[resizePooled]]) and RE-ENCODE the pooled
+    * sequence as an animated GIF with the lossless 256-gray palette. One
+    * narrow mapPartitions pass: the whole decode→resample→re-encode chain
+    * runs where the payload lives, nothing but the final (smaller) bytes
+    * continue. Frames smaller than one block, or payloads the GIF reader
+    * rejects, pass the row through unchanged — a corrupt video must not
+    * kill a 100 TB pass, and a "resize" must never fabricate pixels.
+    */
+  def resizeVideoPooled(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"factor=$factor must be >= 1")
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    media.select(col("media_id"), col("modality"), col("data"), col("meta"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val gray = Array.tabulate[Byte](256)(_.toByte)
+        val cm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val modality = r.getString(1)
+          val bytes =
+            if (r.isNullAt(2)) Array.emptyByteArray
+            else r.getAs[Array[Byte]](2)
+          val meta = r.getStruct(3)
+          val passthrough = Row(id, modality, bytes, meta)
+          try {
+            val reader = javax.imageio.ImageIO
+              .getImageReadersByFormatName("gif").next()
+            try {
+              reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+                new java.io.ByteArrayInputStream(bytes)))
+              val n = reader.getNumImages(true)
+              val first = reader.read(0)
+              // Two passthrough guards: no complete pool block (same
+              // contract as resizePooled), and pooled height < 5 — the
+              // JDK's GIF WRITER produces a corrupt LZW stream for images
+              // shorter than 5 rows (empirically: every h in 2..4
+              // round-trips wrong, every h >= 5 is bit-exact), so a
+              // "resize" into that regime would silently mangle pixels.
+              if (first.getWidth < factor || first.getHeight < factor ||
+                  first.getHeight / factor < 5)
+                passthrough
+              else {
+                val writer = javax.imageio.ImageIO
+                  .getImageWritersByFormatName("gif").next()
+                val bos = new java.io.ByteArrayOutputStream()
+                val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+                writer.setOutput(ios)
+                writer.prepareWriteSequence(null)
+                var w2 = 0
+                var h2 = 0
+                var f = 0
+                while (f < n) {
+                  val img = if (f == 0) first else reader.read(f)
+                  val raster = img.getRaster
+                  val (w, h) = (img.getWidth, img.getHeight)
+                  w2 = w / factor
+                  h2 = h / factor
+                  val out = new java.awt.image.BufferedImage(
+                    w2, h2, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+                  val outRaster = out.getRaster
+                  var by = 0
+                  while (by < h2) {
+                    var bx = 0
+                    while (bx < w2) {
+                      var s = 0L
+                      var dy = 0
+                      while (dy < factor) {
+                        var dx = 0
+                        while (dx < factor) {
+                          s += raster.getSample(bx * factor + dx, by * factor + dy, 0)
+                          dx += 1
+                        }
+                        dy += 1
+                      }
+                      outRaster.setSample(bx, by, 0,
+                        (s / (factor.toLong * factor)).toInt)
+                      bx += 1
+                    }
+                    by += 1
+                  }
+                  writer.writeToSequence(
+                    new javax.imageio.IIOImage(out, null, null), null)
+                  f += 1
+                }
+                writer.endWriteSequence()
+                ios.close()
+                writer.dispose()
+                Row(id, modality, bos.toByteArray,
+                  Row(w2, h2,
+                    if (meta == null || meta.isNullAt(2)) null else meta.getInt(2),
+                    "image/gif"))
+              }
+            } finally reader.dispose()
+          } catch { case _: Exception => passthrough }
+        }
+      }(enc)
+  }
+
+  /** Output schema of [[videoMotionFeatures]]: one row per CONSECUTIVE
+    * frame pair. */
+  val motionSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = true),
+    StructField("n_frames", IntegerType, nullable = true),
+    StructField("motion_sum", LongType, nullable = true),
+    StructField("decoded", BooleanType, nullable = false)))
+
+  /** REAL temporal video feature: per consecutive frame pair (f-1, f),
+    * the summed absolute band-0 pixel delta — the classic motion/scene-cut
+    * proxy a video curation pipeline thresholds on (static slideware vs
+    * actual footage). Decodes each frame ONCE, keeping only the previous
+    * frame's samples in memory — O(frame) not O(video) per row — in one
+    * narrow mapPartitions pass. Undecodable or single-frame payloads emit
+    * one `decoded=false` row.
+    */
+  def videoMotionFeatures(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(motionSchema)
+    media.select(col("media_id"), col("data"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes =
+            if (r.isNullAt(1)) Array.emptyByteArray
+            else r.getAs[Array[Byte]](1)
+          val deltas =
+            try {
+              val reader = javax.imageio.ImageIO
+                .getImageReadersByFormatName("gif").next()
+              try {
+                reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+                  new java.io.ByteArrayInputStream(bytes)))
+                val n = reader.getNumImages(true)
+                var prev: Array[Int] = null
+                (0 until n).flatMap { f =>
+                  val img = reader.read(f)
+                  val raster = img.getRaster
+                  val (w, h) = (img.getWidth, img.getHeight)
+                  val cur = new Array[Int](w * h)
+                  var i = 0
+                  while (i < w * h) {
+                    cur(i) = raster.getSample(i % w, i / w, 0)
+                    i += 1
+                  }
+                  val row =
+                    if (prev == null || prev.length != cur.length) Nil
+                    else {
+                      var s = 0L
+                      var j = 0
+                      while (j < cur.length) {
+                        s += math.abs(cur(j) - prev(j)); j += 1
+                      }
+                      Seq(Row(id, f, n, s, true))
+                    }
+                  prev = cur
+                  row
+                }
+              } finally reader.dispose()
+            } catch { case _: Exception => Seq.empty[Row] }
+          if (deltas.isEmpty) Seq(Row(id, null, null, null, false))
+          else deltas
         }
       }(enc)
   }

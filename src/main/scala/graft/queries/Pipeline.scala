@@ -811,6 +811,31 @@ object Pipeline {
         .select(col("media_id"), col("frame_idx"), col("n_frames"),
           col("width"), col("height"), col("pixel_sum"), col("decoded"))
         .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    // ---- REAL video resize: every frame 2x2 box-filter pooled
+    // (integer-floor mean, same arithmetic as p59's image path) and the
+    // pooled sequence RE-ENCODED as an animated GIF, then decoded back —
+    // the oracle recomputes each pooled frame's pixel sum from the
+    // planted rule, value-checking decode -> per-frame resample ->
+    // sequence re-encode -> decode. ----
+    "p63_video_resize" -> ((s, dir) => {
+      Multimodal.sampleVideoFrames(
+          Multimodal.resizeVideoPooled(Multimodal.plantGifs(docs(s, dir)), 2), 1)
+        .select(col("media_id"), col("frame_idx"), col("n_frames"),
+          col("width"), col("height"), col("pixel_sum"), col("decoded"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    // ---- REAL temporal video feature: per consecutive frame pair, the
+    // summed absolute pixel delta (motion / scene-cut proxy). Planted
+    // frames differ by a constant per-pixel phase shift, so the oracle
+    // recomputes every delta closed-form. ----
+    "p64_video_motion" -> ((s, dir) => {
+      Multimodal.videoMotionFeatures(Multimodal.plantGifs(docs(s, dir)))
+        .select(col("media_id"), col("frame_idx"), col("n_frames"),
+          col("motion_sum"), col("decoded"))
+        .orderBy(col("media_id"), col("frame_idx"))
     })
   )
 
@@ -1888,20 +1913,60 @@ object Pipeline {
         FROM g GROUP BY modality ORDER BY modality""",
 
     // Every-2nd-frame sample of the planted multi-frame GIF rule:
-    // n_frames = 3 + id%4, w = 8 + id%5, h = 6 + id%3,
+    // n_frames = 3 + id%4, w = 8 + id%5, h = 10 + id%3,
     // pixel(f, i) = (id*11 + f*17 + i*13) % 256.
     "p62_video_frames" ->
       """SELECT d.doc_id AS media_id,
               cast(u.f AS integer) AS frame_idx,
               cast(3 + (d.doc_id % 4) AS integer) AS n_frames,
               cast(8 + (d.doc_id % 5) AS integer) AS width,
-              cast(6 + (d.doc_id % 3) AS integer) AS height,
+              cast(10 + (d.doc_id % 3) AS integer) AS height,
               cast(list_sum(list_transform(
-                     range(0, (8 + (d.doc_id % 5)) * (6 + (d.doc_id % 3))),
+                     range(0, (8 + (d.doc_id % 5)) * (10 + (d.doc_id % 3))),
                      i -> (d.doc_id * 11 + u.f * 17 + i * 13) % 256)) AS bigint)
                 AS pixel_sum,
               true AS decoded
         FROM documents d, unnest(range(0, 3 + (d.doc_id % 4), 2)) AS u(f)
+        ORDER BY media_id, frame_idx""",
+
+    // 2x2 pool of the planted frame rule, every frame: pooled pixel
+    // (bx,by) of frame f = floor(mean of the 4 source pixels), trailing
+    // odd row/col dropped — exactly resizeVideoPooled's arithmetic
+    // (mirrors p59's image oracle with the frame term added).
+    "p63_video_resize" ->
+      """WITH p AS (SELECT doc_id, 3 + (doc_id % 4) AS n,
+                         8 + (doc_id % 5) AS w, 10 + (doc_id % 3) AS h
+                  FROM documents)
+        SELECT doc_id AS media_id,
+              cast(u.f AS integer) AS frame_idx,
+              cast(n AS integer) AS n_frames,
+              cast(w // 2 AS integer) AS width,
+              cast(h // 2 AS integer) AS height,
+              cast(list_sum(list_transform(range(0, (w // 2) * (h // 2)),
+                     j -> list_sum(list_transform(range(0, 4),
+                            d -> (doc_id * 11 + u.f * 17 +
+                                  (((j // (w // 2)) * 2 + d // 2) * w +
+                                   (j % (w // 2)) * 2 + (d % 2)) * 13) % 256))
+                          // 4)) AS bigint) AS pixel_sum,
+              true AS decoded
+        FROM p, unnest(range(0, n)) AS u(f)
+        ORDER BY media_id, frame_idx""",
+
+    // Per consecutive frame pair: sum of |pixel(f,i) - pixel(f-1,i)| over
+    // the planted rule.
+    "p64_video_motion" ->
+      """WITH p AS (SELECT doc_id, 3 + (doc_id % 4) AS n,
+                         8 + (doc_id % 5) AS w, 10 + (doc_id % 3) AS h
+                  FROM documents)
+        SELECT doc_id AS media_id,
+              cast(u.f AS integer) AS frame_idx,
+              cast(n AS integer) AS n_frames,
+              cast(list_sum(list_transform(range(0, w * h),
+                     i -> abs((doc_id * 11 + u.f * 17 + i * 13) % 256 -
+                              (doc_id * 11 + (u.f - 1) * 17 + i * 13) % 256)))
+                AS bigint) AS motion_sum,
+              true AS decoded
+        FROM p, unnest(range(1, n)) AS u(f)
         ORDER BY media_id, frame_idx"""
   )
 }

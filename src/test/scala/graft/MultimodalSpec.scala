@@ -163,7 +163,7 @@ class MultimodalSpec extends AnyFunSuite {
     (0L until 12L).foreach { id =>
       val n = 3 + (id % 4).toInt
       val w = 8 + (id % 5).toInt
-      val h = 6 + (id % 3).toInt
+      val h = 10 + (id % 3).toInt
       val fs = byId(id).sortBy(_.getInt(2))
       assert(fs.length == n, s"id=$id frames=${fs.length} expected=$n")
       fs.zipWithIndex.foreach { case (r, f) =>
@@ -179,6 +179,63 @@ class MultimodalSpec extends AnyFunSuite {
     sampled.foreach(r => assert(r.getInt(2) % 2 == 0))
     assert(sampled.length ==
       (0L until 12L).map(id => (3 + (id % 4).toInt + 1) / 2).sum)
+  }
+
+  test("resizeVideoPooled -> sampleVideoFrames: every pooled frame matches " +
+      "the integer-floor means through re-encode") {
+    import SparkTestSession.spark.implicits._
+    val docs = (0L until 10L).toDF("doc_id")
+    val pooled = Multimodal.resizeVideoPooled(Multimodal.plantGifs(docs), 2)
+    val frames = Multimodal.sampleVideoFrames(pooled, 1).collect()
+    assert(frames.forall(_.getBoolean(7)), "all pooled videos must decode")
+    val byId = frames.groupBy(_.getLong(0))
+    (0L until 10L).foreach { id =>
+      val n = 3 + (id % 4).toInt
+      val w = 8 + (id % 5).toInt
+      val h = 10 + (id % 3).toInt
+      val (w2, h2) = (w / 2, h / 2)
+      val fs = byId(id).sortBy(_.getInt(2))
+      assert(fs.length == n)
+      def px(f: Int, i: Int) = (id * 11 + f * 17 + i * 13) % 256
+      fs.foreach { r =>
+        val f = r.getInt(2)
+        assert(r.getInt(4) == w2 && r.getInt(5) == h2)
+        val expected = (for { by <- 0 until h2; bx <- 0 until w2 } yield {
+          (for { dy <- 0 until 2; dx <- 0 until 2 }
+            yield px(f, (by * 2 + dy) * w + bx * 2 + dx)).sum / 4
+        }).sum
+        assert(r.getLong(6) == expected,
+          s"id=$id frame=$f pooled sum=${r.getLong(6)} expected=$expected")
+      }
+    }
+  }
+
+  test("videoMotionFeatures: consecutive-frame deltas match the rule; " +
+      "junk degrades") {
+    import SparkTestSession.spark.implicits._
+    val docs = (0L until 8L).toDF("doc_id")
+    val motion = Multimodal.videoMotionFeatures(Multimodal.plantGifs(docs))
+      .collect()
+    assert(motion.forall(_.getBoolean(4)))
+    motion.foreach { r =>
+      val id = r.getLong(0)
+      val f = r.getInt(1)
+      val w = 8 + (id % 5).toInt
+      val h = 10 + (id % 3).toInt
+      val expected = (0 until w * h).map { i =>
+        math.abs((id * 11 + f * 17 + i * 13) % 256 -
+          (id * 11 + (f - 1) * 17 + i * 13) % 256)
+      }.sum
+      assert(r.getLong(3) == expected,
+        s"id=$id frame=$f motion=${r.getLong(3)} expected=$expected")
+      assert(f >= 1, "first frame has no predecessor")
+    }
+    val counts = motion.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    (0L until 8L).foreach(id =>
+      assert(counts(id) == 2 + (id % 4).toInt, s"id=$id pair count"))
+    val junk = Multimodal.videoMotionFeatures(
+      media.limit(3).withColumnRenamed("media_id", "media_id")).collect()
+    assert(junk.length == 3 && junk.forall(r => !r.getBoolean(4)))
   }
 
   test("sampleVideoFrames: undecodable payloads degrade to decoded=false") {
