@@ -248,6 +248,67 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL audio resample (decimation): decode the WAV, emit output sample
+    * `j` = integer-floor mean of input samples `[j*factor, (j+1)*factor)`
+    * (trailing partial block dropped — the 1-D analog of
+    * [[resizePooled]]'s box filter), re-encode as WAV at `rate/factor`.
+    * Integer arithmetic throughout, so a SQL oracle recomputes every
+    * output sample from the planted rule. Handles the 8-bit mono PCM
+    * shape this pipeline plants; other formats and undecodable payloads
+    * pass through unchanged (same never-fabricate contract as the video
+    * resize). One narrow mapPartitions pass — payloads never shuffle.
+    */
+  def resampleAudioDecimated(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"factor=$factor must be >= 1")
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    media.select(col("media_id"), col("modality"), col("data"), col("meta"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val modality = r.getString(1)
+          val bytes =
+            if (r.isNullAt(2)) Array.emptyByteArray
+            else r.getAs[Array[Byte]](2)
+          val meta = r.getStruct(3)
+          val passthrough = Row(id, modality, bytes, meta)
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = ais.getFormat
+            if (fmt.getSampleSizeInBits != 8 || fmt.getChannels != 1)
+              passthrough
+            else {
+              val pcm = ais.readAllBytes()
+              val m = pcm.length / factor
+              if (m == 0) passthrough
+              else {
+                val out = new Array[Byte](m)
+                var j = 0
+                while (j < m) {
+                  var s = 0
+                  var d = 0
+                  while (d < factor) { s += pcm(j * factor + d) & 0xFF; d += 1 }
+                  out(j) = (s / factor).toByte
+                  j += 1
+                }
+                val rate2 = fmt.getSampleRate / factor
+                val fmt2 = new javax.sound.sampled.AudioFormat(
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+                  rate2, 8, 1, 1, rate2, false)
+                val ais2 = new javax.sound.sampled.AudioInputStream(
+                  new java.io.ByteArrayInputStream(out), fmt2, m.toLong)
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.sound.sampled.AudioSystem.write(ais2,
+                  javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+                Row(id, modality, bos.toByteArray,
+                  Row(null, null, rate2.toInt, "audio/wav"))
+              }
+            }
+          } catch { case _: Exception => passthrough }
+        }
+      }(enc)
+  }
+
   /** Output schema of [[decodeAudioFeatures]] — same degradation contract
     * as [[decodedSchema]]: undecodable payloads yield `decoded=false`.
     */

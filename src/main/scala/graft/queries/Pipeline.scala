@@ -836,6 +836,18 @@ object Pipeline {
         .select(col("media_id"), col("frame_idx"), col("n_frames"),
           col("motion_sum"), col("decoded"))
         .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    // ---- REAL audio resample: planted WAVs decimated 2x (output sample =
+    // integer-floor mean of each input pair — the 1-D analog of the p59/
+    // p63 box filter), re-encoded as WAV at half the rate, decoded back.
+    // The oracle recomputes every output sample closed-form. ----
+    "p65_audio_resample" -> ((s, dir) => {
+      Multimodal.decodeAudioFeatures(
+          Multimodal.resampleAudioDecimated(Multimodal.plantWavs(docs(s, dir)), 2))
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("n_frames"), col("amp_sum"), col("decoded"))
+        .orderBy(col("media_id"))
     })
   )
 
@@ -1967,6 +1979,24 @@ object Pipeline {
                 AS bigint) AS motion_sum,
               true AS decoded
         FROM p, unnest(range(1, n)) AS u(f)
-        ORDER BY media_id, frame_idx"""
+        ORDER BY media_id, frame_idx""",
+
+    // 2x decimation of the planted sample rule s(i) = (id*13 + i*29)%256:
+    // output sample j = (s(2j) + s(2j+1)) // 2, rate halves, trailing odd
+    // sample dropped.
+    "p65_audio_resample" ->
+      """WITH p AS (SELECT doc_id, 8000 + (doc_id % 5) * 1000 AS rate,
+                         64 + (doc_id % 32) AS n
+                  FROM documents)
+        SELECT doc_id AS media_id,
+              cast(rate // 2 AS integer) AS sample_rate,
+              cast(1 AS integer) AS channels,
+              cast(n // 2 AS bigint) AS n_frames,
+              cast(list_sum(list_transform(range(0, n // 2),
+                     j -> ((doc_id * 13 + (2 * j) * 29) % 256 +
+                           (doc_id * 13 + (2 * j + 1) * 29) % 256) // 2))
+                AS bigint) AS amp_sum,
+              true AS decoded
+        FROM p ORDER BY media_id"""
   )
 }

@@ -238,6 +238,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(junk.length == 3 && junk.forall(r => !r.getBoolean(4)))
   }
 
+  test("resampleAudioDecimated: 2x decimation matches integer-floor pair " +
+      "means through re-encode; junk passes through") {
+    val docs = Tables.load(spark, sf01, "documents").limit(15)
+    val decoded = Multimodal.decodeAudioFeatures(
+      Multimodal.resampleAudioDecimated(Multimodal.plantWavs(docs), 2))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(decoded.size == 15)
+    decoded.foreach { case (id, r) =>
+      val rate = 8000 + (id % 5).toInt * 1000
+      val n = 64 + (id % 32).toInt
+      assert(r.getBoolean(6), s"media $id must decode after resample")
+      assert(r.getInt(2) == rate / 2 && r.getLong(4) == (n / 2).toLong)
+      def s(i: Int) = ((id * 13 + i * 29) % 256).toInt
+      val expected = (0 until n / 2).map(j => (s(2 * j) + s(2 * j + 1)) / 2).sum
+      assert(r.getLong(5) == expected,
+        s"id=$id amp_sum=${r.getLong(5)} expected=$expected")
+    }
+    // Non-audio payloads pass through byte-identically (never fabricated).
+    val junkIn = media.limit(3).collect().map(r => r.getLong(0) -> r).toMap
+    val junkOut = Multimodal.resampleAudioDecimated(media.limit(3), 2).collect()
+    junkOut.foreach { r =>
+      assert(r.getAs[Array[Byte]](2)
+        .sameElements(junkIn(r.getLong(0)).getAs[Array[Byte]](2)))
+    }
+  }
+
   test("sampleVideoFrames: undecodable payloads degrade to decoded=false") {
     val junk = media.limit(3) // UTF-8 text payloads — no GIF signature
     val out = Multimodal.sampleVideoFrames(junk, 1).collect()
