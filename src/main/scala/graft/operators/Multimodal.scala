@@ -248,6 +248,27 @@ object Multimodal {
     }(enc)
   }
 
+  /** Bounded PCM drain. `AudioInputStream.read` returns 0 — NOT -1 — when
+    * fewer bytes than one frame remain, so `readAllBytes()` (which only
+    * stops on -1) SPINS FOREVER on a stream whose header-declared frame
+    * length exceeds the actual payload — i.e. on any truncated WAV. One
+    * torn object must cost one fallback row, not a hung executor, so:
+    * treat a 0-byte read as end-of-stream, and cap the drain at `cap`
+    * bytes (a container can never hold more PCM than its own size).
+    * Found by `CorruptMediaSpec`'s truncation fuzz.
+    */
+  private def drainPcm(ais: javax.sound.sampled.AudioInputStream,
+                       cap: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = ais.read(buf)
+    while (n > 0 && out.size < cap) {
+      out.write(buf, 0, math.min(n, cap - out.size))
+      n = ais.read(buf)
+    }
+    out.toByteArray
+  }
+
   /** REAL audio resample (decimation): decode the WAV, emit output sample
     * `j` = integer-floor mean of input samples `[j*factor, (j+1)*factor)`
     * (trailing partial block dropped — the 1-D analog of
@@ -278,7 +299,7 @@ object Multimodal {
             if (fmt.getSampleSizeInBits != 8 || fmt.getChannels != 1)
               passthrough
             else {
-              val pcm = ais.readAllBytes()
+              val pcm = drainPcm(ais, bytes.length)
               val m = pcm.length / factor
               if (m == 0) passthrough
               else {
@@ -341,7 +362,7 @@ object Multimodal {
               val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
                 new java.io.ByteArrayInputStream(bytes))
               val fmt = ais.getFormat
-              val pcm = ais.readAllBytes()
+              val pcm = drainPcm(ais, bytes.length)
               var sum = 0L
               var i = 0
               while (i < pcm.length) { sum += pcm(i) & 0xFF; i += 1 }
