@@ -107,7 +107,14 @@ object Bench {
       val good = times.filter(_ > 0)
       val best =
         if (good.isEmpty) times.map(-_).min
-        else if (agg == "p50") good.sorted.apply((good.size - 1) / 2)
+        else if (agg == "p50") {
+          // True median: lower-middle alone would make p50-of-2 == min and
+          // underreport every even iteration count — average the two
+          // middle values instead (exact for the documented odd iters).
+          val s = good.sorted
+          val n = s.size
+          if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+        }
         else good.min
       name -> (if (errors.contains(name)) -best.abs else best)
     }

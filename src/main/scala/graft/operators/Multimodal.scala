@@ -44,6 +44,31 @@ object Multimodal {
       StructField("sample_rate", IntegerType, nullable = true),
       StructField("format", StringType, nullable = true))), nullable = true)))
 
+  /** Fan a small input out to every core BEFORE a CPU-heavy codec pass.
+    *
+    * A dimension-sided media table often arrives as ONE parquet file (the
+    * test corpus's `documents.parquet` is 594 KB), which Spark scans as one
+    * partition — and every narrow codec mapPartitions downstream then runs
+    * as a single task on 1 of N cores. The reference handles exactly this
+    * class with its scale-up rule (file groups are re-split into per-task
+    * variants regardless of file count —
+    * `src/events/defaults/file_scan_config.rs:36-85`); the Spark analog is
+    * an explicit hash repartition of the (tiny) id column to
+    * `defaultParallelism` before any payload is planted or decoded. Hash on
+    * the id — not round-robin — so the row→partition mapping is a pure
+    * function of content and task retries are deterministic by
+    * construction. `repartition(n, col)` carries a user-specified partition
+    * count, which AQE's partition coalescing honors (it only coalesces
+    * shuffles without an explicit count), so the fan-out survives adaptive
+    * re-planning. At 100 TB inputs split naturally and this shuffle moves
+    * only ids; at any scale it stops a one-file media table from pinning
+    * the most CPU-expensive per-row work to a single core.
+    */
+  private def fanOutIds(ids: DataFrame): DataFrame = {
+    val target = ids.sparkSession.sparkContext.defaultParallelism
+    ids.repartition(target, col("doc_id"))
+  }
+
   /** Wrap a text corpus as fake media rows (UTF-8 bytes as payload) so the
     * binary pipeline is exercisable with the driver-provided tables.
     */
@@ -68,7 +93,7 @@ object Multimodal {
   def plantPngs(docs: DataFrame): DataFrame = {
     val outSchema = mediaSchema
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    docs.select(col("doc_id")).mapPartitions { rows =>
+    fanOutIds(docs.select(col("doc_id"))).mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false) // no /tmp spill per image
       rows.map { r =>
         val id = r.getLong(0)
@@ -219,6 +244,70 @@ object Multimodal {
       }(enc)
   }
 
+  /** Audio SPI providers, loaded ONCE per partition instead of per row.
+    *
+    * `AudioSystem.getAudioInputStream` / `AudioSystem.write` funnel every
+    * call through the JDK's synchronized provider registry, which
+    * serializes 32 decode threads on one lock — measured: the audio
+    * queries gained nothing from the codec-stage fan-out until this hoist.
+    * `javax.sound.sampled.spi.AudioFileReader/Writer` are PUBLIC API and
+    * `java.desktop` registers its WAV/AU/AIFF codecs with `ServiceLoader`,
+    * so resolving the provider list in the mapPartitions prologue keeps
+    * the row loop lock-free while staying on the real JDK codec path.
+    */
+  private def audioReaders(): List[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .asScala.toList
+  }
+
+  private def audioWriters(): List[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .asScala.toList
+  }
+
+  /** Per-partition audio-decode dispatcher: first provider that can parse
+    * the bytes wins, or null ("not mine" is signalled by
+    * `UnsupportedAudioFileException` — exactly AudioSystem's own dispatch
+    * loop, minus its lock). The succeeding provider moves to the FRONT of
+    * the list: a partition's rows overwhelmingly share one container
+    * format, and every provider miss costs a thrown-and-filled exception
+    * per row, so most-recently-used ordering turns the common case into
+    * zero throws.
+    */
+  private final class AudioReadDispatch(
+      initial: List[javax.sound.sampled.spi.AudioFileReader]) {
+    private var readers = initial
+    def read(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+      var rest = readers
+      while (rest.nonEmpty) {
+        val r = rest.head
+        try {
+          val ais = r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+          if (readers.head ne r) readers = r :: readers.filterNot(_ eq r)
+          return ais
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+        }
+        rest = rest.tail
+      }
+      null
+    }
+  }
+
+  /** Write `ais` as a WAV container via the hoisted provider list. */
+  private def writeWav(writers: List[javax.sound.sampled.spi.AudioFileWriter],
+                       ais: javax.sound.sampled.AudioInputStream): Array[Byte] = {
+    val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    val w = writers.find(_.isFileTypeSupported(wave, ais)).get
+    val bos = new java.io.ByteArrayOutputStream()
+    w.write(ais, wave, bos)
+    bos.toByteArray
+  }
+
   /** Deterministic planted-WAV generator: one 8-bit unsigned PCM mono clip
     * per document, REALLY encoded with the JDK's `javax.sound.sampled` WAV
     * writer (RIFF/fmt/data chunks, a second genuine codec beside PNG).
@@ -228,7 +317,8 @@ object Multimodal {
     */
   def plantWavs(docs: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
-    docs.select(col("doc_id")).mapPartitions { rows =>
+    fanOutIds(docs.select(col("doc_id"))).mapPartitions { rows =>
+      val writers = audioWriters()
       rows.map { r =>
         val id = r.getLong(0)
         val rate = 8000 + (id % 5).toInt * 1000
@@ -239,10 +329,7 @@ object Multimodal {
           rate.toFloat, 8, 1, 1, rate.toFloat, false)
         val ais = new javax.sound.sampled.AudioInputStream(
           new java.io.ByteArrayInputStream(samples), fmt, n.toLong)
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(
-          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-        Row(id, "audio", bos.toByteArray,
+        Row(id, "audio", writeWav(writers, ais),
           Row(null, null, rate, "audio/wav"))
       }
     }(enc)
@@ -284,6 +371,8 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
     media.select(col("media_id"), col("modality"), col("data"), col("meta"))
       .mapPartitions { rows =>
+        val readers = new AudioReadDispatch(audioReaders())
+        val writers = audioWriters()
         rows.map { r =>
           val id = r.getLong(0)
           val modality = r.getString(1)
@@ -293,10 +382,17 @@ object Multimodal {
           val meta = r.getStruct(3)
           val passthrough = Row(id, modality, bytes, meta)
           try {
-            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(bytes))
+            val ais = readers.read(bytes)
+            if (ais == null) passthrough
+            else {
             val fmt = ais.getFormat
-            if (fmt.getSampleSizeInBits != 8 || fmt.getChannels != 1)
+            // Decimate only the exact shape the arithmetic below is written
+            // for: 8-bit mono PCM_UNSIGNED. Anything else (incl. 8-bit
+            // PCM_SIGNED, whose samples the & 0xFF mean would silently
+            // corrupt) honors the passthrough-for-other-formats contract.
+            if (fmt.getSampleSizeInBits != 8 || fmt.getChannels != 1 ||
+                fmt.getEncoding !=
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
               passthrough
             else {
               val pcm = drainPcm(ais, bytes.length)
@@ -318,12 +414,10 @@ object Multimodal {
                   rate2, 8, 1, 1, rate2, false)
                 val ais2 = new javax.sound.sampled.AudioInputStream(
                   new java.io.ByteArrayInputStream(out), fmt2, m.toLong)
-                val bos = new java.io.ByteArrayOutputStream()
-                javax.sound.sampled.AudioSystem.write(ais2,
-                  javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-                Row(id, modality, bos.toByteArray,
+                Row(id, modality, writeWav(writers, ais2),
                   Row(null, null, rate2.toInt, "audio/wav"))
               }
+            }
             }
           } catch { case _: Exception => passthrough }
         }
@@ -351,6 +445,7 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(decodedAudioSchema)
     media.select(col("media_id"), col("modality"), col("data"))
       .mapPartitions { rows =>
+        val readers = new AudioReadDispatch(audioReaders())
         rows.map { r =>
           val id = r.getLong(0)
           val modality = r.getString(1)
@@ -359,15 +454,17 @@ object Multimodal {
             Option(r.getAs[Array[Byte]](2)).getOrElse(Array.emptyByteArray)
           val decodedRow =
             try {
-              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-                new java.io.ByteArrayInputStream(bytes))
-              val fmt = ais.getFormat
-              val pcm = drainPcm(ais, bytes.length)
-              var sum = 0L
-              var i = 0
-              while (i < pcm.length) { sum += pcm(i) & 0xFF; i += 1 }
-              Row(id, modality, fmt.getSampleRate.toInt, fmt.getChannels,
-                ais.getFrameLength, sum, true)
+              val ais = readers.read(bytes)
+              if (ais == null) null
+              else {
+                val fmt = ais.getFormat
+                val pcm = drainPcm(ais, bytes.length)
+                var sum = 0L
+                var i = 0
+                while (i < pcm.length) { sum += pcm(i) & 0xFF; i += 1 }
+                Row(id, modality, fmt.getSampleRate.toInt, fmt.getChannels,
+                  ais.getFrameLength, sum, true)
+              }
             } catch { case _: Exception => null }
           if (decodedRow == null)
             Row(id, modality, null, null, null, null, false)
@@ -434,10 +531,14 @@ object Multimodal {
     */
   def plantGifs(docs: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
-    docs.select(col("doc_id")).mapPartitions { rows =>
+    fanOutIds(docs.select(col("doc_id"))).mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
       val gray = Array.tabulate[Byte](256)(_.toByte)
       val cm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+      // One writer per PARTITION (registry lookup hoisted out of the row
+      // loop); reset + setOutput per row, dispose when the iterator drains.
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
       rows.map { r =>
         val id = r.getLong(0)
         val n = 3 + (id % 4).toInt
@@ -447,10 +548,9 @@ object Multimodal {
         // (verified empirically: every h in 2..4 round-trips wrong, every
         // h >= 5 is bit-exact) — resizeVideoPooled guards the same bound.
         val h = 10 + (id % 3).toInt
-        val writer = javax.imageio.ImageIO
-          .getImageWritersByFormatName("gif").next()
         val bos = new java.io.ByteArrayOutputStream()
         val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        writer.reset()
         writer.setOutput(ios)
         writer.prepareWriteSequence(null)
         var f = 0
@@ -469,9 +569,8 @@ object Multimodal {
         }
         writer.endWriteSequence()
         ios.close()
-        writer.dispose()
         Row(id, "video", bos.toByteArray, Row(w, h, null, "image/gif"))
-      }
+      } ++ { writer.dispose(); Iterator.empty }
     }(enc)
   }
 
@@ -503,6 +602,10 @@ object Multimodal {
     media.select(col("media_id"), col("modality"), col("data"))
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
+        // One reader per PARTITION; setInput per row (the JDK GIF reader
+        // resets its per-stream state on setInput), dispose at drain.
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("gif").next()
         rows.flatMap { r =>
           val id = r.getLong(0)
           val modality = r.getString(1)
@@ -511,11 +614,10 @@ object Multimodal {
             else r.getAs[Array[Byte]](2)
           val frames =
             try {
-              val reader = javax.imageio.ImageIO
-                .getImageReadersByFormatName("gif").next()
+              val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+                new java.io.ByteArrayInputStream(bytes))
               try {
-                reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
-                  new java.io.ByteArrayInputStream(bytes)))
+                reader.setInput(iis)
                 val n = reader.getNumImages(true)
                 (0 until n by everyN).map { f =>
                   val img = reader.read(f)
@@ -529,11 +631,11 @@ object Multimodal {
                   }
                   Row(id, modality, f, n, w, h, sum, true)
                 }
-              } finally reader.dispose()
+              } finally iis.close()
             } catch { case _: Exception => Seq.empty[Row] }
           if (frames.isEmpty) Seq(Row(id, modality, null, null, null, null, null, false))
           else frames
-        }
+        } ++ { reader.dispose(); Iterator.empty }
       }(enc)
   }
 
@@ -555,6 +657,13 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false)
         val gray = Array.tabulate[Byte](256)(_.toByte)
         val cm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+        // One reader + writer per PARTITION (registry lookups hoisted out
+        // of the row loop); setInput / reset+setOutput per row, dispose
+        // both when the iterator drains.
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("gif").next()
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
         rows.map { r =>
           val id = r.getLong(0)
           val modality = r.getString(1)
@@ -564,38 +673,49 @@ object Multimodal {
           val meta = r.getStruct(3)
           val passthrough = Row(id, modality, bytes, meta)
           try {
-            val reader = javax.imageio.ImageIO
-              .getImageReadersByFormatName("gif").next()
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
             try {
-              reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
-                new java.io.ByteArrayInputStream(bytes)))
+              reader.setInput(iis)
               val n = reader.getNumImages(true)
-              val first = reader.read(0)
-              // Two passthrough guards: no complete pool block (same
+              // Passthrough guards, checked for EVERY frame before any
+              // byte is written (animated GIFs may carry smaller delta
+              // frames — a frame-0-only check would let a later frame pool
+              // into the corrupt regime): no complete pool block (same
               // contract as resizePooled), and pooled height < 5 — the
               // JDK's GIF WRITER produces a corrupt LZW stream for images
               // shorter than 5 rows (empirically: every h in 2..4
               // round-trips wrong, every h >= 5 is bit-exact), so a
               // "resize" into that regime would silently mangle pixels.
-              if (first.getWidth < factor || first.getHeight < factor ||
-                  first.getHeight / factor < 5)
+              // reader.getWidth/getHeight(f) are metadata-only probes — no
+              // frame decode happens until the write loop below.
+              var allOk = n > 0
+              var fc = 0
+              while (allOk && fc < n) {
+                val wf = reader.getWidth(fc)
+                val hf = reader.getHeight(fc)
+                if (wf < factor || hf < factor || hf / factor < 5) allOk = false
+                fc += 1
+              }
+              if (!allOk)
                 passthrough
               else {
-                val writer = javax.imageio.ImageIO
-                  .getImageWritersByFormatName("gif").next()
                 val bos = new java.io.ByteArrayOutputStream()
                 val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+                writer.reset()
                 writer.setOutput(ios)
                 writer.prepareWriteSequence(null)
-                var w2 = 0
-                var h2 = 0
+                // Output meta takes frame 0's pooled dims (frames may
+                // legitimately differ in size; each is validated above).
+                val w2Meta = reader.getWidth(0) / factor
+                val h2Meta = reader.getHeight(0) / factor
                 var f = 0
                 while (f < n) {
-                  val img = if (f == 0) first else reader.read(f)
+                  val img = reader.read(f)
                   val raster = img.getRaster
                   val (w, h) = (img.getWidth, img.getHeight)
-                  w2 = w / factor
-                  h2 = h / factor
+                  val w2 = w / factor
+                  val h2 = h / factor
                   val out = new java.awt.image.BufferedImage(
                     w2, h2, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
                   val outRaster = out.getRaster
@@ -625,15 +745,14 @@ object Multimodal {
                 }
                 writer.endWriteSequence()
                 ios.close()
-                writer.dispose()
                 Row(id, modality, bos.toByteArray,
-                  Row(w2, h2,
+                  Row(w2Meta, h2Meta,
                     if (meta == null || meta.isNullAt(2)) null else meta.getInt(2),
                     "image/gif"))
               }
-            } finally reader.dispose()
+            } finally iis.close()
           } catch { case _: Exception => passthrough }
-        }
+        } ++ { reader.dispose(); writer.dispose(); Iterator.empty }
       }(enc)
   }
 
@@ -659,6 +778,9 @@ object Multimodal {
     media.select(col("media_id"), col("data"))
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
+        // One reader per PARTITION; setInput per row, dispose at drain.
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("gif").next()
         rows.flatMap { r =>
           val id = r.getLong(0)
           val bytes =
@@ -666,11 +788,10 @@ object Multimodal {
             else r.getAs[Array[Byte]](1)
           val deltas =
             try {
-              val reader = javax.imageio.ImageIO
-                .getImageReadersByFormatName("gif").next()
+              val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+                new java.io.ByteArrayInputStream(bytes))
               try {
-                reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
-                  new java.io.ByteArrayInputStream(bytes)))
+                reader.setInput(iis)
                 val n = reader.getNumImages(true)
                 var prev: Array[Int] = null
                 (0 until n).flatMap { f =>
@@ -696,11 +817,11 @@ object Multimodal {
                   prev = cur
                   row
                 }
-              } finally reader.dispose()
+              } finally iis.close()
             } catch { case _: Exception => Seq.empty[Row] }
           if (deltas.isEmpty) Seq(Row(id, null, null, null, false))
           else deltas
-        }
+        } ++ { reader.dispose(); Iterator.empty }
       }(enc)
   }
 
