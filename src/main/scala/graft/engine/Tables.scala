@@ -94,14 +94,19 @@ object Tables {
     // same-family queries stops paying a parquet footer read per table
     // per query.
     if (CatalogState.suiteBound(spark)) CatalogState.invalidate(spark)
-    // The pristine-skip token carries the file's (length, lastModified):
-    // an in-place fixture regeneration mid-session (plausible with the
-    // long-lived Shell) changes the token, so the table counts as missing
-    // and re-binds instead of serving the stale view. Two cheap stat
-    // calls per table per query vs a silent wrong-data hazard.
+    // The pristine-skip token carries the file's (length, lastModified)
+    // plus a hash of the parquet footer tail: an in-place fixture
+    // regeneration mid-session (plausible with the long-lived Shell)
+    // changes the token, so the table counts as missing and re-binds
+    // instead of serving the stale view. Stat alone leaves a residual —
+    // a deterministic same-size rewrite within the filesystem's mtime
+    // resolution would slip through — so the footer probe (<=4 KB tail
+    // read covering the metadata thrift, whose row-group offsets/stats
+    // change with the data) closes it. Two stat calls + one small pread
+    // per table per query vs a silent wrong-data hazard.
     def tag(n: String): String = {
       val f = new java.io.File(s"$dir/$n.parquet")
-      s"$n@${f.length}:${f.lastModified}"
+      s"$n@${f.length}:${f.lastModified}:${footerProbe(f)}"
     }
     val tags = names.map(tag)
     val missing = CatalogState.missingFixture(spark, dir, tags)
@@ -109,6 +114,36 @@ object Tables {
     missing.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
     if (missing.nonEmpty) CatalogState.recordFixture(spark, dir, tags)
   }
+
+  /** Hash of the parquet footer tail (the metadata thrift's last <=4 KB
+    * plus the 8-byte trailer) — the content component of the pristine-skip
+    * token. The footer carries row-group offsets and column statistics, so
+    * any rewrite that changes the data changes these bytes even when file
+    * length and mtime don't. Unreadable/short files hash to a sentinel,
+    * which still forces a re-bind (and the bind then surfaces the real
+    * error).
+    */
+  private def footerProbe(f: java.io.File): Int =
+    try {
+      val raf = new java.io.RandomAccessFile(f, "r")
+      try {
+        val len = raf.length()
+        if (len < 8) -1
+        else {
+          val b4 = new Array[Byte](4)
+          raf.seek(len - 8)
+          raf.readFully(b4)
+          val footerLen = java.nio.ByteBuffer.wrap(b4)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+          val probeLen =
+            math.min(math.min(math.max(footerLen, 0).toLong + 8L, len), 4096L).toInt
+          val buf = new Array[Byte](probeLen)
+          raf.seek(len - probeLen)
+          raf.readFully(buf)
+          scala.util.hashing.MurmurHash3.bytesHash(buf, 0x9747b28c)
+        }
+      } finally raf.close()
+    } catch { case _: Exception => -2 }
 
   /** Register every table as a temp view named after the table. */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -52,16 +52,46 @@ object RetryProof {
     }
   }
 
-  case class Outcome(name: String, failedTasks: Long, rows: Int,
-                     identical: Boolean) {
-    def ok: Boolean = failedTasks > 0 && identical
+  /** Fail-once FETCH registry: the first call per run-tag throws a real
+    * `FetchFailedException` against the newest shuffle the current run
+    * registered — the scheduler then unregisters that map output, re-runs
+    * the map task, and resubmits the reduce stage (the OTHER routine
+    * fleet failure beside a dying task: a dying shuffle source). Fired
+    * once per tag (not per partition): one fetch-failure event exercises
+    * the whole map-stage-regeneration path.
+    */
+  object FetchFailOnce {
+    val fired = new ConcurrentHashMap[String, java.lang.Boolean]()
+    def passOrFetchFail(tag: String, preIds: Set[Int]): Boolean = {
+      if (FetchFailOnce.fired.putIfAbsent(tag, true) == null) {
+        val fresh =
+          org.apache.spark.graft.ShuffleFailureInjector.registeredShuffleIds() -- preIds
+        // max = most recently registered = the shuffle this reduce stage
+        // is consuming (AQE materializes stages in dependency order).
+        org.apache.spark.graft.ShuffleFailureInjector
+          .throwFetchFailed(if (fresh.nonEmpty) fresh.max else 0)
+      }
+      true
+    }
   }
 
-  private def withFailureCount[T](spark: SparkSession)(body: => T): (T, Long) = {
+  case class Outcome(name: String, failedTasks: Long, rows: Int,
+                     identical: Boolean, needFetch: Boolean = false,
+                     fetchFailed: Long = 0) {
+    def ok: Boolean =
+      failedTasks > 0 && identical && (!needFetch || fetchFailed > 0)
+  }
+
+  private def withFailureCount[T](spark: SparkSession)(body: => T): (T, Long, Long) = {
     val failed = new java.util.concurrent.atomic.AtomicLong(0)
+    val fetch = new java.util.concurrent.atomic.AtomicLong(0)
     val listener = new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
-        if (t.reason != org.apache.spark.Success) failed.incrementAndGet()
+        if (t.reason != org.apache.spark.Success) {
+          failed.incrementAndGet()
+          if (t.reason.isInstanceOf[org.apache.spark.FetchFailed])
+            fetch.incrementAndGet()
+        }
     }
     spark.sparkContext.addSparkListener(listener)
     val r =
@@ -69,7 +99,7 @@ object RetryProof {
       finally spark.sparkContext.removeSparkListener(listener)
     // listener bus is async; settle briefly
     Thread.sleep(300)
-    (r, failed.get())
+    (r, failed.get(), fetch.get())
   }
 
   def main(args: Array[String]): Unit = {
@@ -78,11 +108,14 @@ object RetryProof {
       .config("spark.sql.shuffle.partitions", "8")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val guard = udf((tag: String) => FailOnce.passOrThrowOnce(tag))
+    val guard = udf((tag: String, _row: String) => FailOnce.passOrThrowOnce(tag))
     // The guard must not be constant-folded or pushed past the work it
-    // guards; referencing a data column keeps it row-level in the stage.
+    // guards: it takes the relation's FIRST column as a real argument, so
+    // the predicate is row-level inside the guarded stage by construction
+    // (a ScalaUDF is also non-foldable, but the invariant shouldn't rest
+    // on that detail alone).
     def guarded(df: DataFrame, tag: String): DataFrame =
-      df.filter(guard(concat(lit(tag), lit("")))) // non-foldable via udf
+      df.filter(guard(lit(tag), col(df.columns.head).cast("string")))
 
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
@@ -113,10 +146,10 @@ object RetryProof {
           .select(col("media_id"), col("width"), col("height"),
             col("pixel_sum"))))
 
-    val outcomes = cases.map { case (name, build) =>
+    val mapSide = cases.map { case (name, build) =>
       val baseline = build(identity).collect()
       val tag = name + "@" + System.nanoTime()
-      val (rows, failed) = withFailureCount(spark) {
+      val (rows, failed, _) = withFailureCount(spark) {
         build(df => guarded(df, tag)).collect()
       }
       Outcome(name, failed, rows.length,
@@ -124,10 +157,39 @@ object RetryProof {
           SpillProof.resultHash(rows) == SpillProof.resultHash(baseline))
     }
 
+    // REDUCE-side injection: the guard filters on an AGGREGATED column, so
+    // it cannot be pushed below the exchange and runs inside the stage
+    // that READS the shuffle — and instead of a plain error it throws a
+    // real FetchFailedException, driving the scheduler's other retry
+    // semantics: unregister the map output, re-run the map task, resubmit
+    // the reduce stage. A 1000-executor fleet exercises this path on
+    // every lost node.
+    val fetchSide = {
+      val q = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+      val baseline = q.collect()
+      val tag = "fetch@" + System.nanoTime()
+      val pre = org.apache.spark.graft.ShuffleFailureInjector.registeredShuffleIds()
+      val fetchGuard =
+        udf((t: String, n: Long) => FetchFailOnce.passOrFetchFail(t, pre))
+      val (rows, failed, fetched) = withFailureCount(spark) {
+        q.filter(fetchGuard(lit(tag), col("n"))).collect()
+      }
+      Outcome("fetch_failed", failed, rows.length,
+        rows.length == baseline.length &&
+          SpillProof.resultHash(rows) == SpillProof.resultHash(baseline),
+        needFetch = true, fetchFailed = fetched)
+    }
+    val outcomes = mapSide :+ fetchSide
+
     println(f"${"case"}%-14s ${"failed_tasks"}%12s ${"rows"}%8s  identical")
     outcomes.foreach { o =>
       println(f"${o.name}%-14s ${o.failedTasks}%12d ${o.rows}%8d  " +
-        (if (o.identical) "yes" else "NO") + (if (o.ok) "" else "  <- FAIL"))
+        (if (o.identical) "yes" else "NO") +
+        (if (o.needFetch) s"  (fetch_failed=${o.fetchFailed})" else "") +
+        (if (o.ok) "" else "  <- FAIL"))
     }
     val bad = outcomes.filterNot(_.ok)
     println(s"[retry-proof] ${outcomes.size - bad.size}/${outcomes.size} ok " +
