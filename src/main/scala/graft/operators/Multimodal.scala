@@ -335,6 +335,49 @@ object Multimodal {
     }(enc)
   }
 
+  /** Deterministic planted 16-bit WAV generator: PCM_SIGNED 16-bit
+    * little-endian — the format real audio corpora actually carry (16-bit
+    * LE is the WAV default) — with a mono/stereo mix. Closed-form in
+    * `media_id`: rate = 11000 + (id mod 4)*1000,
+    * channels = 1 + ((id/2) mod 2), n = 48 + id mod 16 frames,
+    * sample(i, c) = ((id*31 + i*57 + c*101) mod 4001) - 2000 — so a SQL
+    * oracle predicts every decoded statistic (including SIGNED sums and
+    * per-channel decimation) codec-free, while the `data` bytes are a
+    * genuine RIFF/fmt/data stream from the JDK's WAV writer.
+    */
+  def plantWavs16(docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    fanOutIds(docs.select(col("doc_id"))).mapPartitions { rows =>
+      val writers = audioWriters()
+      rows.map { r =>
+        val id = r.getLong(0)
+        val rate = 11000 + (id % 4).toInt * 1000
+        val n = 48 + (id % 16).toInt
+        val chs = 1 + ((id / 2) % 2).toInt
+        val pcm = new Array[Byte](n * chs * 2)
+        var i = 0
+        while (i < n) {
+          var c = 0
+          while (c < chs) {
+            val s = (((id * 31 + i * 57 + c * 101) % 4001) - 2000).toInt
+            val off = (i * chs + c) * 2
+            pcm(off) = (s & 0xFF).toByte
+            pcm(off + 1) = ((s >> 8) & 0xFF).toByte
+            c += 1
+          }
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          rate.toFloat, 16, chs, 2 * chs, rate.toFloat, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        Row(id, "audio", writeWav(writers, ais),
+          Row(null, null, rate, "audio/wav"))
+      }
+    }(enc)
+  }
+
   /** Bounded PCM drain. `AudioInputStream.read` returns 0 — NOT -1 — when
     * fewer bytes than one frame remain, so `readAllBytes()` (which only
     * stops on -1) SPINS FOREVER on a stream whose header-declared frame
@@ -386,15 +429,21 @@ object Multimodal {
             if (ais == null) passthrough
             else {
             val fmt = ais.getFormat
-            // Decimate only the exact shape the arithmetic below is written
-            // for: 8-bit mono PCM_UNSIGNED. Anything else (incl. 8-bit
-            // PCM_SIGNED, whose samples the & 0xFF mean would silently
-            // corrupt) honors the passthrough-for-other-formats contract.
-            if (fmt.getSampleSizeInBits != 8 || fmt.getChannels != 1 ||
-                fmt.getEncoding !=
-                  javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
-              passthrough
-            else {
+            // Decimate only the shapes the arithmetic below is written
+            // for: 8-bit mono PCM_UNSIGNED (the legacy planted shape) and
+            // 16-bit little-endian PCM_SIGNED at any channel count (the
+            // real-world WAV default — decimated per channel). Anything
+            // else (incl. 8-bit PCM_SIGNED, whose samples the & 0xFF mean
+            // would silently corrupt) honors the
+            // passthrough-for-other-formats contract.
+            val is8 = fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1 &&
+              fmt.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+            val is16 = fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+              fmt.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            if (!is8 && !is16) passthrough
+            else if (is8) {
               val pcm = drainPcm(ais, bytes.length)
               val m = pcm.length / factor
               if (m == 0) passthrough
@@ -412,6 +461,47 @@ object Multimodal {
                 val fmt2 = new javax.sound.sampled.AudioFormat(
                   javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
                   rate2, 8, 1, 1, rate2, false)
+                val ais2 = new javax.sound.sampled.AudioInputStream(
+                  new java.io.ByteArrayInputStream(out), fmt2, m.toLong)
+                Row(id, modality, writeWav(writers, ais2),
+                  Row(null, null, rate2.toInt, "audio/wav"))
+              }
+            } else {
+              // 16-bit signed LE: output FRAME j, channel c = truncated
+              // mean of input frames [j*factor, (j+1)*factor) on channel c
+              // (Java's `/` truncates toward zero; DuckDB's `//` matches,
+              // so the oracle recomputes every sample exactly). Trailing
+              // partial frame block dropped, same as the 8-bit path.
+              val pcm = drainPcm(ais, bytes.length)
+              val chs = fmt.getChannels
+              val frameBytes = 2 * chs
+              val m = (pcm.length / frameBytes) / factor
+              if (m == 0) passthrough
+              else {
+                val out = new Array[Byte](m * frameBytes)
+                var j = 0
+                while (j < m) {
+                  var c = 0
+                  while (c < chs) {
+                    var s = 0
+                    var d = 0
+                    while (d < factor) {
+                      val off = ((j * factor + d) * chs + c) * 2
+                      s += (pcm(off) & 0xFF) | (pcm(off + 1).toInt << 8)
+                      d += 1
+                    }
+                    val v = s / factor
+                    val off2 = (j * chs + c) * 2
+                    out(off2) = (v & 0xFF).toByte
+                    out(off2 + 1) = ((v >> 8) & 0xFF).toByte
+                    c += 1
+                  }
+                  j += 1
+                }
+                val rate2 = fmt.getSampleRate / factor
+                val fmt2 = new javax.sound.sampled.AudioFormat(
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+                  rate2, 16, chs, frameBytes, rate2, false)
                 val ais2 = new javax.sound.sampled.AudioInputStream(
                   new java.io.ByteArrayInputStream(out), fmt2, m.toLong)
                 Row(id, modality, writeWav(writers, ais2),
