@@ -100,8 +100,8 @@ object Tables {
     // changes the token, so the table counts as missing and re-binds
     // instead of serving the stale view. Stat alone leaves a residual —
     // a deterministic same-size rewrite within the filesystem's mtime
-    // resolution would slip through — so the footer probe (<=4 KB tail
-    // read covering the metadata thrift, whose row-group offsets/stats
+    // resolution would slip through — so the footer probe (one bounded
+    // pread of the whole metadata thrift, whose row-group offsets/stats
     // change with the data) closes it. Two stat calls + one small pread
     // per table per query vs a silent wrong-data hazard.
     def tag(n: String): String = {
@@ -115,13 +115,17 @@ object Tables {
     if (missing.nonEmpty) CatalogState.recordFixture(spark, dir, tags)
   }
 
-  /** Hash of the parquet footer tail (the metadata thrift's last <=4 KB
-    * plus the 8-byte trailer) — the content component of the pristine-skip
-    * token. The footer carries row-group offsets and column statistics, so
-    * any rewrite that changes the data changes these bytes even when file
-    * length and mtime don't. Unreadable/short files hash to a sentinel,
-    * which still forces a re-bind (and the bind then surfaces the real
-    * error).
+  /** Hash of the ENTIRE parquet footer (footerLen + 8 trailer bytes, one
+    * bounded pread) — the content component of the pristine-skip token.
+    * The footer carries the full metadata thrift (row-group offsets,
+    * column statistics), so any rewrite that changes the data changes
+    * these bytes even when file length and mtime don't; hashing all of it
+    * (not a tail window) means a >4 KB footer whose differences fall
+    * early in the thrift cannot slip through. A corrupt footerLen clamps
+    * to the file length — worst case one full read of a file the
+    * subsequent bind would fail on anyway. Unreadable/short files hash to
+    * a sentinel, which still forces a re-bind (and the bind then surfaces
+    * the real error).
     */
   private def footerProbe(f: java.io.File): Int =
     try {
@@ -136,7 +140,7 @@ object Tables {
           val footerLen = java.nio.ByteBuffer.wrap(b4)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
           val probeLen =
-            math.min(math.min(math.max(footerLen, 0).toLong + 8L, len), 4096L).toInt
+            math.min(math.max(footerLen, 0).toLong + 8L, len).toInt
           val buf = new Array[Byte](probeLen)
           raf.seek(len - probeLen)
           raf.readFully(buf)

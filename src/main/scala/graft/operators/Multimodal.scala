@@ -44,6 +44,17 @@ object Multimodal {
       StructField("sample_rate", IntegerType, nullable = true),
       StructField("format", StringType, nullable = true))), nullable = true)))
 
+  /** Dispose a per-partition codec resource on EVERY task exit path. The
+    * previous `iter ++ { dispose(); Iterator.empty }` finalizer only ran
+    * when the partition iterator fully drained — a mid-partition exception
+    * or a downstream take/limit skipped it, leaking the native-backed
+    * ImageReader/Writer. A task-completion listener fires on success,
+    * failure AND cancellation.
+    */
+  private def disposeOnTaskEnd(dispose: () => Unit): Unit =
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => dispose()))
+
   /** Fan a small input out to every core BEFORE a CPU-heavy codec pass.
     *
     * A dimension-sided media table often arrives as ONE parquet file (the
@@ -64,10 +75,27 @@ object Multimodal {
     * only ids; at any scale it stops a one-file media table from pinning
     * the most CPU-expensive per-row work to a single core.
     */
-  private def fanOutIds(ids: DataFrame): DataFrame = {
+  private[operators] def fanOutIds(ids: DataFrame): DataFrame = {
     val target = ids.sparkSession.sparkContext.defaultParallelism
     ids.repartition(target, col("doc_id"))
   }
+
+  /** Decode-side analog of [[fanOutIds]] for EXTERNALLY-loaded media: a
+    * one-file media parquet scans as one partition, pinning the codec
+    * mapPartitions to a single task — the planted corpus avoids this only
+    * because planting fans out first. Every decode/resize/motion entry
+    * point takes `minParallelism` (default 1 = no-op, preserving existing
+    * plans); pass `spark.sparkContext.defaultParallelism` when loading
+    * media from a narrow source. This shuffles the payloads once — worth
+    * it exactly when the alternative is (N-1)/N of the cluster idling
+    * through the most CPU-expensive stage; at 100 TB inputs split
+    * naturally and the default applies. Hash on media_id (content-
+    * deterministic, retry-safe); the explicit count survives AQE
+    * coalescing.
+    */
+  private def fanned(media: DataFrame, minParallelism: Int): DataFrame =
+    if (minParallelism <= 1) media
+    else media.repartition(minParallelism, col("media_id"))
 
   /** Wrap a text corpus as fake media rows (UTF-8 bytes as payload) so the
     * binary pipeline is exercisable with the driver-provided tables.
@@ -136,9 +164,9 @@ object Multimodal {
     * `decoded=false` row with null stats — the documented no-codec
     * fallback, exercised by the non-image payloads of [[fromDocuments]].
     */
-  def decodeImageFeatures(media: DataFrame): DataFrame = {
+  def decodeImageFeatures(media: DataFrame, minParallelism: Int = 1): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(decodedSchema)
-    media.select(col("media_id"), col("modality"), col("data"))
+    fanned(media.select(col("media_id"), col("modality"), col("data")), minParallelism)
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
         rows.map { r =>
@@ -180,11 +208,13 @@ object Multimodal {
     * block to pool) pass through unchanged rather than emitting fabricated
     * pixels.
     */
-  def resizePooled(media: DataFrame, factor: Int): DataFrame = {
+  def resizePooled(media: DataFrame, factor: Int,
+                   minParallelism: Int = 1): DataFrame = {
     require(factor >= 1, s"factor=$factor must be >= 1")
     val outSchema = mediaSchema
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    media.select(col("media_id"), col("modality"), col("data"), col("meta"))
+    fanned(media.select(col("media_id"), col("modality"), col("data"), col("meta")),
+      minParallelism)
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
         rows.map { r =>
@@ -409,10 +439,12 @@ object Multimodal {
     * pass through unchanged (same never-fabricate contract as the video
     * resize). One narrow mapPartitions pass — payloads never shuffle.
     */
-  def resampleAudioDecimated(media: DataFrame, factor: Int): DataFrame = {
+  def resampleAudioDecimated(media: DataFrame, factor: Int,
+                             minParallelism: Int = 1): DataFrame = {
     require(factor >= 1, s"factor=$factor must be >= 1")
     val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
-    media.select(col("media_id"), col("modality"), col("data"), col("meta"))
+    fanned(media.select(col("media_id"), col("modality"), col("data"), col("meta")),
+      minParallelism)
       .mapPartitions { rows =>
         val readers = new AudioReadDispatch(audioReaders())
         val writers = audioWriters()
@@ -531,9 +563,9 @@ object Multimodal {
     * the raw PCM frames. Payloads the sound stack cannot parse produce the
     * `decoded=false` fallback row.
     */
-  def decodeAudioFeatures(media: DataFrame): DataFrame = {
+  def decodeAudioFeatures(media: DataFrame, minParallelism: Int = 1): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(decodedAudioSchema)
-    media.select(col("media_id"), col("modality"), col("data"))
+    fanned(media.select(col("media_id"), col("modality"), col("data")), minParallelism)
       .mapPartitions { rows =>
         val readers = new AudioReadDispatch(audioReaders())
         rows.map { r =>
@@ -626,9 +658,10 @@ object Multimodal {
       val gray = Array.tabulate[Byte](256)(_.toByte)
       val cm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
       // One writer per PARTITION (registry lookup hoisted out of the row
-      // loop); reset + setOutput per row, dispose when the iterator drains.
+      // loop); reset + setOutput per row, dispose on task completion.
       val writer = javax.imageio.ImageIO
         .getImageWritersByFormatName("gif").next()
+      disposeOnTaskEnd(() => writer.dispose())
       rows.map { r =>
         val id = r.getLong(0)
         val n = 3 + (id % 4).toInt
@@ -660,7 +693,7 @@ object Multimodal {
         writer.endWriteSequence()
         ios.close()
         Row(id, "video", bos.toByteArray, Row(w, h, null, "image/gif"))
-      } ++ { writer.dispose(); Iterator.empty }
+      }
     }(enc)
   }
 
@@ -686,16 +719,18 @@ object Multimodal {
     * into joins/aggregations. [[sampleFrames]] remains the byte-stride
     * stub for containers without a JDK demuxer.
     */
-  def sampleVideoFrames(media: DataFrame, everyN: Int): DataFrame = {
+  def sampleVideoFrames(media: DataFrame, everyN: Int,
+                        minParallelism: Int = 1): DataFrame = {
     require(everyN >= 1, "everyN must be >= 1")
     val enc = org.apache.spark.sql.Encoders.row(frameSchema)
-    media.select(col("media_id"), col("modality"), col("data"))
+    fanned(media.select(col("media_id"), col("modality"), col("data")), minParallelism)
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
         // One reader per PARTITION; setInput per row (the JDK GIF reader
-        // resets its per-stream state on setInput), dispose at drain.
+        // resets its per-stream state on setInput), dispose on task end.
         val reader = javax.imageio.ImageIO
           .getImageReadersByFormatName("gif").next()
+        disposeOnTaskEnd(() => reader.dispose())
         rows.flatMap { r =>
           val id = r.getLong(0)
           val modality = r.getString(1)
@@ -725,7 +760,7 @@ object Multimodal {
             } catch { case _: Exception => Seq.empty[Row] }
           if (frames.isEmpty) Seq(Row(id, modality, null, null, null, null, null, false))
           else frames
-        } ++ { reader.dispose(); Iterator.empty }
+        }
       }(enc)
   }
 
@@ -739,21 +774,24 @@ object Multimodal {
     * rejects, pass the row through unchanged — a corrupt video must not
     * kill a 100 TB pass, and a "resize" must never fabricate pixels.
     */
-  def resizeVideoPooled(media: DataFrame, factor: Int): DataFrame = {
+  def resizeVideoPooled(media: DataFrame, factor: Int,
+                        minParallelism: Int = 1): DataFrame = {
     require(factor >= 1, s"factor=$factor must be >= 1")
     val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
-    media.select(col("media_id"), col("modality"), col("data"), col("meta"))
+    fanned(media.select(col("media_id"), col("modality"), col("data"), col("meta")),
+      minParallelism)
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
         val gray = Array.tabulate[Byte](256)(_.toByte)
         val cm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
         // One reader + writer per PARTITION (registry lookups hoisted out
         // of the row loop); setInput / reset+setOutput per row, dispose
-        // both when the iterator drains.
+        // both on task completion.
         val reader = javax.imageio.ImageIO
           .getImageReadersByFormatName("gif").next()
         val writer = javax.imageio.ImageIO
           .getImageWritersByFormatName("gif").next()
+        disposeOnTaskEnd { () => reader.dispose(); writer.dispose() }
         rows.map { r =>
           val id = r.getLong(0)
           val modality = r.getString(1)
@@ -842,7 +880,7 @@ object Multimodal {
               }
             } finally iis.close()
           } catch { case _: Exception => passthrough }
-        } ++ { reader.dispose(); writer.dispose(); Iterator.empty }
+        }
       }(enc)
   }
 
@@ -863,14 +901,15 @@ object Multimodal {
     * narrow mapPartitions pass. Undecodable or single-frame payloads emit
     * one `decoded=false` row.
     */
-  def videoMotionFeatures(media: DataFrame): DataFrame = {
+  def videoMotionFeatures(media: DataFrame, minParallelism: Int = 1): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(motionSchema)
-    media.select(col("media_id"), col("data"))
+    fanned(media.select(col("media_id"), col("data")), minParallelism)
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
-        // One reader per PARTITION; setInput per row, dispose at drain.
+        // One reader per PARTITION; setInput per row, dispose on task end.
         val reader = javax.imageio.ImageIO
           .getImageReadersByFormatName("gif").next()
+        disposeOnTaskEnd(() => reader.dispose())
         rows.flatMap { r =>
           val id = r.getLong(0)
           val bytes =
@@ -911,7 +950,7 @@ object Multimodal {
             } catch { case _: Exception => Seq.empty[Row] }
           if (deltas.isEmpty) Seq(Row(id, null, null, null, false))
           else deltas
-        } ++ { reader.dispose(); Iterator.empty }
+        }
       }(enc)
   }
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.functions.{HashExpressions, TextFunctions => TF}
-import graft.operators.{Dedup, Multimodal, Profile, Quantize, Sampling, Similarity, TextOps}
+import graft.operators.{Dedup, Mp4Meta, Multimodal, Profile, Quantize, Sampling, Similarity, TextOps}
 
 /** LLM-training-data pipeline query corpus (beyond the reference's own
   * surface, mandated by BASELINE.json): dedup family, similarity search,
@@ -847,6 +847,54 @@ object Pipeline {
           Multimodal.resampleAudioDecimated(Multimodal.plantWavs(docs(s, dir)), 2))
         .select(col("media_id"), col("sample_rate"), col("channels"),
           col("n_frames"), col("amp_sum"), col("decoded"))
+        .orderBy(col("media_id"))
+    }),
+
+    // ---- REAL 16-bit signed LE audio decode: plantWavs16 plants the
+    // format real corpora actually carry (PCM_SIGNED 16-bit
+    // little-endian, mono/stereo mix, per-id rates), decoded back with
+    // javax.sound. amp_sum is decodeAudioFeatures' unsigned sum of the
+    // raw PCM BYTES — both bytes of every little-endian sample, all
+    // channels interleaved — which the oracle recomputes from the planted
+    // SIGNED sample rule via two's-complement byte decomposition
+    // ((v+65536)%65536 = low 16 bits, then low byte + high byte), so a
+    // sign or endianness error anywhere in the plant/encode/decode chain
+    // breaks this row. ----
+    "p66_audio16_decode" -> ((s, dir) => {
+      Multimodal.decodeAudioFeatures(Multimodal.plantWavs16(docs(s, dir)))
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("n_frames"), col("amp_sum"), col("decoded"))
+        .orderBy(col("media_id"))
+    }),
+
+    // ---- REAL 16-bit audio resample: the is16 decimation branch — per
+    // CHANNEL, output frame j = truncated mean (Java `/`, toward zero;
+    // DuckDB `//` matches) of input frames [2j, 2j+2), trailing partial
+    // block dropped — re-encoded as 16-bit LE WAV at half the rate and
+    // decoded back. The oracle recomputes every signed per-channel
+    // decimated sample closed-form and byte-decomposes it, so the whole
+    // signed 16-bit decode → per-channel decimate → re-encode → decode
+    // chain is value-checked. ----
+    "p67_audio16_resample" -> ((s, dir) => {
+      Multimodal.decodeAudioFeatures(
+          Multimodal.resampleAudioDecimated(Multimodal.plantWavs16(docs(s, dir)), 2))
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("n_frames"), col("amp_sum"), col("decoded"))
+        .orderBy(col("media_id"))
+    }),
+
+    // ---- ISO-BMFF (MP4) box-walk metadata: planted minimal-but-well-
+    // formed ftyp+moov[mvhd,trak*/mdia/minf/stbl/stsd] streams (mvhd
+    // version 0 for even ids, version 1 with 64-bit fields for odd —
+    // both layouts exercised) parsed back by the generic box walker.
+    // Pure container structure, no codec — the pre-decode pruning filter
+    // a real video pipeline runs at 100 TB. The oracle recomputes
+    // duration_ms (incl. the timescale division), track count and the
+    // per-track codec fourccs closed-form. ----
+    "p68_mp4_meta" -> ((s, dir) => {
+      Mp4Meta.parseMp4Meta(Mp4Meta.plantMp4s(docs(s, dir)))
+        .select(col("media_id"), col("duration_ms"), col("timescale"),
+          col("n_tracks"), col("codecs"), col("parsed"))
         .orderBy(col("media_id"))
     })
   )
@@ -1997,6 +2045,75 @@ object Pipeline {
                            (doc_id * 13 + (2 * j + 1) * 29) % 256) // 2))
                 AS bigint) AS amp_sum,
               true AS decoded
+        FROM p ORDER BY media_id""",
+
+    // Planted 16-bit rule recomputed codec-free: rate = 11000+(id%4)*1000,
+    // chs = 1+((id//2)%2), n = 48+id%16 frames,
+    // s(i,c) = ((id*31 + i*57 + c*101) % 4001) - 2000 (signed). amp_sum
+    // sums the PCM bytes: low16(v) = (v+65536)%65536 (v in [-2000,2000]),
+    // byte_sum = low16%256 + low16//256 — exactly Java's (v & 0xFF) +
+    // ((v >> 8) & 0xFF) for 16-bit two's complement. The flat index k
+    // ranges over n*chs interleaved samples: i = k//chs, c = k%chs.
+    "p66_audio16_decode" ->
+      """WITH p AS (SELECT doc_id, 11000 + (doc_id % 4) * 1000 AS rate,
+                         1 + ((doc_id // 2) % 2) AS chs,
+                         48 + (doc_id % 16) AS n
+                  FROM documents)
+        SELECT doc_id AS media_id,
+              cast(rate AS integer) AS sample_rate,
+              cast(chs AS integer) AS channels,
+              cast(n AS bigint) AS n_frames,
+              cast(list_sum(list_transform(
+                     list_transform(range(0, n * chs),
+                       k -> ((doc_id * 31 + (k // chs) * 57 + (k % chs) * 101)
+                             % 4001 - 2000 + 65536) % 65536),
+                     v -> v % 256 + v // 256)) AS bigint) AS amp_sum,
+              true AS decoded
+        FROM p ORDER BY media_id""",
+
+    // 2x per-channel decimation of the planted 16-bit rule: output frame
+    // j, channel c = (s(2j,c) + s(2j+1,c)) // 2 (DuckDB // truncates
+    // toward zero, matching Java int division on the possibly-negative
+    // sum), rate halves, trailing odd frame dropped; byte decomposition
+    // as p66.
+    "p67_audio16_resample" ->
+      """WITH p AS (SELECT doc_id, 11000 + (doc_id % 4) * 1000 AS rate,
+                         1 + ((doc_id // 2) % 2) AS chs,
+                         48 + (doc_id % 16) AS n
+                  FROM documents)
+        SELECT doc_id AS media_id,
+              cast(rate // 2 AS integer) AS sample_rate,
+              cast(chs AS integer) AS channels,
+              cast(n // 2 AS bigint) AS n_frames,
+              cast(list_sum(list_transform(
+                     list_transform(range(0, (n // 2) * chs),
+                       k -> ((((doc_id * 31 + (2 * (k // chs)) * 57
+                                + (k % chs) * 101) % 4001 - 2000)
+                              + ((doc_id * 31 + (2 * (k // chs) + 1) * 57
+                                 + (k % chs) * 101) % 4001 - 2000)) // 2
+                             + 65536) % 65536),
+                     v -> v % 256 + v // 256)) AS bigint) AS amp_sum,
+              true AS decoded
+        FROM p ORDER BY media_id""",
+
+    // Planted MP4 rule recomputed closed-form: timescale = 500+(id%4)*250,
+    // duration = 10000 + id%90000 timescale units, duration_ms =
+    // duration*1000 // timescale (truncating, all positive), n_tracks =
+    // 1+id%3, codec(t) = avc1 for even id+t else mp4a, joined in track
+    // order.
+    "p68_mp4_meta" ->
+      """WITH p AS (SELECT doc_id, 500 + (doc_id % 4) * 250 AS ts,
+                         10000 + (doc_id % 90000) AS dur,
+                         1 + (doc_id % 3) AS nt
+                  FROM documents)
+        SELECT doc_id AS media_id,
+              cast(dur * 1000 // ts AS bigint) AS duration_ms,
+              cast(ts AS integer) AS timescale,
+              cast(nt AS integer) AS n_tracks,
+              array_to_string(list_transform(range(0, nt),
+                t -> CASE WHEN (doc_id + t) % 2 = 0
+                          THEN 'avc1' ELSE 'mp4a' END), ',') AS codecs,
+              true AS parsed
         FROM p ORDER BY media_id"""
   )
 }

@@ -66,10 +66,18 @@ object RetryProof {
       if (FetchFailOnce.fired.putIfAbsent(tag, true) == null) {
         val fresh =
           org.apache.spark.graft.ShuffleFailureInjector.registeredShuffleIds() -- preIds
+        // A guessed id (e.g. 0) may be unregistered or belong to an
+        // earlier query, and DAGScheduler's shuffleIdToMapStage lookup on
+        // a stale id can abort the job instead of retrying it — so if no
+        // fresh shuffle exists, fail the proof explicitly as
+        // not-exercised (the Outcome's needFetch gate then reports it).
+        if (fresh.isEmpty)
+          throw new IllegalStateException(
+            "retry-proof: no fresh shuffle registered by this run — " +
+            "fetch-failure path NOT exercised")
         // max = most recently registered = the shuffle this reduce stage
         // is consuming (AQE materializes stages in dependency order).
-        org.apache.spark.graft.ShuffleFailureInjector
-          .throwFetchFailed(if (fresh.nonEmpty) fresh.max else 0)
+        org.apache.spark.graft.ShuffleFailureInjector.throwFetchFailed(fresh.max)
       }
       true
     }
@@ -144,7 +152,15 @@ object RetryProof {
       ("image_decode", wrap =>
         Multimodal.decodeImageFeatures(Multimodal.plantPngs(wrap(docs)))
           .select(col("media_id"), col("width"), col("height"),
-            col("pixel_sum"))))
+            col("pixel_sum"))),
+      // 16-bit signed LE audio: plant -> per-channel decimate -> decode,
+      // the is16 branch of resampleAudioDecimated — a retried task must
+      // regenerate byte-identical signed PCM.
+      ("audio16_resample", wrap =>
+        Multimodal.decodeAudioFeatures(Multimodal.resampleAudioDecimated(
+            Multimodal.plantWavs16(wrap(docs)), 2))
+          .select(col("media_id"), col("sample_rate"), col("channels"),
+            col("n_frames"), col("amp_sum"))))
 
     val mapSide = cases.map { case (name, build) =>
       val baseline = build(identity).collect()

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Multimodal
+import graft.operators.{Mp4Meta, Multimodal}
 
 /** Corrupt-payload fuzz over every real-codec path: at 100 TB the
   * realistic corruption is a payload TRUNCATED mid-stream (partial
@@ -78,6 +78,39 @@ class CorruptMediaSpec extends AnyFunSuite {
     val resampled = Multimodal.resampleAudioDecimated(bad, 2).collect()
     assert(resampled.length == 16)
     resampled.foreach(r => assert(!r.isNullAt(2)))
+  }
+
+  test("truncated/bit-flipped 16-bit WAVs: decode + per-channel resample " +
+      "complete, passthrough preserved") {
+    val bad = corrupt(Multimodal.plantWavs16(docs(16)))
+    val decoded = Multimodal.decodeAudioFeatures(bad).collect()
+    assert(decoded.length == 16)
+    decoded.foreach { r =>
+      if (r.getBoolean(6)) {
+        val id = r.getLong(0)
+        // Header-declared frame count must never exceed the planted one.
+        assert(r.getLong(4) <= (48 + (id % 16)).toLong)
+      } else assert(r.isNullAt(4))
+    }
+    val resampled = Multimodal.resampleAudioDecimated(bad, 2).collect()
+    assert(resampled.length == 16)
+    resampled.foreach(r => assert(!r.isNullAt(2), "payload must never vanish"))
+  }
+
+  test("truncated/bit-flipped MP4s: box walk completes with well-formed " +
+      "rows") {
+    val bad = corrupt(Mp4Meta.plantMp4s(docs(16)))
+    val parsed = Mp4Meta.parseMp4Meta(bad).collect()
+    assert(parsed.length == 16)
+    parsed.foreach { r =>
+      if (r.getBoolean(5)) {
+        // Whatever metadata survived the mangle must stay structurally
+        // sane: positive timescale, non-negative duration/track count.
+        assert(r.getInt(2) > 0)
+        if (!r.isNullAt(1)) assert(r.getLong(1) >= 0)
+        assert(r.getInt(3) >= 0 && r.getInt(3) <= 3)
+      } else assert(r.isNullAt(1) && r.isNullAt(2))
+    }
   }
 
   test("truncated/bit-flipped PNGs: decode + pooled resize complete") {

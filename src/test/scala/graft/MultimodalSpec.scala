@@ -105,6 +105,45 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("plantWavs16 -> decode + 2x decimation: signed 16-bit LE round-trip " +
+      "matches the rule per channel") {
+    val docs = Tables.load(spark, sf01, "documents").limit(20)
+    val planted = Multimodal.plantWavs16(docs)
+    val bytes = planted.select("data").head().getAs[Array[Byte]](0)
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF" &&
+      new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    def s(id: Long, i: Int, c: Int): Int =
+      (((id * 31 + i * 57 + c * 101) % 4001) - 2000).toInt
+    def byteSum(v: Int): Long = ((v & 0xFF) + ((v >> 8) & 0xFF)).toLong
+    val decoded = Multimodal.decodeAudioFeatures(planted)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(decoded.size == 20)
+    decoded.foreach { case (id, r) =>
+      val (rate, chs, n) =
+        (11000 + (id % 4).toInt * 1000, 1 + ((id / 2) % 2).toInt, 48 + (id % 16).toInt)
+      assert(r.getBoolean(6), s"media $id must decode via the codec path")
+      assert(r.getInt(2) == rate && r.getInt(3) == chs)
+      assert(r.getLong(4) == n.toLong, s"n_frames mismatch for media $id")
+      val expected = (for { i <- 0 until n; c <- 0 until chs }
+        yield byteSum(s(id, i, c))).sum
+      assert(r.getLong(5) == expected, s"amp_sum mismatch for media $id")
+    }
+    // Decimated: per-channel truncated pair mean, rate halves, odd tail
+    // dropped — Java int division (toward zero) on possibly-negative sums.
+    val resampled = Multimodal.decodeAudioFeatures(
+        Multimodal.resampleAudioDecimated(planted, 2))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    resampled.foreach { case (id, r) =>
+      val (rate, chs, n) =
+        (11000 + (id % 4).toInt * 1000, 1 + ((id / 2) % 2).toInt, 48 + (id % 16).toInt)
+      assert(r.getBoolean(6) && r.getInt(2) == rate / 2 && r.getInt(3) == chs)
+      assert(r.getLong(4) == (n / 2).toLong)
+      val expected = (for { j <- 0 until n / 2; c <- 0 until chs }
+        yield byteSum((s(id, 2 * j, c) + s(id, 2 * j + 1, c)) / 2)).sum
+      assert(r.getLong(5) == expected, s"decimated amp_sum mismatch for $id")
+    }
+  }
+
   test("decodeAudioFeatures: undecodable payloads degrade to decoded=false") {
     // UTF-8 text payloads are not a sound stream -> fallback row, not a
     // job failure (the per-row degradation contract shared with images).
@@ -112,6 +151,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fallback.length == 5)
     assert(fallback.forall(r => !r.getBoolean(6) && r.isNullAt(2) &&
       r.isNullAt(4) && r.isNullAt(5)))
+  }
+
+  test("minParallelism fans a one-file media table out before the codec pass") {
+    val target = spark.sparkContext.defaultParallelism
+    // coalesce(1) models an externally-loaded one-file parquet scan.
+    val narrow = Multimodal
+      .plantPngs(Tables.load(spark, sf01, "documents").limit(64)).coalesce(1)
+    assert(narrow.rdd.getNumPartitions == 1)
+    val fanned = Multimodal.decodeImageFeatures(narrow, minParallelism = target)
+    assert(fanned.rdd.getNumPartitions == target,
+      "decode stage must run at defaultParallelism tasks")
+    // Default stays a no-op (no extra shuffle for already-wide inputs)...
+    val plain = Multimodal.decodeImageFeatures(narrow)
+    assert(plain.rdd.getNumPartitions == 1)
+    // ...and the fan-out is row-wise transparent: identical values.
+    val a = plain.collect().map(_.toString).sorted
+    val b = fanned.collect().map(_.toString).sorted
+    assert(a.sameElements(b))
   }
 
   test("resizePooled: image smaller than one block passes through unchanged") {
