@@ -896,6 +896,38 @@ object Pipeline {
         .select(col("media_id"), col("duration_ms"), col("timescale"),
           col("n_tracks"), col("codecs"), col("parsed"))
         .orderBy(col("media_id"))
+    }),
+
+    // ---- Mixed-container routing funnel: the realistic 100 TB video-
+    // curation shape. Containers the JDK can demux (GIF) go through REAL
+    // frame decode; containers it can't (MP4) are pruned by box-walk
+    // METADATA BEFORE any decode would be paid (duration >= 60 s and an
+    // avc1 video track present — the pre-decode filter p68's operator
+    // exists for). Payloads never shuffle; only (id, container, metric,
+    // kept) reaches the aggregation. Both branches recomputed closed-form
+    // by the oracle. ----
+    "p69_container_router" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val gifStats = Multimodal
+        .sampleVideoFrames(
+          Multimodal.plantGifs(d.filter(col("doc_id") % 2 === 0)), 1)
+        .groupBy(col("media_id"))
+        .agg(sum(col("pixel_sum")).as("metric"))
+        .select(col("media_id"), lit("gif").as("container"),
+          col("metric"), lit(true).as("kept"))
+      val mp4Pruned = Mp4Meta
+        .parseMp4Meta(Mp4Meta.plantMp4s(d.filter(col("doc_id") % 2 === 1)))
+        .select(col("media_id"), lit("mp4").as("container"),
+          col("duration_ms").as("metric"),
+          (col("duration_ms") >= 60000L &&
+            array_contains(split(col("codecs"), ","), "avc1")).as("kept"))
+      gifStats.unionByName(mp4Pruned)
+        .groupBy(col("container"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), col("metric")).otherwise(0L))
+            .as("kept_metric_sum"))
+        .orderBy(col("container"))
     })
   )
 
@@ -2114,6 +2146,37 @@ object Pipeline {
                 t -> CASE WHEN (doc_id + t) % 2 = 0
                           THEN 'avc1' ELSE 'mp4a' END), ',') AS codecs,
               true AS parsed
-        FROM p ORDER BY media_id"""
+        FROM p ORDER BY media_id""",
+
+    // Both router branches closed-form: GIF metric = total planted pixel
+    // sum over all frames (flat index k: f = k // (w*h), i = k % (w*h));
+    // MP4 metric = duration_ms from the planted mvhd rule, kept iff
+    // >= 60 s AND some track fourcc is avc1 ((doc_id+t) even).
+    "p69_container_router" ->
+      """WITH g AS (SELECT doc_id, 3 + (doc_id % 4) AS n, 8 + (doc_id % 5) AS w,
+                         10 + (doc_id % 3) AS h
+                  FROM documents WHERE doc_id % 2 = 0),
+        gm AS (SELECT doc_id AS media_id, 'gif' AS container,
+                     cast(list_sum(list_transform(range(0, n * w * h),
+                       k -> (doc_id * 11 + (k // (w * h)) * 17 +
+                             (k % (w * h)) * 13) % 256)) AS bigint) AS metric,
+                     true AS kept
+              FROM g),
+        m AS (SELECT doc_id,
+                     (10000 + (doc_id % 90000)) * 1000
+                       // (500 + (doc_id % 4) * 250) AS dur_ms,
+                     1 + (doc_id % 3) AS nt
+              FROM documents WHERE doc_id % 2 = 1),
+        mm AS (SELECT doc_id AS media_id, 'mp4' AS container,
+                     cast(dur_ms AS bigint) AS metric,
+                     dur_ms >= 60000 AND len(list_filter(range(0, nt),
+                       t -> (doc_id + t) % 2 = 0)) > 0 AS kept
+              FROM m),
+        u AS (SELECT * FROM gm UNION ALL SELECT * FROM mm)
+        SELECT container, count(*) AS n,
+              cast(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS bigint) AS n_kept,
+              cast(sum(CASE WHEN kept THEN metric ELSE 0 END) AS bigint)
+                AS kept_metric_sum
+        FROM u GROUP BY container ORDER BY container"""
   )
 }
