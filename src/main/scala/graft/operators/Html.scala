@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokens
+
+/** HTML → text extraction: the FIRST stage of every web-crawl training-data
+  * pipeline (CommonCrawl WARC → text), missing from the corpus until r13.
+  *
+  * Two operators:
+  *  - [[htmlToText]]: full-page strip — script/style removal, tag removal,
+  *    entity decode, whitespace collapse (the CCNet/C4 preprocessing shape;
+  *    Wenzek et al. 2020, Raffel et al. 2020).
+  *  - [[blockExtract]]: jusText-style main-content extraction (Pomikálek
+  *    2011) — segment into block-level elements, score each block by link
+  *    density + word count, keep content blocks, drop boilerplate
+  *    (nav/footer chrome is link-dense; fragments are short).
+  *
+  * Like the media family ([[Multimodal]]), inputs are PLANTED: a
+  * deterministic page is built around each document's text
+  * ([[plantHtml]]), so a DuckDB oracle can rebuild the same page
+  * closed-form and run the same extraction with its own regex engine
+  * (RE2) — a true differential test of the whole strip pipeline against
+  * Java's regex, not a self-comparison.
+  *
+  * Everything is codegen'd built-ins (`regexp_replace` /
+  * `regexp_extract_all` / higher-order array functions) — no UDFs, no
+  * shuffle: both operators are narrow per-row transforms, so they scale
+  * with the scan and distribute trivially at 100 TB (reference analog:
+  * per-partition narrow work stays fused to the scan,
+  * `src/execution_plan.rs` stage-building keeps pipelines unbroken).
+  *
+  * Regex-dialect note: patterns here avoid everything Java regex and RE2
+  * disagree on — no backreferences (RE2 has none: the block alternation is
+  * spelled `(?:p|h1|nav|footer)` twice instead of `\1`), no lookaround,
+  * and `\s` only ever sees plain spaces in planted content (Java's `\s`
+  * includes `\x0B`, RE2's does not — irrelevant for ASCII-space text, and
+  * documented here for real-corpus users).
+  */
+object Html {
+
+  /** Tokens per planted paragraph block. */
+  val ParaTokens = 12
+
+  /** Link-density keep threshold, in micro units (0.5 = 500000). */
+  val LinkDensityMaxMicro = 500000L
+
+  /** Minimum words for a block to count as content. */
+  val MinBlockWords = 3
+
+  /** Wrap each document's text in a deterministic HTML page: head with
+    * title/style/script (the script body contains raw `<`, `>` and `&&` —
+    * the classic trap that breaks naive tag-stripping if script removal
+    * doesn't run first), a link-dense `<nav>` (1 + id%4 anchors), an `<h1>`
+    * carrying `&amp;`/`&lt;` entities, the text chunked into `<p>` blocks
+    * of [[ParaTokens]] tokens (every (id+i)%5==0 paragraph has its first
+    * word wrapped in an anchor — content links must NOT get a block
+    * dropped), and a link-dense `<footer>`. The page is a pure string
+    * function of (id, text), so a DuckDB oracle rebuilds it exactly.
+    */
+  def plantHtml(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    val idS = id.cast("string")
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    // ceil(n / ParaTokens); exact for n < 2^31 (double mantissa).
+    val nP = ceil((n.cast("double")) / ParaTokens).cast("int")
+
+    val head = concat(
+      lit("<html><head><title>doc "), idS,
+      lit("</title><style>.m{color:#000}</style>" +
+        "<script type=\"text/javascript\">var d="), idS,
+      lit(";track(d*3 > 2 && d < 9);</script></head><body>"))
+
+    val navN = (id % 4 + 1).cast("int")
+    val nav = concat(lit("<nav>"),
+      array_join(transform(sequence(lit(0), navN - 1), j => concat(
+        lit("<a href=\"/nav/"), j.cast("string"), lit("\">nav item "),
+        j.cast("string"), lit("</a>"))), " "),
+      lit("</nav>"))
+
+    val h1 = concat(lit("<h1>doc "), idS, lit(" &amp; heading &lt;x&gt;</h1>"))
+
+    def para(i: Column): Column = {
+      val start = i * ParaTokens + 1
+      val w1 = element_at(toks, start)
+      val rest = slice(toks, start + 1, lit(ParaTokens - 1))
+      val anchored = concat(
+        lit("<a href=\"/r/"), i.cast("string"), lit("\">"), w1, lit("</a>"),
+        when(size(rest) > 0, concat(lit(" "), array_join(rest, " ")))
+          .otherwise(lit("")))
+      val plain = array_join(slice(toks, start, lit(ParaTokens)), " ")
+      concat(lit("<p>"),
+        when((id + i) % 5 === 0, anchored).otherwise(plain),
+        lit("</p>"))
+    }
+    // sequence(0, -1) would yield [0, -1] (Spark infers a negative step),
+    // so the nP == 0 case (null text) is guarded explicitly.
+    val paras = when(nP >= 1,
+      array_join(transform(sequence(lit(0), nP - 1), para(_)), ""))
+      .otherwise(lit(""))
+
+    val footer = lit("<footer><a href=\"/p\">privacy policy</a> " +
+      "<a href=\"/t\">terms of use</a> &amp; <a href=\"/c\">contact</a>" +
+      "</footer>")
+
+    df.select(id.as("id"),
+      concat(head, nav, h1, paras, footer, lit("</body></html>")).as("html"))
+  }
+
+  /** Decode the common HTML entities. `&amp;` is decoded LAST so that
+    * `&amp;lt;` yields the literal `&lt;`, not `<` (single-decode, the
+    * order every correct extractor uses).
+    */
+  def decodeEntities(c: Column): Column =
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+        "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(c) { case (acc, (k, v)) => replace(acc, lit(k), lit(v)) }
+
+  /** Full-page text extraction: drop script/style SUBTREES (content and
+    * all — their text is code, not prose), strip remaining tags to spaces,
+    * decode entities (after tag-strip, so decoded `<x>` survives as text),
+    * collapse whitespace. Pure codegen'd column expression.
+    */
+  def htmlToText(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    trim(regexp_replace(decodeEntities(noTags), "\\s+", " "))
+  }
+
+  /** Total characters of anchor inner text (the numerator of link
+    * density). Empty-anchor pages sum to 0, not null.
+    */
+  def anchorChars(html: Column): Column =
+    aggregate(regexp_extract_all(html, lit("(?s)<a [^>]*>(.*?)</a>"), lit(1)),
+      lit(0L), (acc, x) => acc + length(x).cast("long"))
+
+  /** Page-level extraction + boilerplate features: extracted text, char
+    * count, tag/link counts, link density (micro units; integer surface —
+    * the repo's float-off-the-hash-surface policy, see p47). One narrow
+    * projection, no shuffle.
+    */
+  def pageFeatures(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val h = col(htmlCol)
+    val text = htmlToText(h)
+    df.select(col(idCol).as("id"),
+        text.as("text"),
+        length(text).as("text_chars"),
+        size(regexp_extract_all(h, lit("<[a-zA-Z/!][^>]*>"), lit(0))).as("n_tags"),
+        size(regexp_extract_all(h, lit("<a [^>]*>"), lit(0))).as("n_links"),
+        anchorChars(h).as("anchor_chars"))
+      // floor(double) here equals exact integer division: numerator
+      // ≤ ~1e9 is double-exact and a non-exact quotient sits ≥ 1/denom
+      // ≫ 1 ulp from any integer, so IEEE rounding cannot cross one.
+      .withColumn("ld_micro",
+        floor(col("anchor_chars") * 1000000L /
+          greatest(col("text_chars"), lit(1))).cast("long"))
+  }
+
+  private val BlockRe =
+    "(?s)<(?:p|h1|nav|footer)[^>]*>.*?</(?:p|h1|nav|footer)>"
+
+  /** jusText-style main-content extraction: segment the page into
+    * block-level elements, keep blocks with link density <
+    * [[LinkDensityMaxMicro]] AND ≥ [[MinBlockWords]] words, emit the kept
+    * blocks' text in document order. Implemented entirely with
+    * higher-order array functions — block order is preserved by
+    * construction (no explode/groupBy round trip), the whole operator is
+    * one codegen'd narrow projection.
+    */
+  def blockExtract(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val blocks = regexp_extract_all(col(htmlCol), lit(BlockRe), lit(0))
+    val infos = transform(blocks, b => {
+      val t = htmlToText(b)
+      struct(t.as("t"),
+        when(t === "", lit(0)).otherwise(size(split(t, " "))).as("w"),
+        floor(anchorChars(b) * 1000000L / greatest(length(t), lit(1)))
+          .cast("long").as("ld"))
+    })
+    val kept = filter(col("__infos"),
+      i => i("ld") < LinkDensityMaxMicro && i("w") >= MinBlockWords)
+    df.select(col(idCol).as("id"), infos.as("__infos"))
+      .select(col("id"), size(col("__infos")).as("n_blocks"), kept.as("__kept"))
+      .select(col("id"), col("n_blocks"),
+        size(col("__kept")).as("n_kept"),
+        array_join(transform(col("__kept"), i => i("t")), " ").as("main_text"))
+      .withColumn("main_chars", length(col("main_text")))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.functions.{HashExpressions, TextFunctions => TF}
-import graft.operators.{Dedup, Mp4Meta, Multimodal, Profile, Quantize, Sampling, Similarity, TextOps}
+import graft.operators.{Dedup, Html, Mp4Meta, Multimodal, Profile, Quantize, Sampling, Similarity, TextOps, Urls}
 
 /** LLM-training-data pipeline query corpus (beyond the reference's own
   * surface, mandated by BASELINE.json): dedup family, similarity search,
@@ -60,6 +60,52 @@ object Pipeline {
   // DuckDB twin of TF.normText.
   private val oNorm = "trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val oToks = s"string_split($oNorm, ' ')"
+
+  // DuckDB twin of Html.plantHtml: the planted page rebuilt as a pure
+  // string function of (id, toks) — shared CTE prefix of p70/p71.
+  private val oHtmlCtes =
+    s"""WITH t AS (SELECT doc_id AS id, $oToks AS toks FROM documents),
+      b AS (SELECT id, toks, len(toks) AS n,
+              (len(toks) + 11) // 12 AS np FROM t),
+      h AS (SELECT id,
+        '<html><head><title>doc ' || id ||
+        '</title><style>.m{color:#000}</style><script type="text/javascript">var d='
+        || id || ';track(d*3 > 2 && d < 9);</script></head><body>'
+        || '<nav>' || array_to_string(list_transform(range(0, 1 + id % 4),
+             j -> '<a href="/nav/' || j || '">nav item ' || j || '</a>'), ' ')
+        || '</nav>'
+        || '<h1>doc ' || id || ' &amp; heading &lt;x&gt;</h1>'
+        || CASE WHEN np >= 1 THEN array_to_string(list_transform(range(0, np),
+             i -> '<p>' || CASE WHEN (id + i) % 5 = 0
+               THEN '<a href="/r/' || i || '">' || toks[cast(i*12+1 AS integer)]
+                    || '</a>' ||
+                    CASE WHEN len(list_slice(toks, i*12+2, i*12+12)) > 0
+                      THEN ' ' || array_to_string(list_slice(toks, i*12+2, i*12+12), ' ')
+                      ELSE '' END
+               ELSE array_to_string(list_slice(toks, i*12+1, i*12+12), ' ') END
+             || '</p>'), '') ELSE '' END
+        || '<footer><a href="/p">privacy policy</a> <a href="/t">terms of use</a> &amp; <a href="/c">contact</a></footer></body></html>'
+          AS html
+      FROM b)"""
+
+  // DuckDB twin of Html.htmlToText over an input expression: script/style
+  // subtree removal, tag strip, entity decode (&amp; LAST — single
+  // decode), whitespace collapse. RE2 here vs Java regex on the Spark
+  // side — a genuine cross-engine differential.
+  private def oHtmlStrip(x: String): String =
+    s"""trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+       regexp_replace(regexp_replace(regexp_replace($x,
+         '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+         '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+         '<[^>]*>', ' ', 'g'),
+       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+       '&nbsp;', ' '), '&amp;', '&'),
+       '\\s+', ' ', 'g'))"""
+
+  // DuckDB twin of Html.anchorChars.
+  private def oAnchorChars(x: String): String =
+    s"cast(coalesce(list_sum(list_transform(regexp_extract_all($x, " +
+      "'(?s)<a [^>]*>(.*?)</a>', 1), a -> length(a))), 0) AS bigint)"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- exact dedup: group summary on normalized fingerprint ----
@@ -928,6 +974,40 @@ object Pipeline {
           sum(when(col("kept"), col("metric")).otherwise(0L))
             .as("kept_metric_sum"))
         .orderBy(col("container"))
+    }),
+
+    // ---- HTML full-page extraction (the WARC→text stage of a crawl
+    // pipeline): planted deterministic pages — script bodies carrying raw
+    // `<`/`>`/`&&` traps, entities, link-dense chrome — stripped to text
+    // with codegen'd regexp built-ins. The oracle rebuilds the SAME page
+    // closed-form in SQL and strips it with DuckDB's RE2 — a differential
+    // test of the whole pipeline across two regex engines. Narrow
+    // per-row transform: no shuffle, fuses into the scan at 100 TB. ----
+    "p70_html_extract" -> ((s, dir) => {
+      Html.pageFeatures(Html.plantHtml(docs(s, dir), "doc_id", "text"),
+        "id", "html")
+        .orderBy(col("id"))
+    }),
+
+    // ---- jusText-style main-content extraction: per-block link density +
+    // word count keep/drop (nav/footer chrome is link-dense, fragments are
+    // short, anchored CONTENT stays). Blocks are processed in document
+    // order with higher-order array functions — no explode/groupBy round
+    // trip, one codegen'd projection. ----
+    "p71_boilerplate_blocks" -> ((s, dir) => {
+      Html.blockExtract(Html.plantHtml(docs(s, dir), "doc_id", "text"),
+        "id", "html")
+        .orderBy(col("id"))
+    }),
+
+    // ---- URL canonicalization + crawl dedup signal: case/port/fragment/
+    // trailing-slash/param-order/tracking-param normalization, then the
+    // shared-canonical-URL count (the key a crawl dedups on BEFORE paying
+    // content hashing). Only (id, canon_url) shuffles for the window. ----
+    "p72_url_canonicalize" -> ((s, dir) => {
+      Urls.withCanonical(Urls.plantUrls(docs(s, dir), "doc_id"),
+        "id", "url")
+        .orderBy(col("id"))
     })
   )
 
@@ -2177,6 +2257,107 @@ object Pipeline {
               cast(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS bigint) AS n_kept,
               cast(sum(CASE WHEN kept THEN metric ELSE 0 END) AS bigint)
                 AS kept_metric_sum
-        FROM u GROUP BY container ORDER BY container"""
+        FROM u GROUP BY container ORDER BY container""",
+
+    // Full differential: DuckDB rebuilds the planted page closed-form and
+    // strips it with RE2; Spark strips its copy with Java regex. Any
+    // disagreement in script/style removal, tag stripping, entity decode
+    // order, or whitespace collapse breaks this row.
+    "p70_html_extract" ->
+      s"""$oHtmlCtes,
+        x AS (SELECT id, html, ${oHtmlStrip("html")} AS txt FROM h),
+        y AS (SELECT id, html, txt, ${oAnchorChars("html")} AS ac FROM x)
+        SELECT id, txt AS text,
+              cast(length(txt) AS integer) AS text_chars,
+              cast(len(regexp_extract_all(html, '<[a-zA-Z/!][^>]*>')) AS integer)
+                AS n_tags,
+              cast(len(regexp_extract_all(html, '<a [^>]*>')) AS integer)
+                AS n_links,
+              ac AS anchor_chars,
+              ac * 1000000 // greatest(length(txt), 1) AS ld_micro
+        FROM y ORDER BY id""",
+
+    // Block-level twin: same block regex (spelled without backreferences —
+    // RE2 has none), same per-block strip, same keep rule (link density
+    // < 0.5 AND >= 3 words), same document-order concatenation.
+    "p71_boilerplate_blocks" ->
+      s"""$oHtmlCtes,
+        bl AS (SELECT id, regexp_extract_all(html,
+                 '(?s)<(?:p|h1|nav|footer)[^>]*>.*?</(?:p|h1|nav|footer)>') AS bs
+               FROM h),
+        r AS (SELECT id, len(bs) AS n_blocks,
+                list_transform(bs, bk -> struct_pack(
+                  t := ${oHtmlStrip("bk")},
+                  a := ${oAnchorChars("bk")})) AS raw
+              FROM bl),
+        k AS (SELECT id, n_blocks,
+                list_filter(raw, rr ->
+                  rr.a * 1000000 // greatest(length(rr.t), 1) < 500000
+                  AND (CASE WHEN rr.t = '' THEN 0
+                       ELSE len(string_split(rr.t, ' ')) END) >= 3) AS kept
+              FROM r)
+        SELECT id, cast(n_blocks AS integer) AS n_blocks,
+              cast(len(kept) AS integer) AS n_kept,
+              array_to_string(list_transform(kept, rr -> rr.t), ' ') AS main_text,
+              cast(length(array_to_string(list_transform(kept, rr -> rr.t), ' '))
+                AS integer) AS main_chars
+        FROM k ORDER BY id""",
+
+    // URL twin: DuckDB rebuilds the same messy URL closed-form and
+    // canonicalizes with its own regex/list engine (list_sort vs
+    // array_sort, starts_with vs startswith) — full parse+normalize
+    // differential, then the same shared-canonical-count window.
+    "p72_url_canonicalize" ->
+      s"""WITH base AS (SELECT doc_id,
+              CASE WHEN doc_id % 3 = 0 THEN ['b=2','a=1']
+                   WHEN doc_id % 3 = 1 THEN ['a=1']
+                   ELSE cast([] AS varchar[]) END AS bp
+            FROM documents),
+        qs AS (SELECT doc_id, coalesce(array_to_string(
+                 CASE WHEN doc_id % 9 = 0
+                   THEN list_concat(bp, ['utm_source=x','utm_campaign=y'])
+                   ELSE bp END, '&'), '') AS q FROM base),
+        u0 AS (SELECT doc_id AS id,
+            (CASE WHEN doc_id % 7 = 0 THEN 'HTTPS' ELSE 'https' END)
+            || '://WWW.Site' || (doc_id % 13) || '.Example.COM'
+            || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+            || '/cat' || (doc_id % 3) || '/item' || (doc_id % 11)
+            || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+            || (CASE WHEN q = '' THEN '' ELSE '?' || q END)
+            || (CASE WHEN doc_id % 2 = 0 THEN '#sec' || (doc_id % 6) ELSE '' END)
+              AS url
+          FROM qs),
+        c AS (SELECT id, url, regexp_replace(url, '#.*', '') AS nofrag FROM u0),
+        p AS (SELECT id, url,
+            lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+              AS scheme,
+            regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)
+              AS hostport,
+            regexp_extract(nofrag,
+              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+            regexp_extract(nofrag, '\\?([^#]*)', 1) AS rawq
+          FROM c),
+        n AS (SELECT id, url, scheme,
+            regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
+            regexp_replace(regexp_replace(lower(hostport), ':[0-9]+$$', ''),
+              '^www\\.', '') AS host,
+            CASE WHEN regexp_replace(rawpath, '/$$', '') = '' THEN '/'
+                 ELSE regexp_replace(rawpath, '/$$', '') END AS path,
+            list_sort(list_filter(string_split(rawq, '&'),
+              x -> x <> '' AND NOT starts_with(x, 'utm_'))) AS prms
+          FROM p),
+        f AS (SELECT id, url, host,
+            scheme || '://' || host ||
+            (CASE WHEN port <> '' AND NOT (scheme = 'https' AND port = '443')
+                  AND NOT (scheme = 'http' AND port = '80')
+              THEN ':' || port ELSE '' END)
+            || path ||
+            (CASE WHEN len(prms) > 0 THEN '?' || array_to_string(prms, '&')
+             ELSE '' END) AS canon_url,
+            cast(len(prms) AS integer) AS n_params_kept
+          FROM n)
+        SELECT id, url, canon_url, host, n_params_kept,
+              count(*) OVER (PARTITION BY canon_url) AS n_dups
+        FROM f ORDER BY id"""
   )
 }

@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Html, Urls}
+
+class HtmlSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def oneDoc(id: Long, text: String) = {
+    import spark.implicits._
+    Seq((id, text)).toDF("doc_id", "text")
+  }
+
+  test("plantHtml -> htmlToText: scripts/styles vanish, entities decode, " +
+    "content and chrome text survive in page order") {
+    val planted = Html.plantHtml(
+      oneDoc(7L, "alpha beta gamma delta"), "doc_id", "text")
+    val Array(row) = Html.pageFeatures(planted, "id", "html").collect()
+    val text = row.getAs[String]("text")
+    // Script body text (`var d=7`, `track`) must NOT leak into the text.
+    assert(!text.contains("var d"), s"script leaked: $text")
+    assert(!text.contains("track("), s"script leaked: $text")
+    assert(!text.contains("color:#000"), s"style leaked: $text")
+    // Entities decode exactly once, AFTER tag stripping.
+    assert(text.contains("doc 7 & heading <x>"), s"entities wrong: $text")
+    // Title, nav chrome, content and footer text all present, in order.
+    val expected = "doc 7 " + // title
+      "nav item 0 nav item 1 nav item 2 nav item 3 " + // nav (7%4+1 = 4)
+      "doc 7 & heading <x> " + // h1
+      "alpha beta gamma delta " + // the single paragraph
+      "privacy policy terms of use & contact" // footer
+    assert(text == expected, s"got: $text")
+    // Counts: 4 nav + 1 footer*3 anchors... footer has 3 anchors; no
+    // anchored paragraph for id=7, i=0 ((7+0)%5 != 0).
+    assert(row.getAs[Int]("n_links") == 7)
+    assert(row.getAs[Long]("anchor_chars") ==
+      4 * "nav item N".length + "privacy policy".length +
+        "terms of use".length + "contact".length)
+  }
+
+  test("entity decode is single-pass: &amp;lt; yields literal &lt;, not <") {
+    import spark.implicits._
+    val out = Seq("a &amp;lt; b").toDF("s")
+      .select(Html.decodeEntities(col("s")).as("d"))
+      .collect()(0).getString(0)
+    assert(out == "a &lt; b", s"double-decoded: $out")
+  }
+
+  test("blockExtract keeps content, drops link-dense chrome and fragments") {
+    // id=0: paragraph i=0 has (0+0)%5==0 -> first word anchored. The
+    // anchored CONTENT paragraph must still be kept (low link density).
+    val planted = Html.plantHtml(
+      oneDoc(0L, "alpha beta gamma delta epsilon"), "doc_id", "text")
+    val Array(row) = Html.blockExtract(planted, "id", "html").collect()
+    // Blocks: nav, h1, 1 paragraph, footer = 4.
+    assert(row.getAs[Int]("n_blocks") == 4)
+    // Kept: h1 + paragraph. Nav (density 1.0) and footer (density ~.89)
+    // dropped.
+    assert(row.getAs[Int]("n_kept") == 2)
+    assert(row.getAs[String]("main_text") ==
+      "doc 0 & heading <x> alpha beta gamma delta epsilon")
+  }
+
+  test("blockExtract drops a >=3-word block when one huge anchored word " +
+    "dominates (density rule, not just word count)") {
+    import spark.implicits._
+    // Hand-built page: 3 words, anchor covers 8/12 non-space chars...
+    // density = 8*1e6/14 > 0.5 -> dropped; the plain twin is kept.
+    val html = "<p><a href=\"/x\">abcdefgh</a> i j</p><p>abcdefgh i j</p>"
+    val df = Seq((1L, html)).toDF("id", "html")
+    val Array(row) = Html.blockExtract(df, "id", "html").collect()
+    assert(row.getAs[Int]("n_blocks") == 2)
+    assert(row.getAs[Int]("n_kept") == 1)
+    assert(row.getAs[String]("main_text") == "abcdefgh i j")
+  }
+
+  test("malformed HTML degrades, never throws: truncation, stray angle " +
+    "brackets, unclosed script") {
+    import spark.implicits._
+    val planted = Html.plantHtml(oneDoc(3L, "alpha beta gamma"),
+      "doc_id", "text").collect()(0).getAs[String]("html")
+    val cases = Seq(
+      planted.take(planted.length / 2), // truncated mid-page
+      planted.replace("</script>", ""), // unclosed script eats the page
+      "<<<>>><p>ok</p><", // stray brackets
+      "", // empty
+      "no html at all", // plain text
+      planted.updated(10, '<')) // bit-flip-ish corruption
+    val df = cases.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      .toDF("id", "html")
+    // Both operators must complete; outputs are strings/ints (degraded is
+    // fine, absent/NULL text is not).
+    val feats = Html.pageFeatures(df, "id", "html").collect()
+    assert(feats.length == cases.length)
+    assert(feats.forall(_.getAs[String]("text") != null))
+    val blocks = Html.blockExtract(df, "id", "html").collect()
+    assert(blocks.length == cases.length)
+    assert(blocks.forall(_.getAs[Int]("n_kept") <= blocks.maxBy(
+      _.getAs[Int]("n_blocks")).getAs[Int]("n_blocks")))
+    // Stray-bracket garbage around well-formed content: content survives.
+    assert(feats.find(_.getAs[Long]("id") == 2L).get
+      .getAs[String]("text").contains("ok"))
+  }
+
+  test("plantHtml + extraction stay one narrow codegen'd stage: no shuffle") {
+    val planted = Html.plantHtml(oneDoc(1L, "a b c"), "doc_id", "text")
+    val plan = Html.pageFeatures(planted, "id", "html")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    val plan2 = Html.blockExtract(planted, "id", "html")
+      .queryExecution.executedPlan.toString
+    assert(!plan2.contains("Exchange"), s"unexpected shuffle:\n$plan2")
+  }
+
+  test("urls: canonicalization rules, one by one") {
+    import spark.implicits._
+    val cases = Seq(
+      // case + www + default port + trailing slash + fragment
+      "HTTPS://WWW.Example.COM:443/a/b/#frag" -> "https://example.com/a/b",
+      // http default port
+      "http://example.com:80/x" -> "http://example.com/x",
+      // NON-default port kept
+      "https://example.com:8443/x" -> "https://example.com:8443/x",
+      // param sort + utm strip + empty param
+      "https://example.com/p?z=1&utm_source=t&a=2&" ->
+        "https://example.com/p?a=2&z=1",
+      // bare host -> "/" path
+      "https://Example.com" -> "https://example.com/",
+      // all params stripped -> no "?"
+      "https://example.com/p?utm_a=1&utm_b=2" -> "https://example.com/p")
+    val df = cases.map(_._1).toDF("url")
+      .select(col("url"), Urls.canonicalize(col("url")).as("canon"))
+    val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) == want, s"canon($in) = ${got(in)}, want $want")
+    }
+  }
+
+  test("urls: canonicalization is idempotent over the planted corpus") {
+    import spark.implicits._
+    val ids = (0L until 500L).toDF("doc_id")
+    val planted = Urls.plantUrls(ids, "doc_id")
+    val twice = planted.select(
+      Urls.canonicalize(col("url")).as("c1"))
+      .select(col("c1"), Urls.canonicalize(col("c1")).as("c2"))
+      .filter(col("c1") =!= col("c2"))
+    assert(twice.count() == 0, "canon(canon(u)) must equal canon(u)")
+  }
+
+  test("urls: planted corpus produces real post-canonicalization dup " +
+    "groups (the crawl-dedup signal)") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val ids = (0L until 500L).toDF("doc_id")
+    val out = Urls.withCanonical(Urls.plantUrls(ids, "doc_id"), "id", "url")
+    assert(out.filter(col("n_dups") > 1).count() > 0,
+      "planting must produce canonical collisions")
+    // Every member of a dup group shares the canonical URL but may differ
+    // in raw URL — i.e. the dups are non-trivial.
+    val grouped = out.groupBy(col("canon_url"))
+      .agg(countDistinct(col("url")).as("raw_variants"),
+        count(lit(1)).as("n"))
+      .filter(col("n") > 1 && col("raw_variants") > 1)
+    assert(grouped.count() > 0,
+      "dup groups must contain DIFFERENT raw spellings of one URL")
+  }
+}
