@@ -107,6 +107,76 @@ object Pipeline {
     s"cast(coalesce(list_sum(list_transform(regexp_extract_all($x, " +
       "'(?s)<a [^>]*>(.*?)</a>', 1), a -> length(a))), 0) AS bigint)"
 
+  // DuckDB twin of Html.blockExtract over the oHtmlCtes `h` relation:
+  // appends bl/r/k CTEs ending in per-id (n_blocks, kept block structs).
+  private val oBlockCtes =
+    s"""bl AS (SELECT id, regexp_extract_all(html,
+         '(?s)<(?:p|h1|nav|footer)[^>]*>.*?</(?:p|h1|nav|footer)>') AS bs
+       FROM h),
+    r AS (SELECT id, len(bs) AS n_blocks,
+            list_transform(bs, bk -> struct_pack(
+              t := ${oHtmlStrip("bk")},
+              a := ${oAnchorChars("bk")})) AS raw
+          FROM bl),
+    k AS (SELECT id, n_blocks,
+            list_filter(raw, rr ->
+              rr.a * 1000000 // greatest(length(rr.t), 1) < 500000
+              AND (CASE WHEN rr.t = '' THEN 0
+                   ELSE len(string_split(rr.t, ' ')) END) >= 3) AS kept
+          FROM r)"""
+
+  // DuckDB twin of Urls.plantUrls + Urls.withCanonical (sans the window):
+  // CTE chain ending in `f` with (id, url, host, canon_url, n_params_kept).
+  private val oUrlCtes =
+    s"""base AS (SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN ['b=2','a=1']
+               WHEN doc_id % 3 = 1 THEN ['a=1']
+               ELSE cast([] AS varchar[]) END AS bp
+        FROM documents),
+    qs AS (SELECT doc_id, coalesce(array_to_string(
+             CASE WHEN doc_id % 9 = 0
+               THEN list_concat(bp, ['utm_source=x','utm_campaign=y'])
+               ELSE bp END, '&'), '') AS q FROM base),
+    u0 AS (SELECT doc_id AS id,
+        (CASE WHEN doc_id % 7 = 0 THEN 'HTTPS' ELSE 'https' END)
+        || '://WWW.Site' || (doc_id % 13) || '.Example.COM'
+        || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+        || '/cat' || (doc_id % 3) || '/item' || (doc_id % 11)
+        || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+        || (CASE WHEN q = '' THEN '' ELSE '?' || q END)
+        || (CASE WHEN doc_id % 2 = 0 THEN '#sec' || (doc_id % 6) ELSE '' END)
+          AS url
+      FROM qs),
+    c AS (SELECT id, url, regexp_replace(url, '#.*', '') AS nofrag FROM u0),
+    p AS (SELECT id, url,
+        lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+          AS scheme,
+        regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)
+          AS hostport,
+        regexp_extract(nofrag,
+          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+        regexp_extract(nofrag, '\\?([^#]*)', 1) AS rawq
+      FROM c),
+    n AS (SELECT id, url, scheme,
+        regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
+        regexp_replace(regexp_replace(lower(hostport), ':[0-9]+$$', ''),
+          '^www\\.', '') AS host,
+        CASE WHEN regexp_replace(rawpath, '/$$', '') = '' THEN '/'
+             ELSE regexp_replace(rawpath, '/$$', '') END AS path,
+        list_sort(list_filter(string_split(rawq, '&'),
+          x -> x <> '' AND NOT starts_with(x, 'utm_'))) AS prms
+      FROM p),
+    f AS (SELECT id, url, host,
+        scheme || '://' || host ||
+        (CASE WHEN port <> '' AND NOT (scheme = 'https' AND port = '443')
+              AND NOT (scheme = 'http' AND port = '80')
+          THEN ':' || port ELSE '' END)
+        || path ||
+        (CASE WHEN len(prms) > 0 THEN '?' || array_to_string(prms, '&')
+         ELSE '' END) AS canon_url,
+        cast(len(prms) AS integer) AS n_params_kept
+      FROM n)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- exact dedup: group summary on normalized fingerprint ----
     "p01_dedup_exact_groups" -> ((s, dir) => {
@@ -1008,6 +1078,46 @@ object Pipeline {
       Urls.withCanonical(Urls.plantUrls(docs(s, dir), "doc_id"),
         "id", "url")
         .orderBy(col("id"))
+    }),
+
+    // ---- the full web-crawl front-end funnel, composed: canonical-URL
+    // keep-first dedup (the cheap pre-fetch key), HTML main-content
+    // extraction of the survivors, a quality gate on extracted content,
+    // then content-fingerprint dedup (md5 of main_text with the
+    // id-bearing h1 prefix removed, so true content dups collapse), and a
+    // per-host funnel report. Every shuffle moves slim columns only
+    // (canon_url / host / fp + ids) — page payloads stay in their narrow
+    // extraction stage; the canonical-window layout is REUSED by the
+    // keep-first row_number (one exchange serves both). ----
+    "p73_web_curation" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val canon = Urls.withCanonical(Urls.plantUrls(d, "doc_id"), "id", "url")
+      val surv = canon
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("canon_url")).orderBy(col("id"))))
+        .filter(col("rk") === 1)
+      val extracted = Html.blockExtract(
+          Html.plantHtml(d, "doc_id", "text"), "id", "html")
+        .select(col("id"), col("main_text"), col("n_kept"), col("main_chars"))
+      val gated = surv.select(col("id"), col("host")).join(extracted, "id")
+        .filter(col("main_chars") >= 120 && col("n_kept") >= 2)
+        .withColumn("fp", md5(regexp_replace(col("main_text"),
+          "^doc [0-9]+ & heading <x> ?", "")))
+      val ded = gated
+        .withColumn("rk2", row_number().over(
+          Window.partitionBy(col("fp")).orderBy(col("id"))))
+        .filter(col("rk2") === 1)
+      val st0 = canon.groupBy(col("host"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("canon_url")).as("n_canonical"))
+      val st1 = gated.groupBy(col("host")).agg(count(lit(1)).as("n_quality"))
+      val st2 = ded.groupBy(col("host")).agg(count(lit(1)).as("n_final"))
+      st0.join(st1, Seq("host"), "left").join(st2, Seq("host"), "left")
+        .select(col("host"), col("n_urls"), col("n_canonical"),
+          coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+          coalesce(col("n_final"), lit(0L)).as("n_final"))
+        .orderBy(col("host"))
     })
   )
 
@@ -2282,20 +2392,7 @@ object Pipeline {
     // < 0.5 AND >= 3 words), same document-order concatenation.
     "p71_boilerplate_blocks" ->
       s"""$oHtmlCtes,
-        bl AS (SELECT id, regexp_extract_all(html,
-                 '(?s)<(?:p|h1|nav|footer)[^>]*>.*?</(?:p|h1|nav|footer)>') AS bs
-               FROM h),
-        r AS (SELECT id, len(bs) AS n_blocks,
-                list_transform(bs, bk -> struct_pack(
-                  t := ${oHtmlStrip("bk")},
-                  a := ${oAnchorChars("bk")})) AS raw
-              FROM bl),
-        k AS (SELECT id, n_blocks,
-                list_filter(raw, rr ->
-                  rr.a * 1000000 // greatest(length(rr.t), 1) < 500000
-                  AND (CASE WHEN rr.t = '' THEN 0
-                       ELSE len(string_split(rr.t, ' ')) END) >= 3) AS kept
-              FROM r)
+        $oBlockCtes
         SELECT id, cast(n_blocks AS integer) AS n_blocks,
               cast(len(kept) AS integer) AS n_kept,
               array_to_string(list_transform(kept, rr -> rr.t), ' ') AS main_text,
@@ -2308,56 +2405,42 @@ object Pipeline {
     // array_sort, starts_with vs startswith) — full parse+normalize
     // differential, then the same shared-canonical-count window.
     "p72_url_canonicalize" ->
-      s"""WITH base AS (SELECT doc_id,
-              CASE WHEN doc_id % 3 = 0 THEN ['b=2','a=1']
-                   WHEN doc_id % 3 = 1 THEN ['a=1']
-                   ELSE cast([] AS varchar[]) END AS bp
-            FROM documents),
-        qs AS (SELECT doc_id, coalesce(array_to_string(
-                 CASE WHEN doc_id % 9 = 0
-                   THEN list_concat(bp, ['utm_source=x','utm_campaign=y'])
-                   ELSE bp END, '&'), '') AS q FROM base),
-        u0 AS (SELECT doc_id AS id,
-            (CASE WHEN doc_id % 7 = 0 THEN 'HTTPS' ELSE 'https' END)
-            || '://WWW.Site' || (doc_id % 13) || '.Example.COM'
-            || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
-            || '/cat' || (doc_id % 3) || '/item' || (doc_id % 11)
-            || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
-            || (CASE WHEN q = '' THEN '' ELSE '?' || q END)
-            || (CASE WHEN doc_id % 2 = 0 THEN '#sec' || (doc_id % 6) ELSE '' END)
-              AS url
-          FROM qs),
-        c AS (SELECT id, url, regexp_replace(url, '#.*', '') AS nofrag FROM u0),
-        p AS (SELECT id, url,
-            lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
-              AS scheme,
-            regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)
-              AS hostport,
-            regexp_extract(nofrag,
-              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
-            regexp_extract(nofrag, '\\?([^#]*)', 1) AS rawq
-          FROM c),
-        n AS (SELECT id, url, scheme,
-            regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
-            regexp_replace(regexp_replace(lower(hostport), ':[0-9]+$$', ''),
-              '^www\\.', '') AS host,
-            CASE WHEN regexp_replace(rawpath, '/$$', '') = '' THEN '/'
-                 ELSE regexp_replace(rawpath, '/$$', '') END AS path,
-            list_sort(list_filter(string_split(rawq, '&'),
-              x -> x <> '' AND NOT starts_with(x, 'utm_'))) AS prms
-          FROM p),
-        f AS (SELECT id, url, host,
-            scheme || '://' || host ||
-            (CASE WHEN port <> '' AND NOT (scheme = 'https' AND port = '443')
-                  AND NOT (scheme = 'http' AND port = '80')
-              THEN ':' || port ELSE '' END)
-            || path ||
-            (CASE WHEN len(prms) > 0 THEN '?' || array_to_string(prms, '&')
-             ELSE '' END) AS canon_url,
-            cast(len(prms) AS integer) AS n_params_kept
-          FROM n)
+      s"""WITH $oUrlCtes
         SELECT id, url, canon_url, host, n_params_kept,
               count(*) OVER (PARTITION BY canon_url) AS n_dups
-        FROM f ORDER BY id"""
+        FROM f ORDER BY id""",
+
+    // Full web-funnel twin: canonical-URL keep-first, block-extraction
+    // quality gate, content-fingerprint keep-first (md5 over main_text
+    // with the id-bearing h1 prefix removed), per-host stage counts.
+    "p73_web_curation" ->
+      s"""$oHtmlCtes,
+        $oBlockCtes,
+        $oUrlCtes,
+        mt AS (SELECT id, array_to_string(list_transform(kept, rr -> rr.t), ' ')
+                 AS main_text,
+               cast(len(kept) AS integer) AS n_kept FROM k),
+        surv AS (SELECT *, row_number() OVER (PARTITION BY canon_url
+                   ORDER BY id) AS rk FROM f),
+        s1 AS (SELECT surv.id, surv.host, mt.main_text, mt.n_kept,
+                 length(mt.main_text) AS main_chars
+               FROM surv JOIN mt ON surv.id = mt.id WHERE surv.rk = 1),
+        gated AS (SELECT *, md5(regexp_replace(main_text,
+                    '^doc [0-9]+ & heading <x> ?', '')) AS fp
+                  FROM s1 WHERE main_chars >= 120 AND n_kept >= 2),
+        ded AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY id)
+                  AS rk2 FROM gated),
+        st0 AS (SELECT host, count(*) AS n_urls,
+                  count(DISTINCT canon_url) AS n_canonical FROM f GROUP BY host),
+        st1 AS (SELECT host, count(*) AS n_quality FROM gated GROUP BY host),
+        st2 AS (SELECT host, count(*) AS n_final FROM ded WHERE rk2 = 1
+                GROUP BY host)
+        SELECT st0.host, cast(st0.n_urls AS bigint) AS n_urls,
+              cast(st0.n_canonical AS bigint) AS n_canonical,
+              cast(coalesce(st1.n_quality, 0) AS bigint) AS n_quality,
+              cast(coalesce(st2.n_final, 0) AS bigint) AS n_final
+        FROM st0 LEFT JOIN st1 ON st0.host = st1.host
+                 LEFT JOIN st2 ON st0.host = st2.host
+        ORDER BY st0.host"""
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{GraftSession, Tables}
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.operators.{Dedup, Html, Mp4Meta, Multimodal, Sampling, Similarity, TextOps, Urls}
 
 /** Empirical scale check for the flagship pipeline operators: amplify the
   * sf0.1 corpus N× in-memory (id-remapped copies — same text/embedding
@@ -169,6 +169,36 @@ object ScaleSmoke {
     bench2(df => Multimodal.decodeImageFeatures(Multimodal.plantPngs(df))
         .agg(sum(col("pixel_sum"))).collect().length.toLong,
       docs1, docsN, "imageDecode")
+    // Round-13 additions. All five are designed as narrow per-row work
+    // (regex/codec transforms, no shuffle except p72's slim id+canon
+    // window), so exponents ≈1 pin that nothing couples across rows:
+    // HTML strip + block extraction (regex over planted pages),
+    // URL canonicalization incl. the canonical-dup count window,
+    // MP4 box walk, and the 16-bit per-channel audio decimation chain.
+    // Each aggregates over computed columns so nothing is eliminated.
+    bench2(df => Html.pageFeatures(
+        Html.plantHtml(df, "doc_id", "text"), "id", "html")
+        .agg(sum(col("text_chars")), sum(col("ld_micro")))
+        .collect().length.toLong,
+      docs1, docsN, "htmlExtract")
+    bench2(df => Html.blockExtract(
+        Html.plantHtml(df, "doc_id", "text"), "id", "html")
+        .agg(sum(col("main_chars")), sum(col("n_kept")))
+        .collect().length.toLong,
+      docs1, docsN, "blockExtract")
+    bench2(df => Urls.withCanonical(
+        Urls.plantUrls(df, "doc_id"), "id", "url")
+        .agg(sum(length(col("canon_url"))), max(col("n_dups")))
+        .collect().length.toLong,
+      docs1, docsN, "urlCanonicalize")
+    bench2(df => Mp4Meta.parseMp4Meta(Mp4Meta.plantMp4s(df))
+        .agg(sum(col("duration_ms")), sum(col("n_tracks")))
+        .collect().length.toLong,
+      docs1, docsN, "mp4MetaWalk")
+    bench2(df => Multimodal.decodeAudioFeatures(
+        Multimodal.resampleAudioDecimated(Multimodal.plantWavs16(df), 2))
+        .agg(sum(col("amp_sum"))).collect().length.toLong,
+      docs1, docsN, "audio16Resample")
     spark.stop()
   }
 }

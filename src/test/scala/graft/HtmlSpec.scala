@@ -149,6 +149,22 @@ class HtmlSpec extends AnyFunSuite {
     assert(twice.count() == 0, "canon(canon(u)) must equal canon(u)")
   }
 
+  test("p73 web funnel narrows monotonically per host, and every stage " +
+    "cuts something corpus-wide") {
+    val rows = graft.SparkEntry.queries("p73_web_curation")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (u, c, q, f) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+      assert(u >= c && c >= q && q >= f && f > 0, s"funnel not monotone: $r")
+    }
+    def tot(i: Int) = rows.map(_.getLong(i)).sum
+    assert(tot(1) > tot(2), "URL dedup must collapse some canonical groups")
+    assert(tot(2) > tot(3), "quality gate must drop some docs")
+    assert(tot(3) > tot(4), "content fingerprint must collapse some dups")
+  }
+
   test("urls: planted corpus produces real post-canonicalization dup " +
     "groups (the crawl-dedup signal)") {
     import org.apache.spark.sql.expressions.Window
