@@ -104,6 +104,48 @@ class HtmlSpec extends AnyFunSuite {
       .getAs[String]("text").contains("ok"))
   }
 
+  test("seeded mutation fuzz: 200 corrupted pages (byte flips, splices, " +
+    "truncations) all degrade, never throw, and keep invariants") {
+    import spark.implicits._
+    val base = Html.plantHtml(oneDoc(42L, "alpha beta gamma delta epsilon " +
+      "zeta eta theta iota kappa lambda mu nu xi"), "doc_id", "text")
+      .collect()(0).getAs[String]("html")
+    val rnd = new scala.util.Random(20260815L)
+    val mutants = (0 until 200).map { i =>
+      val sb = new StringBuilder(base)
+      rnd.nextInt(3) match {
+        case 0 => // flip 1-5 chars to random printable/angle chars
+          (0 until 1 + rnd.nextInt(5)).foreach { _ =>
+            sb.setCharAt(rnd.nextInt(sb.length),
+              "<>&;\"abc0 ".charAt(rnd.nextInt(10)))
+          }
+        case 1 => // truncate at a random point
+          sb.setLength(1 + rnd.nextInt(sb.length - 1))
+        case 2 => // splice a random fragment of the page into itself
+          val from = rnd.nextInt(sb.length)
+          val len = rnd.nextInt(math.min(40, sb.length - from))
+          sb.insert(rnd.nextInt(sb.length),
+            sb.substring(from, from + len))
+      }
+      (i.toLong, sb.toString)
+    }
+    val df = mutants.toDF("id", "html")
+    val feats = Html.pageFeatures(df, "id", "html").collect()
+    assert(feats.length == 200)
+    feats.foreach { r =>
+      assert(r.getAs[String]("text") != null, s"null text for id ${r.get(0)}")
+      assert(r.getAs[Int]("text_chars") >= 0)
+      assert(r.getAs[Long]("ld_micro") >= 0)
+    }
+    val blocks = Html.blockExtract(df, "id", "html").collect()
+    assert(blocks.length == 200)
+    blocks.foreach { r =>
+      assert(r.getAs[Int]("n_kept") <= r.getAs[Int]("n_blocks"),
+        s"kept > blocks for id ${r.get(0)}")
+      assert(r.getAs[String]("main_text") != null)
+    }
+  }
+
   test("plantHtml + extraction stay one narrow codegen'd stage: no shuffle") {
     val planted = Html.plantHtml(oneDoc(1L, "a b c"), "doc_id", "text")
     val plan = Html.pageFeatures(planted, "id", "html")
@@ -136,6 +178,18 @@ class HtmlSpec extends AnyFunSuite {
     cases.foreach { case (in, want) =>
       assert(got(in) == want, s"canon($in) = ${got(in)}, want $want")
     }
+  }
+
+  test("urls: garbage inputs degrade, never throw") {
+    import spark.implicits._
+    val junk = Seq("", "not a url", "http//missing.colon/x", "://nohost",
+      "https://", "ftp://weird:port:8/x?&&&#", "https://h?#",
+      "https://h:99999999999999999999/x")
+    val out = junk.toDF("url")
+      .select(Urls.canonicalize(col("url")).as("c"), Urls.hostOf(col("url")))
+      .collect()
+    assert(out.length == junk.length)
+    assert(out.forall(_.getString(0) != null))
   }
 
   test("urls: canonicalization is idempotent over the planted corpus") {
