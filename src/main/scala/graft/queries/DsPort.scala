@@ -628,11 +628,17 @@ object DsPort {
     val key = fingerprint(dir)
     val root = new java.io.File(cacheBaseDir, key)
     def onDisk = new java.io.File(root, "_DONE").exists()
+    // The memo is keyed by the RESOLVED root (not the bare fingerprint):
+    // cacheBaseDir is a live sys-prop, and a fingerprint-only key would
+    // keep serving paths under the PREVIOUS base after the override
+    // changes (the _DONE revalidation below checks the new base, so it
+    // would pass while the manifest still points at the old one).
+    val memoKey = root.getAbsolutePath
     // Revalidate a memory hit against disk: the documented cold-rebuild
     // recipe is `rm -rf /tmp/graft-dsport-$USER`, and a live session must
     // recover from it by re-materializing, not serve dead paths forever.
-    if (materialized.containsKey(key) && !onDisk) materialized.remove(key)
-    materialized.computeIfAbsent(key, _ => {
+    if (materialized.containsKey(memoKey) && !onDisk) materialized.remove(memoKey)
+    materialized.computeIfAbsent(memoKey, _ => {
       if (!onDisk) {
         val tmp = new java.io.File(root.getParentFile,
           s"${root.getName}.tmp-${java.util.UUID.randomUUID()}")

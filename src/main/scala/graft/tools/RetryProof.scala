@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{GraftSession, Tables}
-import graft.operators.{Dedup, Multimodal, Sampling}
+import graft.operators.{Dedup, Html, Multimodal, Sampling, Urls}
 
 /** Task-retry safety proof: on a 1000-executor fleet, individual task
   * failures (preemption, bad node, OOM-kill) are routine — Spark
@@ -160,7 +160,24 @@ object RetryProof {
         Multimodal.decodeAudioFeatures(Multimodal.resampleAudioDecimated(
             Multimodal.plantWavs16(wrap(docs)), 2))
           .select(col("media_id"), col("sample_rate"), col("channels"),
-            col("n_frames"), col("amp_sum"))))
+            col("n_frames"), col("amp_sum"))),
+      // web front-end: URL canonicalization window (keep-first per
+      // canonical) + HTML block extraction joined back — a retried map
+      // task must regenerate identical canonical keys and extracted
+      // text, or the window picks different survivors.
+      ("web_funnel", wrap => {
+        import org.apache.spark.sql.expressions.Window
+        val d = wrap(docs)
+        val canon = Urls.withCanonical(Urls.plantUrls(d, "doc_id"),
+          "id", "url")
+        val surv = canon.withColumn("rk", row_number().over(
+            Window.partitionBy(col("canon_url")).orderBy(col("id"))))
+          .filter(col("rk") === 1)
+        val ext = Html.blockExtract(
+          Html.plantHtml(d, "doc_id", "text"), "id", "html")
+        surv.select(col("id"), col("host")).join(ext, "id")
+          .select(col("id"), col("host"), col("n_kept"), col("main_chars"))
+      }))
 
     val mapSide = cases.map { case (name, build) =>
       val baseline = build(identity).collect()

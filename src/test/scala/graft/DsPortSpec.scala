@@ -92,13 +92,34 @@ class DsPortSpec extends AnyFunSuite {
     assert(spark.table("store_sales").count() == n1)
     // Cold-rebuild recovery: the documented recipe deletes the on-disk
     // cache under a LIVE session; the next register must re-materialize
-    // rather than serve dead paths from the in-memory map.
-    org.apache.commons.io.FileUtils.deleteDirectory(
-      graft.queries.DsPort.cacheBaseDir)
-    graft.engine.CatalogState.invalidate(spark)
-    graft.queries.DsPort.register(spark, dir)
-    assert(spark.table("store_sales").count() == n1,
-      "register must recover from rm -rf of the materialization cache")
+    // rather than serve dead paths from the in-memory map. Run the
+    // DESTRUCTIVE part against a PRIVATE cache base (the sys-prop
+    // override) — deleting the shared default base nukes it out from
+    // under any concurrently running graft JVM on the same machine (this
+    // exact race broke a Verify run that overlapped `sbt test` in r13).
+    val privBase =
+      java.nio.file.Files.createTempDirectory("graft-dsport-spec").toFile
+    val prevBase = sys.props.get("graft.dsport.cache.dir")
+    try {
+      sys.props("graft.dsport.cache.dir") = privBase.getAbsolutePath
+      graft.engine.CatalogState.invalidate(spark)
+      graft.queries.DsPort.register(spark, dir) // materialize into privBase
+      org.apache.commons.io.FileUtils.deleteDirectory(privBase)
+      graft.engine.CatalogState.invalidate(spark)
+      graft.queries.DsPort.register(spark, dir)
+      assert(spark.table("store_sales").count() == n1,
+        "register must recover from rm -rf of the materialization cache")
+    } finally {
+      prevBase match {
+        case Some(v) => sys.props("graft.dsport.cache.dir") = v
+        case None => sys.props.remove("graft.dsport.cache.dir")
+      }
+      if (privBase.exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(privBase)
+      // Rebind views to the default-base materialization for later tests.
+      graft.engine.CatalogState.invalidate(spark)
+      graft.queries.DsPort.register(spark, dir)
+    }
   }
 
   test("store zips lie inside the address-zip progression (q24 join)") {
