@@ -172,17 +172,27 @@ object Html {
     */
   def blockExtract(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
     val blocks = regexp_extract_all(col(htmlCol), lit(BlockRe), lit(0))
-    val infos = transform(blocks, b => {
-      val t = htmlToText(b)
-      struct(t.as("t"),
-        when(t === "", lit(0)).otherwise(size(split(t, " "))).as("w"),
-        floor(anchorChars(b) * 1000000L / greatest(length(t), lit(1)))
-          .cast("long").as("ld"))
-    })
+    // Two HOF levels on purpose: higher-order lambdas evaluate interpreted
+    // (CodegenFallback — no runtime subexpression elimination), so a
+    // single-level struct(t, words(t), density(t)) would run the whole
+    // strip-regex chain up to 3× per block. Level 1 runs strip + anchor
+    // count exactly ONCE per block into a struct; level 2 derives cheap
+    // features from the MATERIALIZED struct fields (the lambda boundary
+    // keeps SimplifyExtractValueOps from re-inlining the chain), and the
+    // staged selects keep CollapseProject from duplicating the non-cheap
+    // arrays across consumers.
+    val raw = transform(blocks, b =>
+      struct(htmlToText(b).as("t"), anchorChars(b).as("a")))
+    val infos = transform(col("__raw"), r => struct(
+      r("t").as("t"),
+      when(r("t") === "", lit(0)).otherwise(size(split(r("t"), " "))).as("w"),
+      floor(r("a") * 1000000L / greatest(length(r("t")), lit(1)))
+        .cast("long").as("ld")))
     val kept = filter(col("__infos"),
       i => i("ld") < LinkDensityMaxMicro && i("w") >= MinBlockWords)
-    df.select(col(idCol).as("id"), infos.as("__infos"))
-      .select(col("id"), size(col("__infos")).as("n_blocks"), kept.as("__kept"))
+    df.select(col(idCol).as("id"), raw.as("__raw"))
+      .select(col("id"), size(col("__raw")).as("n_blocks"), infos.as("__infos"))
+      .select(col("id"), col("n_blocks"), kept.as("__kept"))
       .select(col("id"), col("n_blocks"),
         size(col("__kept")).as("n_kept"),
         array_join(transform(col("__kept"), i => i("t")), " ").as("main_text"))

@@ -156,11 +156,22 @@ object Mp4Meta {
 
   private val containers = Set("moov", "trak", "mdia", "minf", "stbl")
 
+  /** Real container trees nest ~6 deep (moov/trak/mdia/minf/stbl); 32
+    * leaves headroom for edit/meta boxes while keeping the recursion
+    * bounded — WITHOUT the cap, a crafted payload of thousands of nested
+    * 8-byte container boxes drives a `StackOverflowError`, which is an
+    * `Error` the parse-side `catch Exception` does NOT absorb: the task
+    * dies and the degradation contract breaks. Deeper boxes are simply
+    * not descended into (metadata already found is kept).
+    */
+  private val MaxDepth = 32
+
   /** Generic ISO-BMFF walker. Bounded by construction: the cursor strictly
     * advances (boxes shorter than their 8/16-byte header terminate the
-    * level), every child end is clamped to its parent's, and a declared
-    * size past the payload truncates rather than reads out of bounds — so
-    * corrupt size fields degrade the result, never hang or throw.
+    * level), every child end is clamped to its parent's, a declared
+    * size past the payload truncates rather than reads out of bounds, and
+    * container recursion stops at [[MaxDepth]] — so corrupt size fields
+    * and adversarial nesting degrade the result, never hang or throw.
     */
   private def walk(bytes: Array[Byte]): Meta = {
     val bb = java.nio.ByteBuffer.wrap(bytes) // big-endian by default
@@ -172,7 +183,8 @@ object Mp4Meta {
     def fourcc(at: Int): String =
       new String(bytes, at, 4, "US-ASCII")
 
-    def level(start: Int, end: Int, inTrak: Boolean): Unit = {
+    def level(start: Int, end: Int, inTrak: Boolean, depth: Int): Unit = {
+      if (depth > MaxDepth) return
       var pos = start
       while (pos + 8 <= end) {
         val size32 = bb.getInt(pos).toLong & 0xFFFFFFFFL
@@ -191,7 +203,8 @@ object Mp4Meta {
         typ match {
           case t if containers.contains(t) =>
             if (t == "trak") nTracks += 1
-            level(bodyStart, boxEnd, inTrak = inTrak || t == "trak")
+            level(bodyStart, boxEnd, inTrak = inTrak || t == "trak",
+              depth + 1)
           case "mvhd" if boxEnd - bodyStart >= 4 =>
             val version = bytes(bodyStart) & 0xFF
             if (version == 1 && boxEnd - bodyStart >= 32) {
@@ -210,7 +223,7 @@ object Mp4Meta {
       }
     }
 
-    level(0, bytes.length, inTrak = false)
+    level(0, bytes.length, inTrak = false, depth = 0)
     Meta(timescale, duration, nTracks, codecs.result())
   }
 }

@@ -99,6 +99,29 @@ class Mp4MetaSpec extends AnyFunSuite {
     }
   }
 
+  test("adversarial deep nesting (100k nested containers) degrades at the " +
+      "depth cap instead of blowing the stack") {
+    import SparkTestSession.spark.implicits._
+    // 100,000 nested size=0 `moov` boxes: without the MaxDepth cap the
+    // walker recurses once per level and dies with StackOverflowError —
+    // an Error the parse-side `catch Exception` does NOT absorb, i.e. a
+    // dead task on a real fleet. With the cap it returns a sane
+    // unparsed row.
+    val nested = {
+      val n = 100000
+      val bytes = new Array[Byte](8 * n)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      (0 until n).foreach { _ =>
+        bb.putInt(0).put("moov".getBytes("US-ASCII")) // size=0: to parent end
+      }
+      bytes
+    }
+    val out = Mp4Meta.parseMp4Meta(Seq((1L, nested)).toDF("media_id", "data"))
+      .collect()
+    assert(out.length == 1)
+    assert(!out(0).getBoolean(5), "deep-nested junk must not parse")
+  }
+
   test("minParallelism fans a narrow mp4 table out before the parse") {
     val target = spark.sparkContext.defaultParallelism
     val narrow = Mp4Meta
