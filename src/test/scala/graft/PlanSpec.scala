@@ -87,4 +87,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("runtime bloom-filter join pruning is live in the engine's session " +
+    "(fires once the 100 TB-scale thresholds are met)") {
+    import org.apache.spark.sql.functions._
+    import graft.engine.Tables
+    // At fleet scale Spark's InjectRuntimeFilter (default-on) builds a
+    // bloom filter from a selective join side and prunes the big side's
+    // scan BEFORE the shuffle — the native analog of a semi-join
+    // reduction, and a large shuffle-volume win on selective fact joins.
+    // Its application-side threshold is 10 GB, so it can never fire on
+    // test fixtures; this pin lowers the thresholds and proves the
+    // engine's conf/extensions do not BLOCK the rule (a regression here
+    // silently costs the full fact-scan shuffle at scale).
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set(keys(0), "10MB")
+      conf.set(keys(1), "1KB")
+      conf.set(keys(2), "-1") // force the shuffle join the filter serves
+      val l = Tables.load(spark, sf001, "lineitem")
+      val o = Tables.load(spark, sf001, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val q = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")))
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter_agg") &&
+        optimized.contains("might_contain"),
+        s"runtime bloom filter not injected:\n${optimized.take(800)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
