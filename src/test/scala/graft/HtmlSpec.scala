@@ -180,6 +180,56 @@ class HtmlSpec extends AnyFunSuite {
     }
   }
 
+  test("urls: canonical invariants hold over 500 randomized component " +
+    "combinations (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13L)
+    def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.length))
+    val urls = (0 until 500).map { i =>
+      val scheme = pick(Seq("http", "HTTP", "https", "HTTPS", "hTTps"))
+      val www = pick(Seq("", "www.", "WWW."))
+      val host = www + pick(Seq("ex.com", "EX.com", "a-b.Example.ORG"))
+      val port = pick(Seq("", ":80", ":443", ":8080", ":9"))
+      val path = pick(Seq("", "/", "/a", "/a/b", "/a/b/", "/UPPER/Case"))
+      val params = (0 until rnd.nextInt(4)).map(_ =>
+        pick(Seq("a=1", "b=2", "z=9", "utm_source=x", "utm_x=y", "")))
+      val q = if (params.isEmpty) "" else "?" + params.mkString("&")
+      val frag = pick(Seq("", "#f", "#sec/2?x=1"))
+      (i.toLong, s"$scheme://$host$port$path$q$frag")
+    }
+    val df = urls.toDF("id", "url")
+      .select(col("id"), col("url"), Urls.canonicalize(col("url")).as("c"))
+      .select(col("id"), col("url"), col("c"),
+        Urls.canonicalize(col("c")).as("cc"))
+    df.collect().foreach { r =>
+      val (u, c, cc) = (r.getString(1), r.getString(2), r.getString(3))
+      assert(c == cc, s"not idempotent: $u -> $c -> $cc")
+      assert(!c.contains("#"), s"fragment survived: $u -> $c")
+      val hostOut = c.split("://")(1).takeWhile(ch => ch != '/' && ch != '?')
+      val hostNoPort = hostOut.takeWhile(_ != ':')
+      assert(hostNoPort == hostNoPort.toLowerCase, s"host case: $u -> $c")
+      assert(!hostNoPort.startsWith("www."), s"www survived: $u -> $c")
+      // Default-port stripping is SCHEME-AWARE: :80 is default only for
+      // http (it is a real, non-default port on https — kept), :443 only
+      // for https.
+      val schemeOut = c.takeWhile(_ != ':')
+      val defPort = if (schemeOut == "http") ":80" else ":443"
+      assert(!hostOut.endsWith(defPort),
+        s"default port survived: $u -> $c")
+      if (c.contains("?")) {
+        val ps = c.split("\\?")(1).split("&").toSeq
+        assert(ps.forall(_.nonEmpty) && !ps.exists(_.startsWith("utm_")),
+          s"bad params: $u -> $c")
+        assert(ps == ps.sorted, s"params unsorted: $u -> $c")
+      }
+      // Path: root stays "/", otherwise no trailing slash.
+      val afterHost = c.split("://")(1).dropWhile(ch => ch != '/' && ch != '?')
+      val pathOut = afterHost.takeWhile(_ != '?')
+      assert(pathOut == "/" || !pathOut.endsWith("/"),
+        s"trailing slash survived: $u -> $c")
+    }
+  }
+
   test("urls: garbage inputs degrade, never throw") {
     import spark.implicits._
     val junk = Seq("", "not a url", "http//missing.colon/x", "://nohost",
