@@ -156,7 +156,17 @@ object Bench {
             .collect(SparkEntry.queries(name)(spark, sfDir))
           (reps, (System.nanoTime() - t0) / 1e9)
         } catch { case _: Throwable => (Seq.empty, -1.0) }
-      if (rerun > 0 && wallSec > 1.0 && wallSec > 3 * rerun) suspects += name
+      // Two triggers (both require wall > 1 s to skip noise-on-noise):
+      //  1. wall > 3× the in-run rerun (same plan moments later);
+      //  2. wall > 3× the SUM of stage task run time — catches sub-3×-rerun
+      //     contention (r13's q37: wall 4.7 s, rerun 1.9 s, stages < 2 s)
+      //     where the rerun itself absorbed some of the noise. Stage sum
+      //     OVERCOUNTS parallel work (32 threads), so wall ≫ sum can only
+      //     mean the wall clock ran while no query work did.
+      val stageSumSec = stages.map(_.runTimeMs).sum / 1000.0
+      if (wallSec > 1.0 &&
+          ((rerun > 0 && wallSec > 3 * rerun) ||
+           (stageSumSec > 0 && wallSec > 3 * stageSumSec))) suspects += name
       val stageRows = stages.sortBy(-_.runTimeMs).take(8).map { st =>
         s"""{"stage":${st.stageId},"tasks":${st.numTasks},"run_ms":${
           st.runTimeMs},"p95_ms":${st.p95Ms},"max_ms":${st.maxMs},"records":${

@@ -131,10 +131,13 @@ object Html {
   }
 
   /** Total characters of anchor inner text (the numerator of link
-    * density). Empty-anchor pages sum to 0, not null.
+    * density). Empty-anchor pages sum to 0, not null. The tag name is
+    * boundary-anchored — `<a(?:\s[^>]*)?>` matches bare `<a>` and
+    * attribute-bearing anchors but NOT `<abbr>`/`<article>` (ADVICE r13).
     */
   def anchorChars(html: Column): Column =
-    aggregate(regexp_extract_all(html, lit("(?s)<a [^>]*>(.*?)</a>"), lit(1)),
+    aggregate(
+      regexp_extract_all(html, lit("(?s)<a(?:\\s[^>]*)?>(.*?)</a>"), lit(1)),
       lit(0L), (acc, x) => acc + length(x).cast("long"))
 
   /** Page-level extraction + boilerplate features: extracted text, char
@@ -149,7 +152,7 @@ object Html {
         text.as("text"),
         length(text).as("text_chars"),
         size(regexp_extract_all(h, lit("<[a-zA-Z/!][^>]*>"), lit(0))).as("n_tags"),
-        size(regexp_extract_all(h, lit("<a [^>]*>"), lit(0))).as("n_links"),
+        size(regexp_extract_all(h, lit("<a(?:\\s[^>]*)?>"), lit(0))).as("n_links"),
         anchorChars(h).as("anchor_chars"))
       // floor(double) here equals exact integer division: numerator
       // ≤ ~1e9 is double-exact and a non-exact quotient sits ≥ 1/denom
@@ -159,8 +162,12 @@ object Html {
           greatest(col("text_chars"), lit(1))).cast("long"))
   }
 
+  // Tag names are boundary-anchored (`(?:\s[^>]*)?` instead of `[^>]*`):
+  // without the boundary, `<pre>`/`<param>`/`<picture>` would open a "p"
+  // block that lazily closes at the first `</p>` and mis-segment
+  // real-corpus pages (ADVICE r13). Still RE2-compatible — no lookaround.
   private val BlockRe =
-    "(?s)<(?:p|h1|nav|footer)[^>]*>.*?</(?:p|h1|nav|footer)>"
+    "(?s)<(?:p|h1|nav|footer)(?:\\s[^>]*)?>.*?</(?:p|h1|nav|footer)\\s*>"
 
   /** jusText-style main-content extraction: segment the page into
     * block-level elements, keep blocks with link density <

@@ -80,7 +80,10 @@ object Urls {
       !(scheme === "http" && port === "80")
     val rawPath = regexp_extract(noFrag,
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    val stripped = regexp_replace(rawPath, "/$", "")
+    // "/+$" not "/$": a real-corpus path ending in "//" must canonicalize
+    // to no trailing slash in ONE pass, or canon(canon(u)) != canon(u) —
+    // the idempotence invariant the property test pins (ADVICE r13).
+    val stripped = regexp_replace(rawPath, "/+$", "")
     val path = when(stripped === "", lit("/")).otherwise(stripped)
     val qc = array_join(array_sort(filter(
       split(regexp_extract(noFrag, "\\?([^#]*)", 1), "&"),

@@ -102,16 +102,16 @@ object Pipeline {
        '&nbsp;', ' '), '&amp;', '&'),
        '\\s+', ' ', 'g'))"""
 
-  // DuckDB twin of Html.anchorChars.
+  // DuckDB twin of Html.anchorChars (tag name boundary-anchored, ADVICE r13).
   private def oAnchorChars(x: String): String =
     s"cast(coalesce(list_sum(list_transform(regexp_extract_all($x, " +
-      "'(?s)<a [^>]*>(.*?)</a>', 1), a -> length(a))), 0) AS bigint)"
+      """'(?s)<a(?:\s[^>]*)?>(.*?)</a>', 1), a -> length(a))), 0) AS bigint)"""
 
   // DuckDB twin of Html.blockExtract over the oHtmlCtes `h` relation:
   // appends bl/r/k CTEs ending in per-id (n_blocks, kept block structs).
   private val oBlockCtes =
     s"""bl AS (SELECT id, regexp_extract_all(html,
-         '(?s)<(?:p|h1|nav|footer)[^>]*>.*?</(?:p|h1|nav|footer)>') AS bs
+         '(?s)<(?:p|h1|nav|footer)(?:\\s[^>]*)?>.*?</(?:p|h1|nav|footer)\\s*>') AS bs
        FROM h),
     r AS (SELECT id, len(bs) AS n_blocks,
             list_transform(bs, bk -> struct_pack(
@@ -161,8 +161,8 @@ object Pipeline {
         regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
         regexp_replace(regexp_replace(lower(hostport), ':[0-9]+$$', ''),
           '^www\\.', '') AS host,
-        CASE WHEN regexp_replace(rawpath, '/$$', '') = '' THEN '/'
-             ELSE regexp_replace(rawpath, '/$$', '') END AS path,
+        CASE WHEN regexp_replace(rawpath, '/+$$', '') = '' THEN '/'
+             ELSE regexp_replace(rawpath, '/+$$', '') END AS path,
         list_sort(list_filter(string_split(rawq, '&'),
           x -> x <> '' AND NOT starts_with(x, 'utm_'))) AS prms
       FROM p),
@@ -2381,7 +2381,7 @@ object Pipeline {
               cast(length(txt) AS integer) AS text_chars,
               cast(len(regexp_extract_all(html, '<[a-zA-Z/!][^>]*>')) AS integer)
                 AS n_tags,
-              cast(len(regexp_extract_all(html, '<a [^>]*>')) AS integer)
+              cast(len(regexp_extract_all(html, '<a(?:\\s[^>]*)?>')) AS integer)
                 AS n_links,
               ac AS anchor_chars,
               ac * 1000000 // greatest(length(txt), 1) AS ld_micro
@@ -2395,8 +2395,10 @@ object Pipeline {
         $oBlockCtes
         SELECT id, cast(n_blocks AS integer) AS n_blocks,
               cast(len(kept) AS integer) AS n_kept,
-              array_to_string(list_transform(kept, rr -> rr.t), ' ') AS main_text,
-              cast(length(array_to_string(list_transform(kept, rr -> rr.t), ' '))
+              coalesce(array_to_string(list_transform(kept, rr -> rr.t), ' '),
+                '') AS main_text,
+              cast(length(coalesce(array_to_string(
+                list_transform(kept, rr -> rr.t), ' '), ''))
                 AS integer) AS main_chars
         FROM k ORDER BY id""",
 
@@ -2417,8 +2419,8 @@ object Pipeline {
       s"""$oHtmlCtes,
         $oBlockCtes,
         $oUrlCtes,
-        mt AS (SELECT id, array_to_string(list_transform(kept, rr -> rr.t), ' ')
-                 AS main_text,
+        mt AS (SELECT id, coalesce(array_to_string(
+                 list_transform(kept, rr -> rr.t), ' '), '') AS main_text,
                cast(len(kept) AS integer) AS n_kept FROM k),
         surv AS (SELECT *, row_number() OVER (PARTITION BY canon_url
                    ORDER BY id) AS rk FROM f),

@@ -76,6 +76,28 @@ class HtmlSpec extends AnyFunSuite {
     assert(row.getAs[String]("main_text") == "abcdefgh i j")
   }
 
+  test("block/anchor tag names are boundary-anchored: <pre>/<param> do not " +
+    "open p-blocks, bare <a> anchors still count (ADVICE r13)") {
+    import spark.implicits._
+    // Without the name boundary, `<pre>` would open a "p" block that lazily
+    // closes at the first `</p>` — swallowing the code AND mis-counting the
+    // real paragraph. With the fix: exactly one block, the real <p>.
+    val html = "<pre>code; not prose</pre>" +
+      "<param name=\"x\"><picture>pic</picture>" +
+      "<p>real content paragraph here</p>"
+    val Array(b) = Html.blockExtract(
+      Seq((1L, html)).toDF("id", "html"), "id", "html").collect()
+    assert(b.getAs[Int]("n_blocks") == 1, s"mis-segmented: $b")
+    assert(b.getAs[String]("main_text") == "real content paragraph here")
+    // Bare `<a>` (no attributes) and newline-separated attributes both
+    // count as anchors for n_links and anchor_chars.
+    val html2 = "<p><a>bare</a> and <a\nhref=\"/x\">multi line</a> words</p>"
+    val Array(f) = Html.pageFeatures(
+      Seq((2L, html2)).toDF("id", "html"), "id", "html").collect()
+    assert(f.getAs[Int]("n_links") == 2, s"anchors missed: $f")
+    assert(f.getAs[Long]("anchor_chars") == "bare".length + "multi line".length)
+  }
+
   test("malformed HTML degrades, never throws: truncation, stray angle " +
     "brackets, unclosed script") {
     import spark.implicits._
@@ -170,6 +192,10 @@ class HtmlSpec extends AnyFunSuite {
         "https://example.com/p?a=2&z=1",
       // bare host -> "/" path
       "https://Example.com" -> "https://example.com/",
+      // MULTIPLE trailing slashes all strip in one pass (idempotence off
+      // the planted set — ADVICE r13)
+      "https://example.com/a//" -> "https://example.com/a",
+      "https://example.com///" -> "https://example.com/",
       // all params stripped -> no "?"
       "https://example.com/p?utm_a=1&utm_b=2" -> "https://example.com/p")
     val df = cases.map(_._1).toDF("url")
@@ -190,7 +216,8 @@ class HtmlSpec extends AnyFunSuite {
       val www = pick(Seq("", "www.", "WWW."))
       val host = www + pick(Seq("ex.com", "EX.com", "a-b.Example.ORG"))
       val port = pick(Seq("", ":80", ":443", ":8080", ":9"))
-      val path = pick(Seq("", "/", "/a", "/a/b", "/a/b/", "/UPPER/Case"))
+      val path = pick(Seq("", "/", "/a", "/a/b", "/a/b/", "/UPPER/Case",
+        "/a//", "//"))
       val params = (0 until rnd.nextInt(4)).map(_ =>
         pick(Seq("a=1", "b=2", "z=9", "utm_source=x", "utm_x=y", "")))
       val q = if (params.isEmpty) "" else "?" + params.mkString("&")
