@@ -93,7 +93,7 @@ object Multimodal {
     * deterministic, retry-safe); the explicit count survives AQE
     * coalescing.
     */
-  private def fanned(media: DataFrame, minParallelism: Int): DataFrame =
+  private[operators] def fanned(media: DataFrame, minParallelism: Int): DataFrame =
     if (minParallelism <= 1) media
     else media.repartition(minParallelism, col("media_id"))
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.functions.{HashExpressions, TextFunctions => TF}
-import graft.operators.{Dedup, Html, Mp4Meta, Multimodal, Profile, Quantize, Sampling, Similarity, TextOps, Urls}
+import graft.operators.{Dedup, Html, ImageHash, Mp4Meta, Multimodal, Profile, Quantize, Sampling, Similarity, TextOps, Urls}
 
 /** LLM-training-data pipeline query corpus (beyond the reference's own
   * surface, mandated by BASELINE.json): dedup family, similarity search,
@@ -1118,8 +1118,77 @@ object Pipeline {
           coalesce(col("n_quality"), lit(0L)).as("n_quality"),
           coalesce(col("n_final"), lit(0L)).as("n_final"))
         .orderBy(col("host"))
+    }),
+
+    // ---- perceptual image hashing: 64-bit dHash from the REAL ImageIO
+    // decode path (9x8 integer block-mean pool, adjacent-cell gradient
+    // signs). Planted pixels are closed-form in id, so the oracle
+    // recomputes every band word in SQL WITHOUT a codec — while the Spark
+    // side round-trips genuine PNG bytes. Narrow decode stage; only
+    // (id, 4 small words) leaves it. ----
+    "p74_image_dhash" -> ((s, dir) => {
+      ImageHash.dhashSignatures(Multimodal.plantPngs(docs(s, dir)))
+        .select(col("media_id").as("id"), col("width"), col("height"),
+          col("b0"), col("b1"), col("b2"), col("b3"))
+        .orderBy(col("id"))
+    }),
+
+    // ---- image near-dup pairs: re-encoded copies (decode -> re-encode
+    // PNG round trip, id+100000, every 5th doc) planted next to the base
+    // corpus, then banded Hamming bucketing (4x16-bit bands, exact recall
+    // at radius 3 by pigeonhole) + exact XOR-popcount verify. The oracle
+    // computes the ALL-PAIRS answer closed-form — equality proves the
+    // banding lost nothing. Payloads never shuffle; pair generation moves
+    // O(images x 4) slim rows. ----
+    "p75_image_neardup_pairs" -> ((s, dir) => {
+      val base = Multimodal.plantPngs(docs(s, dir))
+      val copies = Multimodal
+        .resizePooled(base.filter(col("media_id") % 5 === 0), 1)
+        .withColumn("media_id", col("media_id") + 100000L)
+      ImageHash.nearDupPairs(
+          ImageHash.dhashSignatures(base.unionByName(copies)))
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
+
+  // DuckDB twin of Multimodal.plantPngs pixels + ImageHash.dhashSignatures:
+  // CTE chain from an `allids(id, src)` relation (src drives the planted
+  // pixel rule `(src*7 + i*13) % 256`, w = 8+src%9, h = 8+src%7) to
+  // `words(id, w, h, b0..b3)` — the 9x8 block-mean grid, adjacent-cell
+  // gradient sign bits, folded into 4 16-bit band words. Pure integer
+  // arithmetic throughout (// floor-div on non-negatives = Java /), so the
+  // oracle owns no codec while the Spark side round-trips real PNG bytes.
+  private val oDhashCtes =
+    s"""ids AS (SELECT id, src, 8 + src % 9 AS w, 8 + src % 7 AS h
+         FROM allids),
+    cells AS (SELECT id, w, h, gy.y AS y, gx.x AS x, src,
+        (gx.x * w) // 9 AS x0,
+        greatest(((gx.x + 1) * w) // 9, (gx.x * w) // 9 + 1) AS x1,
+        (gy.y * h) // 8 AS y0,
+        greatest(((gy.y + 1) * h) // 8, (gy.y * h) // 8 + 1) AS y1
+      FROM ids,
+        (SELECT unnest(range(0, 8)) AS y) gy,
+        (SELECT unnest(range(0, 9)) AS x) gx),
+    means AS (SELECT id, y, x,
+        list_sum(flatten(list_transform(range(y0, y1), r ->
+          list_transform(range(x0, x1), c -> (src*7 + (r*w+c)*13) % 256))))
+          // ((y1 - y0) * (x1 - x0)) AS g
+      FROM cells),
+    bits AS (SELECT a.id AS id, a.y AS y, a.x AS x,
+        CASE WHEN a.g < b.g THEN 1 ELSE 0 END AS bit
+      FROM means a JOIN means b ON a.id = b.id AND a.y = b.y
+        AND b.x = a.x + 1
+      WHERE a.x < 8),
+    words AS (SELECT bits.id,
+        cast(sum(CASE WHEN (y*8+x) // 16 = 0
+          THEN bit * (1 << ((y*8+x) % 16)) ELSE 0 END) AS integer) AS b0,
+        cast(sum(CASE WHEN (y*8+x) // 16 = 1
+          THEN bit * (1 << ((y*8+x) % 16)) ELSE 0 END) AS integer) AS b1,
+        cast(sum(CASE WHEN (y*8+x) // 16 = 2
+          THEN bit * (1 << ((y*8+x) % 16)) ELSE 0 END) AS integer) AS b2,
+        cast(sum(CASE WHEN (y*8+x) // 16 = 3
+          THEN bit * (1 << ((y*8+x) % 16)) ELSE 0 END) AS integer) AS b3
+      FROM bits GROUP BY bits.id)"""
 
   val oracles: Map[String, String] = Map(
     "p41_ngram_perplexity" ->
@@ -2443,6 +2512,37 @@ object Pipeline {
               cast(coalesce(st2.n_final, 0) AS bigint) AS n_final
         FROM st0 LEFT JOIN st1 ON st0.host = st1.host
                  LEFT JOIN st2 ON st0.host = st2.host
-        ORDER BY st0.host"""
+        ORDER BY st0.host""",
+
+    // dHash twin: the full grid->bits->band-words computation redone in SQL
+    // from the planted pixel rule. Any disagreement in PNG round-trip,
+    // pooling boundaries, mean flooring, or bit packing breaks this row.
+    "p74_image_dhash" ->
+      s"""WITH allids AS (SELECT doc_id AS id, doc_id AS src FROM documents),
+        $oDhashCtes
+        SELECT ids.id, cast(ids.w AS integer) AS width,
+              cast(ids.h AS integer) AS height,
+              words.b0, words.b1, words.b2, words.b3
+        FROM ids JOIN words ON ids.id = words.id
+        ORDER BY ids.id""",
+
+    // Near-dup twin computes the ALL-PAIRS answer (id_a < id_b, XOR
+    // popcount over the 4 band words <= 3) — the banded Spark plan must
+    // equal it exactly (pigeonhole recall + exact verify).
+    "p75_image_neardup_pairs" ->
+      s"""WITH allids AS (
+          SELECT doc_id AS id, doc_id AS src FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS id, doc_id AS src FROM documents
+          WHERE doc_id % 5 = 0),
+        $oDhashCtes
+        SELECT a.id AS id_a, b.id AS id_b,
+              cast(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+                 + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+                AS integer) AS hamming
+        FROM words a JOIN words b ON a.id < b.id
+        WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+        ORDER BY id_a, id_b"""
   )
 }
