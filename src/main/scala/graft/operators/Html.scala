@@ -59,10 +59,17 @@ object Html {
     * dropped), and a link-dense `<footer>`. The page is a pure string
     * function of (id, text), so a DuckDB oracle rebuilds it exactly.
     */
-  def plantHtml(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val id = col(idCol)
+  def plantHtml(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      plantedPage(col(idCol), col(textCol)).as("html"))
+
+  /** The planted page as a column expression of (id, text) — exposed so
+    * composite fixtures ([[Warc.plantWarcs]]) embed the SAME closed-form
+    * page without a second scan or a self-join.
+    */
+  def plantedPage(id: Column, text: Column): Column = {
     val idS = id.cast("string")
-    val toks = tokens(col(textCol))
+    val toks = tokens(text)
     val n = size(toks)
     // ceil(n / ParaTokens); exact for n < 2^31 (double mantissa).
     val nP = ceil((n.cast("double")) / ParaTokens).cast("int")
@@ -105,8 +112,7 @@ object Html {
       "<a href=\"/t\">terms of use</a> &amp; <a href=\"/c\">contact</a>" +
       "</footer>")
 
-    df.select(id.as("id"),
-      concat(head, nav, h1, paras, footer, lit("</body></html>")).as("html"))
+    concat(head, nav, h1, paras, footer, lit("</body></html>"))
   }
 
   /** Decode the common HTML entities. `&amp;` is decoded LAST so that

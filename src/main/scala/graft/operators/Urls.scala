@@ -33,8 +33,14 @@ object Urls {
     * canonicalization occur naturally across a corpus (the dedup signal
     * p72 counts).
     */
-  def plantUrls(df: DataFrame, idCol: String): DataFrame = {
-    val id = col(idCol)
+  def plantUrls(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol).as("id"), plantedUrl(col(idCol)).as("url"))
+
+  /** The planted messy URL as a column expression of the id — exposed so
+    * composite fixtures ([[Warc.plantWarcs]]) embed the SAME closed-form
+    * URL without a second scan or a self-join.
+    */
+  def plantedUrl(id: Column): Column = {
     def s(c: Column): Column = c.cast("string")
     val scheme = when(id % 7 === 0, lit("HTTPS")).otherwise(lit("https"))
     val host = concat(lit("WWW.Site"), s(id % 13), lit(".Example.COM"))
@@ -50,10 +56,9 @@ object Urls {
     val q = array_join(params, "&")
     val frag = when(id % 2 === 0, concat(lit("#sec"), s(id % 6)))
       .otherwise(lit(""))
-    df.select(id.as("id"),
-      concat(scheme, lit("://"), host, port, path,
-        when(length(q) > 0, concat(lit("?"), q)).otherwise(lit("")),
-        frag).as("url"))
+    concat(scheme, lit("://"), host, port, path,
+      when(length(q) > 0, concat(lit("?"), q)).otherwise(lit("")),
+      frag)
   }
 
   /** Lowercased host with `www.` and any port stripped. */

@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** WARC (Web ARChive, ISO 28500) record parsing — the byte-level front door
+  * of a real crawl pipeline: CommonCrawl delivers WARC files, not HTML
+  * columns, so the p70-p73 web funnel is only "real end to end" once its
+  * input is parsed out of WARC bytes. The format is public and simple:
+  * each record is a `WARC/1.0` version line, CRLF-separated
+  * `Name: value` headers (notably WARC-Type, WARC-Target-URI and the
+  * mandatory Content-Length), a blank line, `Content-Length` payload
+  * BYTES, and a CRLF CRLF record separator; records concatenate to form a
+  * file.
+  *
+  * Same discipline as [[Mp4Meta]] (the other bounded byte walker):
+  *  - parsing is one narrow mapPartitions pass — payloads never shuffle;
+  *    downstream stages project the (small) fields they need and drop the
+  *    payload inside the same stage;
+  *  - the cursor strictly advances, every length is bounds-clamped, and a
+  *    truncated / bit-flipped / length-corrupted file degrades to the
+  *    records that parsed cleanly plus one `ok=false` tail row — never a
+  *    thrown task, never an unbounded loop.
+  *
+  * Planted fixtures ([[plantWarcs]]) wrap the SAME closed-form pages and
+  * URLs as the HTML family (`Html.plantHtml`, `Urls.plantUrls`), so a
+  * DuckDB oracle predicts every parsed field — record counts, types,
+  * URIs, byte lengths, payload md5 — without owning a WARC parser, and
+  * the full web funnel re-run from WARC input must reproduce the
+  * HTML-column funnel bit for bit.
+  */
+object Warc {
+
+  val warcSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("rec_idx", IntegerType, nullable = false),
+    StructField("warc_type", StringType, nullable = true),
+    StructField("target_uri", StringType, nullable = true),
+    StructField("content_length", LongType, nullable = true),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("ok", BooleanType, nullable = false)))
+
+  /** Upper bound on records per file: a crafted stream of minimal records
+    * must not accumulate an unbounded row buffer per input row.
+    */
+  val MaxRecords = 10000
+
+  private val Crlf = "\r\n".getBytes("US-ASCII")
+
+  /** Deterministic planted WARC file per document: a `warcinfo` record, a
+    * `request` record for every id % 3 == 0 (so multi-type skipping is
+    * exercised), and a `response` record whose WARC-Target-URI is the
+    * planted URL ([[Urls.plantUrls]] rule) and whose payload is the
+    * planted page ([[Html.plantHtml]] rule) — every byte a pure function
+    * of (id, text), so the oracle rebuilds the parse output closed-form.
+    */
+  def plantWarcs(docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(Multimodal.mediaSchema)
+    // Fan out FIRST (the plantPngs discipline: one-file fixtures otherwise
+    // pin the assembly to a single task), then build page + URL as column
+    // expressions of (id, text) in the same narrow stage — no self-join.
+    Multimodal.fanOutIds(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id").as("id"),
+        Html.plantedPage(col("doc_id"), col("text")).as("html"),
+        Urls.plantedUrl(col("doc_id")).as("url"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val html = r.getString(1)
+          val url = r.getString(2)
+          val bos = new java.io.ByteArrayOutputStream()
+          def record(headers: Seq[(String, String)], payload: Array[Byte]): Unit = {
+            bos.write("WARC/1.0\r\n".getBytes("US-ASCII"))
+            (headers :+ ("Content-Length" -> payload.length.toString))
+              .foreach { case (k, v) =>
+                bos.write(s"$k: $v\r\n".getBytes("US-ASCII"))
+              }
+            bos.write(Crlf)
+            bos.write(payload)
+            bos.write(Crlf); bos.write(Crlf)
+          }
+          record(
+            Seq("WARC-Type" -> "warcinfo",
+              "WARC-Record-ID" -> s"<urn:graft:info:$id>"),
+            s"software graft-crawler $id".getBytes("UTF-8"))
+          if (id % 3 == 0)
+            record(
+              Seq("WARC-Type" -> "request",
+                "WARC-Record-ID" -> s"<urn:graft:req:$id>",
+                "WARC-Target-URI" -> url),
+              s"GET $url".getBytes("UTF-8"))
+          record(
+            Seq("WARC-Type" -> "response",
+              "WARC-Record-ID" -> s"<urn:graft:resp:$id>",
+              "WARC-Target-URI" -> url,
+              "Content-Type" -> "text/html"),
+            html.getBytes("UTF-8"))
+          Row(id, "web", bos.toByteArray,
+            Row(null, null, null, "application/warc"))
+        }
+      }(enc)
+  }
+
+  /** Parse each payload's WARC records. One narrow mapPartitions pass;
+    * pass `minParallelism` for externally-loaded one-file tables (the
+    * r13 media-entry-point convention).
+    */
+  def parseWarc(media: DataFrame, minParallelism: Int = 1): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(warcSchema)
+    Multimodal.fanned(media.select(col("media_id"), col("data")), minParallelism)
+      .flatMap { r =>
+        val id = r.getLong(0)
+        val bytes =
+          if (r.isNullAt(1)) Array.emptyByteArray
+          else r.getAs[Array[Byte]](1)
+        try parseRecords(id, bytes)
+        catch { case _: Exception =>
+          Seq(Row(id, 0, null, null, null, null, false))
+        }
+      }(enc)
+  }
+
+  /** Bounded record walker. Every parse failure emits ONE `ok=false` row
+    * at the failing index and stops — prefix records that parsed cleanly
+    * are kept (the 100 TB contract: one corrupt record loses its file's
+    * tail, not the task).
+    */
+  private def parseRecords(id: Long, bytes: Array[Byte]): Seq[Row] = {
+    val out = Seq.newBuilder[Row]
+    var pos = 0
+    var idx = 0
+    var failed = false
+    // index of the next CRLF at/after `from`, or -1
+    def crlfAt(from: Int): Int = {
+      var i = from
+      while (i + 1 < bytes.length) {
+        if (bytes(i) == '\r' && bytes(i + 1) == '\n') return i
+        i += 1
+      }
+      -1
+    }
+    def ascii(from: Int, until: Int): String =
+      new String(bytes, from, until - from, "US-ASCII")
+    while (!failed && pos < bytes.length && idx < MaxRecords) {
+      val verEnd = crlfAt(pos)
+      if (verEnd < 0 || !ascii(pos, verEnd).startsWith("WARC/")) {
+        out += Row(id, idx, null, null, null, null, false); failed = true
+      } else {
+        var cur = verEnd + 2
+        var warcType: String = null
+        var targetUri: String = null
+        var contentLength = -1L
+        var headersOk = true
+        var blankSeen = false
+        while (headersOk && !blankSeen) {
+          val lineEnd = crlfAt(cur)
+          if (lineEnd < 0) headersOk = false
+          else if (lineEnd == cur) { blankSeen = true; cur = lineEnd + 2 }
+          else {
+            val line = ascii(cur, lineEnd)
+            val sep = line.indexOf(':')
+            if (sep > 0) {
+              val k = line.substring(0, sep).trim.toLowerCase
+              val v = line.substring(sep + 1).trim
+              k match {
+                case "warc-type" => warcType = v
+                case "warc-target-uri" => targetUri = v
+                case "content-length" =>
+                  contentLength =
+                    try v.toLong catch { case _: NumberFormatException => -1L }
+                case _ => ()
+              }
+            }
+            cur = lineEnd + 2
+          }
+        }
+        if (!headersOk || contentLength < 0 ||
+            contentLength > (bytes.length - cur).toLong) {
+          out += Row(id, idx, warcType, targetUri,
+            if (contentLength >= 0) java.lang.Long.valueOf(contentLength) else null,
+            null, false)
+          failed = true
+        } else {
+          val payload = java.util.Arrays.copyOfRange(
+            bytes, cur, cur + contentLength.toInt)
+          out += Row(id, idx, warcType, targetUri,
+            java.lang.Long.valueOf(contentLength), payload, true)
+          cur += contentLength.toInt
+          // record separator CRLF CRLF (tolerate EOF right after payload)
+          var sepSkipped = 0
+          while (sepSkipped < 4 && cur < bytes.length &&
+                 (bytes(cur) == '\r' || bytes(cur) == '\n')) {
+            cur += 1; sepSkipped += 1
+          }
+          if (cur < bytes.length && sepSkipped < 4) {
+            // garbage where the separator should be
+            out += Row(id, idx + 1, null, null, null, null, false)
+            failed = true
+          }
+          pos = cur
+          idx += 1
+        }
+      }
+    }
+    out.result()
+  }
+}

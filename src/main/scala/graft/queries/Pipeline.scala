@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.functions.{HashExpressions, TextFunctions => TF}
-import graft.operators.{Dedup, Html, ImageHash, Mp4Meta, Multimodal, Profile, Quantize, Sampling, Similarity, TextOps, Urls}
+import graft.operators.{Dedup, Html, ImageHash, Mp4Meta, Multimodal, Profile, Quantize, Sampling, Similarity, TextOps, Urls, Warc}
 
 /** LLM-training-data pipeline query corpus (beyond the reference's own
   * surface, mandated by BASELINE.json): dedup family, similarity search,
@@ -1148,6 +1148,60 @@ object Pipeline {
       ImageHash.nearDupPairs(
           ImageHash.dhashSignatures(base.unionByName(copies)))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- WARC record parsing: planted multi-record WARC files (warcinfo
+    // + request for every 3rd id + response carrying the planted page and
+    // URL) parsed back by the bounded byte walker. The oracle recomputes
+    // counts/types/URIs/byte-lengths/payload md5s closed-form — genuine
+    // framing bytes on the Spark side, zero WARC code on the oracle side.
+    // Narrow parse; payloads never shuffle. ----
+    "p76_warc_records" -> ((s, dir) => {
+      Warc.parseWarc(Warc.plantWarcs(docs(s, dir)))
+        .select(col("media_id").as("id"), col("rec_idx"), col("warc_type"),
+          col("target_uri"), col("content_length"),
+          md5(col("payload")).as("payload_md5"), col("ok"))
+        .orderBy(col("id"), col("rec_idx"))
+    }),
+
+    // ---- the p73 web funnel fed from WARC BYTES instead of an HTML
+    // column: parse -> responses -> (uri, payload->html) -> canonical
+    // keep-first -> block-extraction quality gate -> content-fingerprint
+    // dedup -> per-host report. Oracle is VERBATIM p73's — proving the
+    // parse layer transparent end to end. Payloads stay in the narrow
+    // parse/extract stages; only slim columns shuffle. ----
+    "p77_warc_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val recs = Warc.parseWarc(Warc.plantWarcs(docs(s, dir)))
+        .filter(col("ok") && col("warc_type") === "response")
+        .select(col("media_id").as("id"), col("target_uri").as("url"),
+          decode(col("payload"), "UTF-8").as("html"))
+      val canon = Urls.withCanonical(recs.select(col("id"), col("url")),
+        "id", "url")
+      val surv = canon
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("canon_url")).orderBy(col("id"))))
+        .filter(col("rk") === 1)
+      val extracted = Html.blockExtract(recs, "id", "html")
+        .select(col("id"), col("main_text"), col("n_kept"), col("main_chars"))
+      val gated = surv.select(col("id"), col("host")).join(extracted, "id")
+        .filter(col("main_chars") >= 120 && col("n_kept") >= 2)
+        .withColumn("fp", md5(regexp_replace(col("main_text"),
+          "^doc [0-9]+ & heading <x> ?", "")))
+      val ded = gated
+        .withColumn("rk2", row_number().over(
+          Window.partitionBy(col("fp")).orderBy(col("id"))))
+        .filter(col("rk2") === 1)
+      val st0 = canon.groupBy(col("host"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("canon_url")).as("n_canonical"))
+      val st1 = gated.groupBy(col("host")).agg(count(lit(1)).as("n_quality"))
+      val st2 = ded.groupBy(col("host")).agg(count(lit(1)).as("n_final"))
+      st0.join(st1, Seq("host"), "left").join(st2, Seq("host"), "left")
+        .select(col("host"), col("n_urls"), col("n_canonical"),
+          coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+          coalesce(col("n_final"), lit(0L)).as("n_final"))
+        .orderBy(col("host"))
     })
   )
 
@@ -1189,6 +1243,39 @@ object Pipeline {
         cast(sum(CASE WHEN (y*8+x) // 16 = 3
           THEN bit * (1 << ((y*8+x) % 16)) ELSE 0 END) AS integer) AS b3
       FROM bits GROUP BY bits.id)"""
+
+  // Web-funnel twin (p73, and p77 verbatim — the WARC parse layer must be
+  // transparent): canonical-URL keep-first, block-extraction quality gate,
+  // content-fingerprint keep-first, per-host stage counts.
+  private val oWebFunnelSql =
+    s"""$oHtmlCtes,
+        $oBlockCtes,
+        $oUrlCtes,
+        mt AS (SELECT id, coalesce(array_to_string(
+                 list_transform(kept, rr -> rr.t), ' '), '') AS main_text,
+               cast(len(kept) AS integer) AS n_kept FROM k),
+        surv AS (SELECT *, row_number() OVER (PARTITION BY canon_url
+                   ORDER BY id) AS rk FROM f),
+        s1 AS (SELECT surv.id, surv.host, mt.main_text, mt.n_kept,
+                 length(mt.main_text) AS main_chars
+               FROM surv JOIN mt ON surv.id = mt.id WHERE surv.rk = 1),
+        gated AS (SELECT *, md5(regexp_replace(main_text,
+                    '^doc [0-9]+ & heading <x> ?', '')) AS fp
+                  FROM s1 WHERE main_chars >= 120 AND n_kept >= 2),
+        ded AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY id)
+                  AS rk2 FROM gated),
+        st0 AS (SELECT host, count(*) AS n_urls,
+                  count(DISTINCT canon_url) AS n_canonical FROM f GROUP BY host),
+        st1 AS (SELECT host, count(*) AS n_quality FROM gated GROUP BY host),
+        st2 AS (SELECT host, count(*) AS n_final FROM ded WHERE rk2 = 1
+                GROUP BY host)
+        SELECT st0.host, cast(st0.n_urls AS bigint) AS n_urls,
+              cast(st0.n_canonical AS bigint) AS n_canonical,
+              cast(coalesce(st1.n_quality, 0) AS bigint) AS n_quality,
+              cast(coalesce(st2.n_final, 0) AS bigint) AS n_final
+        FROM st0 LEFT JOIN st1 ON st0.host = st1.host
+                 LEFT JOIN st2 ON st0.host = st2.host
+        ORDER BY st0.host"""
 
   val oracles: Map[String, String] = Map(
     "p41_ngram_perplexity" ->
@@ -2484,35 +2571,41 @@ object Pipeline {
     // Full web-funnel twin: canonical-URL keep-first, block-extraction
     // quality gate, content-fingerprint keep-first (md5 over main_text
     // with the id-bearing h1 prefix removed), per-host stage counts.
-    "p73_web_curation" ->
+    // Shared verbatim by p77: the WARC-fed funnel must reproduce the
+    // HTML-column funnel exactly (the parse layer is transparent).
+    "p73_web_curation" -> oWebFunnelSql,
+
+    // WARC parse twin: record counts/types/URIs/byte-lengths/payload md5s
+    // all recomputed closed-form from the SAME planted page + URL rules —
+    // the parser's output must equal what was framed, byte for byte
+    // (octet_length = UTF-8 bytes = the framed Content-Length).
+    "p76_warc_records" ->
       s"""$oHtmlCtes,
-        $oBlockCtes,
-        $oUrlCtes,
-        mt AS (SELECT id, coalesce(array_to_string(
-                 list_transform(kept, rr -> rr.t), ' '), '') AS main_text,
-               cast(len(kept) AS integer) AS n_kept FROM k),
-        surv AS (SELECT *, row_number() OVER (PARTITION BY canon_url
-                   ORDER BY id) AS rk FROM f),
-        s1 AS (SELECT surv.id, surv.host, mt.main_text, mt.n_kept,
-                 length(mt.main_text) AS main_chars
-               FROM surv JOIN mt ON surv.id = mt.id WHERE surv.rk = 1),
-        gated AS (SELECT *, md5(regexp_replace(main_text,
-                    '^doc [0-9]+ & heading <x> ?', '')) AS fp
-                  FROM s1 WHERE main_chars >= 120 AND n_kept >= 2),
-        ded AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY id)
-                  AS rk2 FROM gated),
-        st0 AS (SELECT host, count(*) AS n_urls,
-                  count(DISTINCT canon_url) AS n_canonical FROM f GROUP BY host),
-        st1 AS (SELECT host, count(*) AS n_quality FROM gated GROUP BY host),
-        st2 AS (SELECT host, count(*) AS n_final FROM ded WHERE rk2 = 1
-                GROUP BY host)
-        SELECT st0.host, cast(st0.n_urls AS bigint) AS n_urls,
-              cast(st0.n_canonical AS bigint) AS n_canonical,
-              cast(coalesce(st1.n_quality, 0) AS bigint) AS n_quality,
-              cast(coalesce(st2.n_final, 0) AS bigint) AS n_final
-        FROM st0 LEFT JOIN st1 ON st0.host = st1.host
-                 LEFT JOIN st2 ON st0.host = st2.host
-        ORDER BY st0.host""",
+        $oUrlCtes
+        SELECT * FROM (
+          SELECT h.id AS id, 0 AS rec_idx, 'warcinfo' AS warc_type,
+                cast(NULL AS varchar) AS target_uri,
+                cast(octet_length(encode('software graft-crawler ' || h.id))
+                  AS bigint) AS content_length,
+                md5('software graft-crawler ' || h.id) AS payload_md5,
+                true AS ok
+          FROM h
+          UNION ALL
+          SELECT f.id, 1, 'request', f.url,
+                cast(octet_length(encode('GET ' || f.url)) AS bigint),
+                md5('GET ' || f.url), true
+          FROM f WHERE f.id % 3 = 0
+          UNION ALL
+          SELECT h.id, CASE WHEN h.id % 3 = 0 THEN 2 ELSE 1 END, 'response',
+                f.url, cast(octet_length(encode(h.html)) AS bigint),
+                md5(h.html), true
+          FROM h JOIN f ON h.id = f.id)
+        ORDER BY id, rec_idx""",
+
+    // WARC-fed funnel twin: VERBATIM the p73 oracle — the parse layer must
+    // be transparent, so the funnel recomputed from WARC bytes equals the
+    // funnel computed from the HTML column.
+    "p77_warc_funnel" -> oWebFunnelSql,
 
     // dHash twin: the full grid->bits->band-words computation redone in SQL
     // from the planted pixel rule. Any disagreement in PNG round-trip,

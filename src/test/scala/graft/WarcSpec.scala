@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Urls, Warc}
+
+class WarcSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def docs(ids: Seq[Long]) = {
+    import spark.implicits._
+    ids.map(i => (i, s"alpha beta gamma delta epsilon doc$i words here now"))
+      .toDF("doc_id", "text")
+  }
+
+  private def plantedBytes(id: Long): Array[Byte] =
+    Warc.plantWarcs(docs(Seq(id))).collect()(0).getAs[Array[Byte]]("data")
+
+  private def mediaDf(rows: Seq[(Long, Array[Byte])]) = {
+    import spark.implicits._
+    rows.toDF("media_id", "data")
+  }
+
+  test("planted multi-record files parse back exactly: types in order, " +
+    "target URI = planted URL, payload bytes = framed Content-Length") {
+    val parsed = Warc.parseWarc(Warc.plantWarcs(docs(Seq(5L, 6L))))
+      .orderBy(col("media_id"), col("rec_idx")).collect()
+    // id=5: warcinfo + response; id=6 (6%3==0): warcinfo + request + response.
+    assert(parsed.map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq ==
+      Seq((5L, 0, "warcinfo"), (5L, 1, "response"),
+        (6L, 0, "warcinfo"), (6L, 1, "request"), (6L, 2, "response")))
+    assert(parsed.forall(_.getAs[Boolean]("ok")))
+    val wantUrl5 = docs(Seq(5L))
+      .select(Urls.plantedUrl(col("doc_id"))).collect()(0).getString(0)
+    val resp5 = parsed.find(r => r.getLong(0) == 5L && r.getInt(1) == 1).get
+    assert(resp5.getAs[String]("target_uri") == wantUrl5)
+    val payload = resp5.getAs[Array[Byte]]("payload")
+    assert(payload.length.toLong == resp5.getAs[Long]("content_length"))
+    val html = new String(payload, "UTF-8")
+    assert(html.startsWith("<html><head><title>doc 5</title>"))
+    assert(html.endsWith("</body></html>"))
+    // warcinfo has no target URI.
+    assert(parsed.filter(_.getString(2) == "warcinfo")
+      .forall(_.isNullAt(3)))
+  }
+
+  test("truncation at EVERY byte boundary degrades, never throws: clean " +
+    "prefix records kept, ok=false tail, strictly bounded output") {
+    val full = plantedBytes(9L) // 9%3==0: three records
+    val fullRecs = Warc.parseWarc(mediaDf(Seq(9L -> full))).collect()
+    assert(fullRecs.length == 3 && fullRecs.forall(_.getAs[Boolean]("ok")))
+    // Parse every truncation (the payload is ~1 KB; step 1 keeps it cheap
+    // and total — a walker bug at ANY cut point surfaces). Cut 0 is skipped:
+    // an empty file is a valid zero-record parse and emits no rows.
+    val cuts = (1 until full.length).map(n =>
+      (n.toLong, java.util.Arrays.copyOfRange(full, 0, n)))
+    val out = Warc.parseWarc(mediaDf(cuts))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ok"), 1).otherwise(0)).as("n_ok"),
+        max(col("rec_idx")).as("max_idx"))
+      .collect()
+    assert(out.length == full.length - 1)
+    out.foreach { r =>
+      val (n, nOk) = (r.getAs[Long]("n"), r.getAs[Long]("n_ok"))
+      assert(n <= 4, s"cut ${r.getLong(0)}: too many rows $n")
+      assert(nOk <= 3 && n - nOk <= 1,
+        s"cut ${r.getLong(0)}: $nOk ok of $n (at most one failure row)")
+    }
+    // A cut strictly inside record 2's payload keeps records 0 and 1.
+    val resp = fullRecs(2)
+    val respStart = full.length - 4 - resp.getAs[Long]("content_length").toInt
+    val mid = Warc.parseWarc(mediaDf(Seq(1L ->
+      java.util.Arrays.copyOfRange(full, 0, respStart + 10)))).collect()
+    assert(mid.count(_.getAs[Boolean]("ok")) == 2)
+  }
+
+  test("seeded mutation fuzz: 300 corrupted files (bit flips, splices, " +
+    "digit edits in Content-Length) degrade, never throw, never emit " +
+    "payloads longer than the file") {
+    val base = plantedBytes(12L)
+    val rnd = new scala.util.Random(20260815L)
+    val mutants = (0 until 300).map { i =>
+      val b = base.clone()
+      rnd.nextInt(3) match {
+        case 0 => // flip 1-8 random bytes
+          (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+            b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+          }
+        case 1 => // zero a CRLF (merges header lines / breaks separators)
+          val idx = b.indices.find(j =>
+            j > rnd.nextInt(b.length) && b(j) == '\r').getOrElse(0)
+          b(idx) = ' '
+        case 2 => // scribble digits over a region (hits Content-Length often)
+          val at = rnd.nextInt(b.length - 4)
+          (0 until 4).foreach(j => b(at + j) = ('0' + rnd.nextInt(10)).toByte)
+      }
+      (i.toLong, b)
+    }
+    val rows = Warc.parseWarc(mediaDf(mutants)).collect()
+    assert(rows.nonEmpty)
+    val byId = rows.groupBy(_.getLong(0))
+    assert(byId.size == 300)
+    rows.foreach { r =>
+      assert(r.getInt(1) >= 0 && r.getInt(1) <= Warc.MaxRecords)
+      if (!r.isNullAt(5))
+        assert(r.getAs[Array[Byte]](5).length <= base.length,
+          s"payload longer than file for ${r.getLong(0)}")
+    }
+    // Failure rows terminate a file's parse: at most one non-ok per file.
+    byId.values.foreach { rs =>
+      assert(rs.count(!_.getAs[Boolean]("ok")) <= 1)
+    }
+  }
+
+  test("record-count bound: a crafted stream of minimal records stops at " +
+    "MaxRecords instead of buffering unbounded rows") {
+    val one = ("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 1\r\n" +
+      "\r\nx\r\n\r\n").getBytes("US-ASCII")
+    val bos = new java.io.ByteArrayOutputStream()
+    (0 until Warc.MaxRecords + 50).foreach(_ => bos.write(one))
+    val n = Warc.parseWarc(mediaDf(Seq(1L -> bos.toByteArray))).count()
+    assert(n == Warc.MaxRecords, s"got $n rows")
+  }
+
+  test("empty and null payloads degrade to a single ok=false row... or " +
+    "nothing for a zero-byte file") {
+    import spark.implicits._
+    val junk = Seq(
+      (1L, Array.emptyByteArray),
+      (2L, null.asInstanceOf[Array[Byte]]),
+      (3L, "not a warc at all".getBytes("UTF-8"))).toDF("media_id", "data")
+    val rows = Warc.parseWarc(junk).collect()
+    // Empty input: zero records is a valid parse of a zero-record file.
+    assert(rows.forall(r => !r.getAs[Boolean]("ok") || r.getLong(0) < 0))
+    assert(rows.map(_.getLong(0)).toSet == Set(3L),
+      "only the garbage-header file emits a failure row")
+  }
+
+  test("plant + parse stay narrow: no shuffle beyond the id fan-out, no " +
+    "payload exchange") {
+    val plan = Warc.parseWarc(Warc.plantWarcs(docs((0L until 8L).toSeq)))
+      .queryExecution.executedPlan.toString
+    // Exactly the one fan-out exchange from plantWarcs' fanOutIds.
+    assert(plan.split("Exchange").length - 1 <= 1,
+      s"extra shuffles in parse plan:\n$plan")
+  }
+}
