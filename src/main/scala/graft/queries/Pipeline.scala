@@ -1202,6 +1202,44 @@ object Pipeline {
           coalesce(col("n_quality"), lit(0L)).as("n_quality"),
           coalesce(col("n_final"), lit(0L)).as("n_final"))
         .orderBy(col("host"))
+    }),
+
+    // ---- TRUE subword tokenization (planted-vocab greedy WordPiece as a
+    // codegen'd expression — not the regex proxy): per-doc piece count,
+    // id sum, and an ORDER-SENSITIVE positional checksum, so the oracle's
+    // recursive-CTE walk must reproduce the exact token SEQUENCE, not just
+    // its bag. Two-stage select keeps the encode kernel at once-per-row.
+    // Narrow, shuffle-free, whole-stage codegen. ----
+    "p78_bpe_encode" -> ((s, dir) => {
+      graft.functions.Bpe.register(s)
+      docs(s, dir)
+        .select(col("doc_id"),
+          graft.functions.Bpe.bpeEncode(TF.normText(col("text"))).as("__ids"))
+        .select(col("doc_id"),
+          size(col("__ids")).as("n_pieces"),
+          aggregate(col("__ids"), lit(0L),
+            (a, x) => a + x.cast("long")).as("id_sum"),
+          aggregate(
+            transform(col("__ids"),
+              (x, i) => x.cast("long") * (i + 1).cast("long")),
+            lit(0L), (a, x) => a + x).as("checksum"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- the budget consumer rewired through TRUE tokenization: shard
+    // packing where the budget is the planted-vocab subword count (what a
+    // trainer actually sees), not chars or whitespace tokens. Same
+    // two-phase prefix-sum packer as p21, parameterized by the BPE weight
+    // column. ----
+    "p79_bpe_packing" -> ((s, dir) => {
+      graft.functions.Bpe.register(s)
+      val withBpe = docs(s, dir).select(col("doc_id"),
+        graft.functions.Bpe.bpeCount(TF.normText(col("text"))).as("n_bpe"))
+      Sampling.packByBudget(withBpe, "doc_id", "n_bpe", budget = 5000L)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bpe")).cast("long").as("total_bpe"))
+        .orderBy(col("shard"))
     })
   )
 
@@ -1243,6 +1281,57 @@ object Pipeline {
         cast(sum(CASE WHEN (y*8+x) // 16 = 3
           THEN bit * (1 << ((y*8+x) % 16)) ELSE 0 END) AS integer) AS b3
       FROM bits GROUP BY bits.id)"""
+
+  // DuckDB twin of Bpe.bpeEncodeJava's greedy scan, as a RECURSIVE walk
+  // carrying scalars only (cur position, piece count, id sum, positional
+  // checksum — no list accumulation, so total work is O(total chars)).
+  // The 3/2/1 CASE ladder mirrors the kernel's longest-first match; UNK
+  // advances one codepoint like the kernel (charCount for non-BMP). Ends
+  // with `walk`; the final state per id is the row with cur = length+1.
+  private val oBpePid =
+    """CASE WHEN substr(nt, cur, 1) = ' ' THEN NULL
+        WHEN substr(nt, cur, 3) = 'the' THEN 50
+        WHEN substr(nt, cur, 3) = 'ing' THEN 51
+        WHEN substr(nt, cur, 3) = 'and' THEN 52
+        WHEN substr(nt, cur, 3) = 'ion' THEN 53
+        WHEN substr(nt, cur, 3) = 'ent' THEN 54
+        WHEN substr(nt, cur, 3) = 'her' THEN 55
+        WHEN substr(nt, cur, 2) = 'th' THEN 40
+        WHEN substr(nt, cur, 2) = 'he' THEN 41
+        WHEN substr(nt, cur, 2) = 'in' THEN 42
+        WHEN substr(nt, cur, 2) = 'er' THEN 43
+        WHEN substr(nt, cur, 2) = 'an' THEN 44
+        WHEN substr(nt, cur, 2) = 're' THEN 45
+        WHEN substr(nt, cur, 2) = 'on' THEN 46
+        WHEN substr(nt, cur, 2) = 'at' THEN 47
+        WHEN substr(nt, cur, 2) = 'en' THEN 48
+        WHEN substr(nt, cur, 2) = 'nd' THEN 49
+        WHEN substr(nt, cur, 1) BETWEEN 'a' AND 'z'
+          THEN 1 + unicode(substr(nt, cur, 1)) - unicode('a')
+        WHEN substr(nt, cur, 1) BETWEEN '0' AND '9'
+          THEN 27 + unicode(substr(nt, cur, 1)) - unicode('0')
+        ELSE 0 END"""
+
+  private val oBpeStep =
+    """CASE WHEN substr(nt, cur, 1) = ' ' THEN 1
+        WHEN substr(nt, cur, 3) IN ('the','ing','and','ion','ent','her') THEN 3
+        WHEN substr(nt, cur, 2) IN
+          ('th','he','in','er','an','re','on','at','en','nd') THEN 2
+        ELSE 1 END"""
+
+  private val oBpeWalk =
+    s"""WITH RECURSIVE d AS (SELECT doc_id AS id, $oNorm AS nt FROM documents),
+    walk AS (
+      SELECT id, nt, 1 AS cur, 0 AS cnt,
+            cast(0 AS bigint) AS id_sum, cast(0 AS bigint) AS checksum
+      FROM d
+      UNION ALL
+      SELECT id, nt,
+            cur + $oBpeStep,
+            cnt + CASE WHEN substr(nt, cur, 1) = ' ' THEN 0 ELSE 1 END,
+            id_sum + coalesce($oBpePid, 0),
+            checksum + coalesce(cast(cnt + 1 AS bigint) * ($oBpePid), 0)
+      FROM walk WHERE cur <= length(nt))"""
 
   // Web-funnel twin (p73, and p77 verbatim — the WARC parse layer must be
   // transparent): canonical-URL keep-first, block-extraction quality gate,
@@ -2636,6 +2725,31 @@ object Pipeline {
         FROM words a JOIN words b ON a.id < b.id
         WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
             + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
-        ORDER BY id_a, id_b"""
+        ORDER BY id_a, id_b""",
+
+    // BPE twin: the same greedy longest-first scan as a recursive walk.
+    // The positional checksum makes this sequence-exact — a piece emitted
+    // out of order (or a wrong merge winning a tie) breaks the row even
+    // when the piece BAG is right.
+    "p78_bpe_encode" ->
+      s"""$oBpeWalk
+        SELECT id AS doc_id, cast(cnt AS integer) AS n_pieces,
+              id_sum, checksum
+        FROM walk WHERE cur = length(nt) + 1
+        ORDER BY doc_id""",
+
+    // Packing twin: per-doc subword counts from the same walk, then the
+    // p21 window-cumsum shard rule over the BPE budget.
+    "p79_bpe_packing" ->
+      s"""$oBpeWalk,
+        t AS (SELECT id AS doc_id, cnt AS n_bpe FROM walk
+              WHERE cur = length(nt) + 1),
+        c AS (SELECT doc_id, n_bpe,
+                coalesce(sum(n_bpe) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+              FROM t)
+        SELECT cast(floor(excl / 5000) AS integer) AS shard,
+              count(*) AS n_docs, cast(sum(n_bpe) AS bigint) AS total_bpe
+        FROM c GROUP BY shard ORDER BY shard"""
   )
 }
