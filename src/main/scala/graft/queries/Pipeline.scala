@@ -57,6 +57,17 @@ object Pipeline {
         emb(s, dir).count())
   }
 
+  /** TEST-ONLY gate-sensitivity hook (`GRAFT_MUTATE=1`, set ONLY by
+    * `tools/mutation_check.sh`): deliberately miscompiles two queries —
+    * p66's amp_sum cast to double (the dtype-class path) and p72's
+    * n_params_kept off by one (the value/hash path) — so the differential
+    * harness is itself differentially tested: check.py MUST go red on
+    * both. Never set in any driver, bench, or CI path; the default
+    * (unset) compiles the correct queries.
+    */
+  private def mutateGate: Boolean =
+    sys.env.contains("GRAFT_MUTATE") || sys.props.contains("graft.mutate")
+
   // DuckDB twin of TF.normText.
   private val oNorm = "trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))"
   private val oToks = s"string_split($oNorm, ' ')"
@@ -977,9 +988,13 @@ object Pipeline {
     // sign or endianness error anywhere in the plant/encode/decode chain
     // breaks this row. ----
     "p66_audio16_decode" -> ((s, dir) => {
+      // amp_sum double-cast under GRAFT_MUTATE: the dtype-class mutation
+      // tools/mutation_check.sh asserts the gate catches.
+      val amp =
+        if (mutateGate) col("amp_sum").cast("double") else col("amp_sum")
       Multimodal.decodeAudioFeatures(Multimodal.plantWavs16(docs(s, dir)))
         .select(col("media_id"), col("sample_rate"), col("channels"),
-          col("n_frames"), col("amp_sum"), col("decoded"))
+          col("n_frames"), amp.as("amp_sum"), col("decoded"))
         .orderBy(col("media_id"))
     }),
 
@@ -1075,9 +1090,15 @@ object Pipeline {
     // shared-canonical-URL count (the key a crawl dedups on BEFORE paying
     // content hashing). Only (id, canon_url) shuffles for the window. ----
     "p72_url_canonicalize" -> ((s, dir) => {
-      Urls.withCanonical(Urls.plantUrls(docs(s, dir), "doc_id"),
+      val base = Urls.withCanonical(Urls.plantUrls(docs(s, dir), "doc_id"),
         "id", "url")
-        .orderBy(col("id"))
+      // n_params_kept off by one under GRAFT_MUTATE: the value/hash-path
+      // mutation tools/mutation_check.sh asserts the gate catches.
+      val out =
+        if (mutateGate)
+          base.withColumn("n_params_kept", col("n_params_kept") + 1)
+        else base
+      out.orderBy(col("id"))
     }),
 
     // ---- the full web-crawl front-end funnel, composed: canonical-URL
@@ -1240,6 +1261,23 @@ object Pipeline {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_bpe")).cast("long").as("total_bpe"))
         .orderBy(col("shard"))
+    }),
+
+    // ---- per-host crawl quota (politeness cap): canonical keep-first
+    // dedup, then at most k pages per HOST via the deterministic
+    // hash-ordered cap — the last standard crawl-curation rule. Both
+    // windows move only (id, canon_url/host) slim columns. ----
+    "p80_host_quota" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val canon = Urls.plantUrls(docs(s, dir), "doc_id")
+        .select(col("id"), Urls.canonicalize(col("url")).as("canon_url"),
+          Urls.hostOf(col("url")).as("host"))
+      val surv = canon.withColumn("rk1", row_number().over(
+          Window.partitionBy(col("canon_url")).orderBy(col("id"))))
+        .filter(col("rk1") === 1).drop("rk1")
+      Sampling.capPerGroup(surv, "host", "id", k = 25)
+        .select(col("id"), col("host"), col("canon_url"), col("rk"))
+        .orderBy(col("id"))
     })
   )
 
@@ -2750,6 +2788,21 @@ object Pipeline {
               FROM t)
         SELECT cast(floor(excl / 5000) AS integer) AS shard,
               count(*) AS n_docs, cast(sum(n_bpe) AS bigint) AS total_bpe
-        FROM c GROUP BY shard ORDER BY shard"""
+        FROM c GROUP BY shard ORDER BY shard""",
+
+    // Host-quota twin: canonical keep-first, then the p43 bucket-hash cap
+    // order per host.
+    "p80_host_quota" ->
+      s"""WITH $oUrlCtes,
+        surv AS (SELECT id, host, canon_url,
+            row_number() OVER (PARTITION BY canon_url ORDER BY id) AS rk1
+          FROM f),
+        capped AS (SELECT id, host, canon_url,
+            row_number() OVER (PARTITION BY host
+              ORDER BY ((id % 4294967296) * 1103515245) % 4294967296, id)
+              AS rk
+          FROM surv WHERE rk1 = 1)
+        SELECT id, host, canon_url, cast(rk AS integer) AS rk
+        FROM capped WHERE rk <= 25 ORDER BY id"""
   )
 }
