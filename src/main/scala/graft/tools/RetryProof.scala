@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{GraftSession, Tables}
-import graft.operators.{Dedup, Html, Multimodal, Sampling, Urls}
+import graft.operators.{Dedup, Html, ImageHash, Multimodal, Sampling, Urls, Warc}
 
 /** Task-retry safety proof: on a 1000-executor fleet, individual task
   * failures (preemption, bad node, OOM-kill) are routine — Spark
@@ -177,7 +177,20 @@ object RetryProof {
           Html.plantHtml(d, "doc_id", "text"), "id", "html")
         surv.select(col("id"), col("host")).join(ext, "id")
           .select(col("id"), col("host"), col("n_kept"), col("main_chars"))
-      }))
+      }),
+      // banded image near-dup: a retried map task must regenerate
+      // byte-identical PNGs -> identical dHashes, or band-bucket
+      // membership (and the emitted pair set) silently shifts.
+      ("dhash_pairs", wrap =>
+        ImageHash.nearDupPairs(ImageHash.dhashSignatures(
+          Multimodal.plantPngs(wrap(docs))))),
+      // WARC framing + bounded record walk: a retried assembly task must
+      // produce byte-identical files for the parse output (lengths,
+      // payload digests) to be deterministic.
+      ("warc_parse", wrap =>
+        Warc.parseWarc(Warc.plantWarcs(wrap(docs)))
+          .select(col("media_id"), col("rec_idx"), col("warc_type"),
+            col("content_length"), md5(col("payload")).as("payload_md5"))))
 
     val mapSide = cases.map { case (name, build) =>
       val baseline = build(identity).collect()

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{GraftSession, Tables}
-import graft.operators.{Dedup, Html, Mp4Meta, Multimodal, Sampling, Similarity, TextOps, Urls}
+import graft.functions.{Bpe, TextFunctions}
+import graft.operators.{Dedup, Html, ImageHash, Mp4Meta, Multimodal, Sampling, Similarity, TextOps, Urls, Warc}
 
 /** Empirical scale check for the flagship pipeline operators: amplify the
   * sf0.1 corpus N× in-memory (id-remapped copies — same text/embedding
@@ -199,6 +200,28 @@ object ScaleSmoke {
         Multimodal.resampleAudioDecimated(Multimodal.plantWavs16(df), 2))
         .agg(sum(col("amp_sum"))).collect().length.toLong,
       docs1, docsN, "audio16Resample")
+    // Round-14 additions. dhashSignatures / warcParse / bpeEncode are
+    // narrow per-row codec/scan work (exponent ≈1 pins no cross-row
+    // coupling). dhashNearDupPairs' WORKLOAD grows super-linearly by
+    // construction under amplification (amplified ids mint new planted
+    // images, so hash-collision cliques grow and candidate pairs grow
+    // ~f² — the bestOfCluster effect): its exponent tracks the pair
+    // count, not a plan defect; the signatures row is the plan signal.
+    bench2(df => ImageHash.dhashSignatures(Multimodal.plantPngs(df))
+        .agg(sum(col("dhash"))).collect().length.toLong,
+      docs1, docsN, "dhashSignatures")
+    bench2(df => ImageHash.nearDupPairs(
+        ImageHash.dhashSignatures(Multimodal.plantPngs(df)))
+        .agg(sum(col("hamming")), count(lit(1))).collect().length.toLong,
+      docs1, docsN, "dhashNearDupPairs")
+    bench2(df => Warc.parseWarc(Warc.plantWarcs(df))
+        .agg(sum(col("content_length"))).collect().length.toLong,
+      docs1, docsN, "warcParse")
+    bench2({ df =>
+      Bpe.register(df.sparkSession)
+      df.select(Bpe.bpeEncode(TextFunctions.normText(col("text"))).as("ids"))
+        .agg(sum(size(col("ids")))).collect().length.toLong
+    }, docs1, docsN, "bpeEncode")
     spark.stop()
   }
 }
