@@ -185,6 +185,23 @@ object ImageHash {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Band-bucket size histogram — the cap-tuning diagnostic, mirroring
+    * [[Dedup.lshBucketStats]]: at corpus scale the 16-bit band value
+    * space saturates (≥ N/65536 images per bucket by pigeonhole), so
+    * pair generation MUST run capped and this histogram is what sizes
+    * the cap (ScaleSmoke 20×, uncapped: 285 s vs 1000-capped: see §6 —
+    * the dropped buckets are degenerate near-identical cliques whose
+    * pairs carry no new dedup information past the first k).
+    */
+  def bandBucketStats(sigs: DataFrame,
+                      maxBucketSize: Long = Long.MaxValue): DataFrame =
+    sigs.filter(col("decoded"))
+      .select(posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("band", "word")))
+      .groupBy(col("band"), col("word")).agg(count(lit(1)).as("bucket_size"))
+      .groupBy(col("bucket_size")).agg(count(lit(1)).as("n_buckets"))
+      .withColumn("dropped_by_cap", col("bucket_size") > maxBucketSize)
+
   /** All ordered pairs (x, y) with x < y from a sorted array. */
   private def pairCombos(sorted: org.apache.spark.sql.Column) =
     flatten(transform(sorted, (x, i) =>

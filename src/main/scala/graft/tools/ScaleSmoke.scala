@@ -207,13 +207,21 @@ object ScaleSmoke {
     // images, so hash-collision cliques grow and candidate pairs grow
     // ~f² — the bestOfCluster effect): its exponent tracks the pair
     // count, not a plan defect; the signatures row is the plan signal.
+    // sum of POPCOUNTS, not raw hashes: summing 64-bit hashes overflows
+    // Long under ANSI mode at a few thousand rows.
     bench2(df => ImageHash.dhashSignatures(Multimodal.plantPngs(df))
-        .agg(sum(col("dhash"))).collect().length.toLong,
+        .agg(sum(bit_count(col("dhash")))).collect().length.toLong,
       docs1, docsN, "dhashSignatures")
+    // Measured CAPPED (maxBucketSize=1000, the 100 TB configuration —
+    // minhash's default): uncapped, the 16-bit band value space saturates
+    // under amplification (100k structured images → thousand-member
+    // buckets → quadratic bucket-local pairs; 285 s / exponent 1.65 at
+    // 20×, workload-by-construction). bandBucketStats is the cap monitor.
     bench2(df => ImageHash.nearDupPairs(
-        ImageHash.dhashSignatures(Multimodal.plantPngs(df)))
+        ImageHash.dhashSignatures(Multimodal.plantPngs(df)),
+        maxBucketSize = 1000L)
         .agg(sum(col("hamming")), count(lit(1))).collect().length.toLong,
-      docs1, docsN, "dhashNearDupPairs")
+      docs1, docsN, "dhashNearDupPairs(cap)")
     bench2(df => Warc.parseWarc(Warc.plantWarcs(df))
         .agg(sum(col("content_length"))).collect().length.toLong,
       docs1, docsN, "warcParse")

@@ -166,6 +166,20 @@ class ImageHashSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"NLJ:\n$plan")
   }
 
+  test("bandBucketStats accounts for every (band, word) row; a generous " +
+    "cap is a no-op at small corpus size") {
+    val sigs = ImageHash.dhashSignatures(Multimodal.plantPngs(ids(60)))
+    val stats = ImageHash.bandBucketStats(sigs, maxBucketSize = 1000).collect()
+    val total = stats.map(r =>
+      r.getAs[Long]("bucket_size") * r.getAs[Long]("n_buckets")).sum
+    assert(total == 60L * 4, s"histogram covers $total of ${60 * 4} rows")
+    assert(stats.forall(!_.getAs[Boolean]("dropped_by_cap")))
+    def pairs(cap: Long) = ImageHash.nearDupPairs(sigs, maxBucketSize = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs(1000L) == pairs(Long.MaxValue),
+      "generous cap must not change the pair set")
+  }
+
   test("radius above the 4-band exact-recall bound is rejected") {
     intercept[IllegalArgumentException] {
       ImageHash.nearDupPairs(sigsDf(Seq(sigRow(1L, 0L))), radius = 4)
