@@ -37,6 +37,7 @@ object Bench {
     "p49_bloom_decontamination", "p50_deterministic_shuffle",
     "p51_cdc_chunks", "p57_curation_pipeline", "p58_image_decode",
     "q93_moving_avg_sales", "p60_audio_decode", "p62_video_frames",
+    "p75_image_neardup_pairs", "p76_warc_records", "p78_bpe_encode",
     "h01", "h09", "h18", "h21")
 
   def main(args: Array[String]): Unit = {
@@ -158,15 +159,21 @@ object Bench {
         } catch { case _: Throwable => (Seq.empty, -1.0) }
       // Two triggers (both require wall > 1 s to skip noise-on-noise):
       //  1. wall > 3× the in-run rerun (same plan moments later);
-      //  2. wall > 3× the SUM of stage task run time — catches sub-3×-rerun
+      //  2. wall > 3× the SUM of stage task run time AND the rerun is
+      //     at least 2× faster than the wall — catches sub-3×-rerun
       //     contention (r13's q37: wall 4.7 s, rerun 1.9 s, stages < 2 s)
-      //     where the rerun itself absorbed some of the noise. Stage sum
-      //     OVERCOUNTS parallel work (32 threads), so wall ≫ sum can only
-      //     mean the wall clock ran while no query work did.
+      //     where the rerun itself absorbed some of the noise. The
+      //     rerun-must-be-faster guard keeps scheduler-round-bound
+      //     queries (p38: wall ≈ rerun ≈ 7 s over 0.3 s of task time —
+      //     REPRODUCIBLE driver-round cost, by design) from reading as
+      //     machine noise. Stage sum OVERCOUNTS parallel work (32
+      //     threads), so wall ≫ sum + a fast rerun can only mean the
+      //     wall clock ran while no query work did.
       val stageSumSec = stages.map(_.runTimeMs).sum / 1000.0
       if (wallSec > 1.0 &&
           ((rerun > 0 && wallSec > 3 * rerun) ||
-           (stageSumSec > 0 && wallSec > 3 * stageSumSec))) suspects += name
+           (stageSumSec > 0 && wallSec > 3 * stageSumSec &&
+            rerun > 0 && rerun < wallSec / 2))) suspects += name
       val stageRows = stages.sortBy(-_.runTimeMs).take(8).map { st =>
         s"""{"stage":${st.stageId},"tasks":${st.numTasks},"run_ms":${
           st.runTimeMs},"p95_ms":${st.p95Ms},"max_ms":${st.maxMs},"records":${
