@@ -1278,6 +1278,25 @@ object Pipeline {
       Sampling.capPerGroup(surv, "host", "id", k = 25)
         .select(col("id"), col("host"), col("canon_url"), col("rk"))
         .orderBy(col("id"))
+    }),
+
+    // ---- end-to-end image dedup: dHash pairs -> connected components
+    // (min-label; the same distributed CC machinery as the text side's
+    // p18) -> keep-lowest survivors. Completes the image-dedup story
+    // pairs alone start: a re-encoded duplicate CLUSTER keeps exactly
+    // one image. Oracle: all-pairs hamming graph + recursive-CTE CC. ----
+    "p81_image_dedup_survivors" -> ((s, dir) => {
+      val base = Multimodal.plantPngs(docs(s, dir))
+      val copies = Multimodal
+        .resizePooled(base.filter(col("media_id") % 5 === 0), 1)
+        .withColumn("media_id", col("media_id") + 100000L)
+      val sigs = ImageHash.dhashSignatures(base.unionByName(copies))
+      val pairs = ImageHash.nearDupPairs(sigs)
+      Dedup.connectedComponents(
+          sigs.filter(col("decoded")).select(col("media_id").as("id")), pairs)
+        .select(col("id"), col("cluster_id"),
+          (col("id") === col("cluster_id")).as("is_survivor"))
+        .orderBy(col("id"))
     })
   )
 
@@ -2803,6 +2822,30 @@ object Pipeline {
               AS rk
           FROM surv WHERE rk1 = 1)
         SELECT id, host, canon_url, cast(rk AS integer) AS rk
-        FROM capped WHERE rk <= 25 ORDER BY id"""
+        FROM capped WHERE rk <= 25 ORDER BY id""",
+
+    // Image-dedup twin: closed-form dHash words -> all-pairs hamming<=3
+    // edges -> recursive-CTE connected components (the p18 pattern) ->
+    // min-label cluster + keep-lowest survivor flag.
+    "p81_image_dedup_survivors" ->
+      s"""WITH RECURSIVE allids AS (
+          SELECT doc_id AS id, doc_id AS src FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS id, doc_id AS src FROM documents
+          WHERE doc_id % 5 = 0),
+        $oDhashCtes,
+        pr AS (SELECT a.id AS id_a, b.id AS id_b
+          FROM words a JOIN words b ON a.id < b.id
+          WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3),
+        e AS (SELECT id_a AS s, id_b AS d FROM pr
+              UNION ALL SELECT id_b, id_a FROM pr),
+        rec AS (
+          SELECT id, id AS reach FROM allids
+          UNION
+          SELECT e.s, rec.reach FROM e JOIN rec ON e.d = rec.id)
+        SELECT id, min(reach) AS cluster_id,
+              id = min(reach) AS is_survivor
+        FROM rec GROUP BY id ORDER BY id"""
   )
 }
