@@ -145,13 +145,18 @@ object ImageHash {
     * [[Dedup.nearDupPairs]].
     *
     * @param maxBucketSize skew guard for real corpora (flat-color images
-    *   all share band words). Default unbounded so the answer stays exactly
-    *   the all-pairs answer; at 100 TB set a cap and monitor like
-    *   [[Dedup.lshBucketStats]] — dropped buckets are degenerate
+    *   all share band words). Default 1000 — the
+    *   [[Dedup.minhashCandidates]] convention — because the 16-bit band
+    *   value space saturates by pigeonhole past ~10⁶ images and uncapped
+    *   bucket-local pair generation is quadratic (ScaleSmoke: 285 s /
+    *   exponent 1.65 at 20× uncapped vs 1.08 capped). Pass
+    *   `Long.MaxValue` explicitly where all-pairs oracle EQUALITY is the
+    *   point (fixture-scale differential tests); size a real cap with
+    *   [[bandBucketStats]] — dropped buckets are degenerate
     *   near-identical-image cliques whose pairs quadratically dominate.
     */
   def nearDupPairs(sigs: DataFrame, radius: Int = ExactRadius,
-                   maxBucketSize: Long = Long.MaxValue): DataFrame = {
+                   maxBucketSize: Long = 1000L): DataFrame = {
     require(radius <= ExactRadius,
       s"radius=$radius exceeds the 4-band exact-recall bound $ExactRadius; " +
         "raise the band count before widening the radius")

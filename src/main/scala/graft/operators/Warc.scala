@@ -140,11 +140,15 @@ object Warc {
       }
       -1
     }
-    def ascii(from: Int, until: Int): String =
-      new String(bytes, from, until - from, "US-ASCII")
+    // UTF-8, not US-ASCII: WARC/1.0 header VALUES (notably
+    // WARC-Target-URI) may carry non-ASCII bytes; UTF-8 is
+    // ASCII-compatible so the planted fixtures are unaffected while real
+    // crawl URIs survive unmangled.
+    def headerStr(from: Int, until: Int): String =
+      new String(bytes, from, until - from, java.nio.charset.StandardCharsets.UTF_8)
     while (!failed && pos < bytes.length && idx < MaxRecords) {
       val verEnd = crlfAt(pos)
-      if (verEnd < 0 || !ascii(pos, verEnd).startsWith("WARC/")) {
+      if (verEnd < 0 || !headerStr(pos, verEnd).startsWith("WARC/")) {
         out += Row(id, idx, null, null, null, null, false); failed = true
       } else {
         var cur = verEnd + 2
@@ -158,10 +162,14 @@ object Warc {
           if (lineEnd < 0) headersOk = false
           else if (lineEnd == cur) { blankSeen = true; cur = lineEnd + 2 }
           else {
-            val line = ascii(cur, lineEnd)
+            val line = headerStr(cur, lineEnd)
             val sep = line.indexOf(':')
             if (sep > 0) {
-              val k = line.substring(0, sep).trim.toLowerCase
+              // Locale.ROOT: under a Turkish-family default locale a bare
+              // toLowerCase maps I to dotless-i and "WARC-Target-URI"
+              // would never match — a silent null target_uri.
+              val k = line.substring(0, sep).trim
+                .toLowerCase(java.util.Locale.ROOT)
               val v = line.substring(sep + 1).trim
               k match {
                 case "warc-type" => warcType = v
@@ -203,6 +211,11 @@ object Warc {
         }
       }
     }
+    // No-silent-caps: a file with more than MaxRecords records keeps its
+    // parsed prefix but must MARK the dropped tail, same contract as any
+    // other truncation (one ok=false row downstream can detect).
+    if (!failed && pos < bytes.length && idx == MaxRecords)
+      out += Row(id, idx, null, null, null, null, false)
     out.result()
   }
 }

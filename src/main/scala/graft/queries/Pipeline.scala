@@ -65,8 +65,17 @@ object Pipeline {
     * both. Never set in any driver, bench, or CI path; the default
     * (unset) compiles the correct queries.
     */
+  /** Offset minting re-encoded-copy media ids next to their base corpus
+    * (p75/p81): a single high bit rather than a decimal constant, so copy
+    * ids are provably disjoint from any realistic doc_id range (a 100 TB
+    * corpus is ~2^40 docs away) instead of colliding silently once
+    * doc_id >= the old 100000.
+    */
+  private val CopyIdOffset = 1L << 40
+
   private def mutateGate: Boolean =
-    sys.env.contains("GRAFT_MUTATE") || sys.props.contains("graft.mutate")
+    sys.env.get("GRAFT_MUTATE").contains("1") ||
+      sys.props.get("graft.mutate").contains("1")
 
   // DuckDB twin of TF.normText.
   private val oNorm = "trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))"
@@ -1155,7 +1164,9 @@ object Pipeline {
     }),
 
     // ---- image near-dup pairs: re-encoded copies (decode -> re-encode
-    // PNG round trip, id+100000, every 5th doc) planted next to the base
+    // PNG round trip, id + 2^40 — a bit no doc_id reaches, so copy ids
+    // are disjoint from base ids at ANY corpus scale — every 5th doc)
+    // planted next to the base
     // corpus, then banded Hamming bucketing (4x16-bit bands, exact recall
     // at radius 3 by pigeonhole) + exact XOR-popcount verify. The oracle
     // computes the ALL-PAIRS answer closed-form — equality proves the
@@ -1165,9 +1176,13 @@ object Pipeline {
       val base = Multimodal.plantPngs(docs(s, dir))
       val copies = Multimodal
         .resizePooled(base.filter(col("media_id") % 5 === 0), 1)
-        .withColumn("media_id", col("media_id") + 100000L)
+        .withColumn("media_id", col("media_id") + CopyIdOffset)
+      // maxBucketSize explicit: the all-pairs oracle equality below is the
+      // point of this query, so the scale cap (default 1000) must be a
+      // no-op here by construction, not by fixture luck.
       ImageHash.nearDupPairs(
-          ImageHash.dhashSignatures(base.unionByName(copies)))
+          ImageHash.dhashSignatures(base.unionByName(copies)),
+          maxBucketSize = Long.MaxValue)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -1289,9 +1304,11 @@ object Pipeline {
       val base = Multimodal.plantPngs(docs(s, dir))
       val copies = Multimodal
         .resizePooled(base.filter(col("media_id") % 5 === 0), 1)
-        .withColumn("media_id", col("media_id") + 100000L)
+        .withColumn("media_id", col("media_id") + CopyIdOffset)
       val sigs = ImageHash.dhashSignatures(base.unionByName(copies))
-      val pairs = ImageHash.nearDupPairs(sigs)
+      // explicit uncapped: the recursive-CTE CC oracle is the ALL-PAIRS
+      // graph's answer, same reasoning as p75.
+      val pairs = ImageHash.nearDupPairs(sigs, maxBucketSize = Long.MaxValue)
       Dedup.connectedComponents(
           sigs.filter(col("decoded")).select(col("media_id").as("id")), pairs)
         .select(col("id"), col("cluster_id"),
@@ -2772,7 +2789,7 @@ object Pipeline {
       s"""WITH allids AS (
           SELECT doc_id AS id, doc_id AS src FROM documents
           UNION ALL
-          SELECT doc_id + 100000 AS id, doc_id AS src FROM documents
+          SELECT doc_id + $CopyIdOffset AS id, doc_id AS src FROM documents
           WHERE doc_id % 5 = 0),
         $oDhashCtes
         SELECT a.id AS id_a, b.id AS id_b,
@@ -2831,7 +2848,7 @@ object Pipeline {
       s"""WITH RECURSIVE allids AS (
           SELECT doc_id AS id, doc_id AS src FROM documents
           UNION ALL
-          SELECT doc_id + 100000 AS id, doc_id AS src FROM documents
+          SELECT doc_id + $CopyIdOffset AS id, doc_id AS src FROM documents
           WHERE doc_id % 5 = 0),
         $oDhashCtes,
         pr AS (SELECT a.id AS id_a, b.id AS id_b

@@ -120,8 +120,23 @@ class WarcSpec extends AnyFunSuite {
       "\r\nx\r\n\r\n").getBytes("US-ASCII")
     val bos = new java.io.ByteArrayOutputStream()
     (0 until Warc.MaxRecords + 50).foreach(_ => bos.write(one))
-    val n = Warc.parseWarc(mediaDf(Seq(1L -> bos.toByteArray))).count()
-    assert(n == Warc.MaxRecords, s"got $n rows")
+    val rows = Warc.parseWarc(mediaDf(Seq(1L -> bos.toByteArray))).collect()
+    // MaxRecords clean rows + ONE ok=false truncation marker (the dropped
+    // tail must be detectable, never silently capped).
+    assert(rows.length == Warc.MaxRecords + 1, s"got ${rows.length} rows")
+    assert(rows.count(!_.getAs[Boolean]("ok")) == 1)
+    assert(!rows.maxBy(_.getInt(1)).getAs[Boolean]("ok"))
+  }
+
+  test("record-count bound marker is absent when the file ends exactly at " +
+    "MaxRecords records") {
+    val one = ("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 1\r\n" +
+      "\r\nx\r\n\r\n").getBytes("US-ASCII")
+    val bos = new java.io.ByteArrayOutputStream()
+    (0 until Warc.MaxRecords).foreach(_ => bos.write(one))
+    val rows = Warc.parseWarc(mediaDf(Seq(1L -> bos.toByteArray))).collect()
+    assert(rows.length == Warc.MaxRecords)
+    assert(rows.forall(_.getAs[Boolean]("ok")))
   }
 
   test("empty and null payloads degrade to a single ok=false row... or " +
