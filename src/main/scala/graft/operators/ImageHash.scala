@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -156,39 +155,9 @@ object ImageHash {
     *   near-identical-image cliques whose pairs quadratically dominate.
     */
   def nearDupPairs(sigs: DataFrame, radius: Int = ExactRadius,
-                   maxBucketSize: Long = 1000L): DataFrame = {
-    require(radius <= ExactRadius,
-      s"radius=$radius exceeds the 4-band exact-recall bound $ExactRadius; " +
-        "raise the band count before widening the radius")
-    val slim = sigs.filter(col("decoded"))
-      .select(col("media_id").as("id"), col("dhash"))
-    // Size-filter BEFORE collect_list (the Dedup.minhashCandidates
-    // discipline): the window count shares the (band, word) partitioning
-    // with the groupBy — no extra shuffle — and bounds the collected
-    // arrays when a cap is set.
-    val wb = Window.partitionBy(col("band"), col("word"))
-    val buckets = sigs.filter(col("decoded"))
-      .select(col("media_id").as("id"),
-        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
-          .as(Seq("band", "word")))
-      .withColumn("__bsz", count(lit(1)).over(wb))
-      .filter(col("__bsz") >= 2 && col("__bsz") <= maxBucketSize)
-      .groupBy(col("band"), col("word"))
-      .agg(collect_list(col("id")).as("ids"))
-    val pairs = buckets
-      .select(explode(pairCombos(array_sort(col("ids")))).as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    // Re-attach the 8-byte hashes to the (small) candidate set and verify
-    // exactly: XOR + popcount, both codegen'd built-ins.
-    pairs
-      .join(slim.select(col("id").as("id_a"), col("dhash").as("ha")), Seq("id_a"))
-      .join(slim.select(col("id").as("id_b"), col("dhash").as("hb")), Seq("id_b"))
-      .withColumn("hamming",
-        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
-      .filter(col("hamming") <= radius)
-      .select(col("id_a"), col("id_b"), col("hamming"))
-  }
+                   maxBucketSize: Long = BandedHamming.DefaultMaxBucketSize)
+      : DataFrame =
+    BandedHamming.pairs(sigs, "media_id", "dhash", radius, maxBucketSize)
 
   /** Band-bucket size histogram — the cap-tuning diagnostic, mirroring
     * [[Dedup.lshBucketStats]]: at corpus scale the 16-bit band value
@@ -200,16 +169,5 @@ object ImageHash {
     */
   def bandBucketStats(sigs: DataFrame,
                       maxBucketSize: Long = Long.MaxValue): DataFrame =
-    sigs.filter(col("decoded"))
-      .select(posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
-        .as(Seq("band", "word")))
-      .groupBy(col("band"), col("word")).agg(count(lit(1)).as("bucket_size"))
-      .groupBy(col("bucket_size")).agg(count(lit(1)).as("n_buckets"))
-      .withColumn("dropped_by_cap", col("bucket_size") > maxBucketSize)
-
-  /** All ordered pairs (x, y) with x < y from a sorted array. */
-  private def pairCombos(sorted: org.apache.spark.sql.Column) =
-    flatten(transform(sorted, (x, i) =>
-      transform(slice(sorted, i + 2, greatest(size(sorted) - i - 1, lit(0))),
-        y => struct(x.as("a"), y.as("b")))))
+    BandedHamming.bucketStats(sigs, maxBucketSize)
 }

@@ -285,7 +285,7 @@ object Multimodal {
     * so resolving the provider list in the mapPartitions prologue keeps
     * the row loop lock-free while staying on the real JDK codec path.
     */
-  private def audioReaders(): List[javax.sound.sampled.spi.AudioFileReader] = {
+  private[operators] def audioReaders(): List[javax.sound.sampled.spi.AudioFileReader] = {
     import scala.jdk.CollectionConverters._
     java.util.ServiceLoader
       .load(classOf[javax.sound.sampled.spi.AudioFileReader])
@@ -308,7 +308,7 @@ object Multimodal {
     * per row, so most-recently-used ordering turns the common case into
     * zero throws.
     */
-  private final class AudioReadDispatch(
+  private[operators] final class AudioReadDispatch(
       initial: List[javax.sound.sampled.spi.AudioFileReader]) {
     private var readers = initial
     def read(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
@@ -417,7 +417,7 @@ object Multimodal {
     * bytes (a container can never hold more PCM than its own size).
     * Found by `CorruptMediaSpec`'s truncation fuzz.
     */
-  private def drainPcm(ais: javax.sound.sampled.AudioInputStream,
+  private[operators] def drainPcm(ais: javax.sound.sampled.AudioInputStream,
                        cap: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     val buf = new Array[Byte](8192)
