@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.functions.{HashExpressions, TextFunctions => TF}
-import graft.operators.{Dedup, Html, ImageHash, Mp4Meta, Multimodal, Profile, Quantize, Sampling, Similarity, TextOps, Urls, Warc}
+import graft.operators.{AudioHash, Dedup, Html, ImageHash, Mp4Meta, Multimodal, Profile, Quantize, Sampling, Similarity, TextOps, Urls, Warc}
 
 /** LLM-training-data pipeline query corpus (beyond the reference's own
   * surface, mandated by BASELINE.json): dedup family, similarity search,
@@ -1314,8 +1314,74 @@ object Pipeline {
         .select(col("id"), col("cluster_id"),
           (col("id") === col("cluster_id")).as("is_survivor"))
         .orderBy(col("id"))
+    }),
+
+    // ---- perceptual audio fingerprinting: 64-bit sign-of-energy-delta
+    // hash (65 time bins of mean absolute amplitude) from the REAL
+    // javax.sound.sampled decode path, over a MIXED corpus — 8-bit
+    // unsigned mono WAVs for even ids, 16-bit signed LE mono/stereo for
+    // odd — so one row proves both PCM decode shapes feed the
+    // fingerprint. Planted samples are closed-form in id, so the oracle
+    // recomputes every band word in SQL without a codec. Narrow decode
+    // stage; only (id, 4 small words) leaves it. ----
+    "p82_audio_fingerprint" -> ((s, dir) => {
+      AudioHash.fingerprints(mixedWavs(s, dir))
+        .select(col("media_id").as("id"), col("sample_rate"),
+          col("channels"), col("n_frames"),
+          col("b0"), col("b1"), col("b2"), col("b3"))
+        .orderBy(col("id"))
+    }),
+
+    // ---- audio near-dup pairs: container re-encode copies (decode ->
+    // identity PCM -> re-encode WAV round trip, id + 2^40, every 5th
+    // doc — parities alternate so BOTH decode shapes get copies) planted
+    // next to the base corpus, then banded Hamming bucketing + exact
+    // XOR-popcount verify. The oracle computes the ALL-PAIRS answer
+    // closed-form — equality proves the banding lost nothing. Payloads
+    // never shuffle; pair generation moves O(clips x 4) slim rows. ----
+    "p83_audio_neardup_pairs" -> ((s, dir) => {
+      val base = mixedWavs(s, dir)
+      val copies = Multimodal
+        .resampleAudioDecimated(base.filter(col("media_id") % 5 === 0), 1)
+        .withColumn("media_id", col("media_id") + CopyIdOffset)
+      // maxBucketSize explicit: all-pairs oracle equality is the point,
+      // so the scale cap (default 1000) must be a no-op by construction.
+      AudioHash.nearDupPairs(
+          AudioHash.fingerprints(base.unionByName(copies)),
+          maxBucketSize = Long.MaxValue)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- end-to-end audio dedup: fingerprint pairs -> connected
+    // components (the same distributed CC machinery as the text side's
+    // p18 and the image side's p81) -> keep-lowest survivors. Closes the
+    // last dedup-less modality: a re-encoded duplicate CLUSTER keeps
+    // exactly one clip. Oracle: all-pairs hamming graph +
+    // recursive-CTE CC. ----
+    "p84_audio_dedup_survivors" -> ((s, dir) => {
+      val base = mixedWavs(s, dir)
+      val copies = Multimodal
+        .resampleAudioDecimated(base.filter(col("media_id") % 5 === 0), 1)
+        .withColumn("media_id", col("media_id") + CopyIdOffset)
+      val sigs = AudioHash.fingerprints(base.unionByName(copies))
+      val pairs = AudioHash.nearDupPairs(sigs, maxBucketSize = Long.MaxValue)
+      Dedup.connectedComponents(
+          sigs.filter(col("decoded")).select(col("media_id").as("id")), pairs)
+        .select(col("id"), col("cluster_id"),
+          (col("id") === col("cluster_id")).as("is_survivor"))
+        .orderBy(col("id"))
     })
   )
+
+  /** Mixed-shape planted audio corpus: 8-bit unsigned mono for even ids,
+    * 16-bit signed LE mono/stereo for odd — the p82-p84 fixture (both
+    * real decode paths in one corpus, ids disjoint by parity).
+    */
+  private def mixedWavs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Multimodal.plantWavs(d.filter(col("doc_id") % 2 === 0))
+      .unionByName(Multimodal.plantWavs16(d.filter(col("doc_id") % 2 =!= 0)))
+  }
 
   // DuckDB twin of Multimodal.plantPngs pixels + ImageHash.dhashSignatures:
   // CTE chain from an `allids(id, src)` relation (src drives the planted
@@ -1355,6 +1421,49 @@ object Pipeline {
         cast(sum(CASE WHEN (y*8+x) // 16 = 3
           THEN bit * (1 << ((y*8+x) % 16)) ELSE 0 END) AS integer) AS b3
       FROM bits GROUP BY bits.id)"""
+
+  // DuckDB twin of the mixed planted-WAV corpus + AudioHash.fingerprints:
+  // CTE chain from an `aids(id, src)` relation (src drives the planted
+  // sample rule; src parity picks the shape — even = 8-bit unsigned mono
+  // `(src*13 + f*29) % 256` with amplitude |s - 128|, odd = 16-bit signed
+  // `(src*31 + f*57 + c*101) % 4001 - 2000` with amplitude |s|) to
+  // `awords(id, b0..b3)` — 65 time bins of integer mean absolute
+  // amplitude, adjacent-bin delta sign bits, folded into 4 16-bit band
+  // words. All division operands are non-negative, so DuckDB's flooring
+  // `//` equals Java's truncating `/` throughout.
+  private val oAfpCtes =
+    s"""ap AS (SELECT id, src,
+        CASE WHEN src % 2 = 0 THEN 64 + src % 32 ELSE 48 + src % 16 END AS n,
+        CASE WHEN src % 2 = 0 THEN 1 ELSE 1 + ((src // 2) % 2) END AS chs,
+        CASE WHEN src % 2 = 0 THEN 8000 + (src % 5) * 1000
+             ELSE 11000 + (src % 4) * 1000 END AS rate
+      FROM aids),
+    abins AS (SELECT id, src, n, chs, rate, gb.b AS b,
+        (gb.b * n) // 65 AS f0,
+        greatest(((gb.b + 1) * n) // 65, (gb.b * n) // 65 + 1) AS f1
+      FROM ap, (SELECT unnest(range(0, 65)) AS b) gb),
+    aen AS (SELECT id, b,
+        list_sum(flatten(list_transform(range(f0, f1), f ->
+          list_transform(range(0, chs), c ->
+            CASE WHEN src % 2 = 0
+              THEN abs((src*13 + f*29) % 256 - 128)
+              ELSE abs((src*31 + f*57 + c*101) % 4001 - 2000) END))))
+          // ((f1 - f0) * chs) AS e
+      FROM abins),
+    abits AS (SELECT x.id AS id, x.b AS i,
+        CASE WHEN x.e < y.e THEN 1 ELSE 0 END AS bit
+      FROM aen x JOIN aen y ON x.id = y.id AND y.b = x.b + 1
+      WHERE x.b < 64),
+    awords AS (SELECT abits.id,
+        cast(sum(CASE WHEN i // 16 = 0
+          THEN bit * (1 << (i % 16)) ELSE 0 END) AS integer) AS b0,
+        cast(sum(CASE WHEN i // 16 = 1
+          THEN bit * (1 << (i % 16)) ELSE 0 END) AS integer) AS b1,
+        cast(sum(CASE WHEN i // 16 = 2
+          THEN bit * (1 << (i % 16)) ELSE 0 END) AS integer) AS b2,
+        cast(sum(CASE WHEN i // 16 = 3
+          THEN bit * (1 << (i % 16)) ELSE 0 END) AS integer) AS b3
+      FROM abits GROUP BY abits.id)"""
 
   // DuckDB twin of Bpe.bpeEncodeJava's greedy scan, as a RECURSIVE walk
   // carrying scalars only (cur position, piece count, id sum, positional
@@ -2859,6 +2968,65 @@ object Pipeline {
               UNION ALL SELECT id_b, id_a FROM pr),
         rec AS (
           SELECT id, id AS reach FROM allids
+          UNION
+          SELECT e.s, rec.reach FROM e JOIN rec ON e.d = rec.id)
+        SELECT id, min(reach) AS cluster_id,
+              id = min(reach) AS is_survivor
+        FROM rec GROUP BY id ORDER BY id""",
+
+    // Audio-fingerprint twin: the full bins->delta-bits->band-words
+    // computation redone in SQL from both planted sample rules (parity
+    // picks the 8-bit vs 16-bit shape). Any disagreement in WAV round
+    // trip, bin boundaries, mean flooring, amplitude definition, or bit
+    // packing breaks this row.
+    "p82_audio_fingerprint" ->
+      s"""WITH aids AS (SELECT doc_id AS id, doc_id AS src FROM documents),
+        $oAfpCtes
+        SELECT ap.id, cast(ap.rate AS integer) AS sample_rate,
+              cast(ap.chs AS integer) AS channels,
+              cast(ap.n AS integer) AS n_frames,
+              awords.b0, awords.b1, awords.b2, awords.b3
+        FROM ap JOIN awords ON ap.id = awords.id
+        ORDER BY ap.id""",
+
+    // Near-dup twin computes the ALL-PAIRS answer (id_a < id_b, XOR
+    // popcount over the 4 band words <= 3) — the banded Spark plan must
+    // equal it exactly (pigeonhole recall + exact verify). Copies are
+    // container round trips, so they share their base's src and words.
+    "p83_audio_neardup_pairs" ->
+      s"""WITH aids AS (
+          SELECT doc_id AS id, doc_id AS src FROM documents
+          UNION ALL
+          SELECT doc_id + $CopyIdOffset AS id, doc_id AS src FROM documents
+          WHERE doc_id % 5 = 0),
+        $oAfpCtes
+        SELECT a.id AS id_a, b.id AS id_b,
+              cast(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+                 + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+                AS integer) AS hamming
+        FROM awords a JOIN awords b ON a.id < b.id
+        WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+        ORDER BY id_a, id_b""",
+
+    // Audio-dedup twin: closed-form fingerprint words -> all-pairs
+    // hamming<=3 edges -> recursive-CTE connected components (the p18 /
+    // p81 pattern) -> min-label cluster + keep-lowest survivor flag.
+    "p84_audio_dedup_survivors" ->
+      s"""WITH RECURSIVE aids AS (
+          SELECT doc_id AS id, doc_id AS src FROM documents
+          UNION ALL
+          SELECT doc_id + $CopyIdOffset AS id, doc_id AS src FROM documents
+          WHERE doc_id % 5 = 0),
+        $oAfpCtes,
+        pr AS (SELECT a.id AS id_a, b.id AS id_b
+          FROM awords a JOIN awords b ON a.id < b.id
+          WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3),
+        e AS (SELECT id_a AS s, id_b AS d FROM pr
+              UNION ALL SELECT id_b, id_a FROM pr),
+        rec AS (
+          SELECT id, id AS reach FROM aids
           UNION
           SELECT e.s, rec.reach FROM e JOIN rec ON e.d = rec.id)
         SELECT id, min(reach) AS cluster_id,

@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{GraftSession, Tables}
-import graft.operators.{Dedup, Html, ImageHash, Multimodal, Sampling, Urls, Warc}
+import graft.operators.{AudioHash, Dedup, Html, ImageHash, Multimodal, Sampling, Urls, Warc}
 
 /** Task-retry safety proof: on a 1000-executor fleet, individual task
   * failures (preemption, bad node, OOM-kill) are routine — Spark
@@ -190,7 +190,14 @@ object RetryProof {
       ("warc_parse", wrap =>
         Warc.parseWarc(Warc.plantWarcs(wrap(docs)))
           .select(col("media_id"), col("rec_idx"), col("warc_type"),
-            col("content_length"), md5(col("payload")).as("payload_md5"))))
+            col("content_length"), md5(col("payload")).as("payload_md5"))),
+      // banded audio near-dup: a retried map task must regenerate
+      // byte-identical WAVs -> identical energy-delta fingerprints, or
+      // band-bucket membership (and the emitted pair set) silently
+      // shifts — same contract as dhash_pairs, over the sound stack.
+      ("audio_fp_pairs", wrap =>
+        AudioHash.nearDupPairs(AudioHash.fingerprints(
+          Multimodal.plantWavs16(wrap(docs))))))
 
     val mapSide = cases.map { case (name, build) =>
       val baseline = build(identity).collect()

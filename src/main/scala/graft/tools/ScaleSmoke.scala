@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.{GraftSession, Tables}
 import graft.functions.{Bpe, TextFunctions}
-import graft.operators.{Dedup, Html, ImageHash, Mp4Meta, Multimodal, Sampling, Similarity, TextOps, Urls, Warc}
+import graft.operators.{AudioHash, Dedup, Html, ImageHash, Mp4Meta, Multimodal, Sampling, Similarity, TextOps, Urls, Warc}
 
 /** Empirical scale check for the flagship pipeline operators: amplify the
   * sf0.1 corpus N× in-memory (id-remapped copies — same text/embedding
@@ -230,6 +230,19 @@ object ScaleSmoke {
       df.select(Bpe.bpeEncode(TextFunctions.normText(col("text"))).as("ids"))
         .agg(sum(size(col("ids")))).collect().length.toLong
     }, docs1, docsN, "bpeEncode")
+    // Round-15 additions: audio fingerprinting mirrors the dHash pair —
+    // narrow per-row decode (exponent ≈1), pairs measured CAPPED (the
+    // 100 TB configuration; uncapped band-space saturation is quadratic
+    // by construction, the same pigeonhole as dhash). popcount sum, not
+    // raw hash sum (ANSI Long overflow).
+    bench2(df => AudioHash.fingerprints(Multimodal.plantWavs16(df))
+        .agg(sum(bit_count(col("fhash")))).collect().length.toLong,
+      docs1, docsN, "audioFingerprints")
+    bench2(df => AudioHash.nearDupPairs(
+        AudioHash.fingerprints(Multimodal.plantWavs16(df)),
+        maxBucketSize = 1000L)
+        .agg(sum(col("hamming")), count(lit(1))).collect().length.toLong,
+      docs1, docsN, "audioNearDupPairs(cap)")
     spark.stop()
   }
 }
