@@ -127,20 +127,32 @@ object Multimodal {
         val id = r.getLong(0)
         val w = 8 + (id % 9).toInt
         val h = 8 + (id % 7).toInt
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-        val raster = img.getRaster
-        var i = 0
-        while (i < w * h) {
-          raster.setSample(i % w, i / w, 0, ((id * 7 + i * 13) % 256).toInt)
-          i += 1
-        }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        Row(id, "image", bos.toByteArray,
+        Row(id, "image", plantedPngBytes(id),
           Row(w, h, null, "image/png"))
       }
     }(enc)
+  }
+
+  /** The planted PNG byte stream for one id (the [[plantPngs]] pixel rule
+    * as a standalone builder, so other planted fixtures — e.g. mixed WARC
+    * files carrying image responses — embed the SAME closed-form image
+    * the dHash oracle predicts). Call `ImageIO.setUseCache(false)` once
+    * per partition before looping.
+    */
+  private[operators] def plantedPngBytes(id: Long): Array[Byte] = {
+    val w = 8 + (id % 9).toInt
+    val h = 8 + (id % 7).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < w * h) {
+      raster.setSample(i % w, i / w, 0, ((id * 7 + i * 13) % 256).toInt)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Output schema of [[decodeImageFeatures]]: decoded pixel statistics,

@@ -37,9 +37,32 @@ object Warc {
     StructField("rec_idx", IntegerType, nullable = false),
     StructField("warc_type", StringType, nullable = true),
     StructField("target_uri", StringType, nullable = true),
+    StructField("content_type", StringType, nullable = true),
     StructField("content_length", LongType, nullable = true),
     StructField("payload", BinaryType, nullable = true),
     StructField("ok", BooleanType, nullable = false)))
+
+  /** PNG magic bytes — the sniff fallback for responses whose
+    * Content-Type header is missing (real crawls carry plenty).
+    */
+  private val PngMagic: Array[Byte] =
+    Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+      0x0D.toByte, 0x0A.toByte, 0x1A.toByte, 0x0A.toByte)
+
+  /** Modality router for parsed response records — the p69
+    * container-router shape at the crawl front door: `image` when the
+    * Content-Type header says so OR (header missing) the payload opens
+    * with the PNG magic; everything else routes to the text/html
+    * extraction path. Pure column expression — codegen'd, no UDF.
+    */
+  def contentKind(contentType: org.apache.spark.sql.Column,
+                  payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(lower(coalesce(contentType, lit(""))).startsWith("image/"),
+      lit("image"))
+      .when(contentType.isNull &&
+        substring(payload, 1, PngMagic.length) === lit(PngMagic), lit("image"))
+      .otherwise(lit("html"))
 
   /** Upper bound on records per file: a crafted stream of minimal records
     * must not accumulate an unbounded row buffer per input row.
@@ -55,7 +78,17 @@ object Warc {
     * planted page ([[Html.plantHtml]] rule) — every byte a pure function
     * of (id, text), so the oracle rebuilds the parse output closed-form.
     */
-  def plantWarcs(docs: DataFrame): DataFrame = {
+  def plantWarcs(docs: DataFrame): DataFrame = plantWarcFiles(docs, false)
+
+  /** [[plantWarcs]] plus, for every id % 4 == 0, an `image/png` response
+    * record carrying the planted PNG ([[Multimodal.plantedPngBytes]] —
+    * the SAME closed-form pixels the dHash oracle predicts): a mixed
+    * crawl segment, the fixture for Content-Type routing at the WARC
+    * front door.
+    */
+  def plantMixedWarcs(docs: DataFrame): DataFrame = plantWarcFiles(docs, true)
+
+  private def plantWarcFiles(docs: DataFrame, withImages: Boolean): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(Multimodal.mediaSchema)
     // Fan out FIRST (the plantPngs discipline: one-file fixtures otherwise
     // pin the assembly to a single task), then build page + URL as column
@@ -96,6 +129,15 @@ object Warc {
               "WARC-Target-URI" -> url,
               "Content-Type" -> "text/html"),
             html.getBytes("UTF-8"))
+          if (withImages && id % 4 == 0) {
+            javax.imageio.ImageIO.setUseCache(false)
+            record(
+              Seq("WARC-Type" -> "response",
+                "WARC-Record-ID" -> s"<urn:graft:img:$id>",
+                "WARC-Target-URI" -> (url + "/img.png"),
+                "Content-Type" -> "image/png"),
+              Multimodal.plantedPngBytes(id))
+          }
           Row(id, "web", bos.toByteArray,
             Row(null, null, null, "application/warc"))
         }
@@ -116,7 +158,7 @@ object Warc {
           else r.getAs[Array[Byte]](1)
         try parseRecords(id, bytes)
         catch { case _: Exception =>
-          Seq(Row(id, 0, null, null, null, null, false))
+          Seq(Row(id, 0, null, null, null, null, null, false))
         }
       }(enc)
   }
@@ -149,11 +191,12 @@ object Warc {
     while (!failed && pos < bytes.length && idx < MaxRecords) {
       val verEnd = crlfAt(pos)
       if (verEnd < 0 || !headerStr(pos, verEnd).startsWith("WARC/")) {
-        out += Row(id, idx, null, null, null, null, false); failed = true
+        out += Row(id, idx, null, null, null, null, null, false); failed = true
       } else {
         var cur = verEnd + 2
         var warcType: String = null
         var targetUri: String = null
+        var contentType: String = null
         var contentLength = -1L
         var headersOk = true
         var blankSeen = false
@@ -174,6 +217,7 @@ object Warc {
               k match {
                 case "warc-type" => warcType = v
                 case "warc-target-uri" => targetUri = v
+                case "content-type" => contentType = v
                 case "content-length" =>
                   contentLength =
                     try v.toLong catch { case _: NumberFormatException => -1L }
@@ -185,14 +229,14 @@ object Warc {
         }
         if (!headersOk || contentLength < 0 ||
             contentLength > (bytes.length - cur).toLong) {
-          out += Row(id, idx, warcType, targetUri,
+          out += Row(id, idx, warcType, targetUri, contentType,
             if (contentLength >= 0) java.lang.Long.valueOf(contentLength) else null,
             null, false)
           failed = true
         } else {
           val payload = java.util.Arrays.copyOfRange(
             bytes, cur, cur + contentLength.toInt)
-          out += Row(id, idx, warcType, targetUri,
+          out += Row(id, idx, warcType, targetUri, contentType,
             java.lang.Long.valueOf(contentLength), payload, true)
           cur += contentLength.toInt
           // record separator CRLF CRLF (tolerate EOF right after payload)
@@ -203,7 +247,7 @@ object Warc {
           }
           if (cur < bytes.length && sepSkipped < 4) {
             // garbage where the separator should be
-            out += Row(id, idx + 1, null, null, null, null, false)
+            out += Row(id, idx + 1, null, null, null, null, null, false)
             failed = true
           }
           pos = cur
@@ -215,7 +259,7 @@ object Warc {
     // parsed prefix but must MARK the dropped tail, same contract as any
     // other truncation (one ok=false row downstream can detect).
     if (!failed && pos < bytes.length && idx == MaxRecords)
-      out += Row(id, idx, null, null, null, null, false)
+      out += Row(id, idx, null, null, null, null, null, false)
     out.result()
   }
 }

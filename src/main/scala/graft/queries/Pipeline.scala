@@ -1370,6 +1370,39 @@ object Pipeline {
         .select(col("id"), col("cluster_id"),
           (col("id") === col("cluster_id")).as("is_survivor"))
         .orderBy(col("id"))
+    }),
+
+    // ---- multimodal WARC routing: a mixed crawl segment (every file
+    // carries an html response; every 4th also an image/png response)
+    // parsed once, then Content-Type-routed — image payloads into the
+    // dHash signature path, html payloads into block extraction — the
+    // p69 container-router shape at the crawl front door. One oracled
+    // row proves the byte-level front door handles a mixed segment:
+    // image rows carry the closed-form band words, html rows the
+    // closed-form extraction metrics. Payloads stay in the narrow
+    // parse/decode stages; only slim columns shuffle. ----
+    "p85_warc_multimodal" -> ((s, dir) => {
+      val recs = Warc.parseWarc(Warc.plantMixedWarcs(docs(s, dir)))
+        .filter(col("ok") && col("warc_type") === "response")
+        .withColumn("kind",
+          Warc.contentKind(col("content_type"), col("payload")))
+      val imgs = ImageHash.dhashSignatures(
+          recs.filter(col("kind") === "image")
+            .select(col("media_id"), col("payload").as("data")))
+        .select(col("media_id").as("id"), lit("image").as("kind"),
+          col("b0").as("m1"), col("b1").as("m2"), col("b2").as("m3"),
+          col("b3").as("m4"))
+      val htmls = Html.blockExtract(
+          recs.filter(col("kind") === "html")
+            .select(col("media_id").as("id"),
+              decode(col("payload"), "UTF-8").as("html")),
+          "id", "html")
+        .select(col("id"), lit("html").as("kind"),
+          col("n_blocks").cast("int").as("m1"),
+          col("n_kept").cast("int").as("m2"),
+          col("main_chars").cast("int").as("m3"),
+          lit(null).cast("int").as("m4"))
+      imgs.unionByName(htmls).orderBy(col("id"), col("kind"))
     })
   )
 
@@ -3031,6 +3064,30 @@ object Pipeline {
           SELECT e.s, rec.reach FROM e JOIN rec ON e.d = rec.id)
         SELECT id, min(reach) AS cluster_id,
               id = min(reach) AS is_survivor
-        FROM rec GROUP BY id ORDER BY id"""
+        FROM rec GROUP BY id ORDER BY id""",
+
+    // Multimodal-routing twin: html rows from the p71 extraction CTEs
+    // (every id carries an html response), image rows from the dHash
+    // word CTEs over the every-4th-id planted PNGs — the oracle composes
+    // the two existing closed-form twins, owning neither a WARC parser
+    // nor a codec.
+    "p85_warc_multimodal" ->
+      s"""$oHtmlCtes,
+        $oBlockCtes,
+        allids AS (SELECT doc_id AS id, doc_id AS src FROM documents
+                   WHERE doc_id % 4 = 0),
+        $oDhashCtes
+        SELECT id, 'html' AS kind, cast(n_blocks AS integer) AS m1,
+              cast(len(kept) AS integer) AS m2,
+              cast(length(coalesce(array_to_string(
+                list_transform(kept, rr -> rr.t), ' '), ''))
+                AS integer) AS m3,
+              cast(NULL AS integer) AS m4
+        FROM k
+        UNION ALL
+        SELECT words.id, 'image' AS kind,
+              words.b0 AS m1, words.b1 AS m2, words.b2 AS m3, words.b3 AS m4
+        FROM words
+        ORDER BY id, kind"""
   )
 }

@@ -45,6 +45,48 @@ class WarcSpec extends AnyFunSuite {
       .forall(_.isNullAt(3)))
   }
 
+  test("mixed plant: every 4th file carries an image/png response whose " +
+    "payload is the planted PNG, byte for byte; content_type parses back") {
+    val parsed = Warc.parseWarc(Warc.plantMixedWarcs(docs(Seq(4L, 5L))))
+      .orderBy(col("media_id"), col("rec_idx")).collect()
+    val types4 = parsed.filter(_.getLong(0) == 4L)
+      .map(r => (r.getString(2), r.getAs[String]("content_type"))).toSeq
+    assert(types4 == Seq(("warcinfo", null), ("response", "text/html"),
+      ("response", "image/png")))
+    assert(parsed.filter(_.getLong(0) == 5L)
+      .forall(_.getAs[String]("content_type") != "image/png"))
+    val img = parsed.find(r => r.getLong(0) == 4L &&
+      r.getAs[String]("content_type") == "image/png").get
+    val wantPng = graft.operators.Multimodal.plantPngs(docs(Seq(4L)))
+      .collect()(0).getAs[Array[Byte]]("data")
+    assert(java.util.Arrays.equals(img.getAs[Array[Byte]]("payload"), wantPng),
+      "embedded image payload differs from the planted PNG stream")
+    // Without images the plant is byte-identical to plantWarcs (p76/p77's
+    // oracles depend on that).
+    assert(java.util.Arrays.equals(
+      Warc.plantMixedWarcs(docs(Seq(5L))).collect()(0).getAs[Array[Byte]]("data"),
+      plantedBytes(5L)))
+  }
+
+  test("contentKind routes on Content-Type, falls back to PNG magic when " +
+    "the header is missing, and never nulls out") {
+    import spark.implicits._
+    val png = graft.operators.Multimodal.plantPngs(docs(Seq(8L)))
+      .collect()(0).getAs[Array[Byte]]("data")
+    val rows = Seq(
+      (1L, "image/png", "nope".getBytes("UTF-8")), // header wins
+      (2L, "IMAGE/JPEG", png), // case-insensitive
+      (3L, null, png), // sniffed
+      (4L, null, "<html></html>".getBytes("UTF-8")),
+      (5L, "text/html", png)) // header wins over magic
+      .toDF("id", "content_type", "payload")
+    val got = rows.select(col("id"),
+      Warc.contentKind(col("content_type"), col("payload")).as("kind"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "image", 2L -> "image", 3L -> "image",
+      4L -> "html", 5L -> "html"))
+  }
+
   test("truncation at EVERY byte boundary degrades, never throws: clean " +
     "prefix records kept, ok=false tail, strictly bounded output") {
     val full = plantedBytes(9L) // 9%3==0: three records
@@ -104,8 +146,8 @@ class WarcSpec extends AnyFunSuite {
     assert(byId.size == 300)
     rows.foreach { r =>
       assert(r.getInt(1) >= 0 && r.getInt(1) <= Warc.MaxRecords)
-      if (!r.isNullAt(5))
-        assert(r.getAs[Array[Byte]](5).length <= base.length,
+      if (!r.isNullAt(r.fieldIndex("payload")))
+        assert(r.getAs[Array[Byte]]("payload").length <= base.length,
           s"payload longer than file for ${r.getLong(0)}")
     }
     // Failure rows terminate a file's parse: at most one non-ok per file.
