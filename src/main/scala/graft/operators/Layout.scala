@@ -101,6 +101,76 @@ object Layout {
       .parquet(path)
   }
 
+  /** Deterministic curated-output sink — the end-of-pipeline step every
+    * training-data funnel finishes with: survivors land as partitioned
+    * parquet whose layout is a pure function of the DATA, independent of
+    * cluster size, input partitioning, or scheduling.
+    *
+    * Contract (each part spec-pinned in `LayoutSpec`):
+    *  - directories: one hive partition dir per (`partitionCol`,
+    *    `__file`) pair, where `__file = xxhash64(sortCols) mod
+    *    filesPerPartition` — a deterministic row→file assignment, so the
+    *    EXACT file count per partition value is `filesPerPartition` (for
+    *    values with ≥1 row in every bucket) and rerunning on a different
+    *    layout reproduces the same row sets per directory;
+    *  - one parquet file per leaf directory: the repartition below hashes
+    *    on exactly the directory key, so each leaf's rows live in one
+    *    task;
+    *  - rows inside each file are sorted by `sortCols` — byte-stable
+    *    content given a duplicate-free sort key, and row-group min/max
+    *    stats that actually prune on the sort key at read time.
+    *
+    * Scale shape: one hash shuffle on the directory key; the skew guard
+    * is `filesPerPartition` (a hot partition value spreads over that many
+    * tasks). Partition-value cardinality × filesPerPartition should be
+    * sized ≥ cluster parallelism, same sizing rule as any bucketed write.
+    *
+    * The reference has no write path at all (its sink is the client
+    * stream, SURVEY §2.3); this is the beyond-reference complement a
+    * pipeline needs to PRODUCE curated corpora.
+    */
+  def writeCurated(df: DataFrame, path: String, partitionCol: String,
+                   sortCols: Seq[String], filesPerPartition: Int = 1): Unit = {
+    require(filesPerPartition >= 1,
+      s"filesPerPartition=$filesPerPartition must be >= 1")
+    require(sortCols.nonEmpty,
+      "writeCurated needs sortCols: a deterministic layout needs a " +
+        "total row order (use the id/key column)")
+    val withFile = df.withColumn("__file",
+      if (filesPerPartition == 1) lit(0)
+      else pmod(xxhash64(sortCols.map(col): _*),
+        lit(filesPerPartition.toLong)).cast("int"))
+    withFile
+      .repartition(col(partitionCol), col("__file"))
+      .sortWithinPartitions(
+        (col(partitionCol) +: col("__file") +: sortCols.map(col)): _*)
+      .write
+      .partitionBy(partitionCol, "__file")
+      .mode("overwrite")
+      .parquet(path)
+  }
+
+  /** Read a [[writeCurated]] directory back, dropping the internal
+    * `__file` bucket column. Partition-column values round-trip through
+    * directory names — keep partition columns string/integral.
+    */
+  def readCurated(spark: org.apache.spark.sql.SparkSession,
+                  path: String): DataFrame =
+    spark.read.parquet(path).drop("__file")
+
+  /** [[readCurated]] with the writer's LOGICAL schema supplied explicitly
+    * (pre-`__file`): exact round-trip types with no partition-value
+    * inference, and an empty sink directory (an empty funnel is a legal
+    * outcome of a 100 TB filter chain) reads back as an empty frame
+    * instead of failing schema inference.
+    */
+  def readCurated(spark: org.apache.spark.sql.SparkSession, path: String,
+                  schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(schema.add(org.apache.spark.sql.types.StructField(
+        "__file", org.apache.spark.sql.types.IntegerType, nullable = true)))
+      .parquet(path).drop("__file")
+
   /** Small-file compaction: rewrite a parquet directory into
     * ceil(totalBytes / targetFileBytes) similarly-sized files. Streaming
     * ingest and per-task writes leave 100 TB corpora as millions of

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.functions.{HashExpressions, TextFunctions => TF}
-import graft.operators.{AudioHash, Dedup, Html, ImageHash, Mp4Meta, Multimodal, Profile, Quantize, Sampling, Similarity, TextOps, Urls, Warc}
+import graft.operators.{AudioHash, Dedup, Html, ImageHash, Layout, Mp4Meta, Multimodal, Profile, Quantize, Sampling, Similarity, TextOps, Urls, Warc}
 
 /** LLM-training-data pipeline query corpus (beyond the reference's own
   * surface, mandated by BASELINE.json): dedup family, similarity search,
@@ -1403,6 +1403,36 @@ object Pipeline {
           col("main_chars").cast("int").as("m3"),
           lit(null).cast("int").as("m4"))
       imgs.unionByName(htmls).orderBy(col("id"), col("kind"))
+    }),
+
+    // ---- curated-output write path: the p80 host-quota survivors land
+    // in the deterministic partitioned parquet sink (hive dirs on host,
+    // 2 files per host via the hash bucket, rows sorted by id within
+    // each file) and are read straight back — the oracle is p80's own
+    // SQL, so a green row proves the sink is TRANSPARENT: layout
+    // assignment, partition-dir round-trip, and types survive the disk
+    // hop. The write itself is the operator under test; layout
+    // determinism across cluster layouts is spec-pinned in LayoutSpec.
+    "p86_curated_sink" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val canon = Urls.plantUrls(docs(s, dir), "doc_id")
+        .select(col("id"), Urls.canonicalize(col("url")).as("canon_url"),
+          Urls.hostOf(col("url")).as("host"))
+      val surv = canon.withColumn("rk1", row_number().over(
+          Window.partitionBy(col("canon_url")).orderBy(col("id"))))
+        .filter(col("rk1") === 1).drop("rk1")
+      val capped = Sampling.capPerGroup(surv, "host", "id", k = 25)
+        .select(col("id"), col("host"), col("canon_url"), col("rk"))
+      // Deterministic per-fixture location (overwritten every run) so repeat
+      // constructions (bench iterations, plan audits) stay bounded.
+      val out = System.getProperty("java.io.tmpdir") +
+        s"/graft-curated-${System.getProperty("user.name", "u")}/" +
+        java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")).toString
+      Layout.writeCurated(capped, out, "host", Seq("id"),
+        filesPerPartition = 2)
+      Layout.readCurated(s, out, capped.schema)
+        .select(col("id"), col("host"), col("canon_url"), col("rk"))
+        .orderBy(col("id"))
     })
   )
 
@@ -3088,6 +3118,22 @@ object Pipeline {
         SELECT words.id, 'image' AS kind,
               words.b0 AS m1, words.b1 AS m2, words.b2 AS m3, words.b3 AS m4
         FROM words
-        ORDER BY id, kind"""
+        ORDER BY id, kind""",
+
+    // Curated-sink twin: VERBATIM the p80 host-quota SQL — read-back
+    // equality through the deterministic parquet sink means the oracle
+    // never sees the disk hop.
+    "p86_curated_sink" ->
+      s"""WITH $oUrlCtes,
+        surv AS (SELECT id, host, canon_url,
+            row_number() OVER (PARTITION BY canon_url ORDER BY id) AS rk1
+          FROM f),
+        capped AS (SELECT id, host, canon_url,
+            row_number() OVER (PARTITION BY host
+              ORDER BY ((id % 4294967296) * 1103515245) % 4294967296, id)
+              AS rk
+          FROM surv WHERE rk1 = 1)
+        SELECT id, host, canon_url, cast(rk AS integer) AS rk
+        FROM capped WHERE rk <= 25 ORDER BY id"""
   )
 }

@@ -131,6 +131,67 @@ class LayoutSpec extends AnyFunSuite {
     assert(counts.forall(_ <= 20000), s"file over cap: ${counts.max}")
   }
 
+  test("curated sink: exact file-count contract, sorted within files, " +
+    "layout identical across input partitionings, empty input reads back") {
+    import spark.implicits._
+    val rows = (0L until 400L)
+      .map(i => (i, s"host${i % 7}", s"v${i * 31 % 97}"))
+    val df = rows.toDF("id", "host", "v")
+
+    def leafFiles(root: String): Map[String, Seq[java.io.File]] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(root))
+        .groupBy(_.getParentFile.getPath.stripPrefix(root))
+    }
+    def contentHash(fs: Seq[java.io.File]): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      fs.sortBy(_.getName).foreach(f =>
+        md.update(java.nio.file.Files.readAllBytes(f.toPath)))
+      md.digest().map("%02x".format(_)).mkString
+    }
+
+    val base = sys.props("java.io.tmpdir") + "/graft_curated_" +
+      java.util.UUID.randomUUID()
+    val outA = s"$base/a"
+    val outB = s"$base/b"
+    // Same data, maximally different cluster layouts: partitioning and
+    // row order going INTO the sink must not leak into what lands on disk.
+    Layout.writeCurated(df.repartition(3), outA, "host", Seq("id"), 2)
+    Layout.writeCurated(df.repartition(17).orderBy(col("v")), outB,
+      "host", Seq("id"), 2)
+
+    // Exact file-count contract: 7 hosts x 2 buckets, one file per leaf.
+    val leavesA = leafFiles(outA)
+    assert(leavesA.size == 14, s"leaf dirs: ${leavesA.keys.toSeq.sorted}")
+    assert(leavesA.values.forall(_.size == 1),
+      "exactly one parquet file per (host, __file) leaf")
+
+    // Layout stability: same leaves, byte-identical file content.
+    val leavesB = leafFiles(outB)
+    assert(leavesA.keySet == leavesB.keySet)
+    leavesA.keys.foreach { leaf =>
+      assert(contentHash(leavesA(leaf)) == contentHash(leavesB(leaf)),
+        s"leaf $leaf bytes differ across input layouts")
+    }
+
+    // Rows inside each file are sorted by the sort key.
+    leavesA.values.flatten.foreach { f =>
+      val ids = spark.read.parquet(f.getPath)
+        .select(col("id")).collect().map(_.getLong(0)).toSeq
+      assert(ids == ids.sorted, s"${f.getPath} not sorted by id")
+    }
+
+    // Read-back equality (explicit-schema path) and empty-input survival.
+    val back = Layout.readCurated(spark, outA, df.schema)
+      .select(df.columns.map(col): _*)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    val outE = s"$base/empty"
+    Layout.writeCurated(df.filter(lit(false)), outE, "host", Seq("id"), 2)
+    assert(Layout.readCurated(spark, outE, df.schema).count() == 0)
+  }
+
   test("compactDir collapses a many-small-file directory to the sized target") {
     val base = sys.props("java.io.tmpdir") + "/graft_compact_" +
       java.util.UUID.randomUUID()
