@@ -1433,6 +1433,30 @@ object Pipeline {
       Layout.readCurated(s, out, capped.schema)
         .select(col("id"), col("host"), col("canon_url"), col("rk"))
         .orderBy(col("id"))
+    }),
+
+    // ---- production-scale tokenizer vocab: the p78 scan against a
+    // ~12k-entry merge table shipped via SparkContext.broadcast and
+    // probed with packed-key hash lookups (longest-first 4/3/2) — the
+    // real-vocab fan-out shape. The table is generated closed-form, so
+    // the oracle rebuilds membership ARITHMETICALLY inside the same
+    // recursive walk; the order-sensitive positional checksum again
+    // makes the token sequence (not just its bag) the thing compared. ----
+    "p87_bpe_big_vocab" -> ((s, dir) => {
+      graft.functions.Bpe.registerBig(s)
+      docs(s, dir)
+        .select(col("doc_id"),
+          graft.functions.Bpe.bpeEncodeBig(TF.normText(col("text")))
+            .as("__ids"))
+        .select(col("doc_id"),
+          size(col("__ids")).as("n_pieces"),
+          aggregate(col("__ids"), lit(0L),
+            (a, x) => a + x.cast("long")).as("id_sum"),
+          aggregate(
+            transform(col("__ids"),
+              (x, i) => x.cast("long") * (i + 1).cast("long")),
+            lit(0L), (a, x) => a + x).as("checksum"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1577,6 +1601,63 @@ object Pipeline {
             cnt + CASE WHEN substr(nt, cur, 1) = ' ' THEN 0 ELSE 1 END,
             id_sum + coalesce($oBpePid, 0),
             checksum + coalesce(cast(cnt + 1 AS bigint) * ($oBpePid), 0)
+      FROM walk WHERE cur <= length(nt))"""
+
+  // Big-vocab twin: the oracle REBUILDS the ~12k-entry merge table's
+  // membership arithmetically (v = Σ (c_i - 'a')·26^i; member iff
+  // v % {2,4,64} = 0 by length; id = {100,1000,20000} + v) instead of
+  // carrying a table — so the Spark side's broadcast + hash-probe path
+  // is differentially checked against pure closed-form arithmetic.
+  // DuckDB's unicode('') = -1 (no error) and lexicographic BETWEEN on
+  // single chars make the out-of-range guards safe without short-circuit
+  // assumptions.
+  private def oBigV(len: Int): String =
+    (0 until len).map { i =>
+      val p = if (i == 0) "cur" else s"cur+$i"
+      val w = math.pow(26, i).toInt
+      if (w == 1) s"(unicode(substr(nt, $p, 1)) - 97)"
+      else s"(unicode(substr(nt, $p, 1)) - 97) * $w"
+    }.mkString(" + ")
+
+  private def oBigAlpha(len: Int): String =
+    (0 until len).map { i =>
+      val p = if (i == 0) "cur" else s"cur+$i"
+      s"substr(nt, $p, 1) BETWEEN 'a' AND 'z'"
+    }.mkString(" AND ")
+
+  private val oBpeBigPid =
+    s"""CASE WHEN substr(nt, cur, 1) = ' ' THEN NULL
+        WHEN ${oBigAlpha(4)} AND (${oBigV(4)}) % 64 = 0
+          THEN 20000 + (${oBigV(4)})
+        WHEN ${oBigAlpha(3)} AND (${oBigV(3)}) % 4 = 0
+          THEN 1000 + (${oBigV(3)})
+        WHEN ${oBigAlpha(2)} AND (${oBigV(2)}) % 2 = 0
+          THEN 100 + (${oBigV(2)})
+        WHEN substr(nt, cur, 1) BETWEEN 'a' AND 'z'
+          THEN 1 + unicode(substr(nt, cur, 1)) - unicode('a')
+        WHEN substr(nt, cur, 1) BETWEEN '0' AND '9'
+          THEN 27 + unicode(substr(nt, cur, 1)) - unicode('0')
+        ELSE 0 END"""
+
+  private val oBpeBigStep =
+    s"""CASE WHEN substr(nt, cur, 1) = ' ' THEN 1
+        WHEN ${oBigAlpha(4)} AND (${oBigV(4)}) % 64 = 0 THEN 4
+        WHEN ${oBigAlpha(3)} AND (${oBigV(3)}) % 4 = 0 THEN 3
+        WHEN ${oBigAlpha(2)} AND (${oBigV(2)}) % 2 = 0 THEN 2
+        ELSE 1 END"""
+
+  private val oBpeBigWalk =
+    s"""WITH RECURSIVE d AS (SELECT doc_id AS id, $oNorm AS nt FROM documents),
+    walk AS (
+      SELECT id, nt, 1 AS cur, 0 AS cnt,
+            cast(0 AS bigint) AS id_sum, cast(0 AS bigint) AS checksum
+      FROM d
+      UNION ALL
+      SELECT id, nt,
+            cur + $oBpeBigStep,
+            cnt + CASE WHEN substr(nt, cur, 1) = ' ' THEN 0 ELSE 1 END,
+            id_sum + coalesce($oBpeBigPid, 0),
+            checksum + coalesce(cast(cnt + 1 AS bigint) * ($oBpeBigPid), 0)
       FROM walk WHERE cur <= length(nt))"""
 
   // Web-funnel twin (p73, and p77 verbatim — the WARC parse layer must be
@@ -3134,6 +3215,17 @@ object Pipeline {
               AS rk
           FROM surv WHERE rk1 = 1)
         SELECT id, host, canon_url, cast(rk AS integer) AS rk
-        FROM capped WHERE rk <= 25 ORDER BY id"""
+        FROM capped WHERE rk <= 25 ORDER BY id""",
+
+    // Big-vocab BPE twin: the recursive walk with the arithmetic
+    // membership ladder (see oBpeBigWalk) — a wrong broadcast entry, a
+    // probe that skips the longest match, or an out-of-order emit all
+    // break the positional checksum.
+    "p87_bpe_big_vocab" ->
+      s"""$oBpeBigWalk
+        SELECT id AS doc_id, cast(cnt AS integer) AS n_pieces,
+              id_sum, checksum
+        FROM walk WHERE cur = length(nt) + 1
+        ORDER BY doc_id"""
   )
 }

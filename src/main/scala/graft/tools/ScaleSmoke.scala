@@ -235,6 +235,12 @@ object ScaleSmoke {
     // 100 TB configuration; uncapped band-space saturation is quadratic
     // by construction, the same pigeonhole as dhash). popcount sum, not
     // raw hash sum (ANSI Long overflow).
+    bench2({ df =>
+      Bpe.registerBig(df.sparkSession)
+      df.select(Bpe.bpeEncodeBig(TextFunctions.normText(col("text")))
+          .as("ids"))
+        .agg(sum(size(col("ids")))).collect().length.toLong
+    }, docs1, docsN, "bpeEncodeBig")
     bench2(df => AudioHash.fingerprints(Multimodal.plantWavs16(df))
         .agg(sum(bit_count(col("fhash")))).collect().length.toLong,
       docs1, docsN, "audioFingerprints")

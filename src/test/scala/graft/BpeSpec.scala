@@ -86,4 +86,77 @@ class BpeSpec extends AnyFunSuite {
     assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
       .isAssignableFrom(classOf[Bpe.BpeEncode]))
   }
+
+  private def encodeBig(s: String): Seq[Int] = {
+    import spark.implicits._
+    Seq(s).toDF("t").select(Bpe.bpeEncodeBig(col("t")))
+      .collect()(0).getSeq[Int](0)
+  }
+
+  /** Independent little-endian base-26 value — the closed-form membership
+    * rule's twin for hand checks.
+    */
+  private def v26(s: String): Int =
+    s.zipWithIndex.map { case (c, i) => (c - 'a') * math.pow(26, i).toInt }.sum
+
+  test("big vocab: table size and membership equal the closed-form rule") {
+    val m = Bpe.buildBigVocab()
+    // 676/2 + 17576/4 + ceil(456976/64) = 338 + 4394 + 7141.
+    assert(m.size == 338 + 4394 + 7141, s"vocab size ${m.size}")
+    // Spot membership both ways against the arithmetic rule.
+    assert(v26("aa") == 0 && encodeBig("aa") == Seq(100))
+    assert(v26("ba") % 2 == 1 && encodeBig("ba") == Seq(2, 1)) // b, a
+    // 'aaaa' (v=0, 0%64=0): the 4-match must beat aa+aa.
+    assert(encodeBig("aaaa") == Seq(20000))
+    // a known 3-member: v('ca') = 2 -> 'ca' is a 2-piece id 102; check a
+    // 3-piece: v % 4 == 0 for 'ea' (v=4) -> 'ea' id... 'ea' is len 2:
+    // 4 % 2 = 0 -> id 104. For len 3 take v=4 -> 'eaa' id 1004.
+    assert(encodeBig("eaa") == Seq(1004))
+    assert(encodeBig("ea") == Seq(104))
+    // greedy: longest match wins even when shorter members exist inside.
+    val four = encodeBig("eaaa") // v('eaaa')=4, 4%64 != 0 -> falls to 'eaa'+'a'
+    assert(four == Seq(1004, 1))
+  }
+
+  test("big vocab: spaces separate, digits/UNK single-step, non-BMP one " +
+    "codepoint — same ladder as the small kernel") {
+    assert(encodeBig("aa aa") == Seq(100, 100))
+    assert(encodeBig("a2!") == Seq(1, 29, 0))
+    assert(encodeBig("a😀b") == Seq(1, 0, 2))
+    assert(encodeBig("") == Seq.empty)
+  }
+
+  test("big vocab: codegen and interpreted eval agree bit-for-bit") {
+    def run(s: org.apache.spark.sql.SparkSession) = {
+      import s.implicits._
+      Bpe.registerBig(s)
+      Seq((1L, "the quick brown fox ingesting other things"),
+          (2L, "aaaa eaa ea a2z !!! 42"),
+          (3L, ""),
+          (4L, "zzzz yyxx wwvv aabb"))
+        .toDF("id", "text")
+        .selectExpr("id", "bpe_encode_big(text) AS ids")
+        .collect().map(_.toString).sorted
+    }
+    val interp = spark.newSession()
+    interp.conf.set("spark.sql.codegen.wholeStage", "false")
+    interp.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    assert(run(spark).sameElements(run(interp)))
+  }
+
+  test("big vocab: projection stays inside whole-stage codegen with the " +
+    "broadcast riding addReferenceObj") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe_big_wscg").toString
+    import spark.implicits._
+    Seq((1L, "the thing"), (2L, "other words")).toDF("id", "text")
+      .write.mode("overwrite").parquet(dir)
+    Bpe.registerBig(spark)
+    val plan = spark.read.parquet(dir)
+      .selectExpr("id", "bpe_encode_big(text) AS ids")
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("*(1) Project"),
+      s"bpe_encode_big fell out of WSCG:\n$plan")
+    assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
+      .isAssignableFrom(classOf[Bpe.BpeBigEncode]))
+  }
 }
