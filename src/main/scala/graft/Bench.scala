@@ -159,20 +159,27 @@ object Bench {
         } catch { case _: Throwable => (Seq.empty, -1.0) }
       // Two triggers (both require wall > 1 s to skip noise-on-noise):
       //  1. wall > 3× the in-run rerun (same plan moments later);
-      //  2. wall > 3× the SUM of stage task run time AND the rerun is
-      //     at least 2× faster than the wall — catches sub-3×-rerun
-      //     contention (r13's q37: wall 4.7 s, rerun 1.9 s, stages < 2 s)
-      //     where the rerun itself absorbed some of the noise. The
-      //     rerun-must-be-faster guard keeps scheduler-round-bound
-      //     queries (p38: wall ≈ rerun ≈ 7 s over 0.3 s of task time —
-      //     REPRODUCIBLE driver-round cost, by design) from reading as
-      //     machine noise. Stage sum OVERCOUNTS parallel work (32
-      //     threads), so wall ≫ sum + a fast rerun can only mean the
-      //     wall clock ran while no query work did.
-      val stageSumSec = stages.map(_.runTimeMs).sum / 1000.0
+      //  2. wall > 3× the stage SPAN estimate AND the rerun is at least
+      //     2× faster than the wall — catches sub-3×-rerun contention
+      //     (r13's q37: wall 4.7 s, rerun 1.9 s; r14's q82: wall 7.8 s,
+      //     rerun 2.7 s) where the rerun itself absorbed some noise.
+      //     Span = Σ per-stage max(maxTaskMs, runTimeMs / slots): the
+      //     wall-clock LOWER BOUND of a perfectly scheduled run. The raw
+      //     run_ms sum (pre-r15 trigger) OVERCOUNTS well-parallelized
+      //     stages ~slots-fold, which is exactly how q82 escaped labeling
+      //     — its 32-task stage summed to 8.6 s of task time under a
+      //     ~0.3 s true span. The rerun-must-be-faster guard keeps
+      //     scheduler-round-bound queries (p38: wall ≈ rerun ≈ 7 s over
+      //     0.3 s of task time — REPRODUCIBLE driver-round cost, by
+      //     design; many short serial stages legitimately dwarf the span)
+      //     from reading as machine noise.
+      val slots =
+        math.max(1.0, scala.util.Try(cpus.toDouble).getOrElse(4.0))
+      val stageSpanSec = stages.map(st =>
+        math.max(st.maxMs.toDouble, st.runTimeMs / slots)).sum / 1000.0
       if (wallSec > 1.0 &&
           ((rerun > 0 && wallSec > 3 * rerun) ||
-           (stageSumSec > 0 && wallSec > 3 * stageSumSec &&
+           (stageSpanSec > 0 && wallSec > 3 * stageSpanSec &&
             rerun > 0 && rerun < wallSec / 2))) suspects += name
       val stageRows = stages.sortBy(-_.runTimeMs).take(8).map { st =>
         s"""{"stage":${st.stageId},"tasks":${st.numTasks},"run_ms":${
