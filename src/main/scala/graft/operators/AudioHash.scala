@@ -172,6 +172,17 @@ object AudioHash {
       : DataFrame =
     BandedHamming.pairs(sigs, "media_id", "fhash", radius, maxBucketSize)
 
+  /** Batch-vs-corpus refresh pairs (corpus_id, batch_id, hamming) — see
+    * [[BandedHamming.incrementalPairs]]: a daily audio slice dedups
+    * against the settled corpus without re-pairing it.
+    */
+  def incrementalNearDupPairs(corpusSigs: DataFrame, batchSigs: DataFrame,
+                              radius: Int = ExactRadius,
+                              maxBucketSize: Long =
+                                BandedHamming.DefaultMaxBucketSize): DataFrame =
+    BandedHamming.incrementalPairs(corpusSigs, batchSigs, "media_id", "fhash",
+      radius, maxBucketSize)
+
   /** Band-bucket size histogram — the cap-tuning diagnostic (see
     * [[BandedHamming.bucketStats]]).
     */

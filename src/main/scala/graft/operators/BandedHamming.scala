@@ -75,6 +75,62 @@ object BandedHamming {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Incremental-refresh shape of [[pairs]] — the
+    * [[Dedup.incrementalNearDupPairs]] discipline for perceptual
+    * fingerprints: when 100 TB of images/audio are already deduplicated
+    * and a daily slice arrives, only batch×corpus pairs matter
+    * (corpus×corpus was settled when the corpus was built; batch×batch
+    * is a separate, much smaller [[pairs]] call). Both sides explode to
+    * slim (id, band, word) rows; candidates come from the (band, word)
+    * equi-join of the batch bands against the capped corpus buckets — so
+    * shuffled volume is O((corpus+batch) × 4) slim rows and exact-verify
+    * cost is O(candidates), never corpus×batch. The corpus-side band
+    * relation is corpus-lifetime-stable: persist it once and every
+    * future batch reuses it. Exact recall at radius ≤ [[ExactRadius]]
+    * by the same pigeonhole (a batch item within radius of a corpus
+    * item agrees with it on at least one whole band).
+    *
+    * @param maxBucketSize skew cap on the CORPUS side of a band bucket,
+    *   same contract as [[pairs]].
+    * @return (corpus_id, batch_id, hamming) within `radius`.
+    */
+  def incrementalPairs(corpusSigs: DataFrame, batchSigs: DataFrame,
+                       idCol: String, hashCol: String,
+                       radius: Int = ExactRadius,
+                       maxBucketSize: Long = DefaultMaxBucketSize): DataFrame = {
+    require(radius <= ExactRadius,
+      s"radius=$radius exceeds the 4-band exact-recall bound $ExactRadius; " +
+        "raise the band count before widening the radius")
+    def bands(sigs: DataFrame): DataFrame = sigs.filter(col("decoded"))
+      .select(col(idCol).as("id"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+          .as(Seq("band", "word")))
+    // Cap degenerate corpus buckets BEFORE the cross-side join, and
+    // size-filter BEFORE collect_list (collected arrays stay hard-bounded
+    // by the cap; the window shares the groupBy's partitioning).
+    val wb = Window.partitionBy(col("band"), col("word"))
+    val okCorpus = bands(corpusSigs)
+      .withColumn("__bsz", count(lit(1)).over(wb))
+      .filter(col("__bsz") <= maxBucketSize)
+      .groupBy(col("band"), col("word"))
+      .agg(collect_list(col("id")).as("cids"))
+    val cand = bands(batchSigs)
+      .join(okCorpus, Seq("band", "word"))
+      .select(explode(col("cids")).as("corpus_id"), col("id").as("batch_id"))
+      .dropDuplicates("corpus_id", "batch_id")
+    val slimC = corpusSigs.filter(col("decoded"))
+      .select(col(idCol).as("corpus_id"), col(hashCol).as("__hc"))
+    val slimB = batchSigs.filter(col("decoded"))
+      .select(col(idCol).as("batch_id"), col(hashCol).as("__hb"))
+    cand
+      .join(slimC, Seq("corpus_id"))
+      .join(slimB, Seq("batch_id"))
+      .withColumn("hamming",
+        bit_count(col("__hc").bitwiseXOR(col("__hb"))).cast("int"))
+      .filter(col("hamming") <= radius)
+      .select(col("corpus_id"), col("batch_id"), col("hamming"))
+  }
+
   /** Band-bucket size histogram — the cap-tuning diagnostic, mirroring
     * [[Dedup.lshBucketStats]]: dropped buckets are degenerate
     * near-identical cliques whose pairs carry no new dedup information

@@ -159,6 +159,17 @@ object ImageHash {
       : DataFrame =
     BandedHamming.pairs(sigs, "media_id", "dhash", radius, maxBucketSize)
 
+  /** Batch-vs-corpus refresh pairs (corpus_id, batch_id, hamming) — see
+    * [[BandedHamming.incrementalPairs]]: a daily image slice dedups
+    * against 100 TB of settled corpus without re-pairing the corpus.
+    */
+  def incrementalNearDupPairs(corpusSigs: DataFrame, batchSigs: DataFrame,
+                              radius: Int = ExactRadius,
+                              maxBucketSize: Long =
+                                BandedHamming.DefaultMaxBucketSize): DataFrame =
+    BandedHamming.incrementalPairs(corpusSigs, batchSigs, "media_id", "dhash",
+      radius, maxBucketSize)
+
   /** Band-bucket size histogram — the cap-tuning diagnostic, mirroring
     * [[Dedup.lshBucketStats]]: at corpus scale the 16-bit band value
     * space saturates (≥ N/65536 images per bucket by pigeonhole), so

@@ -304,7 +304,7 @@ object Multimodal {
       .asScala.toList
   }
 
-  private def audioWriters(): List[javax.sound.sampled.spi.AudioFileWriter] = {
+  private[operators] def audioWriters(): List[javax.sound.sampled.spi.AudioFileWriter] = {
     import scala.jdk.CollectionConverters._
     java.util.ServiceLoader
       .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
@@ -364,17 +364,29 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         val rate = 8000 + (id % 5).toInt * 1000
-        val n = 64 + (id % 32).toInt
-        val samples = Array.tabulate[Byte](n)(i => ((id * 13 + i * 29) % 256).toByte)
-        val fmt = new javax.sound.sampled.AudioFormat(
-          javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
-          rate.toFloat, 8, 1, 1, rate.toFloat, false)
-        val ais = new javax.sound.sampled.AudioInputStream(
-          new java.io.ByteArrayInputStream(samples), fmt, n.toLong)
-        Row(id, "audio", writeWav(writers, ais),
+        Row(id, "audio", plantedWavBytes(id, writers),
           Row(null, null, rate, "audio/wav"))
       }
     }(enc)
+  }
+
+  /** The planted 8-bit WAV byte stream for one id (the [[plantWavs]]
+    * sample rule as a standalone builder, so other planted fixtures —
+    * e.g. mixed WARC files carrying audio responses — embed the SAME
+    * closed-form clip the fingerprint oracle predicts). Hoist
+    * [[audioWriters]] once per partition and pass it in.
+    */
+  private[operators] def plantedWavBytes(id: Long,
+      writers: List[javax.sound.sampled.spi.AudioFileWriter]): Array[Byte] = {
+    val rate = 8000 + (id % 5).toInt * 1000
+    val n = 64 + (id % 32).toInt
+    val samples = Array.tabulate[Byte](n)(i => ((id * 13 + i * 29) % 256).toByte)
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+      rate.toFloat, 8, 1, 1, rate.toFloat, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, n.toLong)
+    writeWav(writers, ais)
   }
 
   /** Deterministic planted 16-bit WAV generator: PCM_SIGNED 16-bit

@@ -49,20 +49,30 @@ object Warc {
     Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
       0x0D.toByte, 0x0A.toByte, 0x1A.toByte, 0x0A.toByte)
 
+  /** RIFF/WAVE container magic: bytes 0-3 `RIFF`, bytes 8-11 `WAVE`. */
+  private val RiffMagic: Array[Byte] = "RIFF".getBytes("US-ASCII")
+  private val WaveMagic: Array[Byte] = "WAVE".getBytes("US-ASCII")
+
   /** Modality router for parsed response records — the p69
-    * container-router shape at the crawl front door: `image` when the
-    * Content-Type header says so OR (header missing) the payload opens
-    * with the PNG magic; everything else routes to the text/html
-    * extraction path. Pure column expression — codegen'd, no UDF.
+    * container-router shape at the crawl front door: `image` / `audio`
+    * when the Content-Type header says so OR (header missing) the
+    * payload opens with the PNG / RIFF-WAVE magic; everything else
+    * routes to the text/html extraction path. Pure column expression —
+    * codegen'd, no UDF.
     */
   def contentKind(contentType: org.apache.spark.sql.Column,
                   payload: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column =
-    when(lower(coalesce(contentType, lit(""))).startsWith("image/"),
-      lit("image"))
+      : org.apache.spark.sql.Column = {
+    val ct = lower(coalesce(contentType, lit("")))
+    when(ct.startsWith("image/"), lit("image"))
+      .when(ct.startsWith("audio/"), lit("audio"))
       .when(contentType.isNull &&
         substring(payload, 1, PngMagic.length) === lit(PngMagic), lit("image"))
+      .when(contentType.isNull &&
+        substring(payload, 1, 4) === lit(RiffMagic) &&
+        substring(payload, 9, 4) === lit(WaveMagic), lit("audio"))
       .otherwise(lit("html"))
+  }
 
   /** Upper bound on records per file: a crafted stream of minimal records
     * must not accumulate an unbounded row buffer per input row.
@@ -82,9 +92,11 @@ object Warc {
 
   /** [[plantWarcs]] plus, for every id % 4 == 0, an `image/png` response
     * record carrying the planted PNG ([[Multimodal.plantedPngBytes]] —
-    * the SAME closed-form pixels the dHash oracle predicts): a mixed
-    * crawl segment, the fixture for Content-Type routing at the WARC
-    * front door.
+    * the SAME closed-form pixels the dHash oracle predicts) and, for
+    * every id % 6 == 0, an `audio/wav` response carrying the planted
+    * 8-bit WAV ([[Multimodal.plantedWavBytes]] — the clip the
+    * fingerprint oracle predicts): a mixed crawl segment, the fixture
+    * for Content-Type routing at the WARC front door.
     */
   def plantMixedWarcs(docs: DataFrame): DataFrame = plantWarcFiles(docs, true)
 
@@ -98,6 +110,8 @@ object Warc {
         Html.plantedPage(col("doc_id"), col("text")).as("html"),
         Urls.plantedUrl(col("doc_id")).as("url"))
       .mapPartitions { rows =>
+        val writers =
+          if (withImages) Multimodal.audioWriters() else Nil
         rows.map { r =>
           val id = r.getLong(0)
           val html = r.getString(1)
@@ -138,6 +152,13 @@ object Warc {
                 "Content-Type" -> "image/png"),
               Multimodal.plantedPngBytes(id))
           }
+          if (withImages && id % 6 == 0)
+            record(
+              Seq("WARC-Type" -> "response",
+                "WARC-Record-ID" -> s"<urn:graft:aud:$id>",
+                "WARC-Target-URI" -> (url + "/clip.wav"),
+                "Content-Type" -> "audio/wav"),
+              Multimodal.plantedWavBytes(id, writers))
           Row(id, "web", bos.toByteArray,
             Row(null, null, null, "application/warc"))
         }

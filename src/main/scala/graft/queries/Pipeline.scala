@@ -73,6 +73,11 @@ object Pipeline {
     */
   private val CopyIdOffset = 1L << 40
 
+  /** Second disjoint id space: FRESH batch items (no corpus counterpart)
+    * in the incremental-refresh fixtures (p88).
+    */
+  private val FreshIdOffset = 1L << 41
+
   private def mutateGate: Boolean =
     sys.env.get("GRAFT_MUTATE").contains("1") ||
       sys.props.get("graft.mutate").contains("1")
@@ -1373,23 +1378,29 @@ object Pipeline {
     }),
 
     // ---- multimodal WARC routing: a mixed crawl segment (every file
-    // carries an html response; every 4th also an image/png response)
-    // parsed once, then Content-Type-routed — image payloads into the
-    // dHash signature path, html payloads into block extraction — the
-    // p69 container-router shape at the crawl front door. One oracled
-    // row proves the byte-level front door handles a mixed segment:
-    // image rows carry the closed-form band words, html rows the
-    // closed-form extraction metrics. Payloads stay in the narrow
+    // carries an html response; every 4th also an image/png response;
+    // every 6th an audio/wav response) parsed once, then
+    // Content-Type-routed — image payloads into the dHash signature
+    // path, audio payloads into the energy-delta fingerprint path, html
+    // payloads into block extraction — the p69 container-router shape
+    // at the crawl front door. One oracled row proves the byte-level
+    // front door handles a mixed segment across ALL THREE modalities:
+    // image/audio rows carry their closed-form band words, html rows
+    // the closed-form extraction metrics. Payloads stay in the narrow
     // parse/decode stages; only slim columns shuffle. ----
     "p85_warc_multimodal" -> ((s, dir) => {
       val recs = Warc.parseWarc(Warc.plantMixedWarcs(docs(s, dir)))
         .filter(col("ok") && col("warc_type") === "response")
         .withColumn("kind",
           Warc.contentKind(col("content_type"), col("payload")))
-      val imgs = ImageHash.dhashSignatures(
-          recs.filter(col("kind") === "image")
-            .select(col("media_id"), col("payload").as("data")))
+      def media(k: String) = recs.filter(col("kind") === k)
+        .select(col("media_id"), col("payload").as("data"))
+      val imgs = ImageHash.dhashSignatures(media("image"))
         .select(col("media_id").as("id"), lit("image").as("kind"),
+          col("b0").as("m1"), col("b1").as("m2"), col("b2").as("m3"),
+          col("b3").as("m4"))
+      val auds = AudioHash.fingerprints(media("audio"))
+        .select(col("media_id").as("id"), lit("audio").as("kind"),
           col("b0").as("m1"), col("b1").as("m2"), col("b2").as("m3"),
           col("b3").as("m4"))
       val htmls = Html.blockExtract(
@@ -1402,7 +1413,8 @@ object Pipeline {
           col("n_kept").cast("int").as("m2"),
           col("main_chars").cast("int").as("m3"),
           lit(null).cast("int").as("m4"))
-      imgs.unionByName(htmls).orderBy(col("id"), col("kind"))
+      imgs.unionByName(auds).unionByName(htmls)
+        .orderBy(col("id"), col("kind"))
     }),
 
     // ---- curated-output write path: the p80 host-quota survivors land
@@ -1457,6 +1469,30 @@ object Pipeline {
               (x, i) => x.cast("long") * (i + 1).cast("long")),
             lit(0L), (a, x) => a + x).as("checksum"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- incremental image near-dup refresh: a BATCH (re-encode copies
+    // of every 7th corpus image + fresh never-seen images) dedups
+    // against a settled CORPUS without re-pairing corpus×corpus — batch
+    // bands equi-join the corpus band buckets, exact recall at radius 3
+    // by the same pigeonhole, O((corpus+batch)×4) slim rows shuffled.
+    // The oracle computes the full corpus×batch all-pairs answer —
+    // equality proves the incremental path finds exactly what a
+    // from-scratch pass would. The daily-slice shape at 100 TB. ----
+    "p88_image_incremental_neardup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = ImageHash.dhashSignatures(Multimodal.plantPngs(d))
+      val copies = Multimodal.resizePooled(
+          Multimodal.plantPngs(d.filter(col("doc_id") % 7 === 0)), 1)
+        .withColumn("media_id", col("media_id") + CopyIdOffset)
+      val fresh = Multimodal.plantPngs(
+        d.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + FreshIdOffset).as("doc_id")))
+      val batch = ImageHash.dhashSignatures(copies.unionByName(fresh))
+      // maxBucketSize explicit: all-pairs oracle equality is the point.
+      ImageHash.incrementalNearDupPairs(corpus, batch,
+          maxBucketSize = Long.MaxValue)
+        .orderBy(col("corpus_id"), col("batch_id"))
     })
   )
 
@@ -3179,15 +3215,20 @@ object Pipeline {
 
     // Multimodal-routing twin: html rows from the p71 extraction CTEs
     // (every id carries an html response), image rows from the dHash
-    // word CTEs over the every-4th-id planted PNGs — the oracle composes
-    // the two existing closed-form twins, owning neither a WARC parser
-    // nor a codec.
+    // word CTEs over the every-4th-id planted PNGs, audio rows from the
+    // fingerprint word CTEs over the every-6th-id planted WAVs (all even
+    // ids, so the 8-bit branch of the shared audio CTEs applies) — the
+    // oracle composes three existing closed-form twins, owning neither
+    // a WARC parser nor any codec.
     "p85_warc_multimodal" ->
       s"""$oHtmlCtes,
         $oBlockCtes,
         allids AS (SELECT doc_id AS id, doc_id AS src FROM documents
                    WHERE doc_id % 4 = 0),
-        $oDhashCtes
+        $oDhashCtes,
+        aids AS (SELECT doc_id AS id, doc_id AS src FROM documents
+                 WHERE doc_id % 6 = 0),
+        $oAfpCtes
         SELECT id, 'html' AS kind, cast(n_blocks AS integer) AS m1,
               cast(len(kept) AS integer) AS m2,
               cast(length(coalesce(array_to_string(
@@ -3199,6 +3240,11 @@ object Pipeline {
         SELECT words.id, 'image' AS kind,
               words.b0 AS m1, words.b1 AS m2, words.b2 AS m3, words.b3 AS m4
         FROM words
+        UNION ALL
+        SELECT awords.id, 'audio' AS kind,
+              awords.b0 AS m1, awords.b1 AS m2, awords.b2 AS m3,
+              awords.b3 AS m4
+        FROM awords
         ORDER BY id, kind""",
 
     // Curated-sink twin: VERBATIM the p80 host-quota SQL — read-back
@@ -3226,6 +3272,30 @@ object Pipeline {
         SELECT id AS doc_id, cast(cnt AS integer) AS n_pieces,
               id_sum, checksum
         FROM walk WHERE cur = length(nt) + 1
-        ORDER BY doc_id"""
+        ORDER BY doc_id""",
+
+    // Incremental-refresh twin: the full corpus×batch ALL-PAIRS answer
+    // (corpus = base ids, batch = offset ids; copies share their base's
+    // src and words, fresh items are their own src) — the banded
+    // batch-vs-corpus Spark plan must equal it exactly.
+    "p88_image_incremental_neardup" ->
+      s"""WITH allids AS (
+          SELECT doc_id AS id, doc_id AS src FROM documents
+          UNION ALL
+          SELECT doc_id + $CopyIdOffset AS id, doc_id AS src FROM documents
+          WHERE doc_id % 7 = 0
+          UNION ALL
+          SELECT doc_id + $FreshIdOffset AS id, doc_id + $FreshIdOffset AS src
+          FROM documents WHERE doc_id % 7 = 3),
+        $oDhashCtes
+        SELECT c.id AS corpus_id, b.id AS batch_id,
+              cast(bit_count(xor(c.b0, b.b0)) + bit_count(xor(c.b1, b.b1))
+                 + bit_count(xor(c.b2, b.b2)) + bit_count(xor(c.b3, b.b3))
+                AS integer) AS hamming
+        FROM words c JOIN words b
+          ON c.id < $CopyIdOffset AND b.id >= $CopyIdOffset
+        WHERE bit_count(xor(c.b0, b.b0)) + bit_count(xor(c.b1, b.b1))
+            + bit_count(xor(c.b2, b.b2)) + bit_count(xor(c.b3, b.b3)) <= 3
+        ORDER BY corpus_id, batch_id"""
   )
 }

@@ -185,4 +185,47 @@ class ImageHashSpec extends AnyFunSuite {
       ImageHash.nearDupPairs(sigsDf(Seq(sigRow(1L, 0L))), radius = 4)
     }
   }
+
+  test("incremental refresh equals the from-scratch cross pairs: every " +
+    "batch copy found at distance 0, corpus x corpus never emitted") {
+    val corpusMedia = Multimodal.plantPngs(ids(50))
+    val copies = Multimodal.resizePooled(
+        corpusMedia.where(col("media_id") % 5 === 0), 1)
+      .withColumn("media_id", col("media_id") + 1000L)
+    val fresh = Multimodal.plantPngs(
+      ids(50).select((col("doc_id") + 2000L).as("doc_id"))
+        .where(col("doc_id") % 7 === 3))
+    val corpus = ImageHash.dhashSignatures(corpusMedia)
+    val batch = ImageHash.dhashSignatures(copies.unionByName(fresh))
+    val inc = ImageHash.incrementalNearDupPairs(corpus, batch,
+        maxBucketSize = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // From-scratch truth: full pairs on the union, restricted to pairs
+    // with exactly one side in the batch id space.
+    val full = ImageHash.nearDupPairs(
+        ImageHash.dhashSignatures(corpusMedia.unionByName(copies)
+          .unionByName(fresh)), maxBucketSize = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter { case (a, b, _) => (a < 1000L) != (b < 1000L) }
+      .map { case (a, b, h) => if (a < 1000L) (a, b, h) else (b, a, h) }
+      .toSet
+    assert(inc == full, s"incremental ${inc.size} != from-scratch ${full.size}")
+    // Every planted copy recovered at distance 0.
+    (0L until 50L by 5).foreach { id =>
+      assert(inc.contains((id, id + 1000L, 0)), s"copy pair $id missing")
+    }
+    // No corpus-only or batch-only pairs leak through.
+    assert(inc.forall { case (c, b, _) => c < 1000L && b >= 1000L })
+  }
+
+  test("incremental refresh never goes cartesian") {
+    val corpus = ImageHash.dhashSignatures(Multimodal.plantPngs(ids(20)))
+    val batch = ImageHash.dhashSignatures(
+      Multimodal.plantPngs(ids(20))
+        .withColumn("media_id", col("media_id") + 1000L))
+    val plan = ImageHash.incrementalNearDupPairs(corpus, batch)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

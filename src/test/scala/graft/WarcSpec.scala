@@ -68,23 +68,43 @@ class WarcSpec extends AnyFunSuite {
       plantedBytes(5L)))
   }
 
-  test("contentKind routes on Content-Type, falls back to PNG magic when " +
-    "the header is missing, and never nulls out") {
+  test("contentKind routes on Content-Type, falls back to PNG/RIFF magic " +
+    "when the header is missing, and never nulls out") {
     import spark.implicits._
     val png = graft.operators.Multimodal.plantPngs(docs(Seq(8L)))
+      .collect()(0).getAs[Array[Byte]]("data")
+    val wav = graft.operators.Multimodal.plantWavs(docs(Seq(8L)))
       .collect()(0).getAs[Array[Byte]]("data")
     val rows = Seq(
       (1L, "image/png", "nope".getBytes("UTF-8")), // header wins
       (2L, "IMAGE/JPEG", png), // case-insensitive
       (3L, null, png), // sniffed
       (4L, null, "<html></html>".getBytes("UTF-8")),
-      (5L, "text/html", png)) // header wins over magic
+      (5L, "text/html", png), // header wins over magic
+      (6L, "audio/wav", "nope".getBytes("UTF-8")),
+      (7L, null, wav), // RIFF/WAVE sniffed
+      (8L, null, "RIFFxxxxNOPE".getBytes("US-ASCII"))) // RIFF but not WAVE
       .toDF("id", "content_type", "payload")
     val got = rows.select(col("id"),
       Warc.contentKind(col("content_type"), col("payload")).as("kind"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "image", 2L -> "image", 3L -> "image",
-      4L -> "html", 5L -> "html"))
+      4L -> "html", 5L -> "html", 6L -> "audio", 7L -> "audio",
+      8L -> "html"))
+  }
+
+  test("mixed plant: every 6th file also carries an audio/wav response " +
+    "whose payload is the planted WAV, byte for byte") {
+    val parsed = Warc.parseWarc(Warc.plantMixedWarcs(docs(Seq(12L))))
+      .orderBy(col("rec_idx")).collect()
+    // 12%3==0 (request), 12%4==0 (image), 12%6==0 (audio).
+    assert(parsed.map(_.getAs[String]("content_type")).toSeq ==
+      Seq(null, null, "text/html", "image/png", "audio/wav"))
+    val aud = parsed.find(_.getAs[String]("content_type") == "audio/wav").get
+    val wantWav = graft.operators.Multimodal.plantWavs(docs(Seq(12L)))
+      .collect()(0).getAs[Array[Byte]]("data")
+    assert(java.util.Arrays.equals(aud.getAs[Array[Byte]]("payload"), wantWav),
+      "embedded audio payload differs from the planted WAV stream")
   }
 
   test("truncation at EVERY byte boundary degrades, never throws: clean " +
