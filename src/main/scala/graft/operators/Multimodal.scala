@@ -432,6 +432,54 @@ object Multimodal {
     }(enc)
   }
 
+  /** Fingerprint-grade planted 16-bit WAV generator: mono PCM_SIGNED LE,
+    * n = 180 + id mod 40 frames (≥ 2 frames per fingerprint bin — no
+    * degenerate nearest-frame bins), sample(i) =
+    * ((id*31 + i*i*(13 + id mod 89) + i*57) mod 4001) − 2000. Two
+    * deliberate departures from the legacy planted rules
+    * ([[plantWavs]]/[[plantWavs16]], built for decode-stat oracles):
+    * (1) the QUADRATIC i² term breaks the linear walk whose |amplitude|
+    * profile is a near-monotone sawtooth, and (2) the id-dependent
+    * quadratic COEFFICIENT (13 + id mod 89) makes the waveform SHAPE
+    * vary per id, not merely its phase — an additive-in-id rule is one
+    * common waveform phase-shifted, and with 5000 ids folded into a
+    * 4001-value phase space every corpus carries thousands of
+    * near-phase twins (~90k/~23k natural hamming≤3 pairs at sf0.1 for
+    * the linear/phase-only variants — the fixture, not the operator,
+    * would dominate the pair queries). With 89 shape classes × 40
+    * length classes (coprime), joint classes hold ~1 id each at sf0.1
+    * and natural pair volume collapses to a handful. Still closed-form
+    * for the SQL oracle and a genuine WAV byte stream from the JDK
+    * writer.
+    */
+  def plantWavsFp(docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    fanOutIds(docs.select(col("doc_id"))).mapPartitions { rows =>
+      val writers = audioWriters()
+      rows.map { r =>
+        val id = r.getLong(0)
+        val rate = 16000
+        val n = 180 + (id % 40).toInt
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = (((id * 31 + i.toLong * i * (13 + id % 89) + i * 57L)
+            % 4001L) - 2000L).toInt
+          pcm(i * 2) = (s & 0xFF).toByte
+          pcm(i * 2 + 1) = ((s >> 8) & 0xFF).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          rate.toFloat, 16, 1, 2, rate.toFloat, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        Row(id, "audio", writeWav(writers, ais),
+          Row(null, null, rate, "audio/wav"))
+      }
+    }(enc)
+  }
+
   /** Bounded PCM drain. `AudioInputStream.read` returns 0 — NOT -1 — when
     * fewer bytes than one frame remain, so `readAllBytes()` (which only
     * stops on -1) SPINS FOREVER on a stream whose header-declared frame

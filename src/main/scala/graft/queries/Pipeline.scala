@@ -1324,8 +1324,9 @@ object Pipeline {
     // ---- perceptual audio fingerprinting: 64-bit sign-of-energy-delta
     // hash (65 time bins of mean absolute amplitude) from the REAL
     // javax.sound.sampled decode path, over a MIXED corpus — 8-bit
-    // unsigned mono WAVs for even ids, 16-bit signed LE mono/stereo for
-    // odd — so one row proves both PCM decode shapes feed the
+    // unsigned mono WAVs for every 10th id, 16-bit signed LE
+    // mono/stereo for the rest — so one row proves both PCM decode
+    // shapes feed the
     // fingerprint. Planted samples are closed-form in id, so the oracle
     // recomputes every band word in SQL without a codec. Narrow decode
     // stage; only (id, 4 small words) leaves it. ----
@@ -1339,13 +1340,16 @@ object Pipeline {
 
     // ---- audio near-dup pairs: container re-encode copies (decode ->
     // identity PCM -> re-encode WAV round trip, id + 2^40, every 5th
-    // doc — parities alternate so BOTH decode shapes get copies) planted
-    // next to the base corpus, then banded Hamming bucketing + exact
-    // XOR-popcount verify. The oracle computes the ALL-PAIRS answer
-    // closed-form — equality proves the banding lost nothing. Payloads
-    // never shuffle; pair generation moves O(clips x 4) slim rows. ----
+    // doc) planted next to the fingerprint-grade base corpus
+    // (plantWavsFp: quadratic-mixed samples, >= 2 frames per bin — the
+    // legacy linear plants are structurally self-similar and would
+    // measure fixture artifacts, not the operator), then banded Hamming
+    // bucketing + exact XOR-popcount verify. The oracle computes the
+    // ALL-PAIRS answer closed-form — equality proves the banding lost
+    // nothing. Payloads never shuffle; pair generation moves
+    // O(clips x 4) slim rows. ----
     "p83_audio_neardup_pairs" -> ((s, dir) => {
-      val base = mixedWavs(s, dir)
+      val base = Multimodal.plantWavsFp(docs(s, dir))
       val copies = Multimodal
         .resampleAudioDecimated(base.filter(col("media_id") % 5 === 0), 1)
         .withColumn("media_id", col("media_id") + CopyIdOffset)
@@ -1364,7 +1368,7 @@ object Pipeline {
     // exactly one clip. Oracle: all-pairs hamming graph +
     // recursive-CTE CC. ----
     "p84_audio_dedup_survivors" -> ((s, dir) => {
-      val base = mixedWavs(s, dir)
+      val base = Multimodal.plantWavsFp(docs(s, dir))
       val copies = Multimodal
         .resampleAudioDecimated(base.filter(col("media_id") % 5 === 0), 1)
         .withColumn("media_id", col("media_id") + CopyIdOffset)
@@ -1497,8 +1501,13 @@ object Pipeline {
   )
 
   /** Mixed-shape planted audio corpus: 8-bit unsigned mono for even ids,
-    * 16-bit signed LE mono/stereo for odd — the p82-p84 fixture (both
-    * real decode paths in one corpus, ids disjoint by parity).
+    * 16-bit signed LE mono/stereo for odd — the p82 fixture (both real
+    * decode paths in one fingerprint query, ids disjoint by parity).
+    * NOT used by the pair queries: both legacy sample rules are LINEAR
+    * walks (built for decode-stat oracles), whose energy profiles are
+    * near-monotone sawtooths — at sf0.1 they mint ~90k structurally-
+    * similar fingerprint pairs, i.e. the fixture, not the operator,
+    * dominates. p83/p84 plant [[Multimodal.plantWavsFp]] instead.
     */
   private def mixedWavs(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
@@ -1547,18 +1556,19 @@ object Pipeline {
 
   // DuckDB twin of the mixed planted-WAV corpus + AudioHash.fingerprints:
   // CTE chain from an `aids(id, src)` relation (src drives the planted
-  // sample rule; src parity picks the shape — even = 8-bit unsigned mono
-  // `(src*13 + f*29) % 256` with amplitude |s - 128|, odd = 16-bit signed
+  // sample rule; `pred8` — a SQL predicate over src — picks the shape:
+  // true = 8-bit unsigned mono `(src*13 + f*29) % 256` with amplitude
+  // |s - 128|, false = 16-bit signed
   // `(src*31 + f*57 + c*101) % 4001 - 2000` with amplitude |s|) to
   // `awords(id, b0..b3)` — 65 time bins of integer mean absolute
   // amplitude, adjacent-bin delta sign bits, folded into 4 16-bit band
   // words. All division operands are non-negative, so DuckDB's flooring
   // `//` equals Java's truncating `/` throughout.
-  private val oAfpCtes =
+  private def oAfpCtes(pred8: String) =
     s"""ap AS (SELECT id, src,
-        CASE WHEN src % 2 = 0 THEN 64 + src % 32 ELSE 48 + src % 16 END AS n,
-        CASE WHEN src % 2 = 0 THEN 1 ELSE 1 + ((src // 2) % 2) END AS chs,
-        CASE WHEN src % 2 = 0 THEN 8000 + (src % 5) * 1000
+        CASE WHEN $pred8 THEN 64 + src % 32 ELSE 48 + src % 16 END AS n,
+        CASE WHEN $pred8 THEN 1 ELSE 1 + ((src // 2) % 2) END AS chs,
+        CASE WHEN $pred8 THEN 8000 + (src % 5) * 1000
              ELSE 11000 + (src % 4) * 1000 END AS rate
       FROM aids),
     abins AS (SELECT id, src, n, chs, rate, gb.b AS b,
@@ -1568,7 +1578,7 @@ object Pipeline {
     aen AS (SELECT id, b,
         list_sum(flatten(list_transform(range(f0, f1), f ->
           list_transform(range(0, chs), c ->
-            CASE WHEN src % 2 = 0
+            CASE WHEN $pred8
               THEN abs((src*13 + f*29) % 256 - 128)
               ELSE abs((src*31 + f*57 + c*101) % 4001 - 2000) END))))
           // ((f1 - f0) * chs) AS e
@@ -1587,6 +1597,40 @@ object Pipeline {
         cast(sum(CASE WHEN i // 16 = 3
           THEN bit * (1 << (i % 16)) ELSE 0 END) AS integer) AS b3
       FROM abits GROUP BY abits.id)"""
+
+  // DuckDB twin of Multimodal.plantWavsFp + AudioHash.fingerprints: the
+  // fingerprint-grade corpus is 16-bit mono with the shape-varying
+  // quadratic sample rule
+  // s(f) = (src*31 + f*f*(13 + src % 89) + f*57) % 4001 - 2000 and
+  // n = 180 + src % 40 frames, so every bin pools >= 2 frames and bin
+  // energies decorrelate across ids (see plantWavsFp's scaladoc for why
+  // the legacy linear/phase-only rules cannot feed the pair queries).
+  // Ends in `fwords(id, b0..b3)`.
+  private val oAfpFpCtes =
+    s"""fp AS (SELECT id, src, 180 + src % 40 AS n FROM aids),
+    fbins AS (SELECT id, src, n, gb.b AS b,
+        (gb.b * n) // 65 AS f0,
+        greatest(((gb.b + 1) * n) // 65, (gb.b * n) // 65 + 1) AS f1
+      FROM fp, (SELECT unnest(range(0, 65)) AS b) gb),
+    fen AS (SELECT id, b,
+        list_sum(list_transform(range(f0, f1), f ->
+          abs((src*31 + f*f*(13 + src % 89) + f*57) % 4001 - 2000)))
+          // (f1 - f0) AS e
+      FROM fbins),
+    fbits AS (SELECT x.id AS id, x.b AS i,
+        CASE WHEN x.e < y.e THEN 1 ELSE 0 END AS bit
+      FROM fen x JOIN fen y ON x.id = y.id AND y.b = x.b + 1
+      WHERE x.b < 64),
+    fwords AS (SELECT fbits.id,
+        cast(sum(CASE WHEN i // 16 = 0
+          THEN bit * (1 << (i % 16)) ELSE 0 END) AS integer) AS b0,
+        cast(sum(CASE WHEN i // 16 = 1
+          THEN bit * (1 << (i % 16)) ELSE 0 END) AS integer) AS b1,
+        cast(sum(CASE WHEN i // 16 = 2
+          THEN bit * (1 << (i % 16)) ELSE 0 END) AS integer) AS b2,
+        cast(sum(CASE WHEN i // 16 = 3
+          THEN bit * (1 << (i % 16)) ELSE 0 END) AS integer) AS b3
+      FROM fbits GROUP BY fbits.id)"""
 
   // DuckDB twin of Bpe.bpeEncodeJava's greedy scan, as a RECURSIVE walk
   // carrying scalars only (cur position, piece count, id sum, positional
@@ -3161,7 +3205,7 @@ object Pipeline {
     // packing breaks this row.
     "p82_audio_fingerprint" ->
       s"""WITH aids AS (SELECT doc_id AS id, doc_id AS src FROM documents),
-        $oAfpCtes
+        ${oAfpCtes("src % 2 = 0")}
         SELECT ap.id, cast(ap.rate AS integer) AS sample_rate,
               cast(ap.chs AS integer) AS channels,
               cast(ap.n AS integer) AS n_frames,
@@ -3179,12 +3223,12 @@ object Pipeline {
           UNION ALL
           SELECT doc_id + $CopyIdOffset AS id, doc_id AS src FROM documents
           WHERE doc_id % 5 = 0),
-        $oAfpCtes
+        $oAfpFpCtes
         SELECT a.id AS id_a, b.id AS id_b,
               cast(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
                  + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
                 AS integer) AS hamming
-        FROM awords a JOIN awords b ON a.id < b.id
+        FROM fwords a JOIN fwords b ON a.id < b.id
         WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
             + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
         ORDER BY id_a, id_b""",
@@ -3198,9 +3242,9 @@ object Pipeline {
           UNION ALL
           SELECT doc_id + $CopyIdOffset AS id, doc_id AS src FROM documents
           WHERE doc_id % 5 = 0),
-        $oAfpCtes,
+        $oAfpFpCtes,
         pr AS (SELECT a.id AS id_a, b.id AS id_b
-          FROM awords a JOIN awords b ON a.id < b.id
+          FROM fwords a JOIN fwords b ON a.id < b.id
           WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
               + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3),
         e AS (SELECT id_a AS s, id_b AS d FROM pr
@@ -3216,8 +3260,8 @@ object Pipeline {
     // Multimodal-routing twin: html rows from the p71 extraction CTEs
     // (every id carries an html response), image rows from the dHash
     // word CTEs over the every-4th-id planted PNGs, audio rows from the
-    // fingerprint word CTEs over the every-6th-id planted WAVs (all even
-    // ids, so the 8-bit branch of the shared audio CTEs applies) — the
+    // fingerprint word CTEs over the every-6th-id planted WAVs (all
+    // 8-bit clips, so the shared audio CTEs run with pred8=true) — the
     // oracle composes three existing closed-form twins, owning neither
     // a WARC parser nor any codec.
     "p85_warc_multimodal" ->
@@ -3228,7 +3272,7 @@ object Pipeline {
         $oDhashCtes,
         aids AS (SELECT doc_id AS id, doc_id AS src FROM documents
                  WHERE doc_id % 6 = 0),
-        $oAfpCtes
+        ${oAfpCtes("true")}
         SELECT id, 'html' AS kind, cast(n_blocks AS integer) AS m1,
               cast(len(kept) AS integer) AS m2,
               cast(length(coalesce(array_to_string(

@@ -98,6 +98,27 @@ class AudioHashSpec extends AnyFunSuite {
     }
   }
 
+  test("fingerprint-grade plant (plantWavsFp) equals the closed-form bin " +
+    "rule and mints no natural near-dups at fixture scale") {
+    val got = AudioHash.fingerprints(Multimodal.plantWavsFp(ids(60)))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.size == 60)
+    (0L until 60L).foreach { id =>
+      val n = 180 + (id % 40).toInt
+      val want = refFingerprint(n, 1, (f, _) =>
+        math.abs((id * 31 + f.toLong * f * (13 + id % 89) + f * 57L) % 4001L
+          - 2000L))
+      val r = got(id)
+      assert(r.getAs[Boolean]("decoded") && r.getAs[Int]("n_frames") == n)
+      assert(r.getAs[Long]("fhash") == want, s"id=$id fp mismatch")
+    }
+    // The shape-varying rule keeps distinct ids apart: no hamming<=3
+    // pairs among 60 distinct clips (the reason p83/p84 plant THIS
+    // corpus instead of the phase-only legacy rules).
+    assert(AudioHash.nearDupPairs(
+      AudioHash.fingerprints(Multimodal.plantWavsFp(ids(60)))).count() == 0)
+  }
+
   test("container re-encode round trip is fingerprint-invariant; " +
     "nearDupPairs finds every copy at distance 0") {
     val base = Multimodal.plantWavs16(ids(50))
