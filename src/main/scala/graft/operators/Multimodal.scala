@@ -139,7 +139,10 @@ object Multimodal {
     * the dHash oracle predicts). Call `ImageIO.setUseCache(false)` once
     * per partition before looping.
     */
-  private[operators] def plantedPngBytes(id: Long): Array[Byte] = {
+  private[operators] def plantedPngBytes(id: Long): Array[Byte] =
+    pngOf(id, i => ((id * 7 + i * 13) % 256).toInt)
+
+  private def pngOf(id: Long, px: Int => Int): Array[Byte] = {
     val w = 8 + (id % 9).toInt
     val h = 8 + (id % 7).toInt
     val img = new java.awt.image.BufferedImage(
@@ -147,12 +150,42 @@ object Multimodal {
     val raster = img.getRaster
     var i = 0
     while (i < w * h) {
-      raster.setSample(i % w, i / w, 0, ((id * 7 + i * 13) % 256).toInt)
+      raster.setSample(i % w, i / w, 0, px(i))
       i += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** Fingerprint-grade planted-PNG generator — the image analog of
+    * [[plantWavsFp]] and the fixture for the dHash PAIR queries:
+    * pixel(i) = (id·7 + i²·(3 + id mod 31) + i·13) mod 256 with the same
+    * w/h rule as [[plantPngs]]. The legacy pixel rule is additive in id —
+    * every image is ONE common ramp phase-shifted by `id·7 mod 256` — so
+    * a dense corpus mints tens of thousands of natural hamming≤3 twins
+    * (measured: 29,975 of 30,975 p75 pairs at sf0.1 were phase-twin
+    * artifacts) and the pair queries measure the fixture, not the
+    * operator. The id-dependent QUADRATIC coefficient varies the
+    * brightness-gradient SHAPE per id (31 shape × 63 geometry classes),
+    * collapsing natural volume to the planted copies while staying
+    * closed-form for the SQL oracle. Legacy [[plantPngs]] remains the
+    * decode-stat fixture (p58/p59/p74 and the WARC embeds).
+    */
+  def plantPngsFp(docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    fanOutIds(docs.select(col("doc_id"))).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = 8 + (id % 9).toInt
+        val h = 8 + (id % 7).toInt
+        Row(id, "image",
+          pngOf(id, i =>
+            ((id * 7 + i.toLong * i * (3 + id % 31) + i * 13L) % 256L).toInt),
+          Row(w, h, null, "image/png"))
+      }
+    }(enc)
   }
 
   /** Output schema of [[decodeImageFeatures]]: decoded pixel statistics,

@@ -1176,9 +1176,12 @@ object Pipeline {
     // at radius 3 by pigeonhole) + exact XOR-popcount verify. The oracle
     // computes the ALL-PAIRS answer closed-form — equality proves the
     // banding lost nothing. Payloads never shuffle; pair generation moves
-    // O(images x 4) slim rows. ----
+    // O(images x 4) slim rows. Base corpus = plantPngsFp (shape-varying
+    // pixel rule): the legacy ramp is additive in id and mints ~30k
+    // natural phase-twin pairs at sf0.1 — fixture artifact, not
+    // operator workload (see plantPngsFp scaladoc). ----
     "p75_image_neardup_pairs" -> ((s, dir) => {
-      val base = Multimodal.plantPngs(docs(s, dir))
+      val base = Multimodal.plantPngsFp(docs(s, dir))
       val copies = Multimodal
         .resizePooled(base.filter(col("media_id") % 5 === 0), 1)
         .withColumn("media_id", col("media_id") + CopyIdOffset)
@@ -1306,7 +1309,7 @@ object Pipeline {
     // pairs alone start: a re-encoded duplicate CLUSTER keeps exactly
     // one image. Oracle: all-pairs hamming graph + recursive-CTE CC. ----
     "p81_image_dedup_survivors" -> ((s, dir) => {
-      val base = Multimodal.plantPngs(docs(s, dir))
+      val base = Multimodal.plantPngsFp(docs(s, dir))
       val copies = Multimodal
         .resizePooled(base.filter(col("media_id") % 5 === 0), 1)
         .withColumn("media_id", col("media_id") + CopyIdOffset)
@@ -1522,7 +1525,18 @@ object Pipeline {
   // gradient sign bits, folded into 4 16-bit band words. Pure integer
   // arithmetic throughout (// floor-div on non-negatives = Java /), so the
   // oracle owns no codec while the Spark side round-trips real PNG bytes.
-  private val oDhashCtes =
+  // `pixelOf` builds the planted pixel SQL from the flat-index SQL —
+  // legacy rule for the decode-stat fixture (p74/p85/p88), the
+  // shape-varying fp rule (plantPngsFp) for the pair queries (p75/p81):
+  // the legacy rule is additive in id (one common ramp phase-shifted),
+  // which at sf0.1 mints ~30k natural hamming<=3 twins — fixture
+  // artifact, not operator workload (same finding as the audio side).
+  private val oPixelLegacy: String => String =
+    idx => s"(src*7 + ($idx)*13) % 256"
+  private val oPixelFp: String => String =
+    idx => s"(src*7 + ($idx)*($idx)*(3 + src % 31) + ($idx)*13) % 256"
+
+  private def oDhashCtes(pixelOf: String => String = oPixelLegacy) =
     s"""ids AS (SELECT id, src, 8 + src % 9 AS w, 8 + src % 7 AS h
          FROM allids),
     cells AS (SELECT id, w, h, gy.y AS y, gx.x AS x, src,
@@ -1535,7 +1549,7 @@ object Pipeline {
         (SELECT unnest(range(0, 9)) AS x) gx),
     means AS (SELECT id, y, x,
         list_sum(flatten(list_transform(range(y0, y1), r ->
-          list_transform(range(x0, x1), c -> (src*7 + (r*w+c)*13) % 256))))
+          list_transform(range(x0, x1), c -> ${pixelOf("r*w+c")}))))
           // ((y1 - y0) * (x1 - x0)) AS g
       FROM cells),
     bits AS (SELECT a.id AS id, a.y AS y, a.x AS x,
@@ -3108,7 +3122,7 @@ object Pipeline {
     // pooling boundaries, mean flooring, or bit packing breaks this row.
     "p74_image_dhash" ->
       s"""WITH allids AS (SELECT doc_id AS id, doc_id AS src FROM documents),
-        $oDhashCtes
+        ${oDhashCtes()}
         SELECT ids.id, cast(ids.w AS integer) AS width,
               cast(ids.h AS integer) AS height,
               words.b0, words.b1, words.b2, words.b3
@@ -3124,7 +3138,7 @@ object Pipeline {
           UNION ALL
           SELECT doc_id + $CopyIdOffset AS id, doc_id AS src FROM documents
           WHERE doc_id % 5 = 0),
-        $oDhashCtes
+        ${oDhashCtes(oPixelFp)}
         SELECT a.id AS id_a, b.id AS id_b,
               cast(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
                  + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
@@ -3183,7 +3197,7 @@ object Pipeline {
           UNION ALL
           SELECT doc_id + $CopyIdOffset AS id, doc_id AS src FROM documents
           WHERE doc_id % 5 = 0),
-        $oDhashCtes,
+        ${oDhashCtes(oPixelFp)},
         pr AS (SELECT a.id AS id_a, b.id AS id_b
           FROM words a JOIN words b ON a.id < b.id
           WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
@@ -3269,7 +3283,7 @@ object Pipeline {
         $oBlockCtes,
         allids AS (SELECT doc_id AS id, doc_id AS src FROM documents
                    WHERE doc_id % 4 = 0),
-        $oDhashCtes,
+        ${oDhashCtes()},
         aids AS (SELECT doc_id AS id, doc_id AS src FROM documents
                  WHERE doc_id % 6 = 0),
         ${oAfpCtes("true")}
@@ -3331,7 +3345,7 @@ object Pipeline {
           UNION ALL
           SELECT doc_id + $FreshIdOffset AS id, doc_id + $FreshIdOffset AS src
           FROM documents WHERE doc_id % 7 = 3),
-        $oDhashCtes
+        ${oDhashCtes()}
         SELECT c.id AS corpus_id, b.id AS batch_id,
               cast(bit_count(xor(c.b0, b.b0)) + bit_count(xor(c.b1, b.b1))
                  + bit_count(xor(c.b2, b.b2)) + bit_count(xor(c.b3, b.b3))

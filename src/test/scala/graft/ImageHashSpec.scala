@@ -218,6 +218,27 @@ class ImageHashSpec extends AnyFunSuite {
     assert(inc.forall { case (c, b, _) => c < 1000L && b >= 1000L })
   }
 
+  test("fingerprint-grade plant (plantPngsFp) equals the closed-form grid " +
+    "rule and mints (nearly) no natural near-dups at fixture scale") {
+    val got = ImageHash.dhashSignatures(Multimodal.plantPngsFp(ids(60)))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.size == 60)
+    (0L until 60L).foreach { id =>
+      val w = 8 + (id % 9).toInt
+      val h = 8 + (id % 7).toInt
+      val want = refDhash(w, h, (x, y) => {
+        val i = (y * w + x).toLong
+        ((id * 7 + i * i * (3 + id % 31) + i * 13) % 256).toInt
+      })
+      assert(got(id).getAs[Long]("dhash") == want, s"id=$id fp mismatch")
+    }
+    // The shape-varying rule keeps distinct ids apart (the legacy ramp
+    // is one common waveform phase-shifted — ~30k natural pairs at
+    // sf0.1; the reason p75/p81 plant THIS corpus).
+    assert(ImageHash.nearDupPairs(
+      ImageHash.dhashSignatures(Multimodal.plantPngsFp(ids(60)))).count() == 0)
+  }
+
   test("incremental refresh never goes cartesian") {
     val corpus = ImageHash.dhashSignatures(Multimodal.plantPngs(ids(20)))
     val batch = ImageHash.dhashSignatures(
