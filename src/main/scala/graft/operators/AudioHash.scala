@@ -75,8 +75,10 @@ object AudioHash {
     val e = new Array[Long](Bins)
     var b = 0
     while (b < Bins) {
-      val f0 = b * n / Bins
-      val f1 = math.max((b + 1) * n / Bins, f0 + 1)
+      // Long arithmetic: b*n overflows Int past ~33M frames (a ~12.5-min
+      // mono 44.1 kHz clip), which would silently mis-bin long clips.
+      val f0 = (b.toLong * n / Bins).toInt
+      val f1 = math.max(((b + 1).toLong * n / Bins).toInt, f0 + 1)
       var sum = 0L
       var f = f0
       while (f < f1) {

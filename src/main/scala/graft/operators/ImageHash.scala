@@ -66,8 +66,11 @@ object ImageHash {
     StructField("b3", IntegerType, nullable = true),
     StructField("decoded", BooleanType, nullable = false)))
 
-  /** dHash of a decoded raster's band 0 per the documented grid rule. */
-  private def dhashOfRaster(raster: java.awt.image.Raster): Long = {
+  /** dHash of a decoded raster's band 0 per the documented grid rule.
+    * Shared with [[VideoHash]], whose temporal fingerprint majority-folds
+    * this exact per-frame hash.
+    */
+  private[operators] def dhashOfRaster(raster: java.awt.image.Raster): Long = {
     val w = raster.getWidth
     val h = raster.getHeight
     val g = Array.ofDim[Long](GridRows, GridCols)

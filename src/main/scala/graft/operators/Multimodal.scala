@@ -51,7 +51,7 @@ object Multimodal {
     * ImageReader/Writer. A task-completion listener fires on success,
     * failure AND cancellation.
     */
-  private def disposeOnTaskEnd(dispose: () => Unit): Unit =
+  private[operators] def disposeOnTaskEnd(dispose: () => Unit): Unit =
     Option(org.apache.spark.TaskContext.get())
       .foreach(_.addTaskCompletionListener[Unit](_ => dispose()))
 
@@ -790,6 +790,64 @@ object Multimodal {
           while (i < w * h) {
             raster.setSample(i % w, i / w, 0,
               ((id * 11 + f * 17 + i * 13) % 256).toInt)
+            i += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        ios.close()
+        Row(id, "video", bos.toByteArray, Row(w, h, null, "image/gif"))
+      }
+    }(enc)
+  }
+
+  /** Fingerprint-grade planted-GIF generator — the video analog of
+    * [[plantPngsFp]]/[[plantWavsFp]] and the fixture for the temporal
+    * near-dup PAIR queries, applying the phase-twin lesson from day one:
+    * `pixel(f, i) = (id·11 + f·17 + i²·(3 + id mod 31) + i·13) mod 256`
+    * with the [[plantGifs]] geometry (`n = 3 + id%4`, `w = 8 + id%5`,
+    * `h = 10 + id%3`). The legacy [[plantGifs]] rule is additive in id —
+    * every clip is ONE common per-frame ramp phase-shifted by
+    * `id·11 mod 256` — exactly the fixture defect that minted tens of
+    * thousands of artifact pairs on the image/audio sides (r15's
+    * phase-twin finding); the id-dependent QUADRATIC coefficient varies
+    * the brightness-gradient SHAPE per id (its mod-256 wrap pattern
+    * decorrelates under any additive shift), collapsing natural pair
+    * volume to the planted copies while staying closed-form for the SQL
+    * oracle. Legacy [[plantGifs]] remains the decode-stat fixture
+    * (p62–p64). Same lossless 256-gray palette: decoded raster samples
+    * ARE the planted values.
+    */
+  def plantGifsFp(docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    fanOutIds(docs.select(col("doc_id"))).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val gray = Array.tabulate[Byte](256)(_.toByte)
+      val cm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      disposeOnTaskEnd(() => writer.dispose())
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = 3 + (id % 4).toInt
+        val w = 8 + (id % 5).toInt
+        val h = 10 + (id % 3).toInt // h >= 5: the GIF-writer LZW bound
+        val shape = 3 + id % 31
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        writer.reset()
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < n) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+          val raster = img.getRaster
+          var i = 0
+          while (i < w * h) {
+            raster.setSample(i % w, i / w, 0,
+              ((id * 11 + f * 17 + i.toLong * i * shape + i * 13L) % 256L).toInt)
             i += 1
           }
           writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)

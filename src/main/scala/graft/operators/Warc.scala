@@ -54,23 +54,25 @@ object Warc {
   private val WaveMagic: Array[Byte] = "WAVE".getBytes("US-ASCII")
 
   /** Modality router for parsed response records — the p69
-    * container-router shape at the crawl front door: `image` / `audio`
-    * when the Content-Type header says so OR (header missing) the
-    * payload opens with the PNG / RIFF-WAVE magic; everything else
-    * routes to the text/html extraction path. Pure column expression —
-    * codegen'd, no UDF.
+    * container-router shape at the crawl front door: magic bytes FIRST
+    * (real crawls mislabel constantly — `application/octet-stream`,
+    * `text/plain`, or plain-wrong `text/html` on a PNG are routine, and
+    * a mislabeled image silently lost to the HTML path never reaches
+    * dedup), then the Content-Type header for payloads whose container
+    * magic we don't sniff. A payload opening with the PNG / RIFF-WAVE
+    * signature IS that container regardless of what the server claimed —
+    * the 8-/12-byte signatures make false positives vanishingly
+    * unlikely. Pure column expression — codegen'd, no UDF.
     */
   def contentKind(contentType: org.apache.spark.sql.Column,
                   payload: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
     val ct = lower(coalesce(contentType, lit("")))
-    when(ct.startsWith("image/"), lit("image"))
-      .when(ct.startsWith("audio/"), lit("audio"))
-      .when(contentType.isNull &&
-        substring(payload, 1, PngMagic.length) === lit(PngMagic), lit("image"))
-      .when(contentType.isNull &&
-        substring(payload, 1, 4) === lit(RiffMagic) &&
+    when(substring(payload, 1, PngMagic.length) === lit(PngMagic), lit("image"))
+      .when(substring(payload, 1, 4) === lit(RiffMagic) &&
         substring(payload, 9, 4) === lit(WaveMagic), lit("audio"))
+      .when(ct.startsWith("image/"), lit("image"))
+      .when(ct.startsWith("audio/"), lit("audio"))
       .otherwise(lit("html"))
   }
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.functions.{HashExpressions, TextFunctions => TF}
-import graft.operators.{AudioHash, Dedup, Html, ImageHash, Layout, Mp4Meta, Multimodal, Profile, Quantize, Sampling, Similarity, TextOps, Urls, Warc}
+import graft.operators.{AudioHash, Dedup, Html, ImageHash, Layout, Mp4Meta, Multimodal, Profile, Quantize, Sampling, Similarity, TextOps, Urls, VideoHash, Warc}
 
 /** LLM-training-data pipeline query corpus (beyond the reference's own
   * surface, mandated by BASELINE.json): dedup family, similarity search,
@@ -1485,14 +1485,18 @@ object Pipeline {
     // by the same pigeonhole, O((corpus+batch)×4) slim rows shuffled.
     // The oracle computes the full corpus×batch all-pairs answer —
     // equality proves the incremental path finds exactly what a
-    // from-scratch pass would. The daily-slice shape at 100 TB. ----
+    // from-scratch pass would. The daily-slice shape at 100 TB.
+    // Corpus/copies/fresh plant the fingerprint-grade plantPngsFp (the
+    // p75/p81 rule): the legacy additive-in-id ramp mints phase-twin
+    // pairs that dominate a PAIR query's output — fixture artifact, not
+    // operator workload (see plantPngsFp scaladoc). ----
     "p88_image_incremental_neardup" -> ((s, dir) => {
       val d = docs(s, dir)
-      val corpus = ImageHash.dhashSignatures(Multimodal.plantPngs(d))
+      val corpus = ImageHash.dhashSignatures(Multimodal.plantPngsFp(d))
       val copies = Multimodal.resizePooled(
-          Multimodal.plantPngs(d.filter(col("doc_id") % 7 === 0)), 1)
+          Multimodal.plantPngsFp(d.filter(col("doc_id") % 7 === 0)), 1)
         .withColumn("media_id", col("media_id") + CopyIdOffset)
-      val fresh = Multimodal.plantPngs(
+      val fresh = Multimodal.plantPngsFp(
         d.filter(col("doc_id") % 7 === 3)
           .select((col("doc_id") + FreshIdOffset).as("doc_id")))
       val batch = ImageHash.dhashSignatures(copies.unionByName(fresh))
@@ -1500,6 +1504,51 @@ object Pipeline {
       ImageHash.incrementalNearDupPairs(corpus, batch,
           maxBucketSize = Long.MaxValue)
         .orderBy(col("corpus_id"), col("batch_id"))
+    }),
+
+    // ---- video sequence near-dup pairs: re-muxed copies (real GIF
+    // demux -> identity pool -> re-encode, id + 2^40, every 5th clip)
+    // planted next to the fingerprint-grade base corpus, every 2nd
+    // frame dHashed (the SAMPLING path — a re-encode keeps the sampled
+    // set), per-frame hashes majority-folded into a 64-bit temporal
+    // fingerprint, then the shared banded-Hamming pair machinery. The
+    // oracle recomputes every per-frame grid bit AND the majority fold
+    // closed-form, then the ALL-PAIRS answer — equality proves the
+    // banding lost nothing. Payloads never shuffle. Base corpus =
+    // plantGifsFp (shape-varying pixel rule — the phase-twin lesson
+    // applied from day one; see plantGifsFp scaladoc). ----
+    "p89_video_neardup_pairs" -> ((s, dir) => {
+      val base = Multimodal.plantGifsFp(docs(s, dir))
+      val copies = Multimodal.resizeVideoPooled(
+          base.filter(col("media_id") % 5 === 0), 1)
+        .withColumn("media_id", col("media_id") + CopyIdOffset)
+      // maxBucketSize explicit: all-pairs oracle equality is the point.
+      VideoHash.nearDupPairs(
+          VideoHash.fingerprints(base.unionByName(copies), everyN = 2),
+          maxBucketSize = Long.MaxValue)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- end-to-end video dedup: temporal-fingerprint pairs ->
+    // connected components -> keep-lowest survivors (the p84 shape over
+    // the video stack). A re-encoded duplicate CLIP keeps exactly one
+    // copy — the last modality without a dedup story now has one.
+    // Oracle: closed-form majority-fold words -> all-pairs hamming
+    // graph -> recursive-CTE CC. ----
+    "p90_video_dedup_survivors" -> ((s, dir) => {
+      val base = Multimodal.plantGifsFp(docs(s, dir))
+      val copies = Multimodal.resizeVideoPooled(
+          base.filter(col("media_id") % 5 === 0), 1)
+        .withColumn("media_id", col("media_id") + CopyIdOffset)
+      val sigs = VideoHash.fingerprints(base.unionByName(copies), everyN = 2)
+      // explicit uncapped: the recursive-CTE CC oracle is the ALL-PAIRS
+      // graph's answer, same reasoning as p81/p84.
+      val pairs = VideoHash.nearDupPairs(sigs, maxBucketSize = Long.MaxValue)
+      Dedup.connectedComponents(
+          sigs.filter(col("decoded")).select(col("media_id").as("id")), pairs)
+        .select(col("id"), col("cluster_id"),
+          (col("id") === col("cluster_id")).as("is_survivor"))
+        .orderBy(col("id"))
     })
   )
 
@@ -1526,8 +1575,8 @@ object Pipeline {
   // arithmetic throughout (// floor-div on non-negatives = Java /), so the
   // oracle owns no codec while the Spark side round-trips real PNG bytes.
   // `pixelOf` builds the planted pixel SQL from the flat-index SQL —
-  // legacy rule for the decode-stat fixture (p74/p85/p88), the
-  // shape-varying fp rule (plantPngsFp) for the pair queries (p75/p81):
+  // legacy rule for the decode-stat fixtures (p74/p85), the
+  // shape-varying fp rule (plantPngsFp) for the pair queries (p75/p81/p88):
   // the legacy rule is additive in id (one common ramp phase-shifted),
   // which at sf0.1 mints ~30k natural hamming<=3 twins — fixture
   // artifact, not operator workload (same finding as the audio side).
@@ -1645,6 +1694,58 @@ object Pipeline {
         cast(sum(CASE WHEN i // 16 = 3
           THEN bit * (1 << (i % 16)) ELSE 0 END) AS integer) AS b3
       FROM fbits GROUP BY fbits.id)"""
+
+  // DuckDB twin of Multimodal.plantGifsFp + VideoHash.fingerprints
+  // (everyN = 2): CTE chain from a `vids(id, src)` relation (src drives
+  // the planted frame-pixel rule
+  // pixel(f, i) = (src*11 + f*17 + i*i*(3 + src%31) + i*13) % 256 with
+  // geometry n = 3 + src%4 frames, w = 8 + src%5, h = 10 + src%3) to
+  // `vwords(id, b0..b3)`: per SAMPLED frame (f % 2 = 0) the 9x8
+  // block-mean dHash grid bits — the oDhashCtes rule with a frame
+  // dimension — then the STRICT-MAJORITY fold per bit position
+  // (2*ones > n_sampled), folded into 4 16-bit band words. All division
+  // operands non-negative (// = Java /).
+  private val oVhashCtes =
+    s"""vg AS (SELECT id, src, 3 + src % 4 AS n, 8 + src % 5 AS w,
+        10 + src % 3 AS h FROM vids),
+    vsf AS (SELECT id, src, n, w, h, gf.f AS f
+      FROM vg, (SELECT unnest(range(0, 6)) AS f) gf
+      WHERE gf.f < n AND gf.f % 2 = 0),
+    vns AS (SELECT id, count(*) AS ns FROM vsf GROUP BY id),
+    vcells AS (SELECT id, src, w, f, gy.y AS y, gx.x AS x,
+        (gx.x * w) // 9 AS x0,
+        greatest(((gx.x + 1) * w) // 9, (gx.x * w) // 9 + 1) AS x1,
+        (gy.y * h) // 8 AS y0,
+        greatest(((gy.y + 1) * h) // 8, (gy.y * h) // 8 + 1) AS y1
+      FROM vsf,
+        (SELECT unnest(range(0, 8)) AS y) gy,
+        (SELECT unnest(range(0, 9)) AS x) gx),
+    vmeans AS (SELECT id, f, y, x,
+        list_sum(flatten(list_transform(range(y0, y1), r ->
+          list_transform(range(x0, x1), c ->
+            (src*11 + f*17 + (r*w+c)*(r*w+c)*(3 + src % 31)
+             + (r*w+c)*13) % 256))))
+          // ((y1 - y0) * (x1 - x0)) AS g
+      FROM vcells),
+    vfbits AS (SELECT a.id AS id, a.f AS f, a.y AS y, a.x AS x,
+        CASE WHEN a.g < b.g THEN 1 ELSE 0 END AS bit
+      FROM vmeans a JOIN vmeans b ON a.id = b.id AND a.f = b.f
+        AND a.y = b.y AND b.x = a.x + 1
+      WHERE a.x < 8),
+    vmbits AS (SELECT fb.id AS id, fb.y*8 + fb.x AS i,
+        CASE WHEN 2 * sum(fb.bit) > max(vns.ns) THEN 1 ELSE 0 END AS bit
+      FROM vfbits fb JOIN vns ON fb.id = vns.id
+      GROUP BY fb.id, fb.y, fb.x),
+    vwords AS (SELECT vmbits.id,
+        cast(sum(CASE WHEN i // 16 = 0
+          THEN bit * (1 << (i % 16)) ELSE 0 END) AS integer) AS b0,
+        cast(sum(CASE WHEN i // 16 = 1
+          THEN bit * (1 << (i % 16)) ELSE 0 END) AS integer) AS b1,
+        cast(sum(CASE WHEN i // 16 = 2
+          THEN bit * (1 << (i % 16)) ELSE 0 END) AS integer) AS b2,
+        cast(sum(CASE WHEN i // 16 = 3
+          THEN bit * (1 << (i % 16)) ELSE 0 END) AS integer) AS b3
+      FROM vmbits GROUP BY vmbits.id)"""
 
   // DuckDB twin of Bpe.bpeEncodeJava's greedy scan, as a RECURSIVE walk
   // carrying scalars only (cur position, piece count, id sum, positional
@@ -3345,7 +3446,7 @@ object Pipeline {
           UNION ALL
           SELECT doc_id + $FreshIdOffset AS id, doc_id + $FreshIdOffset AS src
           FROM documents WHERE doc_id % 7 = 3),
-        ${oDhashCtes()}
+        ${oDhashCtes(oPixelFp)}
         SELECT c.id AS corpus_id, b.id AS batch_id,
               cast(bit_count(xor(c.b0, b.b0)) + bit_count(xor(c.b1, b.b1))
                  + bit_count(xor(c.b2, b.b2)) + bit_count(xor(c.b3, b.b3))
@@ -3354,6 +3455,53 @@ object Pipeline {
           ON c.id < $CopyIdOffset AND b.id >= $CopyIdOffset
         WHERE bit_count(xor(c.b0, b.b0)) + bit_count(xor(c.b1, b.b1))
             + bit_count(xor(c.b2, b.b2)) + bit_count(xor(c.b3, b.b3)) <= 3
-        ORDER BY corpus_id, batch_id"""
+        ORDER BY corpus_id, batch_id""",
+
+    // Video near-dup twin: per-sampled-frame dHash grid bits + the
+    // strict-majority fold redone in SQL from the planted frame-pixel
+    // rule, then the ALL-PAIRS answer (id_a < id_b, XOR popcount over
+    // the 4 band words <= 3) — the banded Spark plan must equal it
+    // exactly. Re-muxed copies are container round trips, so they share
+    // their base's src and words.
+    "p89_video_neardup_pairs" ->
+      s"""WITH vids AS (
+          SELECT doc_id AS id, doc_id AS src FROM documents
+          UNION ALL
+          SELECT doc_id + $CopyIdOffset AS id, doc_id AS src FROM documents
+          WHERE doc_id % 5 = 0),
+        $oVhashCtes
+        SELECT a.id AS id_a, b.id AS id_b,
+              cast(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+                 + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+                AS integer) AS hamming
+        FROM vwords a JOIN vwords b ON a.id < b.id
+        WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+        ORDER BY id_a, id_b""",
+
+    // Video-dedup twin: closed-form temporal-fingerprint words ->
+    // all-pairs hamming<=3 edges -> recursive-CTE connected components
+    // (the p81/p84 pattern) -> min-label cluster + keep-lowest survivor
+    // flag.
+    "p90_video_dedup_survivors" ->
+      s"""WITH RECURSIVE vids AS (
+          SELECT doc_id AS id, doc_id AS src FROM documents
+          UNION ALL
+          SELECT doc_id + $CopyIdOffset AS id, doc_id AS src FROM documents
+          WHERE doc_id % 5 = 0),
+        $oVhashCtes,
+        pr AS (SELECT a.id AS id_a, b.id AS id_b
+          FROM vwords a JOIN vwords b ON a.id < b.id
+          WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3),
+        e AS (SELECT id_a AS s, id_b AS d FROM pr
+              UNION ALL SELECT id_b, id_a FROM pr),
+        rec AS (
+          SELECT id, id AS reach FROM vids
+          UNION
+          SELECT e.s, rec.reach FROM e JOIN rec ON e.d = rec.id)
+        SELECT id, min(reach) AS cluster_id,
+              id = min(reach) AS is_survivor
+        FROM rec GROUP BY id ORDER BY id"""
   )
 }

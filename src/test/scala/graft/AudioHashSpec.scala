@@ -20,8 +20,8 @@ class AudioHashSpec extends AnyFunSuite {
     */
   private def refFingerprint(n: Int, chs: Int, amp: (Int, Int) => Long): Long = {
     val e = (0 until 65).map { b =>
-      val f0 = b * n / 65
-      val f1 = math.max((b + 1) * n / 65, f0 + 1)
+      val f0 = (b.toLong * n / 65).toInt
+      val f1 = math.max(((b + 1).toLong * n / 65).toInt, f0 + 1)
       val vals = for (f <- f0 until f1; c <- 0 until chs) yield amp(f, c)
       vals.sum / ((f1 - f0).toLong * chs)
     }

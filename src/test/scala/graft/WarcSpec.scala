@@ -68,29 +68,35 @@ class WarcSpec extends AnyFunSuite {
       plantedBytes(5L)))
   }
 
-  test("contentKind routes on Content-Type, falls back to PNG/RIFF magic " +
-    "when the header is missing, and never nulls out") {
+  test("contentKind sniffs PNG/RIFF magic FIRST (mislabeled crawls route " +
+    "by payload), falls back to the Content-Type header, never nulls out") {
     import spark.implicits._
     val png = graft.operators.Multimodal.plantPngs(docs(Seq(8L)))
       .collect()(0).getAs[Array[Byte]]("data")
     val wav = graft.operators.Multimodal.plantWavs(docs(Seq(8L)))
       .collect()(0).getAs[Array[Byte]]("data")
     val rows = Seq(
-      (1L, "image/png", "nope".getBytes("UTF-8")), // header wins
-      (2L, "IMAGE/JPEG", png), // case-insensitive
-      (3L, null, png), // sniffed
+      (1L, "image/png", "nope".getBytes("UTF-8")), // header (no magic match)
+      (2L, "IMAGE/JPEG", png), // case-insensitive (and magic agrees)
+      (3L, null, png), // sniffed, header missing
       (4L, null, "<html></html>".getBytes("UTF-8")),
-      (5L, "text/html", png), // header wins over magic
+      (5L, "text/html", png), // MISLABELED image: magic wins
       (6L, "audio/wav", "nope".getBytes("UTF-8")),
       (7L, null, wav), // RIFF/WAVE sniffed
-      (8L, null, "RIFFxxxxNOPE".getBytes("US-ASCII"))) // RIFF but not WAVE
+      (8L, null, "RIFFxxxxNOPE".getBytes("US-ASCII")), // RIFF but not WAVE
+      (9L, "application/octet-stream", png), // unhelpful header: magic wins
+      (10L, "application/octet-stream", wav),
+      (11L, "text/html", wav), // MISLABELED audio: magic wins
+      (12L, "application/octet-stream", "junk".getBytes("UTF-8")), // no magic
+      (13L, "", png)) // empty-string header, sniffed
       .toDF("id", "content_type", "payload")
     val got = rows.select(col("id"),
       Warc.contentKind(col("content_type"), col("payload")).as("kind"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "image", 2L -> "image", 3L -> "image",
-      4L -> "html", 5L -> "html", 6L -> "audio", 7L -> "audio",
-      8L -> "html"))
+      4L -> "html", 5L -> "image", 6L -> "audio", 7L -> "audio",
+      8L -> "html", 9L -> "image", 10L -> "audio", 11L -> "audio",
+      12L -> "html", 13L -> "image"))
   }
 
   test("mixed plant: every 6th file also carries an audio/wav response " +
