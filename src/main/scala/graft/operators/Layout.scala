@@ -129,6 +129,18 @@ object Layout {
     * stream, SURVEY §2.3); this is the beyond-reference complement a
     * pipeline needs to PRODUCE curated corpora.
     */
+  /** Root directory for curated-sink outputs whose location the caller
+    * doesn't pin: `spark.graft.curatedSinkRoot` if set, else a
+    * user-scoped tmpdir. Queries that write as a side effect (p86/p91)
+    * resolve through this, making the on-disk side effect explicit and
+    * isolable — two concurrent sessions over the same fixture point the
+    * conf at disjoint roots instead of racing on one directory.
+    */
+  def sinkRoot(spark: org.apache.spark.sql.SparkSession): String =
+    spark.conf.getOption("spark.graft.curatedSinkRoot").getOrElse(
+      System.getProperty("java.io.tmpdir") +
+        s"/graft-curated-${System.getProperty("user.name", "u")}")
+
   def writeCurated(df: DataFrame, path: String, partitionCol: String,
                    sortCols: Seq[String], filesPerPartition: Int = 1): Unit = {
     require(filesPerPartition >= 1,

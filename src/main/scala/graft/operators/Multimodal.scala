@@ -180,10 +180,7 @@ object Multimodal {
         val id = r.getLong(0)
         val w = 8 + (id % 9).toInt
         val h = 8 + (id % 7).toInt
-        Row(id, "image",
-          pngOf(id, i =>
-            ((id * 7 + i.toLong * i * (3 + id % 31) + i * 13L) % 256L).toInt),
-          Row(w, h, null, "image/png"))
+        Row(id, "image", plantedPngFpBytes(id), Row(w, h, null, "image/png"))
       }
     }(enc)
   }
@@ -491,27 +488,47 @@ object Multimodal {
       val writers = audioWriters()
       rows.map { r =>
         val id = r.getLong(0)
-        val rate = 16000
-        val n = 180 + (id % 40).toInt
-        val pcm = new Array[Byte](n * 2)
-        var i = 0
-        while (i < n) {
-          val s = (((id * 31 + i.toLong * i * (13 + id % 89) + i * 57L)
-            % 4001L) - 2000L).toInt
-          pcm(i * 2) = (s & 0xFF).toByte
-          pcm(i * 2 + 1) = ((s >> 8) & 0xFF).toByte
-          i += 1
-        }
-        val fmt = new javax.sound.sampled.AudioFormat(
-          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-          rate.toFloat, 16, 1, 2, rate.toFloat, false)
-        val ais = new javax.sound.sampled.AudioInputStream(
-          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-        Row(id, "audio", writeWav(writers, ais),
-          Row(null, null, rate, "audio/wav"))
+        Row(id, "audio", plantedWavFpBytes(id, writers),
+          Row(null, null, 16000, "audio/wav"))
       }
     }(enc)
   }
+
+  /** The fingerprint-grade WAV byte stream for one id (the [[plantWavsFp]]
+    * sample rule as a standalone builder — the [[plantedWavBytes]]
+    * convention — so mixed WARC fixtures embed the SAME closed-form clip
+    * the fingerprint oracle predicts). Hoist [[audioWriters]] once per
+    * partition and pass it in.
+    */
+  private[operators] def plantedWavFpBytes(id: Long,
+      writers: List[javax.sound.sampled.spi.AudioFileWriter]): Array[Byte] = {
+    val rate = 16000
+    val n = 180 + (id % 40).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (((id * 31 + i.toLong * i * (13 + id % 89) + i * 57L)
+        % 4001L) - 2000L).toInt
+      pcm(i * 2) = (s & 0xFF).toByte
+      pcm(i * 2 + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      rate.toFloat, 16, 1, 2, rate.toFloat, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    writeWav(writers, ais)
+  }
+
+  /** The fingerprint-grade PNG byte stream for one id (the
+    * [[plantPngsFp]] pixel rule as a standalone builder — see
+    * [[plantedPngBytes]]). Call `ImageIO.setUseCache(false)` once per
+    * partition before looping.
+    */
+  private[operators] def plantedPngFpBytes(id: Long): Array[Byte] =
+    pngOf(id, i =>
+      ((id * 7 + i.toLong * i * (3 + id % 31) + i * 13L) % 256L).toInt)
 
   /** Bounded PCM drain. `AudioInputStream.read` returns 0 — NOT -1 — when
     * fewer bytes than one frame remain, so `readAllBytes()` (which only

@@ -102,7 +102,22 @@ object Warc {
     */
   def plantMixedWarcs(docs: DataFrame): DataFrame = plantWarcFiles(docs, true)
 
-  private def plantWarcFiles(docs: DataFrame, withImages: Boolean): DataFrame = {
+  /** Dedup-grade mixed crawl segment — the p91 capstone fixture:
+    * [[plantWarcs]] plus fingerprint-grade media responses with PLANTED
+    * DUPLICATES. For every id % 4 == 0 an `image/png` response carrying
+    * [[Multimodal.plantedPngFpBytes]] of `(id/8)*8` — so id ≡ 4 (mod 8)
+    * carries a byte-identical COPY of id−4's image (one planted near-dup
+    * cluster per 8 ids); for every id % 6 == 0 an `audio/wav` response
+    * carrying [[Multimodal.plantedWavFpBytes]] of `(id/12)*12` — id ≡ 6
+    * (mod 12) copies id−6's clip. Sources stay closed-form in id, so the
+    * per-modality dedup oracles predict every cluster without a codec,
+    * and the fp rules mint no phase-twin artifacts at corpus density.
+    */
+  def plantMixedWarcsFp(docs: DataFrame): DataFrame =
+    plantWarcFiles(docs, true, fpDedup = true)
+
+  private def plantWarcFiles(docs: DataFrame, withImages: Boolean,
+                             fpDedup: Boolean = false): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(Multimodal.mediaSchema)
     // Fan out FIRST (the plantPngs discipline: one-file fixtures otherwise
     // pin the assembly to a single task), then build page + URL as column
@@ -152,7 +167,8 @@ object Warc {
                 "WARC-Record-ID" -> s"<urn:graft:img:$id>",
                 "WARC-Target-URI" -> (url + "/img.png"),
                 "Content-Type" -> "image/png"),
-              Multimodal.plantedPngBytes(id))
+              if (fpDedup) Multimodal.plantedPngFpBytes((id / 8) * 8)
+              else Multimodal.plantedPngBytes(id))
           }
           if (withImages && id % 6 == 0)
             record(
@@ -160,7 +176,8 @@ object Warc {
                 "WARC-Record-ID" -> s"<urn:graft:aud:$id>",
                 "WARC-Target-URI" -> (url + "/clip.wav"),
                 "Content-Type" -> "audio/wav"),
-              Multimodal.plantedWavBytes(id, writers))
+              if (fpDedup) Multimodal.plantedWavFpBytes((id / 12) * 12, writers)
+              else Multimodal.plantedWavBytes(id, writers))
           Row(id, "web", bos.toByteArray,
             Row(null, null, null, "application/warc"))
         }

@@ -1443,9 +1443,11 @@ object Pipeline {
       val capped = Sampling.capPerGroup(surv, "host", "id", k = 25)
         .select(col("id"), col("host"), col("canon_url"), col("rk"))
       // Deterministic per-fixture location (overwritten every run) so repeat
-      // constructions (bench iterations, plan audits) stay bounded.
-      val out = System.getProperty("java.io.tmpdir") +
-        s"/graft-curated-${System.getProperty("user.name", "u")}/" +
+      // constructions (bench iterations, plan audits) stay bounded; rooted
+      // at spark.graft.curatedSinkRoot so concurrent sessions can isolate
+      // the side effect. NOTE the write runs eagerly at query CONSTRUCTION
+      // (the sink IS the operator under test; gates run serially).
+      val out = Layout.sinkRoot(s) + "/" +
         java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")).toString
       Layout.writeCurated(capped, out, "host", Seq("id"),
         filesPerPartition = 2)
@@ -1549,6 +1551,70 @@ object Pipeline {
         .select(col("id"), col("cluster_id"),
           (col("id") === col("cluster_id")).as("is_survivor"))
         .orderBy(col("id"))
+    }),
+
+    // ---- END-TO-END multimodal curation capstone: ONE verified plan
+    // running the whole crawl-to-corpus path — WARC bytes -> sniff-first
+    // contentKind routing -> per-modality dedup (image dHash CC + audio
+    // fingerprint CC survivors, text canonical/quality/fingerprint
+    // funnel survivors) -> deterministic curated parquet sink ->
+    // read-back. The fixture plants byte-identical media COPIES across
+    // crawl files (id≡4 mod 8 carries id−4's image; id≡6 mod 12 carries
+    // id−6's clip), so every stage has work to do; the oracle composes
+    // the existing closed-form twins (dHash words, fingerprint words,
+    // funnel CTEs) + recursive-CTE CC — owning neither a WARC parser
+    // nor any codec. Composition is where integration bugs live (the
+    // p57/p77 lesson); this row proves the seams. ----
+    "p91_crawl_curation_capstone" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val recs = Warc.parseWarc(Warc.plantMixedWarcsFp(docs(s, dir)))
+        .filter(col("ok") && col("warc_type") === "response")
+        .withColumn("kind",
+          Warc.contentKind(col("content_type"), col("payload")))
+      def media(k: String) = recs.filter(col("kind") === k)
+        .select(col("media_id"), col("payload").as("data"))
+      def survivors(sigs: DataFrame, pairs: DataFrame, kind: String) =
+        Dedup.connectedComponents(
+            sigs.filter(col("decoded")).select(col("media_id").as("id")),
+            pairs)
+          .filter(col("id") === col("cluster_id"))
+          .select(lit(kind).as("kind"), col("id"), col("cluster_id"))
+      // uncapped pairs: the oracle is the all-pairs CC answer (p81/p84
+      // reasoning); the fp plants bound natural pair volume by design.
+      val isigs = ImageHash.dhashSignatures(media("image"))
+      val isurv = survivors(isigs,
+        ImageHash.nearDupPairs(isigs, maxBucketSize = Long.MaxValue), "image")
+      val asigs = AudioHash.fingerprints(media("audio"))
+      val asurv = survivors(asigs,
+        AudioHash.nearDupPairs(asigs, maxBucketSize = Long.MaxValue), "audio")
+      // text: the p77 funnel to its final fingerprint-dedup survivors
+      val pages = recs.filter(col("kind") === "html")
+        .select(col("media_id").as("id"), col("target_uri").as("url"),
+          decode(col("payload"), "UTF-8").as("html"))
+      val canon = Urls.withCanonical(pages.select(col("id"), col("url")),
+        "id", "url")
+      val kept1 = canon.withColumn("rk", row_number().over(
+          Window.partitionBy(col("canon_url")).orderBy(col("id"))))
+        .filter(col("rk") === 1)
+      val extracted = Html.blockExtract(pages, "id", "html")
+        .select(col("id"), col("main_text"), col("n_kept"), col("main_chars"))
+      val gated = kept1.select(col("id")).join(extracted, "id")
+        .filter(col("main_chars") >= 120 && col("n_kept") >= 2)
+        .withColumn("fp", md5(regexp_replace(col("main_text"),
+          "^doc [0-9]+ & heading <x> ?", "")))
+      val tsurv = gated.withColumn("rk2", row_number().over(
+          Window.partitionBy(col("fp")).orderBy(col("id"))))
+        .filter(col("rk2") === 1)
+        .select(lit("html").as("kind"), col("id"), col("id").as("cluster_id"))
+      val curated = isurv.unionByName(asurv).unionByName(tsurv)
+      // the p86 sink discipline: conf-rooted deterministic path, eager
+      // write (the sink IS part of the operator under test)
+      val out = Layout.sinkRoot(s) + "/" +
+        java.util.UUID.nameUUIDFromBytes(("p91:" + dir).getBytes("UTF-8"))
+      Layout.writeCurated(curated, out, "kind", Seq("id"),
+        filesPerPartition = 2)
+      Layout.readCurated(s, out, curated.schema)
+        .orderBy(col("kind"), col("id"))
     })
   )
 
@@ -3502,6 +3568,69 @@ object Pipeline {
           SELECT e.s, rec.reach FROM e JOIN rec ON e.d = rec.id)
         SELECT id, min(reach) AS cluster_id,
               id = min(reach) AS is_survivor
-        FROM rec GROUP BY id ORDER BY id"""
+        FROM rec GROUP BY id ORDER BY id""",
+
+    // Capstone twin: the whole crawl-to-corpus path recomputed from the
+    // planted rules alone — html funnel survivors from the p73/p77 CTEs,
+    // image/audio dedup survivors from the closed-form fp word CTEs
+    // (sources follow the planted copy rules src=(id//8)*8 / (id//12)*12)
+    // through recursive-CTE CC — composing four existing twins with ZERO
+    // knowledge of WARC framing, codecs, routing, or the parquet sink the
+    // Spark side round-trips through.
+    "p91_crawl_curation_capstone" ->
+      s"""WITH RECURSIVE ${oHtmlCtes.stripPrefix("WITH ")},
+        $oBlockCtes,
+        $oUrlCtes,
+        mt AS (SELECT id, coalesce(array_to_string(
+                 list_transform(kept, rr -> rr.t), ' '), '') AS main_text,
+               cast(len(kept) AS integer) AS n_kept FROM k),
+        tsurv AS (SELECT id, canon_url, row_number() OVER (
+                    PARTITION BY canon_url ORDER BY id) AS rk FROM f),
+        ts1 AS (SELECT tsurv.id, mt.main_text, mt.n_kept,
+                  length(mt.main_text) AS main_chars
+                FROM tsurv JOIN mt ON tsurv.id = mt.id WHERE tsurv.rk = 1),
+        tgated AS (SELECT id, md5(regexp_replace(main_text,
+                     '^doc [0-9]+ & heading <x> ?', '')) AS fp2
+                   FROM ts1 WHERE main_chars >= 120 AND n_kept >= 2),
+        tded AS (SELECT id, row_number() OVER (PARTITION BY fp2
+                   ORDER BY id) AS rk2 FROM tgated),
+        allids AS (SELECT doc_id AS id, (doc_id // 8) * 8 AS src
+                   FROM documents WHERE doc_id % 4 = 0),
+        ${oDhashCtes(oPixelFp)},
+        ipr AS (SELECT a.id AS id_a, b.id AS id_b
+          FROM words a JOIN words b ON a.id < b.id
+          WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3),
+        ie AS (SELECT id_a AS s, id_b AS d FROM ipr
+               UNION ALL SELECT id_b, id_a FROM ipr),
+        irec AS (
+          SELECT id, id AS reach FROM allids
+          UNION
+          SELECT ie.s, irec.reach FROM ie JOIN irec ON ie.d = irec.id),
+        ilab AS (SELECT id, min(reach) AS cluster_id FROM irec GROUP BY id),
+        aids AS (SELECT doc_id AS id, (doc_id // 12) * 12 AS src
+                 FROM documents WHERE doc_id % 6 = 0),
+        $oAfpFpCtes,
+        apr AS (SELECT a.id AS id_a, b.id AS id_b
+          FROM fwords a JOIN fwords b ON a.id < b.id
+          WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3),
+        ae AS (SELECT id_a AS s, id_b AS d FROM apr
+               UNION ALL SELECT id_b, id_a FROM apr),
+        arec AS (
+          SELECT id, id AS reach FROM aids
+          UNION
+          SELECT ae.s, arec.reach FROM ae JOIN arec ON ae.d = arec.id),
+        alab AS (SELECT id, min(reach) AS cluster_id FROM arec GROUP BY id)
+        SELECT kind, id, cluster_id FROM (
+          SELECT 'image' AS kind, id, cluster_id FROM ilab
+          WHERE id = cluster_id
+          UNION ALL
+          SELECT 'audio' AS kind, id, cluster_id FROM alab
+          WHERE id = cluster_id
+          UNION ALL
+          SELECT 'html' AS kind, id, id AS cluster_id FROM tded
+          WHERE rk2 = 1)
+        ORDER BY kind, id"""
   )
 }

@@ -192,6 +192,17 @@ class LayoutSpec extends AnyFunSuite {
     assert(Layout.readCurated(spark, outE, df.schema).count() == 0)
   }
 
+  test("sinkRoot: defaults to the user-scoped tmpdir, honors " +
+    "spark.graft.curatedSinkRoot for side-effect isolation") {
+    val dflt = Layout.sinkRoot(spark)
+    assert(dflt.startsWith(System.getProperty("java.io.tmpdir")))
+    assert(dflt.contains("graft-curated-"))
+    spark.conf.set("spark.graft.curatedSinkRoot", "/tmp/graft-isolated-x")
+    try assert(Layout.sinkRoot(spark) == "/tmp/graft-isolated-x")
+    finally spark.conf.unset("spark.graft.curatedSinkRoot")
+    assert(Layout.sinkRoot(spark) == dflt)
+  }
+
   test("compactDir collapses a many-small-file directory to the sized target") {
     val base = sys.props("java.io.tmpdir") + "/graft_compact_" +
       java.util.UUID.randomUUID()

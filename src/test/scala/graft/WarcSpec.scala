@@ -99,6 +99,27 @@ class WarcSpec extends AnyFunSuite {
       12L -> "html", 13L -> "image"))
   }
 
+  test("fp-dedup mixed plant: id=4 mod 8 carries id-4's fp image byte for " +
+    "byte, id=6 mod 12 carries id-6's fp clip — the planted copy clusters " +
+    "the p91 capstone dedups") {
+    val parsed = Warc.parseWarc(Warc.plantMixedWarcsFp(docs(Seq(8L, 12L, 18L))))
+      .filter(col("content_type").isin("image/png", "audio/wav")).collect()
+      .map(r => (r.getLong(0), r.getAs[String]("content_type")) ->
+        r.getAs[Array[Byte]]("payload")).toMap
+    // id=8: own image (8//8*8 = 8); id=12: copy of 8's image (12//8*8 = 8)
+    // and own clip (12//12*12 = 12); id=18: copy of 12's clip (18//12*12=12).
+    val fpPng8 = graft.operators.Multimodal.plantPngsFp(docs(Seq(8L)))
+      .collect()(0).getAs[Array[Byte]]("data")
+    val fpWav12 = graft.operators.Multimodal.plantWavsFp(docs(Seq(12L)))
+      .collect()(0).getAs[Array[Byte]]("data")
+    assert(java.util.Arrays.equals(parsed((8L, "image/png")), fpPng8))
+    assert(java.util.Arrays.equals(parsed((12L, "image/png")), fpPng8),
+      "id 12 must embed id 8's image (the planted copy)")
+    assert(java.util.Arrays.equals(parsed((12L, "audio/wav")), fpWav12))
+    assert(java.util.Arrays.equals(parsed((18L, "audio/wav")), fpWav12),
+      "id 18 must embed id 12's clip (the planted copy)")
+  }
+
   test("mixed plant: every 6th file also carries an audio/wav response " +
     "whose payload is the planted WAV, byte for byte") {
     val parsed = Warc.parseWarc(Warc.plantMixedWarcs(docs(Seq(12L))))
