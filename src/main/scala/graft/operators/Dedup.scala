@@ -244,6 +244,74 @@ object Dedup {
     batch.join(hits, batch(idCol) === hits("batch_id"), "left_anti")
   }
 
+  /** Incremental CLUSTER maintenance — the production daily step AFTER
+    * the batch-vs-corpus pairs: admit a batch into EXISTING cluster
+    * labels with bounded work, no corpus-wide CC recompute. Completes
+    * the refresh loop [[incrementalNearDupPairs]] /
+    * [[BandedHamming.incrementalPairs]] start: those produce the edges;
+    * this folds them into the settled labels.
+    *
+    * Inputs: `corpusLabels` (id, cluster_id) MUST be min-label CC output
+    * (the [[connectedComponents]] contract: cluster_id = min member id);
+    * `batchIds` the full batch node set (id); `crossPairs` (corpus_id,
+    * batch_id) batch-vs-corpus edges; `batchPairs` (id_a, id_b)
+    * batch-internal edges. Corpus and batch id spaces must be disjoint
+    * (the [[graft.queries.Pipeline]] fixtures use disjoint high-bit
+    * offsets).
+    *
+    * Algorithm — work is O(batch + touched clusters), NEVER O(corpus):
+    *  1. Contract each corpus cluster to its LABEL: a cross edge
+    *     (c, b) becomes (label(c), b). Corpus×corpus edges need no
+    *     replay — they were settled when the corpus was built, and
+    *     corpus fingerprints don't change; two settled clusters can
+    *     only merge through a batch path, which the bridge graph
+    *     carries.
+    *  2. Run CC over the small bridge graph (batch nodes + touched
+    *     cluster labels) — the driver finisher handles it locally
+    *     below the edge threshold.
+    *  3. New label of a merged component = its min member = min(batch
+    *     ids, cluster labels) — which equals the from-scratch min-label
+    *     over the full merged node set BECAUSE corpus labels are
+    *     already their clusters' minima.
+    *  4. Corpus rows relabel through a BROADCAST join on cluster_id
+    *     (the relabel map is O(touched clusters)); unaffected clusters
+    *     — the overwhelming majority at 100 TB — keep their label
+    *     without shuffling a single corpus row. Fresh unlinked batch
+    *     items label themselves (new singleton clusters).
+    *
+    * Returns (id, cluster_id) for corpus ∪ batch, EQUAL to from-scratch
+    * [[connectedComponents]] over the combined graph (differentially
+    * proven by p92's oracle and DedupPropertySpec's bridge case).
+    */
+  def admitToClusters(corpusLabels: DataFrame, batchIds: DataFrame,
+                      crossPairs: DataFrame,
+                      batchPairs: DataFrame): DataFrame = {
+    val bridgeCross = crossPairs
+      .join(corpusLabels.select(col("id").as("corpus_id"), col("cluster_id")),
+        Seq("corpus_id"))
+      .select(col("cluster_id").as("id_a"), col("batch_id").as("id_b"))
+    val bridgeEdges =
+      bridgeCross.unionByName(batchPairs.select(col("id_a"), col("id_b")))
+    val bridgeNodes = batchIds.select(col("id"))
+      .unionByName(bridgeCross.select(col("id_a").as("id")))
+      .distinct()
+    val bridgeLabels = connectedComponents(bridgeNodes, bridgeEdges)
+    // Relabel map: bridge nodes that ARE corpus cluster labels, keyed by
+    // the old label. O(touched clusters) rows -> broadcast.
+    val relabel = bridgeLabels
+      .join(corpusLabels.select(col("cluster_id").as("id")).distinct(),
+        Seq("id"))
+      .select(col("id").as("__old"), col("cluster_id").as("__new"))
+    val corpusOut = corpusLabels
+      .join(broadcast(relabel), col("cluster_id") === col("__old"),
+        "left_outer")
+      .select(col("id"),
+        coalesce(col("__new"), col("cluster_id")).as("cluster_id"))
+    val batchOut = bridgeLabels.join(batchIds.select(col("id")), Seq("id"))
+      .select(col("id"), col("cluster_id"))
+    corpusOut.unionByName(batchOut)
+  }
+
   /** Drop every doc that near-dups a lower-id doc (single pass over the pair
     * list — the greedy keep-lowest rule; full transitive closure would need
     * iterative connected components, overkill for dedup-keep-one).

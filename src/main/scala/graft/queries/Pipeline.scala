@@ -74,9 +74,15 @@ object Pipeline {
   private val CopyIdOffset = 1L << 40
 
   /** Second disjoint id space: FRESH batch items (no corpus counterpart)
-    * in the incremental-refresh fixtures (p88).
+    * in the incremental-refresh fixtures (p88, p92 batch copies).
     */
   private val FreshIdOffset = 1L << 41
+
+  /** Third disjoint id space (bits 40+41): p92's fresh batch items,
+    * disjoint from base ids, corpus copies (2^40) AND batch copies
+    * (2^41) at any corpus scale.
+    */
+  private val Fresh2IdOffset = 3L << 40
 
   private def mutateGate: Boolean =
     sys.env.get("GRAFT_MUTATE").contains("1") ||
@@ -1615,6 +1621,48 @@ object Pipeline {
         filesPerPartition = 2)
       Layout.readCurated(s, out, curated.schema)
         .orderBy(col("kind"), col("id"))
+    }),
+
+    // ---- incremental cluster MAINTENANCE — the refresh loop's second
+    // half (p88 produces the pairs; this folds them into settled
+    // labels): a settled image corpus (base + re-encode copies of every
+    // 5th = real 2-member clusters) admits a daily batch (copies of
+    // every 7th + fresh never-seen images) through
+    // Dedup.admitToClusters: batch-bridged clusters relabel through a
+    // BROADCAST map, fresh items mint new singletons, and NO corpus-wide
+    // CC reruns. The oracle is from-scratch recursive-CTE CC over the
+    // COMBINED graph — equality proves bounded-work admission computes
+    // exactly what a full recompute would. ----
+    "p92_incremental_cluster_admit" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = Multimodal.plantPngsFp(d)
+      val corpusCopies = Multimodal.resizePooled(
+          base.filter(col("media_id") % 5 === 0), 1)
+        .withColumn("media_id", col("media_id") + CopyIdOffset)
+      val corpusSigs =
+        ImageHash.dhashSignatures(base.unionByName(corpusCopies))
+      // settled labels: the p81 chain (uncapped — oracle equality)
+      val corpusLabels = Dedup.connectedComponents(
+        corpusSigs.filter(col("decoded")).select(col("media_id").as("id")),
+        ImageHash.nearDupPairs(corpusSigs, maxBucketSize = Long.MaxValue))
+      val batchCopies = Multimodal.resizePooled(
+          base.filter(col("media_id") % 7 === 0), 1)
+        .withColumn("media_id", col("media_id") + FreshIdOffset)
+      val fresh = Multimodal.plantPngsFp(
+        d.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + Fresh2IdOffset).as("doc_id")))
+      val batchSigs = ImageHash.dhashSignatures(
+        batchCopies.unionByName(fresh))
+      val cross = ImageHash.incrementalNearDupPairs(corpusSigs, batchSigs,
+          maxBucketSize = Long.MaxValue)
+        .select(col("corpus_id"), col("batch_id"))
+      val bpairs = ImageHash.nearDupPairs(batchSigs,
+          maxBucketSize = Long.MaxValue)
+        .select(col("id_a"), col("id_b"))
+      Dedup.admitToClusters(corpusLabels,
+          batchSigs.filter(col("decoded")).select(col("media_id").as("id")),
+          cross, bpairs)
+        .orderBy(col("id"))
     })
   )
 
@@ -3631,6 +3679,38 @@ object Pipeline {
           UNION ALL
           SELECT 'html' AS kind, id, id AS cluster_id FROM tded
           WHERE rk2 = 1)
-        ORDER BY kind, id"""
+        ORDER BY kind, id""",
+
+    // Incremental-admission twin: from-scratch CC over the COMBINED
+    // corpus+batch graph (base ids, corpus copies at 2^40, batch copies
+    // at 2^41 — sharing their base's src — and fresh items at 3*2^40) —
+    // the bounded-work bridge admission must label every node exactly
+    // as a full recompute would.
+    "p92_incremental_cluster_admit" ->
+      s"""WITH RECURSIVE allids AS (
+          SELECT doc_id AS id, doc_id AS src FROM documents
+          UNION ALL
+          SELECT doc_id + $CopyIdOffset AS id, doc_id AS src FROM documents
+          WHERE doc_id % 5 = 0
+          UNION ALL
+          SELECT doc_id + $FreshIdOffset AS id, doc_id AS src FROM documents
+          WHERE doc_id % 7 = 0
+          UNION ALL
+          SELECT doc_id + $Fresh2IdOffset AS id,
+                doc_id + $Fresh2IdOffset AS src
+          FROM documents WHERE doc_id % 7 = 3),
+        ${oDhashCtes(oPixelFp)},
+        pr AS (SELECT a.id AS id_a, b.id AS id_b
+          FROM words a JOIN words b ON a.id < b.id
+          WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3),
+        e AS (SELECT id_a AS s, id_b AS d FROM pr
+              UNION ALL SELECT id_b, id_a FROM pr),
+        rec AS (
+          SELECT id, id AS reach FROM allids
+          UNION
+          SELECT e.s, rec.reach FROM e JOIN rec ON e.d = rec.id)
+        SELECT id, min(reach) AS cluster_id
+        FROM rec GROUP BY id ORDER BY id"""
   )
 }
