@@ -1663,6 +1663,54 @@ object Pipeline {
           batchSigs.filter(col("decoded")).select(col("media_id").as("id")),
           cross, bpairs)
         .orderBy(col("id"))
+    }),
+
+    // ---- model-based quality scoring: fastText-style linear-classifier
+    // INFERENCE — hashed word unigram + bigram features × a planted
+    // closed-form weight table (broadcast + probed inside WSCG, the p87
+    // vocab-distribution shape). The oracle recomputes every rolling
+    // codepoint hash, feature index, and weight arithmetically in SQL —
+    // a wrong broadcast entry, hash step, or bigram combine breaks the
+    // per-doc score exactly. ----
+    "p93_quality_classifier" -> ((s, dir) => {
+      graft.functions.FastText.register(s)
+      val toks = filter(split(TF.normText(col("text")), " "),
+        t => length(t) > 0)
+      docs(s, dir)
+        .select(col("doc_id"), size(toks).as("__n"),
+          graft.functions.FastText.score(TF.normText(col("text")))
+            .as("score"))
+        .select(col("doc_id"),
+          (col("__n") + greatest(col("__n") - 1, lit(0))).cast("int")
+            .as("n_grams"),
+          col("score"), (col("score") > 0).as("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- the classifier thresholded into a quality cascade (the p46
+    // funnel shape): all docs -> statistical length gate -> model-based
+    // classifier gate, reported as per-stage survivor counts. The
+    // standard curation cascade ends with exactly this model stage. ----
+    "p94_classifier_funnel" -> ((s, dir) => {
+      graft.functions.FastText.register(s)
+      val scored = docs(s, dir).select(
+        size(filter(split(TF.normText(col("text")), " "),
+          t => length(t) > 0)).as("n_toks"),
+        graft.functions.FastText.score(TF.normText(col("text"))).as("score"))
+      scored
+        .agg(count(lit(1)).as("n_all"),
+          sum(when(col("n_toks") >= 10, 1L).otherwise(0L)).as("n_len"),
+          sum(when(col("n_toks") >= 10 && col("score") > 0, 1L)
+            .otherwise(0L)).as("n_ml"))
+        .select(explode(array(
+          struct(lit(0).as("stage_idx"), lit("all").as("stage"),
+            col("n_all").as("n_docs")),
+          struct(lit(1).as("stage_idx"), lit("min_tokens_10").as("stage"),
+            col("n_len").as("n_docs")),
+          struct(lit(2).as("stage_idx"), lit("classifier_pos").as("stage"),
+            col("n_ml").as("n_docs")))).as("s"))
+        .select(col("s.stage_idx"), col("s.stage"), col("s.n_docs"))
+        .orderBy(col("stage_idx"))
     })
   )
 
@@ -1860,6 +1908,30 @@ object Pipeline {
         cast(sum(CASE WHEN i // 16 = 3
           THEN bit * (1 << (i % 16)) ELSE 0 END) AS integer) AS b3
       FROM vmbits GROUP BY vmbits.id)"""
+
+  // DuckDB twin of FastText.scoreJava: per-doc non-empty tokens, rolling
+  // codepoint hash h = (h*31 + cp) % 2^20 via list_reduce (prepended 0 =
+  // the fold seed), unigram weight at h % 4096 and bigram weight at
+  // (h1*131 + h2) % 4096, with the planted rule
+  // w(j) = ((j*37 + 11) % 201) - 100 inlined arithmetically. Ends in
+  // `sc(id, n_toks, score)`. All operands non-negative; products stay
+  // under 2^27, overflow-free in BIGINT.
+  private val oFtScoreCtes =
+    s"""t AS (SELECT doc_id AS id,
+          list_filter($oToks, x -> length(x) > 0) AS toks FROM documents),
+    hh AS (SELECT id, list_transform(toks, tk ->
+          list_reduce(list_prepend(0,
+            list_transform(range(1, length(tk) + 1),
+              j -> unicode(substr(tk, j, 1)))),
+            (a, c) -> (a * 31 + c) % 1048576)) AS hs
+        FROM t),
+    sc AS (SELECT id, len(hs) AS n_toks,
+          coalesce(list_sum(list_transform(hs,
+            h -> ((h % 4096) * 37 + 11) % 201 - 100)), 0)
+          + coalesce(list_sum(list_transform(range(1, len(hs)),
+            i -> (((hs[i] * 131 + hs[i+1]) % 4096) * 37 + 11) % 201 - 100)),
+            0) AS score
+        FROM hh)"""
 
   // DuckDB twin of Bpe.bpeEncodeJava's greedy scan, as a RECURSIVE walk
   // carrying scalars only (cur position, piece count, id sum, positional
@@ -3711,6 +3783,35 @@ object Pipeline {
           UNION
           SELECT e.s, rec.reach FROM e JOIN rec ON e.d = rec.id)
         SELECT id, min(reach) AS cluster_id
-        FROM rec GROUP BY id ORDER BY id"""
+        FROM rec GROUP BY id ORDER BY id""",
+
+    // Classifier twin: rolling codepoint hashes, feature indices, and
+    // the planted weight rule w(j) = ((j*37+11) % 201) - 100 all redone
+    // arithmetically — per-doc score equality proves the broadcast
+    // table, the hash steps, and the bigram combine bit for bit.
+    "p93_quality_classifier" ->
+      s"""WITH $oFtScoreCtes
+        SELECT id AS doc_id,
+              cast(n_toks + greatest(n_toks - 1, 0) AS integer) AS n_grams,
+              cast(score AS bigint) AS score, score > 0 AS kept
+        FROM sc ORDER BY doc_id""",
+
+    // Cascade twin: the same scores folded into per-stage survivor
+    // counts.
+    "p94_classifier_funnel" ->
+      s"""WITH $oFtScoreCtes,
+        c AS (SELECT count(*) AS n_all,
+                sum(CASE WHEN n_toks >= 10 THEN 1 ELSE 0 END) AS n_len,
+                sum(CASE WHEN n_toks >= 10 AND score > 0
+                    THEN 1 ELSE 0 END) AS n_ml
+              FROM sc)
+        SELECT stage_idx, stage, n_docs FROM (
+          SELECT 0 AS stage_idx, 'all' AS stage,
+                cast(n_all AS bigint) AS n_docs FROM c
+          UNION ALL
+          SELECT 1, 'min_tokens_10', cast(n_len AS bigint) FROM c
+          UNION ALL
+          SELECT 2, 'classifier_pos', cast(n_ml AS bigint) FROM c)
+        ORDER BY stage_idx"""
   )
 }
