@@ -90,8 +90,13 @@ object BandedHamming {
     * by the same pigeonhole (a batch item within radius of a corpus
     * item agrees with it on at least one whole band).
     *
-    * @param maxBucketSize skew cap on the CORPUS side of a band bucket,
-    *   same contract as [[pairs]].
+    * @param maxBucketSize skew cap applied SYMMETRICALLY to both sides'
+    *   band buckets (same contract as [[pairs]]): a degenerate corpus
+    *   bucket is dropped before the cross-side join, and a degenerate
+    *   BATCH bucket (a flat-color daily slice sharing all four band
+    *   words) is dropped the same way — without it a pathological batch
+    *   generates batch_size × cap candidates through every band.
+    *   Candidate volume is therefore ≤ min(batch, cap) × 4 × cap.
     * @return (corpus_id, batch_id, hamming) within `radius`.
     */
   def incrementalPairs(corpusSigs: DataFrame, batchSigs: DataFrame,
@@ -105,16 +110,22 @@ object BandedHamming {
       .select(col(idCol).as("id"),
         posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
           .as(Seq("band", "word")))
-    // Cap degenerate corpus buckets BEFORE the cross-side join, and
-    // size-filter BEFORE collect_list (collected arrays stay hard-bounded
-    // by the cap; the window shares the groupBy's partitioning).
+    // Cap degenerate buckets on BOTH sides BEFORE the cross-side join
+    // (symmetric treatment: a flat-color batch is as degenerate as a
+    // flat-color corpus), and size-filter BEFORE collect_list (collected
+    // arrays stay hard-bounded by the cap; each window shares its
+    // groupBy/join partitioning).
     val wb = Window.partitionBy(col("band"), col("word"))
     val okCorpus = bands(corpusSigs)
       .withColumn("__bsz", count(lit(1)).over(wb))
       .filter(col("__bsz") <= maxBucketSize)
       .groupBy(col("band"), col("word"))
       .agg(collect_list(col("id")).as("cids"))
-    val cand = bands(batchSigs)
+    val okBatch = bands(batchSigs)
+      .withColumn("__bsz", count(lit(1)).over(wb))
+      .filter(col("__bsz") <= maxBucketSize)
+      .drop("__bsz")
+    val cand = okBatch
       .join(okCorpus, Seq("band", "word"))
       .select(explode(col("cids")).as("corpus_id"), col("id").as("batch_id"))
       .dropDuplicates("corpus_id", "batch_id")
