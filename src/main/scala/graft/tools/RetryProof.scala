@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{GraftSession, Tables}
-import graft.operators.{AudioHash, Dedup, Html, ImageHash, Multimodal, Sampling, Urls, Warc}
+import graft.operators.{AudioHash, Dedup, Html, ImageHash, Multimodal, Sampling, Urls, VideoHash, Warc}
 
 /** Task-retry safety proof: on a 1000-executor fleet, individual task
   * failures (preemption, bad node, OOM-kill) are routine — Spark
@@ -197,7 +197,15 @@ object RetryProof {
       // shifts — same contract as dhash_pairs, over the sound stack.
       ("audio_fp_pairs", wrap =>
         AudioHash.nearDupPairs(AudioHash.fingerprints(
-          Multimodal.plantWavs16(wrap(docs))))))
+          Multimodal.plantWavs16(wrap(docs))))),
+      // banded video near-dup: a retried map task must regenerate
+      // byte-identical GIF containers -> identical per-frame dHashes ->
+      // an identical majority fold, or the temporal fingerprint (and
+      // the pair set) silently shifts — the dhash/audio contract over
+      // the demux + sequence-fold stack.
+      ("video_fp_pairs", wrap =>
+        VideoHash.nearDupPairs(VideoHash.fingerprints(
+          Multimodal.plantGifsFp(wrap(docs)), everyN = 2))))
 
     val mapSide = cases.map { case (name, build) =>
       val baseline = build(identity).collect()

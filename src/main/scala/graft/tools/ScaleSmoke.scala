@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{GraftSession, Tables}
-import graft.functions.{Bpe, TextFunctions}
-import graft.operators.{AudioHash, Dedup, Html, ImageHash, Mp4Meta, Multimodal, Sampling, Similarity, TextOps, Urls, Warc}
+import graft.functions.{Bpe, FastText, TextFunctions}
+import graft.operators.{AudioHash, Dedup, Html, ImageHash, Mp4Meta, Multimodal, Sampling, Similarity, TextOps, Urls, VideoHash, Warc}
 
 /** Empirical scale check for the flagship pipeline operators: amplify the
   * sf0.1 corpus N× in-memory (id-remapped copies — same text/embedding
@@ -249,6 +249,44 @@ object ScaleSmoke {
         maxBucketSize = 1000L)
         .agg(sum(col("hamming")), count(lit(1))).collect().length.toLong,
       docs1, docsN, "audioNearDupPairs(cap)")
+    // Round-16 additions: video fingerprints are the heaviest narrow
+    // codec pass (demux + per-frame decode + fold — exponent ≈1 pins no
+    // cross-row coupling); pairs measured CAPPED as usual; the
+    // classifier is a pure WSCG scan; admission's bridge CC is
+    // O(batch + touched clusters) — its exponent tracks batch size.
+    bench2(df => VideoHash.fingerprints(Multimodal.plantGifsFp(df),
+        everyN = 2)
+        .agg(sum(bit_count(col("vhash")))).collect().length.toLong,
+      docs1, docsN, "videoFingerprints")
+    bench2(df => VideoHash.nearDupPairs(
+        VideoHash.fingerprints(Multimodal.plantGifsFp(df), everyN = 2),
+        maxBucketSize = 1000L)
+        .agg(sum(col("hamming")), count(lit(1))).collect().length.toLong,
+      docs1, docsN, "videoNearDupPairs(cap)")
+    bench2({ df =>
+      FastText.register(df.sparkSession)
+      df.select(FastText.score(TextFunctions.normText(col("text")))
+          .as("score"))
+        .agg(sum(col("score"))).collect().length.toLong
+    }, docs1, docsN, "fasttextScore")
+    bench2({ df =>
+      val sigs = ImageHash.dhashSignatures(Multimodal.plantPngsFp(df))
+      val labels = Dedup.connectedComponents(
+        sigs.select(col("media_id").as("id")),
+        ImageHash.nearDupPairs(sigs, maxBucketSize = 1000L))
+      val batch = ImageHash.dhashSignatures(Multimodal.plantPngsFp(
+        df.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + (1L << 41)).as("doc_id"))))
+      Dedup.admitToClusters(labels,
+          batch.select(col("media_id").as("id")),
+          ImageHash.incrementalNearDupPairs(sigs, batch,
+              maxBucketSize = 1000L)
+            .select(col("corpus_id"), col("batch_id")),
+          ImageHash.nearDupPairs(batch, maxBucketSize = 1000L)
+            .select(col("id_a"), col("id_b")))
+        .agg(sum(col("cluster_id")), count(lit(1)))
+        .collect().length.toLong
+    }, docs1, docsN, "admitToClusters(cap)")
     spark.stop()
   }
 }
