@@ -1,0 +1,233 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Product quantization (PQ) for embedding vectors — the standard
+  * vector-store compression behind large-scale ANN (Jégou et al.,
+  * "Product Quantization for Nearest Neighbor Search", PAMI 2011; the
+  * IVF-PQ layout every FAISS-class system ships): split a D-dim vector
+  * into [[M]] contiguous sub-vectors, snap each to its nearest of [[K]]
+  * per-subspace centroids, and keep only the M small code indices —
+  * here 8×4 bits = one long per vector instead of 64 floats (64×
+  * smaller). Queries never decompress: asymmetric distance (ADC)
+  * precomputes one M×K lookup table per query and scores a candidate
+  * with M table probes.
+  *
+  * Model definition (documented exactly because a DuckDB oracle
+  * recomputes every code and distance arithmetically):
+  *  - D = 64, M = 8 sub-vectors of SubDim = 8 dims, K = 16 centroids
+  *    per subspace → 4-bit codes, packed little-endian into one long:
+  *    Σ code_m << 4m.
+  *  - codebook: the PLANTED closed-form table
+  *    c(m,k,j) = (((m·7 + k·13 + j·29) mod 41) − 20) / 20.0 ∈ [−1, 1] —
+  *    generated once on the driver, shipped via a genuine
+  *    `SparkContext.broadcast` (the [[Bpe.BpeBigEncode]] /
+  *    [[FastText]] shape: a production codebook is trained offline and
+  *    is DATA on the wire, not code).
+  *  - code_m = argmin_k Σ_j (v[m·8+j] − c(m,k,j))², double arithmetic,
+  *    j-ascending summation, FIRST minimum on ties (strict `<` — the
+  *    SQL `list_position(l, list_min(l))` rule).
+  *  - reconstruction err = Σ_m (that minimum), m-ascending summation.
+  *  - ADC(q, x) = Σ_m lut_q[m·16 + code_m(x)] where
+  *    lut_q[m·16+k] = Σ_j (q[m·8+j] − c(m,k,j))² — the identical
+  *    operation sequence, so lookup and recompute are bit-equal.
+  *
+  * Scale shape: encoding is a narrow, shuffle-free, whole-stage-codegen
+  * map (the broadcast handle rides into generated code via
+  * `addReferenceObj`); each executor reads the codebook once from the
+  * torrent. The corpus side of an ADC search scans 8-byte codes — at
+  * 100 TB of raw embeddings that is the difference between a
+  * memory-resident candidate set and an I/O-bound one; the query side
+  * broadcasts (qid, 128-double LUT) rows.
+  */
+object Pq {
+
+  /** Sub-vector count (codes per vector). */
+  val M = 8
+
+  /** Dimensions per sub-vector; input dim = M × SubDim = 64. */
+  val SubDim = 8
+
+  /** Centroids per subspace → 4-bit codes. */
+  val K = 16
+
+  /** Input dimensionality the codebook covers. */
+  val Dim: Int = M * SubDim
+
+  /** The planted closed-form codebook, flat-indexed (m·K + k)·SubDim + j
+    * — so the oracle rebuilds any entry arithmetically:
+    * c(m,k,j) = (((m·7 + k·13 + j·29) mod 41) − 20) / 20.0.
+    */
+  def buildCodebook(): Array[Double] = {
+    val cb = new Array[Double](M * K * SubDim)
+    var m = 0
+    while (m < M) {
+      var k = 0
+      while (k < K) {
+        var j = 0
+        while (j < SubDim) {
+          cb((m * K + k) * SubDim + j) =
+            (((m * 7 + k * 13 + j * 29) % 41) - 20) / 20.0
+          j += 1
+        }
+        k += 1
+      }
+      m += 1
+    }
+    cb
+  }
+
+  /** Runtime encode kernel (public: generated Java calls it). Returns
+    * (packed codes long, reconstruction err double) as an InternalRow,
+    * or null when the vector is shorter than [[Dim]] (one malformed row
+    * must not kill a 100 TB pass — the `decoded=false` convention).
+    * Float elements widen to double exactly; summation order and the
+    * first-minimum tie rule mirror the oracle's `list_sum` /
+    * `list_position` semantics bit-for-bit.
+    */
+  def encodeJava(v: ArrayData, cb: Array[Double]): InternalRow = {
+    if (v == null || v.numElements() < Dim) return null
+    var packed = 0L
+    var err = 0.0
+    var m = 0
+    while (m < M) {
+      var bestK = 0
+      var bestD = Double.MaxValue
+      var k = 0
+      while (k < K) {
+        var d = 0.0
+        var j = 0
+        while (j < SubDim) {
+          val x = v.getFloat(m * SubDim + j).toDouble -
+            cb((m * K + k) * SubDim + j)
+          d += x * x
+          j += 1
+        }
+        if (d < bestD) { bestD = d; bestK = k }
+        k += 1
+      }
+      packed |= bestK.toLong << (4 * m)
+      err += bestD
+      m += 1
+    }
+    new GenericInternalRow(Array[Any](packed, err))
+  }
+
+  /** Runtime LUT kernel: the M×K ADC table for one query vector, flat
+    * m·K + k — each entry by the exact operation sequence [[encodeJava]]
+    * uses, so `lut[m·16 + code]` equals a direct recompute bit-for-bit.
+    */
+  def lutJava(v: ArrayData, cb: Array[Double]): ArrayData = {
+    if (v == null || v.numElements() < Dim) return null
+    val lut = new Array[Double](M * K)
+    var m = 0
+    while (m < M) {
+      var k = 0
+      while (k < K) {
+        var d = 0.0
+        var j = 0
+        while (j < SubDim) {
+          val x = v.getFloat(m * SubDim + j).toDouble -
+            cb((m * K + k) * SubDim + j)
+          d += x * x
+          j += 1
+        }
+        lut(m * K + k) = d
+        k += 1
+      }
+      m += 1
+    }
+    new GenericArrayData(lut)
+  }
+
+  /** embedding → struct(code long, err double) against the broadcast
+    * codebook; rides whole-stage codegen via `addReferenceObj`.
+    */
+  case class PqEncode(child: Expression,
+      codebook: org.apache.spark.broadcast.Broadcast[Array[Double]])
+      extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("code", LongType, nullable = false),
+      StructField("err", DoubleType, nullable = false)))
+    override def nullable: Boolean = true
+    override def prettyName: String = "pq_encode"
+
+    override def nullSafeEval(input: Any): Any =
+      encodeJava(input.asInstanceOf[ArrayData], codebook.value)
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("pqCodebook", codebook,
+        "org.apache.spark.broadcast.Broadcast")
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.functions.Pq.encodeJava($c, (double[])$ref.value());
+        ${ev.isNull} = ${ev.value} == null;""")
+    }
+
+    override protected def withNewChildInternal(c: Expression): PqEncode =
+      copy(child = c)
+  }
+
+  /** embedding → M×K ADC lookup table (array of doubles, flat m·K + k). */
+  case class PqLut(child: Expression,
+      codebook: org.apache.spark.broadcast.Broadcast[Array[Double]])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "pq_lut"
+
+    override def nullSafeEval(input: Any): Any =
+      lutJava(input.asInstanceOf[ArrayData], codebook.value)
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("pqCodebook", codebook,
+        "org.apache.spark.broadcast.Broadcast")
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.functions.Pq.lutJava($c, (double[])$ref.value());
+        ${ev.isNull} = ${ev.value} == null;""")
+    }
+
+    override protected def withNewChildInternal(c: Expression): PqLut =
+      copy(child = c)
+  }
+
+  // One broadcast per application (the Bpe.bigVocabMemo discipline:
+  // keyed by applicationId, not the session object).
+  private val codebookMemo = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.broadcast.Broadcast[Array[Double]]]
+
+  private def codebookBc(spark: SparkSession) =
+    codebookMemo.getOrElseUpdate(spark.sparkContext.applicationId,
+      spark.sparkContext.broadcast(buildCodebook()))
+
+  def register(spark: SparkSession): Unit = {
+    val bc = codebookBc(spark)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_encode", exprs => PqEncode(exprs.head, bc), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_lut", exprs => PqLut(exprs.head, bc), "scala_udf")
+  }
+
+  /** Encode a float-array embedding column → struct(code, err). */
+  def encode(vec: Column): Column = {
+    register(SparkSession.active)
+    call_function("pq_encode", vec)
+  }
+
+  /** ADC lookup table for a float-array query column. */
+  def lut(vec: Column): Column = {
+    register(SparkSession.active)
+    call_function("pq_lut", vec)
+  }
+}

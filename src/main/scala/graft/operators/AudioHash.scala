@@ -162,6 +162,140 @@ object AudioHash {
       }(enc)
   }
 
+  /** Output schema of [[windowFingerprints]]: one row per sliding
+    * window, plus the clip-level geometry the containment stage needs.
+    */
+  val windowFingerprintSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = true),
+    StructField("n_wins", IntegerType, nullable = true),
+    StructField("win_idx", IntegerType, nullable = true),
+    StructField("whash", LongType, nullable = true),
+    StructField("w0", IntegerType, nullable = true),
+    StructField("w1", IntegerType, nullable = true),
+    StructField("w2", IntegerType, nullable = true),
+    StructField("w3", IntegerType, nullable = true),
+    StructField("decoded", BooleanType, nullable = false)))
+
+  /** Sliding-window fingerprints — the sub-clip containment substrate
+    * (the windowed form of [[fingerprints]], the audio-fingerprint
+    * literature's standard move for segment search: a short clip lifted
+    * from a longer one shares the longer clip's window fingerprints at
+    * every hop-aligned offset, so containment becomes an EQUI-JOIN on
+    * window hashes plus a consecutive-alignment count — never a
+    * cross-join of payloads). Window w covers frames
+    * [w·hop, w·hop + win); n_wins = (n − win)/hop + 1 (0 when the clip
+    * is shorter than one window — such clips emit a single
+    * win_idx=NULL row so downstream can still count them).
+    *
+    * Scale shape: the decode stays a narrow mapPartitions (payloads
+    * never shuffle); the output is O(frames/hop) slim ~44-byte rows per
+    * clip. Undecodable payloads degrade to one `decoded=false` row.
+    */
+  def windowFingerprints(media: DataFrame, win: Int, hop: Int,
+                         minParallelism: Int = 1): DataFrame = {
+    require(win > 0 && hop > 0, "win and hop must be positive")
+    val enc = org.apache.spark.sql.Encoders.row(windowFingerprintSchema)
+    Multimodal.fanned(media.select(col("media_id"), col("data")), minParallelism)
+      .mapPartitions { rows =>
+        val readers = new Multimodal.AudioReadDispatch(Multimodal.audioReaders())
+        rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes =
+          Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        val out: Seq[Row] =
+          try {
+            val ais = readers.read(bytes)
+            if (ais == null) null
+            else {
+              val fmt = ais.getFormat
+              val is8 = fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1 &&
+                fmt.getEncoding ==
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+              val is16 = fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+                fmt.getEncoding ==
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+              if (!is8 && !is16) null
+              else {
+                val pcm = Multimodal.drainPcm(ais, bytes.length)
+                val chs = if (is8) 1 else fmt.getChannels
+                val frameBytes = if (is8) 1 else 2 * chs
+                val n = pcm.length / frameBytes
+                if (n == 0) null
+                else {
+                  val amp: (Int, Int) => Long =
+                    if (is8) (f, _) => math.abs((pcm(f) & 0xFF) - 128).toLong
+                    else { (f, c) =>
+                      val off = (f * chs + c) * 2
+                      val s = ((pcm(off) & 0xFF) |
+                        (pcm(off + 1).toInt << 8)).toShort.toInt
+                      math.abs(s).toLong
+                    }
+                  val nw = if (n >= win) (n - win) / hop + 1 else 0
+                  if (nw == 0)
+                    Seq(Row(id, n, 0, null, null, null, null, null, null, true))
+                  else (0 until nw).map { w =>
+                    val h = fingerprintOf(win, chs,
+                      (f, c) => amp(w * hop + f, c))
+                    Row(id, n, nw, w, h,
+                      ((h >>> 0) & 0xffffL).toInt,
+                      ((h >>> 16) & 0xffffL).toInt,
+                      ((h >>> 32) & 0xffffL).toInt,
+                      ((h >>> 48) & 0xffffL).toInt,
+                      true)
+                  }
+                }
+              }
+            }
+          } catch { case _: Exception => null }
+        if (out == null)
+          Seq(Row(id, null, null, null, null, null, null, null, null, false))
+        else out
+        }
+      }(enc)
+  }
+
+  /** Sub-clip containment pairs over [[windowFingerprints]] output:
+    * (inner_id, outer_id, offset_wins, n_wins) where EVERY window of the
+    * inner clip matches the outer clip's window at one fixed offset —
+    * i.e. the inner clip's samples are (perceptually) a contiguous
+    * hop-aligned segment of the outer clip. Equal-length mutual matches
+    * emit one direction (inner_id < outer_id).
+    *
+    * Scale shape: one equi-join on the 64-bit window hash over slim
+    * rows, then a count per (inner, outer, offset). Degenerate hashes
+    * (digital silence, constant tones — the audio analog of
+    * [[BandedHamming]]'s flat-color buckets) are size-filtered BEFORE
+    * the join with the same default cap, and the filter's window shares
+    * the join's hash partitioning (no extra exchange).
+    */
+  def containmentPairs(wf: DataFrame,
+                       maxBucketSize: Long = BandedHamming.DefaultMaxBucketSize)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = wf.filter(col("decoded") && col("win_idx").isNotNull)
+      .select(col("media_id"), col("win_idx"), col("n_wins"), col("whash"))
+    val capped = wins
+      .withColumn("__bs", count(lit(1)).over(Window.partitionBy(col("whash"))))
+      .filter(col("__bs") <= maxBucketSize).drop("__bs")
+    val a = capped.select(col("media_id").as("inner_id"),
+      col("win_idx").as("wa"), col("n_wins").as("nwa"), col("whash"))
+    val b = capped.select(col("media_id").as("outer_id"),
+      col("win_idx").as("wb"), col("n_wins").as("nwb"), col("whash"))
+    a.join(b, Seq("whash"))
+      .filter(col("inner_id") =!= col("outer_id"))
+      .groupBy(col("inner_id"), col("outer_id"),
+        (col("wb") - col("wa")).cast("long").as("offset_wins"))
+      .agg(count(lit(1)).as("n_wins"),
+        max(col("nwa")).as("__nwa"), max(col("nwb")).as("__nwb"))
+      .filter(col("n_wins") === col("__nwa") &&
+        (col("__nwa") < col("__nwb") ||
+          (col("__nwa") === col("__nwb") &&
+            col("inner_id") < col("outer_id"))))
+      .select(col("inner_id"), col("outer_id"), col("offset_wins"),
+        col("n_wins"))
+  }
+
   /** Near-dup pairs (id_a < id_b, hamming) within `radius` Hamming bits
     * over [[fingerprints]] output — delegates to [[BandedHamming.pairs]]
     * (4×16-bit banding, exact recall at radius ≤ [[ExactRadius]], exact

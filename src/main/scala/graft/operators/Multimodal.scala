@@ -494,6 +494,51 @@ object Multimodal {
     }(enc)
   }
 
+  /** Segment-grade planted WAV corpus for the sub-clip containment
+    * queries: container ids (id % 7 ≠ 5) carry the shape-varying
+    * quadratic waveform s(F) = ((src·31 + F²·(13 + src mod 89) + F·57)
+    * mod 4001) − 2000 over n = 390 + (id mod 40) frames; segment ids
+    * (id % 7 = 5) carry frames [off, off + 182) of container id−5's
+    * waveform with off = 26·(1 + id mod 4) — a true sample-level,
+    * hop-aligned excerpt, so with win=130/hop=26 every segment window
+    * fingerprint equals the container's window at offset off/26. The
+    * quadratic id-dependent shape coefficient applies the phase-twin
+    * lesson (no additive-in-id rule may feed a pair query); a spec pins
+    * zero non-planted containments at fixture scale. 16-bit signed LE
+    * mono at 16 kHz throughout — the real `javax.sound.sampled`
+    * round-trip.
+    */
+  def plantWavsSeg(docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    fanOutIds(docs.select(col("doc_id"))).mapPartitions { rows =>
+      val writers = audioWriters()
+      rows.map { r =>
+        val id = r.getLong(0)
+        val seg = id % 7 == 5
+        val src = if (seg) id - 5 else id
+        val off = if (seg) 26 * (1 + id % 4) else 0L
+        val n = if (seg) 182 else (390 + id % 40).toInt
+        val pcm = new Array[Byte](n.toInt * 2)
+        var i = 0
+        while (i < n) {
+          val f = off + i
+          val s = (((src * 31 + f * f * (13 + src % 89) + f * 57)
+            % 4001L) - 2000L).toInt
+          pcm(i * 2) = (s & 0xFF).toByte
+          pcm(i * 2 + 1) = ((s >> 8) & 0xFF).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          16000f, 16, 1, 2, 16000f, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        Row(id, "audio", writeWav(writers, ais),
+          Row(null, null, 16000, "audio/wav"))
+      }
+    }(enc)
+  }
+
   /** The fingerprint-grade WAV byte stream for one id (the [[plantWavsFp]]
     * sample rule as a standalone builder — the [[plantedWavBytes]]
     * convention — so mixed WARC fixtures embed the SAME closed-form clip

@@ -1711,6 +1711,82 @@ object Pipeline {
             col("n_ml").as("n_docs")))).as("s"))
         .select(col("s.stage_idx"), col("s.stage"), col("s.n_docs"))
         .orderBy(col("stage_idx"))
+    }),
+
+    // ---- product quantization encode (the 64x vector-store shrink
+    // behind FAISS-class ANN): 8 sub-vectors x 16 planted closed-form
+    // centroids -> 4-bit codes packed into ONE long per vector +
+    // reconstruction error. The codebook ships via a real
+    // SparkContext.broadcast and is probed inside WSCG (the p87/p93
+    // shape); the oracle re-derives every argmin and distance
+    // arithmetically — a wrong centroid, tie rule, or summation order
+    // breaks per-vector equality. ----
+    "p95_pq_encode" -> ((s, dir) => {
+      val pq = graft.functions.Pq.encode(col("embedding"))
+      emb(s, dir)
+        .select(col("vec_id"), pq.getField("code").as("pq_code"),
+          round(pq.getField("err"), 6).as("rec_err"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- asymmetric-distance (ADC) top-k over PQ codes: the corpus
+    // side scans 8-byte codes (never decompressing), the query side
+    // broadcasts (qid, 128-double LUT) rows, and each candidate costs 8
+    // table probes. Distance identity: lut[m*16 + code] is computed by
+    // the EXACT operation sequence a direct recompute uses, so the
+    // oracle (which recomputes from the codebook rule) matches
+    // bit-for-bit; ranking ties break on vec_id. ----
+    "p96_pq_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val P = graft.functions.Pq
+      val e = emb(s, dir)
+      val codes = e.select(col("vec_id"),
+        P.encode(col("embedding")).getField("code").as("pq_code"))
+      val qs = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), P.lut(col("embedding")).as("lut"))
+      // ADC = Σ_m lut[m*16 + code_m] with left-assoc (m-ascending)
+      // addition — the oracle's `list_sum(list(d ORDER BY m))` order.
+      val adc = (0 until P.M).map { m =>
+        element_at(col("lut"),
+          (lit(m * P.K + 1) + shiftright(col("pq_code"), 4 * m)
+            .bitwiseAND(lit(15L))).cast("int"))
+      }.reduce(_ + _)
+      codes.join(broadcast(qs))
+        .withColumn("adc", adc)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("vec_id"), col("rn").cast("long").as("rn"),
+          round(col("adc"), 6).as("adc"))
+        .orderBy(col("qid"), col("rn"))
+    }),
+
+    // ---- sliding-window audio fingerprints (the sub-clip containment
+    // substrate): every clip in the segment-grade planted corpus decoded
+    // once, 130-frame windows at hop 26, each window's 64-bit
+    // energy-delta fingerprint as 4 band words the oracle recomputes
+    // closed-form from the planted waveform rule — offset arithmetic
+    // included, so a window-indexing bug breaks per-row equality. ----
+    "p97_audio_window_sigs" -> ((s, dir) => {
+      AudioHash.windowFingerprints(
+          Multimodal.plantWavsSeg(docs(s, dir)), win = 130, hop = 26)
+        .select(col("media_id"), col("n_frames"), col("n_wins"),
+          col("win_idx"), col("w0"), col("w1"), col("w2"), col("w3"))
+        .orderBy(col("media_id"), col("win_idx"))
+    }),
+
+    // ---- sub-clip containment: segment ids (id % 7 = 5) are true
+    // hop-aligned excerpts of container id-5's waveform, so ALL of a
+    // segment's windows equi-join the container's at one offset — an
+    // 8-byte-hash join + alignment count, never a payload comparison.
+    // Default bucket cap: a no-op by construction here (shape-varying
+    // quadratic plant; a spec pins zero degenerate hash buckets), live
+    // protection against digital silence at 100 TB. ----
+    "p98_audio_containment" -> ((s, dir) => {
+      AudioHash.containmentPairs(
+          AudioHash.windowFingerprints(
+            Multimodal.plantWavsSeg(docs(s, dir)), win = 130, hop = 26))
+        .orderBy(col("inner_id"), col("outer_id"), col("offset_wins"))
     })
   )
 
@@ -1908,6 +1984,77 @@ object Pipeline {
         cast(sum(CASE WHEN i // 16 = 3
           THEN bit * (1 << (i % 16)) ELSE 0 END) AS integer) AS b3
       FROM vmbits GROUP BY vmbits.id)"""
+
+  // DuckDB twin of Multimodal.plantWavsSeg + AudioHash.windowFingerprints
+  // (win=130, hop=26): from documents ids derive (src, off, n) — segment
+  // ids (id % 7 = 5) carry frames [off, off+182) of container id-5's
+  // quadratic waveform, off = 26*(1 + id % 4) — then per clip the
+  // nw = (n-130)//26 + 1 windows, per window the 65 bins of exactly 2
+  // frames each (130*b//65 = 2b), integer mean amplitude, adjacent-bin
+  // delta sign bits, folded into 4 16-bit band words. Ends in
+  // `sids(id, src, off, n)`, `swin(id, .., nw, w)`,
+  // `awin(id, w, w0..w3)`. All division operands non-negative
+  // (// = Java /).
+  private val oAwinCtes =
+    s"""sids AS (SELECT doc_id AS id,
+        CASE WHEN doc_id % 7 = 5 THEN doc_id - 5 ELSE doc_id END AS src,
+        CASE WHEN doc_id % 7 = 5 THEN 26 * (1 + doc_id % 4) ELSE 0 END AS off,
+        CASE WHEN doc_id % 7 = 5 THEN 182 ELSE 390 + doc_id % 40 END AS n
+      FROM documents),
+    swin AS (SELECT id, src, off, n, (n - 130) // 26 + 1 AS nw, gw.w AS w
+      FROM sids, (SELECT unnest(range(0, 13)) AS w) gw
+      WHERE gw.w < (n - 130) // 26 + 1),
+    sfr AS (SELECT id, w, src, gb.b AS b,
+        off + w*26 + 2*gb.b + gt.t AS F
+      FROM swin,
+        (SELECT unnest(range(0, 65)) AS b) gb,
+        (SELECT unnest(range(0, 2)) AS t) gt),
+    samp AS (SELECT id, w, b,
+        abs((src*31 + F*F*(13 + src % 89) + F*57) % 4001 - 2000) AS a
+      FROM sfr),
+    sben AS (SELECT id, w, b, sum(a) // 2 AS e
+      FROM samp GROUP BY id, w, b),
+    sbits AS (SELECT x.id AS id, x.w AS w, x.b AS i,
+        CASE WHEN x.e < y.e THEN 1 ELSE 0 END AS bit
+      FROM sben x JOIN sben y ON x.id = y.id AND x.w = y.w
+        AND y.b = x.b + 1
+      WHERE x.b < 64),
+    awin AS (SELECT sbits.id, sbits.w,
+        cast(sum(CASE WHEN i // 16 = 0
+          THEN bit * (1 << (i % 16)) ELSE 0 END) AS integer) AS w0,
+        cast(sum(CASE WHEN i // 16 = 1
+          THEN bit * (1 << (i % 16)) ELSE 0 END) AS integer) AS w1,
+        cast(sum(CASE WHEN i // 16 = 2
+          THEN bit * (1 << (i % 16)) ELSE 0 END) AS integer) AS w2,
+        cast(sum(CASE WHEN i // 16 = 3
+          THEN bit * (1 << (i % 16)) ELSE 0 END) AS integer) AS w3
+      FROM sbits GROUP BY sbits.id, sbits.w)"""
+
+  // DuckDB twin of Pq.encodeJava over the embeddings table: per
+  // (vector, sub-space m) the 16 centroid distances — each a j-ascending
+  // list_sum of squared double diffs against the planted codebook rule
+  // c(m,k,j) = (((m*7 + k*13 + j*29) % 41) - 20) / 20.0 — then
+  // first-minimum argmin (`list_position(dl, list_min(dl))`, DuckDB's
+  // 1-based first occurrence, matching encodeJava's strict `<`), the
+  // 4-bit little-endian pack, and the m-ascending error fold. Ends in
+  // `pqbest(vec_id, m, code, bd)` + `pqagg(vec_id, pq_code, err)`.
+  private val oPqCodeCtes =
+    s"""pqmk AS (SELECT vec_id, gm.m AS m,
+        list_transform(range(0, 16), k ->
+          list_sum(list_transform(
+            list_transform(range(0, 8), j ->
+              embedding[gm.m*8 + j + 1]::DOUBLE
+                - (((gm.m*7 + k*13 + j*29) % 41 - 20) / 20.0)),
+            x -> x * x))) AS dl
+      FROM embeddings, (SELECT unnest(range(0, 8)) AS m) gm),
+    pqbest AS (SELECT vec_id, m,
+        list_position(dl, list_min(dl)) - 1 AS code,
+        list_min(dl) AS bd
+      FROM pqmk),
+    pqagg AS (SELECT vec_id,
+        cast(sum(code * (1::BIGINT << (4 * m))) AS bigint) AS pq_code,
+        list_sum(list(bd ORDER BY m)) AS err
+      FROM pqbest GROUP BY vec_id)"""
 
   // DuckDB twin of FastText.scoreJava: per-doc non-empty tokens, rolling
   // codepoint hash h = (h*31 + cp) % 2^20 via list_reduce (prepended 0 =
@@ -3812,6 +3959,78 @@ object Pipeline {
           SELECT 1, 'min_tokens_10', cast(n_len AS bigint) FROM c
           UNION ALL
           SELECT 2, 'classifier_pos', cast(n_ml AS bigint) FROM c)
-        ORDER BY stage_idx"""
+        ORDER BY stage_idx""",
+
+    // Differential PQ oracle: rebuild every codebook entry from the
+    // planted rule c(m,k,j) = (((m*7 + k*13 + j*29) % 41) - 20) / 20.0,
+    // every code by first-minimum argmin (list_position on list_min),
+    // and the reconstruction error by m-ascending list_sum — matching
+    // Pq.encodeJava's summation order and strict-< tie rule exactly.
+    "p95_pq_encode" ->
+      s"""WITH $oPqCodeCtes
+        SELECT vec_id, cast(pq_code AS bigint) AS pq_code,
+               round(err, 6) AS rec_err
+        FROM pqagg ORDER BY vec_id""",
+
+    // ADC top-k twin: recompute each (query, candidate, m) distance
+    // DIRECTLY from the codebook rule (no LUT) — bit-equal to the
+    // engine's lut[m*16+code] probe because both run the identical
+    // j-ascending double summation — then m-ascending list_sum and the
+    // same (adc, vec_id) ranking.
+    "p96_pq_topk" ->
+      s"""WITH $oPqCodeCtes,
+        q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+              WHERE vec_id % 50 = 0),
+        dm AS (SELECT q.qid, c.vec_id, c.m,
+            list_sum(list_transform(
+              list_transform(range(0, 8), j ->
+                q.qe[c.m*8 + j + 1]::DOUBLE
+                  - (((c.m*7 + c.code*13 + j*29) % 41 - 20) / 20.0)),
+              x -> x * x)) AS d
+          FROM q CROSS JOIN pqbest c),
+        adc AS (SELECT qid, vec_id,
+            list_sum(list(d ORDER BY m)) AS adc
+          FROM dm GROUP BY qid, vec_id),
+        r AS (SELECT qid, vec_id, adc,
+            row_number() OVER (PARTITION BY qid
+                               ORDER BY adc, vec_id) AS rn
+          FROM adc)
+        SELECT qid, vec_id, rn, round(adc, 6) AS adc
+        FROM r WHERE rn <= 5 ORDER BY qid, rn""",
+
+    // Window-fingerprint twin: every (clip, window) band word recomputed
+    // closed-form from the planted segment-grade waveform rule, offset
+    // arithmetic included.
+    "p97_audio_window_sigs" ->
+      s"""WITH $oAwinCtes
+        SELECT a.id AS media_id, cast(s.n AS integer) AS n_frames,
+               cast(s.nw AS integer) AS n_wins,
+               cast(a.w AS integer) AS win_idx, w0, w1, w2, w3
+        FROM awin a JOIN (SELECT DISTINCT id, n, nw FROM swin) s
+          ON a.id = s.id
+        ORDER BY media_id, win_idx""",
+
+    // Containment twin: window-hash equi-join (all four band words) +
+    // the full-coverage alignment count, same one-direction rule for
+    // equal-length mutual matches.
+    "p98_audio_containment" ->
+      s"""WITH $oAwinCtes,
+        nws AS (SELECT DISTINCT id, nw FROM swin),
+        cand AS (SELECT a.id AS inner_id, b.id AS outer_id,
+            b.w - a.w AS delta
+          FROM awin a JOIN awin b
+            ON a.w0 = b.w0 AND a.w1 = b.w1 AND a.w2 = b.w2
+              AND a.w3 = b.w3 AND a.id <> b.id),
+        grp AS (SELECT inner_id, outer_id, delta, count(*) AS matched
+          FROM cand GROUP BY inner_id, outer_id, delta),
+        ok AS (SELECT g.inner_id, g.outer_id, g.delta, g.matched
+          FROM grp g JOIN nws na ON g.inner_id = na.id
+            JOIN nws nb ON g.outer_id = nb.id
+          WHERE g.matched = na.nw
+            AND (na.nw < nb.nw
+              OR (na.nw = nb.nw AND g.inner_id < g.outer_id)))
+        SELECT inner_id, outer_id, cast(delta AS bigint) AS offset_wins,
+               cast(matched AS bigint) AS n_wins
+        FROM ok ORDER BY inner_id, outer_id, offset_wins"""
   )
 }

@@ -1,0 +1,149 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Pq
+
+/** Product quantization: the encode/LUT kernels against an independent
+  * re-derivation of the documented model (planted codebook → per-subspace
+  * first-min argmin → 4-bit pack; ADC identity lut[m·16+code] ==
+  * direct recompute), interpreted-vs-codegen parity, and the WSCG +
+  * broadcast pins.
+  */
+class PqSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  /** Independent re-derivation straight from the scaladoc model, NOT a
+    * call into Pq internals.
+    */
+  private def refCb(m: Int, k: Int, j: Int): Double =
+    (((m * 7 + k * 13 + j * 29) % 41) - 20) / 20.0
+
+  private def refEncode(v: Array[Float]): (Long, Double) = {
+    var packed = 0L
+    var err = 0.0
+    for (m <- 0 until Pq.M) {
+      val dists = (0 until Pq.K).map { k =>
+        (0 until Pq.SubDim).foldLeft(0.0) { (acc, j) =>
+          val x = v(m * Pq.SubDim + j).toDouble - refCb(m, k, j)
+          acc + x * x
+        }
+      }
+      val best = dists.indexOf(dists.min) // first occurrence
+      packed |= best.toLong << (4 * m)
+      err += dists(best)
+    }
+    (packed, err)
+  }
+
+  private def vec(seed: Int): Array[Float] =
+    Array.tabulate(Pq.Dim)(i =>
+      (((seed * 17 + i * i * 5 + i * 3) % 211) - 105) / 105.0f)
+
+  private def ad(v: Array[Float]) =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(v)
+
+  test("encode kernel equals the closed-form model: codes, pack, and " +
+    "error, bit-for-bit") {
+    val cb = Pq.buildCodebook()
+    (0 until 40).foreach { s =>
+      val v = vec(s)
+      val row = Pq.encodeJava(ad(v), cb)
+      val (code, err) = refEncode(v)
+      assert(row.getLong(0) == code, s"code mismatch seed=$s")
+      assert(row.getDouble(1) == err, s"err mismatch seed=$s")
+    }
+  }
+
+  test("codebook is the planted rule; every subspace has 16 distinct " +
+    "centroids (argmin is non-degenerate)") {
+    val cb = Pq.buildCodebook()
+    assert(cb.length == Pq.M * Pq.K * Pq.SubDim)
+    for (m <- 0 until Pq.M; k <- 0 until Pq.K; j <- 0 until Pq.SubDim)
+      assert(cb((m * Pq.K + k) * Pq.SubDim + j) == refCb(m, k, j))
+    for (m <- 0 until Pq.M) {
+      val cents = (0 until Pq.K).map(k =>
+        (0 until Pq.SubDim).map(j => refCb(m, k, j)).toList)
+      assert(cents.distinct.size == Pq.K, s"degenerate subspace $m")
+    }
+  }
+
+  test("ADC identity: lut[m*16 + code] summed m-ascending equals the " +
+    "exact reconstruction distance recomputed directly") {
+    val cb = Pq.buildCodebook()
+    val q = vec(7)
+    val lut = Pq.lutJava(ad(q), cb)
+    (0 until 10).foreach { s =>
+      val x = vec(100 + s)
+      val code = Pq.encodeJava(ad(x), cb).getLong(0)
+      val viaLut = (0 until Pq.M).foldLeft(0.0) { (acc, m) =>
+        acc + lut.getDouble(m * Pq.K + ((code >> (4 * m)) & 15L).toInt)
+      }
+      val direct = (0 until Pq.M).foldLeft(0.0) { (acc, m) =>
+        val k = ((code >> (4 * m)) & 15L).toInt
+        acc + (0 until Pq.SubDim).foldLeft(0.0) { (a, j) =>
+          val d = q(m * Pq.SubDim + j).toDouble - refCb(m, k, j)
+          a + d * d
+        }
+      }
+      assert(viaLut == direct, s"ADC identity broken seed=$s")
+    }
+  }
+
+  test("short or null vectors degrade to null, not an exception (the " +
+    "decoded=false convention)") {
+    val cb = Pq.buildCodebook()
+    assert(Pq.encodeJava(ad(Array.fill(10)(0.1f)), cb) == null)
+    assert(Pq.lutJava(ad(Array.emptyFloatArray), cb) == null)
+    assert(Pq.encodeJava(null, cb) == null)
+  }
+
+  test("reconstruction error shrinks vectors near a centroid to ~0 (the " +
+    "quantizer actually quantizes)") {
+    val cb = Pq.buildCodebook()
+    // a vector assembled FROM centroid entries must encode to those
+    // exact centroids with zero error
+    val v = Array.tabulate(Pq.Dim) { i =>
+      val m = i / Pq.SubDim
+      refCb(m, (m * 3) % Pq.K, i % Pq.SubDim).toFloat
+    }
+    val row = Pq.encodeJava(ad(v), cb)
+    assert(row.getDouble(1) < 1e-12)
+    (0 until Pq.M).foreach { m =>
+      assert(((row.getLong(0) >> (4 * m)) & 15L).toInt == (m * 3) % Pq.K)
+    }
+  }
+
+  test("codegen and interpreted eval agree bit-for-bit") {
+    def run(s: org.apache.spark.sql.SparkSession) = {
+      import s.implicits._
+      Pq.register(s)
+      (0 until 8).map(i => (i.toLong, vec(i).toSeq)).toDF("id", "v")
+        .selectExpr("id", "pq_encode(v) AS pq", "pq_lut(v) AS lut")
+        .selectExpr("id", "pq.code", "pq.err", "lut[3]")
+        .collect().map(_.toString).sorted
+    }
+    val interp = spark.newSession()
+    interp.conf.set("spark.sql.codegen.wholeStage", "false")
+    interp.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    assert(run(spark).sameElements(run(interp)))
+  }
+
+  test("projection stays inside whole-stage codegen with the broadcast " +
+    "riding addReferenceObj") {
+    val dir = java.nio.file.Files.createTempDirectory("pq_wscg").toString
+    import spark.implicits._
+    (0 until 4).map(i => (i.toLong, vec(i).toSeq)).toDF("id", "v")
+      .write.mode("overwrite").parquet(dir)
+    Pq.register(spark)
+    val plan = spark.read.parquet(dir)
+      .selectExpr("id", "pq_encode(v).code AS c")
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("*(1) Project"),
+      s"pq_encode fell out of WSCG:\n$plan")
+    assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
+      .isAssignableFrom(classOf[Pq.PqEncode]))
+    assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
+      .isAssignableFrom(classOf[Pq.PqLut]))
+  }
+}
