@@ -262,39 +262,21 @@ object AudioHash {
     * hop-aligned segment of the outer clip. Equal-length mutual matches
     * emit one direction (inner_id < outer_id).
     *
-    * Scale shape: one equi-join on the 64-bit window hash over slim
-    * rows, then a count per (inner, outer, offset). Degenerate hashes
-    * (digital silence, constant tones — the audio analog of
-    * [[BandedHamming]]'s flat-color buckets) are size-filtered BEFORE
-    * the join with the same default cap, and the filter's window shares
-    * the join's hash partitioning (no extra exchange).
+    * Scale shape: delegates to [[SequenceContainment.pairs]] — ONE
+    * audited alignment-join implementation for audio windows and video
+    * frames alike (the [[BandedHamming]] sharing precedent): slim-row
+    * equi-join on the 64-bit window hash, degenerate hashes (digital
+    * silence, constant tones) size-filtered BEFORE the join with the
+    * house default cap.
     */
   def containmentPairs(wf: DataFrame,
                        maxBucketSize: Long = BandedHamming.DefaultMaxBucketSize)
-      : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wins = wf.filter(col("decoded") && col("win_idx").isNotNull)
-      .select(col("media_id"), col("win_idx"), col("n_wins"), col("whash"))
-    val capped = wins
-      .withColumn("__bs", count(lit(1)).over(Window.partitionBy(col("whash"))))
-      .filter(col("__bs") <= maxBucketSize).drop("__bs")
-    val a = capped.select(col("media_id").as("inner_id"),
-      col("win_idx").as("wa"), col("n_wins").as("nwa"), col("whash"))
-    val b = capped.select(col("media_id").as("outer_id"),
-      col("win_idx").as("wb"), col("n_wins").as("nwb"), col("whash"))
-    a.join(b, Seq("whash"))
-      .filter(col("inner_id") =!= col("outer_id"))
-      .groupBy(col("inner_id"), col("outer_id"),
-        (col("wb") - col("wa")).cast("long").as("offset_wins"))
-      .agg(count(lit(1)).as("n_wins"),
-        max(col("nwa")).as("__nwa"), max(col("nwb")).as("__nwb"))
-      .filter(col("n_wins") === col("__nwa") &&
-        (col("__nwa") < col("__nwb") ||
-          (col("__nwa") === col("__nwb") &&
-            col("inner_id") < col("outer_id"))))
-      .select(col("inner_id"), col("outer_id"), col("offset_wins"),
-        col("n_wins"))
-  }
+      : DataFrame =
+    SequenceContainment.pairs(
+        wf.filter(col("decoded") && col("win_idx").isNotNull),
+        "media_id", "win_idx", "n_wins", "whash", maxBucketSize)
+      .withColumnRenamed("offset_pos", "offset_wins")
+      .withColumnRenamed("n_matched", "n_wins")
 
   /** Near-dup pairs (id_a < id_b, hamming) within `radius` Hamming bits
     * over [[fingerprints]] output — delegates to [[BandedHamming.pairs]]

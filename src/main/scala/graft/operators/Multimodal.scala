@@ -922,6 +922,68 @@ object Multimodal {
     }(enc)
   }
 
+  /** Segment-grade planted GIF corpus for the video sub-sequence
+    * containment queries: container ids (id % 7 ≠ 5) carry
+    * n = 12 + id mod 4 frames of the frame-varying quadratic pixel rule
+    * px(F, i) = (src·11 + i²·(3 + src mod 31) + i·(13 + 7F) + F·17)
+    * mod 256 at geometry w = 8 + src mod 5, h = 10 + src mod 3 (F = the
+    * ABSOLUTE frame index, i = the row-major pixel index); segment ids
+    * (id % 7 = 5) carry frames [off, off + 4) of container id−5's
+    * sequence with off = 1 + id mod 5 — pixel-identical frames, so each
+    * segment's per-frame dHashes equal the container's at offset `off`.
+    * The i-coefficient varies PER FRAME (13 + 7F) — frames of one clip
+    * differ in gradient structure, not by an additive constant (the
+    * phase-twin lesson applied to the frame axis: an additive-in-F rule
+    * would make every frame of a clip share one dHash and containment
+    * degenerate). A spec pins zero non-planted containments at fixture
+    * scale.
+    */
+  def plantGifsSeg(docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    fanOutIds(docs.select(col("doc_id"))).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val gray = Array.tabulate[Byte](256)(_.toByte)
+      val cm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      disposeOnTaskEnd(() => writer.dispose())
+      rows.map { r =>
+        val id = r.getLong(0)
+        val seg = id % 7 == 5
+        val src = if (seg) id - 5 else id
+        val off = if (seg) (1 + id % 5).toInt else 0
+        val n = if (seg) 4 else (12 + id % 4).toInt
+        val w = 8 + (src % 5).toInt
+        val h = 10 + (src % 3).toInt
+        val shape = 3 + src % 31
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        writer.reset()
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var j = 0
+        while (j < n) {
+          val fAbs = off + j
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+          val raster = img.getRaster
+          var i = 0
+          while (i < w * h) {
+            raster.setSample(i % w, i / w, 0,
+              ((src * 11 + i.toLong * i * shape + i.toLong * (13 + 7 * fAbs)
+                + fAbs * 17L) % 256L).toInt)
+            i += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          j += 1
+        }
+        writer.endWriteSequence()
+        ios.close()
+        Row(id, "video", bos.toByteArray, Row(w, h, null, "image/gif"))
+      }
+    }(enc)
+  }
+
   /** Output schema of [[sampleVideoFrames]]: one row per SAMPLED frame,
     * nullable stats because an undecodable payload degrades to a single
     * `decoded=false` row instead of failing the job. */

@@ -129,6 +129,85 @@ object VideoHash {
       }(enc)
   }
 
+  /** Output schema of [[frameHashes]]: one row per frame — the
+    * sub-sequence containment substrate (whole-clip [[fingerprints]]
+    * majority-fold deliberately NOT applied: containment needs the
+    * per-frame sequence).
+    */
+  val frameHashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = true),
+    StructField("frame_idx", IntegerType, nullable = true),
+    StructField("fhash", LongType, nullable = true),
+    StructField("w0", IntegerType, nullable = true),
+    StructField("w1", IntegerType, nullable = true),
+    StructField("w2", IntegerType, nullable = true),
+    StructField("w3", IntegerType, nullable = true),
+    StructField("decoded", BooleanType, nullable = false)))
+
+  /** REAL demux + decode → one dHash row per frame (the
+    * [[AudioHash.windowFingerprints]] analog for video): a clip lifted
+    * as a contiguous frame range from a longer video shares the longer
+    * clip's frame hashes at every offset, so containment becomes an
+    * equi-join on frame hashes plus an alignment count — never a
+    * payload comparison. Payloads never shuffle; output is
+    * O(frames) slim ~44-byte rows per clip. Undecodable payloads
+    * degrade to one `decoded=false` row.
+    */
+  def frameHashes(media: DataFrame, minParallelism: Int = 1): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(frameHashSchema)
+    Multimodal.fanned(media.select(col("media_id"), col("data")), minParallelism)
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("gif").next()
+        Multimodal.disposeOnTaskEnd(() => reader.dispose())
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes =
+            if (r.isNullAt(1)) Array.emptyByteArray
+            else r.getAs[Array[Byte]](1)
+          val out: Seq[Row] =
+            try {
+              val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              try {
+                reader.setInput(iis)
+                val n = reader.getNumImages(true)
+                if (n == 0) null
+                else (0 until n).map { f =>
+                  val h = ImageHash.dhashOfRaster(reader.read(f).getRaster)
+                  Row(id, n, f, h,
+                    ((h >>> 0) & 0xffffL).toInt,
+                    ((h >>> 16) & 0xffffL).toInt,
+                    ((h >>> 32) & 0xffffL).toInt,
+                    ((h >>> 48) & 0xffffL).toInt,
+                    true)
+                }
+              } finally iis.close()
+            } catch { case _: Exception => null }
+          if (out == null)
+            Seq(Row(id, null, null, null, null, null, null, null, false))
+          else out
+        }
+      }(enc)
+  }
+
+  /** Sub-sequence containment pairs over [[frameHashes]] output:
+    * (inner_id, outer_id, offset_frames, n_matched) where EVERY frame
+    * of the inner clip matches the outer clip's frame at one fixed
+    * offset — delegates to [[SequenceContainment.pairs]] (the same
+    * audited alignment join the audio side uses; flat-frame degenerate
+    * hashes size-filtered before the join).
+    */
+  def containmentPairs(fh: DataFrame,
+                       maxBucketSize: Long = BandedHamming.DefaultMaxBucketSize)
+      : DataFrame =
+    SequenceContainment.pairs(
+        fh.filter(col("decoded") && col("frame_idx").isNotNull),
+        "media_id", "frame_idx", "n_frames", "fhash", maxBucketSize)
+      .withColumnRenamed("offset_pos", "offset_frames")
+
   /** Near-dup pairs (id_a < id_b, hamming) within `radius` Hamming bits
     * over [[fingerprints]] output — delegates to [[BandedHamming.pairs]]
     * (4×16-bit banding, exact recall at radius ≤ [[ExactRadius]], exact

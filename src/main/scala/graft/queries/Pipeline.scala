@@ -1787,6 +1787,32 @@ object Pipeline {
           AudioHash.windowFingerprints(
             Multimodal.plantWavsSeg(docs(s, dir)), win = 130, hop = 26))
         .orderBy(col("inner_id"), col("outer_id"), col("offset_wins"))
+    }),
+
+    // ---- per-frame video dHashes (the sub-sequence containment
+    // substrate — p89's whole-clip majority fold deliberately NOT
+    // applied): every frame of the segment-grade planted GIF corpus
+    // through the real demux + the audited dhashOfRaster grid kernel,
+    // band words recomputed closed-form in SQL, absolute-frame pixel
+    // rule included. ----
+    "p99_video_frame_sigs" -> ((s, dir) => {
+      VideoHash.frameHashes(Multimodal.plantGifsSeg(docs(s, dir)))
+        .select(col("media_id"), col("n_frames"), col("frame_idx"),
+          col("w0"), col("w1"), col("w2"), col("w3"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    // ---- video sub-sequence containment: segment ids (id % 7 = 5) are
+    // pixel-identical frame ranges [off, off+4) of container id-5, so
+    // ALL of a segment's frame hashes equi-join the container's at one
+    // offset — the SAME SequenceContainment alignment join as the audio
+    // side (one audited implementation for both temporal modalities).
+    // Default cap: a no-op by construction (frame-varying gradient
+    // plant), live flat-frame protection at 100 TB. ----
+    "p100_video_containment" -> ((s, dir) => {
+      VideoHash.containmentPairs(
+          VideoHash.frameHashes(Multimodal.plantGifsSeg(docs(s, dir))))
+        .orderBy(col("inner_id"), col("outer_id"), col("offset_frames"))
     })
   )
 
@@ -2029,6 +2055,56 @@ object Pipeline {
         cast(sum(CASE WHEN i // 16 = 3
           THEN bit * (1 << (i % 16)) ELSE 0 END) AS integer) AS w3
       FROM sbits GROUP BY sbits.id, sbits.w)"""
+
+  // DuckDB twin of Multimodal.plantGifsSeg + VideoHash.frameHashes: from
+  // documents ids derive (src, off, n, w, h) — segment ids (id % 7 = 5)
+  // carry frames [off, off+4) of container id-5's sequence, off =
+  // 1 + id % 5, geometry from SRC — then per frame the 9x8 block-mean
+  // dHash grid bits under the frame-varying pixel rule
+  // px(F, i) = (src*11 + i*i*(3 + src%31) + i*(13 + 7F) + F*17) % 256
+  // (F = absolute frame index). Ends in `vsids(id, src, off, n)`,
+  // `vfh(id, j, w0..w3)`. All division operands non-negative.
+  private val oVseqCtes =
+    s"""vsids AS (SELECT doc_id AS id,
+        CASE WHEN doc_id % 7 = 5 THEN doc_id - 5 ELSE doc_id END AS src,
+        CASE WHEN doc_id % 7 = 5 THEN 1 + doc_id % 5 ELSE 0 END AS off,
+        CASE WHEN doc_id % 7 = 5 THEN 4 ELSE 12 + doc_id % 4 END AS n
+      FROM documents),
+    vsg AS (SELECT id, src, off, n,
+        8 + src % 5 AS w, 10 + src % 3 AS h FROM vsids),
+    vsf AS (SELECT id, src, n, w, h, gj.j AS j, off + gj.j AS F
+      FROM vsg, (SELECT unnest(range(0, 16)) AS j) gj
+      WHERE gj.j < n),
+    vscells AS (SELECT id, j, src, w, F, gy.y AS y, gx.x AS x,
+        (gx.x * w) // 9 AS x0,
+        greatest(((gx.x + 1) * w) // 9, (gx.x * w) // 9 + 1) AS x1,
+        (gy.y * h) // 8 AS y0,
+        greatest(((gy.y + 1) * h) // 8, (gy.y * h) // 8 + 1) AS y1
+      FROM vsf,
+        (SELECT unnest(range(0, 8)) AS y) gy,
+        (SELECT unnest(range(0, 9)) AS x) gx),
+    vsmeans AS (SELECT id, j, y, x,
+        list_sum(flatten(list_transform(range(y0, y1), r ->
+          list_transform(range(x0, x1), c ->
+            (src*11 + (r*w+c)*(r*w+c)*(3 + src % 31)
+             + (r*w+c)*(13 + 7*F) + F*17) % 256))))
+          // ((y1 - y0) * (x1 - x0)) AS g
+      FROM vscells),
+    vsbits AS (SELECT a.id AS id, a.j AS j, a.y*8 + a.x AS i,
+        CASE WHEN a.g < b.g THEN 1 ELSE 0 END AS bit
+      FROM vsmeans a JOIN vsmeans b ON a.id = b.id AND a.j = b.j
+        AND a.y = b.y AND b.x = a.x + 1
+      WHERE a.x < 8),
+    vfh AS (SELECT vsbits.id, vsbits.j,
+        cast(sum(CASE WHEN i // 16 = 0
+          THEN bit * (1 << (i % 16)) ELSE 0 END) AS integer) AS w0,
+        cast(sum(CASE WHEN i // 16 = 1
+          THEN bit * (1 << (i % 16)) ELSE 0 END) AS integer) AS w1,
+        cast(sum(CASE WHEN i // 16 = 2
+          THEN bit * (1 << (i % 16)) ELSE 0 END) AS integer) AS w2,
+        cast(sum(CASE WHEN i // 16 = 3
+          THEN bit * (1 << (i % 16)) ELSE 0 END) AS integer) AS w3
+      FROM vsbits GROUP BY vsbits.id, vsbits.j)"""
 
   // DuckDB twin of Pq.encodeJava over the embeddings table: per
   // (vector, sub-space m) the 16 centroid distances — each a j-ascending
@@ -4031,6 +4107,39 @@ object Pipeline {
               OR (na.nw = nb.nw AND g.inner_id < g.outer_id)))
         SELECT inner_id, outer_id, cast(delta AS bigint) AS offset_wins,
                cast(matched AS bigint) AS n_wins
-        FROM ok ORDER BY inner_id, outer_id, offset_wins"""
+        FROM ok ORDER BY inner_id, outer_id, offset_wins""",
+
+    // Per-frame dHash twin: every (clip, frame) band word recomputed
+    // closed-form from the segment-grade pixel rule, absolute-frame
+    // arithmetic included.
+    "p99_video_frame_sigs" ->
+      s"""WITH $oVseqCtes
+        SELECT f.id AS media_id, cast(s.n AS integer) AS n_frames,
+               cast(f.j AS integer) AS frame_idx, w0, w1, w2, w3
+        FROM vfh f JOIN vsids s ON f.id = s.id
+        ORDER BY media_id, frame_idx""",
+
+    // Video containment twin: frame-hash equi-join (all four band
+    // words) + the full-coverage alignment count, same one-direction
+    // rule for equal-length mutual matches.
+    "p100_video_containment" ->
+      s"""WITH $oVseqCtes,
+        vnw AS (SELECT id, n FROM vsids),
+        vcand AS (SELECT a.id AS inner_id, b.id AS outer_id,
+            b.j - a.j AS delta
+          FROM vfh a JOIN vfh b
+            ON a.w0 = b.w0 AND a.w1 = b.w1 AND a.w2 = b.w2
+              AND a.w3 = b.w3 AND a.id <> b.id),
+        vgrp AS (SELECT inner_id, outer_id, delta, count(*) AS matched
+          FROM vcand GROUP BY inner_id, outer_id, delta),
+        vok AS (SELECT g.inner_id, g.outer_id, g.delta, g.matched
+          FROM vgrp g JOIN vnw na ON g.inner_id = na.id
+            JOIN vnw nb ON g.outer_id = nb.id
+          WHERE g.matched = na.n
+            AND (na.n < nb.n
+              OR (na.n = nb.n AND g.inner_id < g.outer_id)))
+        SELECT inner_id, outer_id, cast(delta AS bigint) AS offset_frames,
+               cast(matched AS bigint) AS n_matched
+        FROM vok ORDER BY inner_id, outer_id, offset_frames"""
   )
 }
