@@ -885,41 +885,58 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
     fanOutIds(docs.select(col("doc_id"))).mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
-      val gray = Array.tabulate[Byte](256)(_.toByte)
-      val cm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
       val writer = javax.imageio.ImageIO
         .getImageWritersByFormatName("gif").next()
       disposeOnTaskEnd(() => writer.dispose())
       rows.map { r =>
         val id = r.getLong(0)
-        val n = 3 + (id % 4).toInt
         val w = 8 + (id % 5).toInt
-        val h = 10 + (id % 3).toInt // h >= 5: the GIF-writer LZW bound
-        val shape = 3 + id % 31
-        val bos = new java.io.ByteArrayOutputStream()
-        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
-        writer.reset()
-        writer.setOutput(ios)
-        writer.prepareWriteSequence(null)
-        var f = 0
-        while (f < n) {
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
-          val raster = img.getRaster
-          var i = 0
-          while (i < w * h) {
-            raster.setSample(i % w, i / w, 0,
-              ((id * 11 + f * 17 + i.toLong * i * shape + i * 13L) % 256L).toInt)
-            i += 1
-          }
-          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
-          f += 1
-        }
-        writer.endWriteSequence()
-        ios.close()
-        Row(id, "video", bos.toByteArray, Row(w, h, null, "image/gif"))
+        val h = 10 + (id % 3).toInt
+        Row(id, "video", plantedGifFpBytes(id, writer),
+          Row(w, h, null, "image/gif"))
       }
     }(enc)
+  }
+
+  /** The fingerprint-grade animated-GIF byte stream for one id (the
+    * [[plantGifsFp]] frame-pixel rule as a standalone builder — the
+    * [[plantedWavFpBytes]] convention, so mixed WARC fixtures embed the
+    * SAME closed-form clip the temporal-fingerprint oracle predicts).
+    * Hoist the writer once per partition (`ImageIO.setUseCache(false)`
+    * first) and pass it in. Geometry: n = 3 + id%4 frames, w = 8 + id%5,
+    * h = 10 + id%3 (h ≥ 5: the GIF-writer LZW bound); pixel rule
+    * px(f, i) = (id·11 + f·17 + i²·(3 + id%31) + i·13) mod 256.
+    */
+  private[operators] def plantedGifFpBytes(id: Long,
+      writer: javax.imageio.ImageWriter): Array[Byte] = {
+    val gray = Array.tabulate[Byte](256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+    val n = 3 + (id % 4).toInt
+    val w = 8 + (id % 5).toInt
+    val h = 10 + (id % 3).toInt // h >= 5: the GIF-writer LZW bound
+    val shape = 3 + id % 31
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.reset()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < n) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      val raster = img.getRaster
+      var i = 0
+      while (i < w * h) {
+        raster.setSample(i % w, i / w, 0,
+          ((id * 11 + f * 17 + i.toLong * i * shape + i * 13L) % 256L).toInt)
+        i += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    bos.toByteArray
   }
 
   /** Segment-grade planted GIF corpus for the video sub-sequence

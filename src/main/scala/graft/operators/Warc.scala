@@ -53,6 +53,12 @@ object Warc {
   private val RiffMagic: Array[Byte] = "RIFF".getBytes("US-ASCII")
   private val WaveMagic: Array[Byte] = "WAVE".getBytes("US-ASCII")
 
+  /** GIF container magic (both published versions). Animated GIF is the
+    * repo's carried video container, so the router labels it `video`.
+    */
+  private val Gif89Magic: Array[Byte] = "GIF89a".getBytes("US-ASCII")
+  private val Gif87Magic: Array[Byte] = "GIF87a".getBytes("US-ASCII")
+
   /** Modality router for parsed response records — the p69
     * container-router shape at the crawl front door: magic bytes FIRST
     * (real crawls mislabel constantly — `application/octet-stream`,
@@ -71,6 +77,9 @@ object Warc {
     when(substring(payload, 1, PngMagic.length) === lit(PngMagic), lit("image"))
       .when(substring(payload, 1, 4) === lit(RiffMagic) &&
         substring(payload, 9, 4) === lit(WaveMagic), lit("audio"))
+      .when(substring(payload, 1, 6) === lit(Gif89Magic) ||
+        substring(payload, 1, 6) === lit(Gif87Magic), lit("video"))
+      .when(ct.startsWith("video/") || ct === "image/gif", lit("video"))
       .when(ct.startsWith("image/"), lit("image"))
       .when(ct.startsWith("audio/"), lit("audio"))
       .otherwise(lit("html"))
@@ -102,6 +111,16 @@ object Warc {
     */
   def plantMixedWarcs(docs: DataFrame): DataFrame = plantWarcFiles(docs, true)
 
+  /** [[plantWarcs]] plus, for every id % 5 == 0, a GIF video response
+    * whose Content-Type header is a DELIBERATE `application/octet-stream`
+    * mislabel (the router must rescue it by magic bytes) and whose
+    * payload is [[Multimodal.plantedGifFpBytes]] of `(id/10)*10` — so
+    * id ≡ 5 (mod 10) carries a byte-identical COPY of id−5's clip: the
+    * crawl-embedded video-dedup fixture.
+    */
+  def plantVideoWarcs(docs: DataFrame): DataFrame =
+    plantWarcFiles(docs, withImages = false, withVideo = true)
+
   /** Dedup-grade mixed crawl segment — the p91 capstone fixture:
     * [[plantWarcs]] plus fingerprint-grade media responses with PLANTED
     * DUPLICATES. For every id % 4 == 0 an `image/png` response carrying
@@ -117,7 +136,8 @@ object Warc {
     plantWarcFiles(docs, true, fpDedup = true)
 
   private def plantWarcFiles(docs: DataFrame, withImages: Boolean,
-                             fpDedup: Boolean = false): DataFrame = {
+                             fpDedup: Boolean = false,
+                             withVideo: Boolean = false): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(Multimodal.mediaSchema)
     // Fan out FIRST (the plantPngs discipline: one-file fixtures otherwise
     // pin the assembly to a single task), then build page + URL as column
@@ -129,6 +149,14 @@ object Warc {
       .mapPartitions { rows =>
         val writers =
           if (withImages) Multimodal.audioWriters() else Nil
+        val gifWriter =
+          if (withVideo) {
+            javax.imageio.ImageIO.setUseCache(false)
+            val w = javax.imageio.ImageIO
+              .getImageWritersByFormatName("gif").next()
+            Multimodal.disposeOnTaskEnd(() => w.dispose())
+            w
+          } else null
         rows.map { r =>
           val id = r.getLong(0)
           val html = r.getString(1)
@@ -178,6 +206,18 @@ object Warc {
                 "Content-Type" -> "audio/wav"),
               if (fpDedup) Multimodal.plantedWavFpBytes((id / 12) * 12, writers)
               else Multimodal.plantedWavBytes(id, writers))
+          // Video responses carry a DELIBERATELY unhelpful Content-Type:
+          // the sniff-first router must rescue them by GIF magic alone
+          // (the real-crawl mislabel case the r15 ADVICE flagged). The
+          // (id/10)*10 source rule plants one byte-identical duplicate
+          // CLIP per 10 ids — the video analog of the img/aud copy rules.
+          if (withVideo && id % 5 == 0)
+            record(
+              Seq("WARC-Type" -> "response",
+                "WARC-Record-ID" -> s"<urn:graft:vid:$id>",
+                "WARC-Target-URI" -> (url + "/anim.gif"),
+                "Content-Type" -> "application/octet-stream"),
+              Multimodal.plantedGifFpBytes((id / 10) * 10, gifWriter))
           Row(id, "web", bos.toByteArray,
             Row(null, null, null, "application/warc"))
         }

@@ -1813,6 +1813,54 @@ object Pipeline {
       VideoHash.containmentPairs(
           VideoHash.frameHashes(Multimodal.plantGifsSeg(docs(s, dir))))
         .orderBy(col("inner_id"), col("outer_id"), col("offset_frames"))
+    }),
+
+    // ---- small-file compaction round-trip (Delta OPTIMIZE / Iceberg
+    // rewrite_data_files analog — the standing maintenance operator
+    // every 100 TB lakehouse runs): the docs table scattered over 64
+    // KB-scale files (the streaming-ingest debris shape), compacted to
+    // filesystem-MEASURED size targets, read straight back. Oracle =
+    // the source table itself: compaction must be a no-op on the DATA.
+    // File-count arithmetic + size evenness are spec-pinned in
+    // LayoutSpec (bytes aren't SQL-derivable). Eager write at query
+    // construction — the sink IS the operator under test (the p86
+    // convention; conf-rooted, per-fixture path, overwrite mode). ----
+    "p101_compaction_roundtrip" -> ((s, dir) => {
+      val root = Layout.sinkRoot(s) + "/" + java.util.UUID
+        .nameUUIDFromBytes(("p101:" + dir).getBytes("UTF-8")).toString
+      val src = docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      src.repartition(64).write.mode("overwrite").parquet(root + "/small")
+      Layout.compactDir(s, root + "/small", root + "/compacted",
+        targetFileBytes = 256 * 1024)
+      s.read.parquet(root + "/compacted").orderBy(col("doc_id"))
+    }),
+
+    // ---- crawl-embedded video dedup: WARC files where every 5th doc
+    // carries an animated GIF labeled `application/octet-stream` — the
+    // sniff-first router must rescue EVERY clip by magic bytes alone
+    // (mislabeled media is the r15 ADVICE case; a header-first router
+    // returns zero video rows here) — then demux -> temporal
+    // fingerprints -> banded pairs -> CC survivors: one plan from crawl
+    // bytes to the video-dedup decision. Oracle: the closed-form
+    // majority-fold word CTEs under the (id/10)*10 copy rule +
+    // recursive-CTE CC, zero knowledge of WARC framing or routing. ----
+    "p102_crawl_video_dedup" -> ((s, dir) => {
+      val recs = Warc.parseWarc(Warc.plantVideoWarcs(docs(s, dir)))
+        .filter(col("ok") && col("warc_type") === "response")
+        .withColumn("kind",
+          Warc.contentKind(col("content_type"), col("payload")))
+      val sigs = VideoHash.fingerprints(
+        recs.filter(col("kind") === "video")
+          .select(col("media_id"), col("payload").as("data")),
+        everyN = 2)
+      // maxBucketSize explicit: all-pairs oracle equality is the point.
+      val pairs = VideoHash.nearDupPairs(sigs, maxBucketSize = Long.MaxValue)
+      Dedup.connectedComponents(
+          sigs.filter(col("decoded")).select(col("media_id").as("id")), pairs)
+        .select(col("id"), col("cluster_id"),
+          (col("id") === col("cluster_id")).as("is_survivor"))
+        .orderBy(col("id"))
     })
   )
 
@@ -4140,6 +4188,35 @@ object Pipeline {
               OR (na.n = nb.n AND g.inner_id < g.outer_id)))
         SELECT inner_id, outer_id, cast(delta AS bigint) AS offset_frames,
                cast(matched AS bigint) AS n_matched
-        FROM vok ORDER BY inner_id, outer_id, offset_frames"""
+        FROM vok ORDER BY inner_id, outer_id, offset_frames""",
+
+    // Compaction is content-transparent: the read-back equals the source
+    // table (file-count/size contracts are spec-pinned — bytes aren't
+    // SQL-derivable).
+    "p101_compaction_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        ORDER BY doc_id""",
+
+    // Crawl-embedded video-dedup twin: the p90 recursive-CC shape under
+    // the WARC fixture's (id/10)*10 copy rule — every 5th doc carries a
+    // clip, id = 5 (mod 10) a byte-identical copy of id-5's.
+    "p102_crawl_video_dedup" ->
+      s"""WITH RECURSIVE vids AS (
+          SELECT doc_id AS id, (doc_id // 10) * 10 AS src FROM documents
+          WHERE doc_id % 5 = 0),
+        $oVhashCtes,
+        pr AS (SELECT a.id AS id_a, b.id AS id_b
+          FROM vwords a JOIN vwords b ON a.id < b.id
+          WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3),
+        e AS (SELECT id_a AS s, id_b AS d FROM pr
+              UNION ALL SELECT id_b, id_a FROM pr),
+        rec AS (
+          SELECT id, id AS reach FROM vids
+          UNION
+          SELECT e.s, rec.reach FROM e JOIN rec ON e.d = rec.id)
+        SELECT id, min(reach) AS cluster_id,
+              id = min(reach) AS is_survivor
+        FROM rec GROUP BY id ORDER BY id"""
   )
 }

@@ -88,7 +88,12 @@ class WarcSpec extends AnyFunSuite {
       (10L, "application/octet-stream", wav),
       (11L, "text/html", wav), // MISLABELED audio: magic wins
       (12L, "application/octet-stream", "junk".getBytes("UTF-8")), // no magic
-      (13L, "", png)) // empty-string header, sniffed
+      (13L, "", png), // empty-string header, sniffed
+      (14L, "application/octet-stream", "GIF89a-junk".getBytes("US-ASCII")),
+      (15L, "text/html", "GIF87a-junk".getBytes("US-ASCII")), // mislabeled
+      (16L, "image/gif", "nope".getBytes("UTF-8")), // gif header, no magic
+      (17L, "video/mp4", "nope".getBytes("UTF-8")), // video/* header
+      (18L, null, "GIFxx-not-magic".getBytes("US-ASCII"))) // GIF prefix only
       .toDF("id", "content_type", "payload")
     val got = rows.select(col("id"),
       Warc.contentKind(col("content_type"), col("payload")).as("kind"))
@@ -96,7 +101,29 @@ class WarcSpec extends AnyFunSuite {
     assert(got == Map(1L -> "image", 2L -> "image", 3L -> "image",
       4L -> "html", 5L -> "image", 6L -> "audio", 7L -> "audio",
       8L -> "html", 9L -> "image", 10L -> "audio", 11L -> "audio",
-      12L -> "html", 13L -> "image"))
+      12L -> "html", 13L -> "image", 14L -> "video", 15L -> "video",
+      16L -> "video", 17L -> "video", 18L -> "html"))
+  }
+
+  test("video plant: every 5th file carries a GIF response labeled " +
+    "application/octet-stream; id = 5 mod 10 embeds id-5's clip byte for " +
+    "byte; the router rescues ALL of them by magic") {
+    val recs = Warc.parseWarc(Warc.plantVideoWarcs(docs((0L until 40L).toSeq)))
+      .filter(col("ok") && col("warc_type") === "response")
+      .withColumn("kind",
+        Warc.contentKind(col("content_type"), col("payload")))
+    val vids = recs.filter(col("kind") === "video")
+      .select("media_id", "payload", "content_type").collect()
+    assert(vids.map(_.getLong(0)).sorted.toSeq ==
+      (0L until 40L).filter(_ % 5 == 0))
+    assert(vids.forall(_.getString(2) == "application/octet-stream"))
+    val byId = vids.map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    (0L until 40L).filter(i => i % 10 == 5).foreach { id =>
+      assert(java.util.Arrays.equals(byId(id), byId(id - 5)),
+        s"id=$id is not a byte copy of ${id - 5}")
+    }
+    // and nothing else routed video: html responses stayed html
+    assert(recs.filter(col("kind") === "html").count() == 40)
   }
 
   test("fp-dedup mixed plant: id=4 mod 8 carries id-4's fp image byte for " +
