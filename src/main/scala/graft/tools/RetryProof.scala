@@ -205,7 +205,28 @@ object RetryProof {
       // the demux + sequence-fold stack.
       ("video_fp_pairs", wrap =>
         VideoHash.nearDupPairs(VideoHash.fingerprints(
-          Multimodal.plantGifsFp(wrap(docs)), everyN = 2))))
+          Multimodal.plantGifsFp(wrap(docs)), everyN = 2))),
+      // sub-clip containment: a retried decode task must regenerate
+      // byte-identical segment WAVs -> identical WINDOW fingerprints, or
+      // the alignment-count containment set silently shifts.
+      ("audio_contain", wrap =>
+        AudioHash.containmentPairs(AudioHash.windowFingerprints(
+          Multimodal.plantWavsSeg(wrap(docs)), 130, 26))),
+      // video frame-range containment: same contract over the demux +
+      // per-frame dHash stack.
+      ("video_contain", wrap =>
+        VideoHash.containmentPairs(VideoHash.frameHashes(
+          Multimodal.plantGifsSeg(wrap(docs))))),
+      // broadcast-codebook PQ encode: a retried scan task re-reads the
+      // codebook from the torrent and must reproduce identical codes and
+      // bit-identical reconstruction errors.
+      ("pq_encode", wrap => {
+        val pq = graft.functions.Pq.encode(col("embedding"))
+        wrap(Tables.load(spark, sfDir, "embeddings")
+            .select(col("vec_id"), col("embedding")))
+          .select(col("vec_id"), pq.getField("code").as("c"),
+            pq.getField("err").as("e"))
+      }))
 
     val mapSide = cases.map { case (name, build) =>
       val baseline = build(identity).collect()

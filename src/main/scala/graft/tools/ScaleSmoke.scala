@@ -287,6 +287,47 @@ object ScaleSmoke {
         .agg(sum(col("cluster_id")), count(lit(1)))
         .collect().length.toLong
     }, docs1, docsN, "admitToClusters(cap)")
+    // Round-16 part 2: containment joins scale with window/frame rows ×
+    // bucket fan-out (capped by default — the exponent pins the slim-row
+    // equi-join, not a payload cross); PQ encode is a pure WSCG scan over
+    // the broadcast codebook; ADC top-k scans 8-byte codes against a
+    // FIXED broadcast query set (linear in corpus).
+    bench2(df => AudioHash.containmentPairs(
+        AudioHash.windowFingerprints(Multimodal.plantWavsSeg(df), 130, 26))
+        .agg(sum(col("offset_wins")), count(lit(1)))
+        .collect().length.toLong,
+      docs1, docsN, "audioContainment")
+    bench2(df => VideoHash.containmentPairs(
+        VideoHash.frameHashes(Multimodal.plantGifsSeg(df)))
+        .agg(sum(col("offset_frames")), count(lit(1)))
+        .collect().length.toLong,
+      docs1, docsN, "videoContainment")
+    bench2({ df =>
+      val pq = graft.functions.Pq.encode(col("embedding"))
+      df.select(col("vec_id"), pq.getField("code").as("c"))
+        .agg(sum(bit_count(col("c")))).collect().length.toLong
+    }, emb1, embN, "pqEncode")
+    bench2({ df =>
+      import org.apache.spark.sql.expressions.Window
+      val P = graft.functions.Pq
+      val codes = df.select(col("vec_id"),
+        P.encode(col("embedding")).getField("code").as("pq_code"))
+      // fixed 10-query set regardless of corpus size (the production
+      // shape: query volume doesn't grow with the corpus)
+      val qs = broadcast(emb1.filter(col("vec_id") % 50 === 0).limit(10)
+        .select(col("vec_id").as("qid"), P.lut(col("embedding")).as("lut")))
+      val adc = (0 until P.M).map { m =>
+        element_at(col("lut"),
+          (lit(m * P.K + 1) + shiftright(col("pq_code"), 4 * m)
+            .bitwiseAND(lit(15L))).cast("int"))
+      }.reduce(_ + _)
+      codes.join(qs)
+        .withColumn("adc", adc)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))))
+        .filter(col("rn") <= 5)
+        .agg(sum(col("rn"))).collect().length.toLong
+    }, emb1, embN, "pqAdcTopK")
     spark.stop()
   }
 }
