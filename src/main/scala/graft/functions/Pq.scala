@@ -202,6 +202,72 @@ object Pq {
       copy(child = c)
   }
 
+  /** Coarse-quantizer cell count (the IVF `nlist` analog). */
+  val CoarseK = 16
+
+  /** The planted closed-form COARSE codebook (full-dimension centroids —
+    * the IVF layer above the PQ codes), flat-indexed l·Dim + j:
+    * C(l,j) = (((l·17 + j·23) mod 37) − 18) / 18.0.
+    */
+  def buildCoarseCodebook(): Array[Double] =
+    Array.tabulate(CoarseK * Dim) { idx =>
+      val l = idx / Dim
+      val j = idx % Dim
+      (((l * 17 + j * 23) % 37) - 18) / 18.0
+    }
+
+  /** Runtime coarse-distance kernel: the CoarseK squared L2 distances of
+    * one vector to every coarse centroid, l-ascending, each a j-ascending
+    * double summation — from this one array both sides of IVF derive:
+    * the corpus assignment (first-minimum argmin) and a query's probe
+    * list (the nProbe smallest).
+    */
+  def coarseDistsJava(v: ArrayData, cb: Array[Double]): ArrayData = {
+    if (v == null || v.numElements() < Dim) return null
+    val out = new Array[Double](CoarseK)
+    var l = 0
+    while (l < CoarseK) {
+      var d = 0.0
+      var j = 0
+      while (j < Dim) {
+        val x = v.getFloat(j).toDouble - cb(l * Dim + j)
+        d += x * x
+        j += 1
+      }
+      out(l) = d
+      l += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** embedding → CoarseK-entry squared-L2 distance array to the coarse
+    * centroids (the IVF assignment/probe substrate).
+    */
+  case class PqCoarseDists(child: Expression,
+      codebook: org.apache.spark.broadcast.Broadcast[Array[Double]])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "pq_coarse_dists"
+
+    override def nullSafeEval(input: Any): Any =
+      coarseDistsJava(input.asInstanceOf[ArrayData], codebook.value)
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("pqCoarseCodebook", codebook,
+        "org.apache.spark.broadcast.Broadcast")
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.functions.Pq.coarseDistsJava($c, (double[])$ref.value());
+        ${ev.isNull} = ${ev.value} == null;""")
+    }
+
+    override protected def withNewChildInternal(c: Expression): PqCoarseDists =
+      copy(child = c)
+  }
+
   // One broadcast per application (the Bpe.bigVocabMemo discipline:
   // keyed by applicationId, not the session object).
   private val codebookMemo = scala.collection.concurrent.TrieMap
@@ -211,12 +277,22 @@ object Pq {
     codebookMemo.getOrElseUpdate(spark.sparkContext.applicationId,
       spark.sparkContext.broadcast(buildCodebook()))
 
+  private val coarseMemo = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.broadcast.Broadcast[Array[Double]]]
+
+  private def coarseBc(spark: SparkSession) =
+    coarseMemo.getOrElseUpdate(spark.sparkContext.applicationId,
+      spark.sparkContext.broadcast(buildCoarseCodebook()))
+
   def register(spark: SparkSession): Unit = {
     val bc = codebookBc(spark)
+    val cbc = coarseBc(spark)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pq_encode", exprs => PqEncode(exprs.head, bc), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pq_lut", exprs => PqLut(exprs.head, bc), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_coarse_dists", exprs => PqCoarseDists(exprs.head, cbc), "scala_udf")
   }
 
   /** Encode a float-array embedding column → struct(code, err). */
@@ -229,5 +305,11 @@ object Pq {
   def lut(vec: Column): Column = {
     register(SparkSession.active)
     call_function("pq_lut", vec)
+  }
+
+  /** Coarse-centroid distance array for a float-array column. */
+  def coarseDists(vec: Column): Column = {
+    register(SparkSession.active)
+    call_function("pq_coarse_dists", vec)
   }
 }

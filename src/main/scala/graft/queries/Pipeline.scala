@@ -1861,6 +1861,45 @@ object Pipeline {
         .select(col("id"), col("cluster_id"),
           (col("id") === col("cluster_id")).as("is_survivor"))
         .orderBy(col("id"))
+    }),
+
+    // ---- IVF-PQ top-k (the FAISS-class index layout, both layers
+    // closed-form): a planted 16-centroid COARSE quantizer assigns every
+    // vector to an inverted list; queries probe their 4 nearest lists;
+    // within probed lists the p96 ADC machinery scores 8-byte PQ codes.
+    // The corpus side reads (cell, pq_code) — at 100 TB the probed-cell
+    // equi-join is the partition-pruning story (cell = the partition
+    // key; 4/16 of the corpus scanned instead of all of it), and the
+    // scan itself never touches raw floats. Oracle: both argmins, the
+    // probe ranking, and every ADC distance recomputed arithmetically. ----
+    "p103_ivfpq_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val P = graft.functions.Pq
+      val e = emb(s, dir)
+      def dl = P.coarseDists(col("embedding"))
+      val codes = e.select(col("vec_id"),
+        P.encode(col("embedding")).getField("code").as("pq_code"),
+        (array_position(dl, array_min(dl)) - 1).cast("int").as("cell"))
+      val qs = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), P.lut(col("embedding")).as("lut"),
+          slice(sort_array(transform(dl,
+            (d, l) => struct(d.as("d"), l.as("l")))), 1, 4).as("probes"))
+        .select(col("qid"), col("lut"),
+          explode(col("probes")).as("probe"))
+        .select(col("qid"), col("lut"), col("probe.l").as("cell"))
+      val adc = (0 until P.M).map { m =>
+        element_at(col("lut"),
+          (lit(m * P.K + 1) + shiftright(col("pq_code"), 4 * m)
+            .bitwiseAND(lit(15L))).cast("int"))
+      }.reduce(_ + _)
+      codes.join(broadcast(qs), Seq("cell"))
+        .withColumn("adc", adc)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("vec_id"), col("rn").cast("long").as("rn"),
+          round(col("adc"), 6).as("adc"))
+        .orderBy(col("qid"), col("rn"))
     })
   )
 
@@ -4217,6 +4256,50 @@ object Pipeline {
           SELECT e.s, rec.reach FROM e JOIN rec ON e.d = rec.id)
         SELECT id, min(reach) AS cluster_id,
               id = min(reach) AS is_survivor
-        FROM rec GROUP BY id ORDER BY id"""
+        FROM rec GROUP BY id ORDER BY id""",
+
+    // IVF-PQ twin: the coarse assignment (first-min argmin over the
+    // planted full-dim centroid rule), each query's probe ranking
+    // (row_number over (distance, cell)), and every within-list ADC
+    // distance recomputed directly from both codebook rules — the p96
+    // oracle restricted to probed inverted lists.
+    "p103_ivfpq_topk" ->
+      s"""WITH $oPqCodeCtes,
+        coarse AS (SELECT vec_id, embedding,
+            list_transform(range(0, 16), l ->
+              list_sum(list_transform(
+                list_transform(range(0, 64), j ->
+                  embedding[j + 1]::DOUBLE
+                    - (((l*17 + j*23) % 37 - 18) / 18.0)),
+                x -> x * x))) AS dl
+          FROM embeddings),
+        ccell AS (SELECT vec_id,
+            list_position(dl, list_min(dl)) - 1 AS cell
+          FROM coarse),
+        qc AS (SELECT vec_id AS qid, embedding AS qe, dl FROM coarse
+              WHERE vec_id % 50 = 0),
+        qpr AS (SELECT qid, qe, gl.l AS cell,
+            row_number() OVER (PARTITION BY qid
+                               ORDER BY dl[gl.l + 1], gl.l) AS pr
+          FROM qc, (SELECT unnest(range(0, 16)) AS l) gl),
+        probes AS (SELECT qid, qe, cell FROM qpr WHERE pr <= 4),
+        cand AS (SELECT p.qid, p.qe, c.vec_id
+          FROM probes p JOIN ccell c ON p.cell = c.cell),
+        dm AS (SELECT cd.qid, cd.vec_id, b.m,
+            list_sum(list_transform(
+              list_transform(range(0, 8), j ->
+                cd.qe[b.m*8 + j + 1]::DOUBLE
+                  - (((b.m*7 + b.code*13 + j*29) % 41 - 20) / 20.0)),
+              x -> x * x)) AS d
+          FROM cand cd JOIN pqbest b ON cd.vec_id = b.vec_id),
+        adc AS (SELECT qid, vec_id,
+            list_sum(list(d ORDER BY m)) AS adc
+          FROM dm GROUP BY qid, vec_id),
+        r AS (SELECT qid, vec_id, adc,
+            row_number() OVER (PARTITION BY qid
+                               ORDER BY adc, vec_id) AS rn
+          FROM adc)
+        SELECT qid, vec_id, rn, round(adc, 6) AS adc
+        FROM r WHERE rn <= 5 ORDER BY qid, rn"""
   )
 }

@@ -114,13 +114,45 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  private def refCoarse(l: Int, j: Int): Double =
+    (((l * 17 + j * 23) % 37) - 18) / 18.0
+
+  test("coarse kernel equals the closed-form centroid rule; centroids are " +
+    "distinct; a vector's own argmin cell is always its rank-1 probe") {
+    val cb = Pq.buildCoarseCodebook()
+    for (l <- 0 until Pq.CoarseK; j <- 0 until Pq.Dim)
+      assert(cb(l * Pq.Dim + j) == refCoarse(l, j))
+    val cents = (0 until Pq.CoarseK).map(l =>
+      (0 until Pq.Dim).map(j => refCoarse(l, j)).toList)
+    assert(cents.distinct.size == Pq.CoarseK, "degenerate coarse centroids")
+    (0 until 20).foreach { s =>
+      val v = vec(s)
+      val dl = Pq.coarseDistsJava(ad(v), cb)
+      val ref = (0 until Pq.CoarseK).map { l =>
+        (0 until Pq.Dim).foldLeft(0.0) { (acc, j) =>
+          val x = v(j).toDouble - refCoarse(l, j)
+          acc + x * x
+        }
+      }
+      (0 until Pq.CoarseK).foreach(l =>
+        assert(dl.getDouble(l) == ref(l), s"coarse dist seed=$s l=$l"))
+      // probe ranking minimizes the SAME array the assignment argmins,
+      // so the own cell is probe rank 1 by construction
+      val own = ref.indexOf(ref.min)
+      assert(ref.zipWithIndex.sortBy(p => (p._1, p._2)).head._2 == own)
+    }
+    assert(Pq.coarseDistsJava(ad(Array.fill(3)(0f)), cb) == null)
+    assert(Pq.coarseDistsJava(null, cb) == null)
+  }
+
   test("codegen and interpreted eval agree bit-for-bit") {
     def run(s: org.apache.spark.sql.SparkSession) = {
       import s.implicits._
       Pq.register(s)
       (0 until 8).map(i => (i.toLong, vec(i).toSeq)).toDF("id", "v")
-        .selectExpr("id", "pq_encode(v) AS pq", "pq_lut(v) AS lut")
-        .selectExpr("id", "pq.code", "pq.err", "lut[3]")
+        .selectExpr("id", "pq_encode(v) AS pq", "pq_lut(v) AS lut",
+          "pq_coarse_dists(v) AS cd")
+        .selectExpr("id", "pq.code", "pq.err", "lut[3]", "cd[0]", "cd[15]")
         .collect().map(_.toString).sorted
     }
     val interp = spark.newSession()
@@ -145,5 +177,7 @@ class PqSpec extends AnyFunSuite {
       .isAssignableFrom(classOf[Pq.PqEncode]))
     assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
       .isAssignableFrom(classOf[Pq.PqLut]))
+    assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
+      .isAssignableFrom(classOf[Pq.PqCoarseDists]))
   }
 }
