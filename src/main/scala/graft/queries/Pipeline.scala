@@ -1900,6 +1900,34 @@ object Pipeline {
         .select(col("qid"), col("vec_id"), col("rn").cast("long").as("rn"),
           round(col("adc"), 6).as("adc"))
         .orderBy(col("qid"), col("rn"))
+    }),
+
+    // ---- tokenized training-shard export (the artifact a pipeline
+    // hands the trainer): REAL subword token counts (the p87 broadcast
+    // BPE inside WSCG) -> token-budget packing (p21's distributed
+    // prefix-sum, here over TOKENS not chars) -> the deterministic
+    // curated sink partitioned BY SHARD -> read-back. The oracle
+    // recomputes the token counts via the recursive BPE walk and the
+    // shard assignment via the same prefix-sum arithmetic — a green row
+    // proves the last-mile export end to end: budgets, boundaries, and
+    // the disk hop. Eager write at construction (p86 convention). ----
+    "p104_shard_export" -> ((s, dir) => {
+      graft.functions.Bpe.registerBig(s)
+      val toks = docs(s, dir).select(col("doc_id"),
+        size(graft.functions.Bpe.bpeEncodeBig(TF.normText(col("text"))))
+          .cast("long").as("n_toks"))
+      val packed = Sampling.packByBudget(toks, "doc_id", "n_toks",
+        budget = 2000L)
+      val out = Layout.sinkRoot(s) + "/" + java.util.UUID
+        .nameUUIDFromBytes(("p104:" + dir).getBytes("UTF-8")).toString
+      Layout.writeCurated(packed, out, "shard", Seq("doc_id"))
+      Layout.readCurated(s, out, packed.schema)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).cast("long").as("total_toks"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("shard"))
     })
   )
 
@@ -4300,6 +4328,22 @@ object Pipeline {
                                ORDER BY adc, vec_id) AS rn
           FROM adc)
         SELECT qid, vec_id, rn, round(adc, 6) AS adc
-        FROM r WHERE rn <= 5 ORDER BY qid, rn"""
+        FROM r WHERE rn <= 5 ORDER BY qid, rn""",
+
+    // Shard-export twin: token counts from the recursive big-vocab BPE
+    // walk (the p87 oracle), then the p21 packing arithmetic over TOKENS
+    // — exclusive doc_id-ordered prefix sum, floor(excl / budget).
+    "p104_shard_export" ->
+      s"""$oBpeBigWalk,
+        tk AS (SELECT id AS doc_id, cast(cnt AS bigint) AS n_toks
+              FROM walk WHERE cur = length(nt) + 1),
+        pk AS (SELECT doc_id, n_toks,
+              coalesce(sum(n_toks) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+              FROM tk)
+        SELECT cast(floor(excl / 2000) AS integer) AS shard,
+              count(*) AS n_docs, cast(sum(n_toks) AS bigint) AS total_toks,
+              min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM pk GROUP BY shard ORDER BY shard"""
   )
 }
