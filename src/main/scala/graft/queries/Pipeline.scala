@@ -1573,10 +1573,16 @@ object Pipeline {
     // p57/p77 lesson); this row proves the seams. ----
     "p91_crawl_curation_capstone" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // Parse ONCE, route three ways: the parsed records feed the image,
+      // audio, and html branches — persist so the WARC plant+parse isn't
+      // re-executed per branch (at 100 TB you'd land the parsed records
+      // once for the same reason; the eager sink write below lets the
+      // cache release before the query returns).
       val recs = Warc.parseWarc(Warc.plantMixedWarcsFp(docs(s, dir)))
         .filter(col("ok") && col("warc_type") === "response")
         .withColumn("kind",
           Warc.contentKind(col("content_type"), col("payload")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def media(k: String) = recs.filter(col("kind") === k)
         .select(col("media_id"), col("payload").as("data"))
       def survivors(sigs: DataFrame, pairs: DataFrame, kind: String) =
@@ -1617,8 +1623,9 @@ object Pipeline {
       // write (the sink IS part of the operator under test)
       val out = Layout.sinkRoot(s) + "/" +
         java.util.UUID.nameUUIDFromBytes(("p91:" + dir).getBytes("UTF-8"))
-      Layout.writeCurated(curated, out, "kind", Seq("id"),
+      try Layout.writeCurated(curated, out, "kind", Seq("id"),
         filesPerPartition = 2)
+      finally recs.unpersist(false)
       Layout.readCurated(s, out, curated.schema)
         .orderBy(col("kind"), col("id"))
     }),
@@ -1639,8 +1646,14 @@ object Pipeline {
       val corpusCopies = Multimodal.resizePooled(
           base.filter(col("media_id") % 5 === 0), 1)
         .withColumn("media_id", col("media_id") + CopyIdOffset)
+      // Signatures feed three consumers each (labels CC, self pairs,
+      // cross pairs) — persist the slim ~50 B/row sig relations so the
+      // PNG plant+decode runs once per side, not once per consumer (the
+      // production shape: signatures are landed once). ContextCleaner
+      // reclaims the cache when the query's DF is released.
       val corpusSigs =
         ImageHash.dhashSignatures(base.unionByName(corpusCopies))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // settled labels: the p81 chain (uncapped — oracle equality)
       val corpusLabels = Dedup.connectedComponents(
         corpusSigs.filter(col("decoded")).select(col("media_id").as("id")),
@@ -1652,7 +1665,8 @@ object Pipeline {
         d.filter(col("doc_id") % 7 === 3)
           .select((col("doc_id") + Fresh2IdOffset).as("doc_id")))
       val batchSigs = ImageHash.dhashSignatures(
-        batchCopies.unionByName(fresh))
+          batchCopies.unionByName(fresh))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cross = ImageHash.incrementalNearDupPairs(corpusSigs, batchSigs,
           maxBucketSize = Long.MaxValue)
         .select(col("corpus_id"), col("batch_id"))
@@ -1913,14 +1927,24 @@ object Pipeline {
     // the disk hop. Eager write at construction (p86 convention). ----
     "p104_shard_export" -> ((s, dir) => {
       graft.functions.Bpe.registerBig(s)
+      // Persist the token counts: packByBudget's two-phase prefix sum
+      // evaluates its input twice (per-bucket totals, then the window
+      // job) and the sink write a third time — without the cache the
+      // BPE scan (the expensive stage) reruns each time. At 100 TB
+      // you'd materialize token counts once for the same reason.
       val toks = docs(s, dir).select(col("doc_id"),
         size(graft.functions.Bpe.bpeEncodeBig(TF.normText(col("text"))))
           .cast("long").as("n_toks"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Budget sized so a shard is a real training shard, not a
+      // file-commit microbench: ~20k tokens/shard keeps the partitioned
+      // write at dozens of leaf dirs per SF, not hundreds.
       val packed = Sampling.packByBudget(toks, "doc_id", "n_toks",
-        budget = 2000L)
+        budget = 20000L)
       val out = Layout.sinkRoot(s) + "/" + java.util.UUID
         .nameUUIDFromBytes(("p104:" + dir).getBytes("UTF-8")).toString
-      Layout.writeCurated(packed, out, "shard", Seq("doc_id"))
+      try Layout.writeCurated(packed, out, "shard", Seq("doc_id"))
+      finally toks.unpersist(false)
       Layout.readCurated(s, out, packed.schema)
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"),
@@ -4341,7 +4365,7 @@ object Pipeline {
               coalesce(sum(n_toks) OVER (ORDER BY doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
               FROM tk)
-        SELECT cast(floor(excl / 2000) AS integer) AS shard,
+        SELECT cast(floor(excl / 20000) AS integer) AS shard,
               count(*) AS n_docs, cast(sum(n_toks) AS bigint) AS total_toks,
               min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM pk GROUP BY shard ORDER BY shard"""
