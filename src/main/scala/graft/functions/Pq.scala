@@ -268,6 +268,158 @@ object Pq {
       copy(child = c)
   }
 
+  /** Runtime residual-encode kernel: assign the coarse cell (first-min
+    * argmin over [[buildCoarseCodebook]]), then PQ-encode the RESIDUAL
+    * v − C(cell) — the production IVF-PQ layout (FAISS `IndexIVFPQ`):
+    * residuals concentrate near zero so the same 4-bit budget spends on
+    * the part of the vector the coarse layer didn't explain. Operation
+    * order documented for the oracle: residual element =
+    * (v[j] − C(cell,j)) first, then − c(m,k,j) — two left-assoc double
+    * subtractions, exactly the SQL `(emb − C_expr) − c_expr`.
+    * Returns (cell int, packed codes long, reconstruction err double).
+    */
+  def residualEncodeJava(v: ArrayData, coarse: Array[Double],
+                         cb: Array[Double]): InternalRow = {
+    if (v == null || v.numElements() < Dim) return null
+    var cell = 0
+    var cellD = Double.MaxValue
+    var l = 0
+    while (l < CoarseK) {
+      var d = 0.0
+      var j = 0
+      while (j < Dim) {
+        val x = v.getFloat(j).toDouble - coarse(l * Dim + j)
+        d += x * x
+        j += 1
+      }
+      if (d < cellD) { cellD = d; cell = l }
+      l += 1
+    }
+    var packed = 0L
+    var err = 0.0
+    var m = 0
+    while (m < M) {
+      var bestK = 0
+      var bestD = Double.MaxValue
+      var k = 0
+      while (k < K) {
+        var d = 0.0
+        var j = 0
+        while (j < SubDim) {
+          val dim = m * SubDim + j
+          val x = (v.getFloat(dim).toDouble - coarse(cell * Dim + dim)) -
+            cb((m * K + k) * SubDim + j)
+          d += x * x
+          j += 1
+        }
+        if (d < bestD) { bestD = d; bestK = k }
+        k += 1
+      }
+      packed |= bestK.toLong << (4 * m)
+      err += bestD
+      m += 1
+    }
+    new GenericInternalRow(Array[Any](cell, packed, err))
+  }
+
+  /** Runtime residual-ADC LUT kernel: the M×K table for one query
+    * AGAINST ONE CELL — lut[m·K+k] = Σ_j ((q[j'] − C(cell,j')) −
+    * c(m,k,j))², the identical operation sequence [[residualEncodeJava]]
+    * uses, so probe and recompute are bit-equal.
+    */
+  def lutResidualJava(v: ArrayData, cell: Int, coarse: Array[Double],
+                      cb: Array[Double]): ArrayData = {
+    if (v == null || v.numElements() < Dim || cell < 0 || cell >= CoarseK)
+      return null
+    val lut = new Array[Double](M * K)
+    var m = 0
+    while (m < M) {
+      var k = 0
+      while (k < K) {
+        var d = 0.0
+        var j = 0
+        while (j < SubDim) {
+          val dim = m * SubDim + j
+          val x = (v.getFloat(dim).toDouble - coarse(cell * Dim + dim)) -
+            cb((m * K + k) * SubDim + j)
+          d += x * x
+          j += 1
+        }
+        lut(m * K + k) = d
+        k += 1
+      }
+      m += 1
+    }
+    new GenericArrayData(lut)
+  }
+
+  /** embedding → struct(cell int, code long, err double) — residual
+    * IVF-PQ encode against both broadcast codebooks.
+    */
+  case class PqResidualEncode(child: Expression,
+      coarse: org.apache.spark.broadcast.Broadcast[Array[Double]],
+      codebook: org.apache.spark.broadcast.Broadcast[Array[Double]])
+      extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("cell", IntegerType, nullable = false),
+      StructField("code", LongType, nullable = false),
+      StructField("err", DoubleType, nullable = false)))
+    override def nullable: Boolean = true
+    override def prettyName: String = "pq_residual_encode"
+
+    override def nullSafeEval(input: Any): Any =
+      residualEncodeJava(input.asInstanceOf[ArrayData], coarse.value,
+        codebook.value)
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val cRef = ctx.addReferenceObj("pqCoarseCodebook", coarse,
+        "org.apache.spark.broadcast.Broadcast")
+      val ref = ctx.addReferenceObj("pqCodebook", codebook,
+        "org.apache.spark.broadcast.Broadcast")
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.functions.Pq.residualEncodeJava($c,
+          (double[])$cRef.value(), (double[])$ref.value());
+        ${ev.isNull} = ${ev.value} == null;""")
+    }
+
+    override protected def withNewChildInternal(c: Expression)
+      : PqResidualEncode = copy(child = c)
+  }
+
+  /** (embedding, cell) → per-cell residual ADC lookup table. */
+  case class PqLutResidual(left: Expression, right: Expression,
+      coarse: org.apache.spark.broadcast.Broadcast[Array[Double]],
+      codebook: org.apache.spark.broadcast.Broadcast[Array[Double]])
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "pq_residual_lut"
+
+    override def nullSafeEval(v: Any, cell: Any): Any =
+      lutResidualJava(v.asInstanceOf[ArrayData], cell.asInstanceOf[Int],
+        coarse.value, codebook.value)
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val cRef = ctx.addReferenceObj("pqCoarseCodebook", coarse,
+        "org.apache.spark.broadcast.Broadcast")
+      val ref = ctx.addReferenceObj("pqCodebook", codebook,
+        "org.apache.spark.broadcast.Broadcast")
+      nullSafeCodeGen(ctx, ev, (v, cell) => s"""
+        ${ev.value} = graft.functions.Pq.lutResidualJava($v, $cell,
+          (double[])$cRef.value(), (double[])$ref.value());
+        ${ev.isNull} = ${ev.value} == null;""")
+    }
+
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): PqLutResidual = copy(left = l, right = r)
+  }
+
   // One broadcast per application (the Bpe.bigVocabMemo discipline:
   // keyed by applicationId, not the session object).
   private val codebookMemo = scala.collection.concurrent.TrieMap
@@ -293,6 +445,12 @@ object Pq {
       "pq_lut", exprs => PqLut(exprs.head, bc), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pq_coarse_dists", exprs => PqCoarseDists(exprs.head, cbc), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_residual_encode",
+      exprs => PqResidualEncode(exprs.head, cbc, bc), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_residual_lut",
+      exprs => PqLutResidual(exprs(0), exprs(1), cbc, bc), "scala_udf")
   }
 
   /** Encode a float-array embedding column → struct(code, err). */
@@ -311,5 +469,17 @@ object Pq {
   def coarseDists(vec: Column): Column = {
     register(SparkSession.active)
     call_function("pq_coarse_dists", vec)
+  }
+
+  /** Residual IVF-PQ encode: struct(cell, code, err). */
+  def residualEncode(vec: Column): Column = {
+    register(SparkSession.active)
+    call_function("pq_residual_encode", vec)
+  }
+
+  /** Per-cell residual ADC LUT for a (query vec, probed cell) pair. */
+  def residualLut(vec: Column, cell: Column): Column = {
+    register(SparkSession.active)
+    call_function("pq_residual_lut", vec, cell)
   }
 }

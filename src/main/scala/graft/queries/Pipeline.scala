@@ -1952,6 +1952,48 @@ object Pipeline {
           min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"))
         .orderBy(col("shard"))
+    }),
+
+    // ---- RESIDUAL IVF-PQ top-k (the production FAISS IndexIVFPQ
+    // layout, p103's upgrade): codes quantize the residual v − C(cell)
+    // — residuals concentrate near zero, so the same 4-bit budget spends
+    // on what the coarse layer didn't explain — and each (query, probed
+    // cell) pair gets its own residual ADC LUT. Still one 8-byte code +
+    // 4-bit cell per corpus vector; still a probed-cell equi-join; still
+    // every argmin, probe rank, and distance recomputed arithmetically
+    // by the oracle (two left-assoc double subtractions, documented in
+    // Pq.residualEncodeJava). ----
+    "p105_ivfpq_residual_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val P = graft.functions.Pq
+      val e = emb(s, dir)
+      val enc = P.residualEncode(col("embedding"))
+      val codes = e.select(col("vec_id"),
+        enc.getField("cell").as("cell"),
+        enc.getField("code").as("pq_code"))
+      val dl = P.coarseDists(col("embedding"))
+      val qs = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding"),
+          slice(sort_array(transform(dl,
+            (d, l) => struct(d.as("d"), l.as("l")))), 1, 4).as("probes"))
+        .select(col("qid"), col("embedding"),
+          explode(col("probes")).as("probe"))
+        .select(col("qid"), col("probe.l").cast("int").as("cell"),
+          P.residualLut(col("embedding"), col("probe.l").cast("int"))
+            .as("lut"))
+      val adc = (0 until P.M).map { m =>
+        element_at(col("lut"),
+          (lit(m * P.K + 1) + shiftright(col("pq_code"), 4 * m)
+            .bitwiseAND(lit(15L))).cast("int"))
+      }.reduce(_ + _)
+      codes.join(broadcast(qs), Seq("cell"))
+        .withColumn("adc", adc)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("vec_id"), col("rn").cast("long").as("rn"),
+          round(col("adc"), 6).as("adc"))
+        .orderBy(col("qid"), col("rn"))
     })
   )
 
@@ -4368,6 +4410,59 @@ object Pipeline {
         SELECT cast(floor(excl / 20000) AS integer) AS shard,
               count(*) AS n_docs, cast(sum(n_toks) AS bigint) AS total_toks,
               min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        FROM pk GROUP BY shard ORDER BY shard"""
+        FROM pk GROUP BY shard ORDER BY shard""",
+
+    // Residual IVF-PQ twin: cell assignment, per-(vector, m) residual
+    // argmin against BOTH planted codebook rules ((emb − C) − c, the
+    // documented two-subtraction order), probe ranking, and the
+    // within-list residual ADC — all recomputed arithmetically.
+    "p105_ivfpq_residual_topk" ->
+      s"""WITH coarse AS (SELECT vec_id, embedding,
+            list_transform(range(0, 16), l ->
+              list_sum(list_transform(
+                list_transform(range(0, 64), j ->
+                  embedding[j + 1]::DOUBLE
+                    - (((l*17 + j*23) % 37 - 18) / 18.0)),
+                x -> x * x))) AS dl
+          FROM embeddings),
+        ccell AS (SELECT vec_id, embedding,
+            list_position(dl, list_min(dl)) - 1 AS cell
+          FROM coarse),
+        rbest AS (SELECT vec_id, cell, gm.m AS m,
+            list_transform(range(0, 16), k ->
+              list_sum(list_transform(
+                list_transform(range(0, 8), j ->
+                  (embedding[gm.m*8 + j + 1]::DOUBLE
+                     - (((cell*17 + (gm.m*8 + j)*23) % 37 - 18) / 18.0))
+                  - (((gm.m*7 + k*13 + j*29) % 41 - 20) / 20.0)),
+                x -> x * x))) AS dl2
+          FROM ccell, (SELECT unnest(range(0, 8)) AS m) gm),
+        rcode AS (SELECT vec_id, cell, m,
+            list_position(dl2, list_min(dl2)) - 1 AS code
+          FROM rbest),
+        qc AS (SELECT vec_id AS qid, embedding AS qe, dl FROM coarse
+              WHERE vec_id % 50 = 0),
+        qpr AS (SELECT qid, qe, gl.l AS cell,
+            row_number() OVER (PARTITION BY qid
+                               ORDER BY dl[gl.l + 1], gl.l) AS pr
+          FROM qc, (SELECT unnest(range(0, 16)) AS l) gl),
+        probes AS (SELECT qid, qe, cell FROM qpr WHERE pr <= 4),
+        dm AS (SELECT p.qid, c.vec_id, c.m,
+            list_sum(list_transform(
+              list_transform(range(0, 8), j ->
+                (p.qe[c.m*8 + j + 1]::DOUBLE
+                   - (((c.cell*17 + (c.m*8 + j)*23) % 37 - 18) / 18.0))
+                - (((c.m*7 + c.code*13 + j*29) % 41 - 20) / 20.0)),
+              x -> x * x)) AS d
+          FROM probes p JOIN rcode c ON p.cell = c.cell),
+        adc AS (SELECT qid, vec_id,
+            list_sum(list(d ORDER BY m)) AS adc
+          FROM dm GROUP BY qid, vec_id),
+        r AS (SELECT qid, vec_id, adc,
+            row_number() OVER (PARTITION BY qid
+                               ORDER BY adc, vec_id) AS rn
+          FROM adc)
+        SELECT qid, vec_id, rn, round(adc, 6) AS adc
+        FROM r WHERE rn <= 5 ORDER BY qid, rn"""
   )
 }

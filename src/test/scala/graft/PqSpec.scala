@@ -145,14 +145,94 @@ class PqSpec extends AnyFunSuite {
     assert(Pq.coarseDistsJava(null, cb) == null)
   }
 
+  test("residual encode equals the closed-form model: cell by coarse " +
+    "argmin, codes by residual argmin with the documented (v-C)-c " +
+    "subtraction order, and the residual ADC identity holds") {
+    val coarse = Pq.buildCoarseCodebook()
+    val cb = Pq.buildCodebook()
+    (0 until 20).foreach { s =>
+      val v = vec(s)
+      val row = Pq.residualEncodeJava(ad(v), coarse, cb)
+      // independent re-derivation
+      val cdists = (0 until Pq.CoarseK).map { l =>
+        (0 until Pq.Dim).foldLeft(0.0) { (a, j) =>
+          val x = v(j).toDouble - refCoarse(l, j); a + x * x
+        }
+      }
+      val cell = cdists.indexOf(cdists.min)
+      assert(row.getInt(0) == cell, s"cell seed=$s")
+      var packed = 0L
+      var err = 0.0
+      for (m <- 0 until Pq.M) {
+        val dists = (0 until Pq.K).map { k =>
+          (0 until Pq.SubDim).foldLeft(0.0) { (a, j) =>
+            val dim = m * Pq.SubDim + j
+            val x = (v(dim).toDouble - refCoarse(cell, dim)) - refCb(m, k, j)
+            a + x * x
+          }
+        }
+        val best = dists.indexOf(dists.min)
+        packed |= best.toLong << (4 * m)
+        err += dists(best)
+      }
+      assert(row.getLong(1) == packed, s"residual codes seed=$s")
+      assert(row.getDouble(2) == err, s"residual err seed=$s")
+      // ADC identity: per-cell LUT probe == direct recompute, for every
+      // probed cell (not just the assignment cell)
+      val q = vec(1000 + s)
+      (0 until Pq.CoarseK by 5).foreach { pc =>
+        val lut = Pq.lutResidualJava(ad(q), pc, coarse, cb)
+        val viaLut = (0 until Pq.M).foldLeft(0.0) { (acc, m) =>
+          acc + lut.getDouble(m * Pq.K +
+            ((row.getLong(1) >> (4 * m)) & 15L).toInt)
+        }
+        val direct = (0 until Pq.M).foldLeft(0.0) { (acc, m) =>
+          val k = ((row.getLong(1) >> (4 * m)) & 15L).toInt
+          acc + (0 until Pq.SubDim).foldLeft(0.0) { (a, j) =>
+            val dim = m * Pq.SubDim + j
+            val x = (q(dim).toDouble - refCoarse(pc, dim)) - refCb(m, k, j)
+            a + x * x
+          }
+        }
+        assert(viaLut == direct, s"residual ADC identity seed=$s cell=$pc")
+      }
+    }
+    // degradation: short/null vectors and out-of-range cells -> null
+    assert(Pq.residualEncodeJava(ad(Array.fill(5)(0f)), coarse, cb) == null)
+    assert(Pq.residualEncodeJava(null, coarse, cb) == null)
+    assert(Pq.lutResidualJava(ad(vec(1)), -1, coarse, cb) == null)
+    assert(Pq.lutResidualJava(ad(vec(1)), Pq.CoarseK, coarse, cb) == null)
+  }
+
+  test("residual quantization reconstructs a centroid-plus-residual " +
+    "vector exactly: v = C(cell) + c-entries encodes with ~0 error") {
+    val coarse = Pq.buildCoarseCodebook()
+    val cb = Pq.buildCodebook()
+    // assemble v = coarse centroid 3 + per-subspace PQ centroid entries
+    val v = Array.tabulate(Pq.Dim) { i =>
+      val m = i / Pq.SubDim
+      (refCoarse(3, i) + refCb(m, (m * 5) % Pq.K, i % Pq.SubDim) / 100.0).toFloat
+    }
+    // NOTE: /100 shrinks the residual so cell 3 stays the argmin cell
+    val row = Pq.residualEncodeJava(ad(v), coarse, cb)
+    assert(row.getInt(0) == 3, "assembled vector must land in cell 3")
+    // and the residual err is far below the RAW-PQ err of the same
+    // vector (the reason production IVF-PQ encodes residuals)
+    val raw = Pq.encodeJava(ad(v), cb).getDouble(1)
+    assert(row.getDouble(2) < raw,
+      s"residual err ${row.getDouble(2)} !< raw err $raw")
+  }
+
   test("codegen and interpreted eval agree bit-for-bit") {
     def run(s: org.apache.spark.sql.SparkSession) = {
       import s.implicits._
       Pq.register(s)
       (0 until 8).map(i => (i.toLong, vec(i).toSeq)).toDF("id", "v")
         .selectExpr("id", "pq_encode(v) AS pq", "pq_lut(v) AS lut",
-          "pq_coarse_dists(v) AS cd")
-        .selectExpr("id", "pq.code", "pq.err", "lut[3]", "cd[0]", "cd[15]")
+          "pq_coarse_dists(v) AS cd", "pq_residual_encode(v) AS rq",
+          "pq_residual_lut(v, 2) AS rlut")
+        .selectExpr("id", "pq.code", "pq.err", "lut[3]", "cd[0]", "cd[15]",
+          "rq.cell", "rq.code", "rq.err", "rlut[7]")
         .collect().map(_.toString).sorted
     }
     val interp = spark.newSession()
@@ -179,5 +259,9 @@ class PqSpec extends AnyFunSuite {
       .isAssignableFrom(classOf[Pq.PqLut]))
     assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
       .isAssignableFrom(classOf[Pq.PqCoarseDists]))
+    assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
+      .isAssignableFrom(classOf[Pq.PqResidualEncode]))
+    assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
+      .isAssignableFrom(classOf[Pq.PqLutResidual]))
   }
 }
