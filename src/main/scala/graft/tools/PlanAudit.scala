@@ -108,11 +108,16 @@ object PlanAudit {
     // d77 (TPC-DS q77 verbatim): `FROM cs, cr` — a cross of two aggregates
     // each grouped by cs/cr_call_center_sk, a 4-value synthesized domain:
     // constant × constant at every SF (the reference runs the same shape).
+    // p96: the BRUTE-FORCE ADC baseline by semantics — corpus codes ×
+    // the broadcast (qid, LUT) query set. Linear in the corpus: query
+    // volume doesn't scale with corpus size (the production shape; the
+    // p10/p27 broadcast-side argument). p103/p105 are the pruned
+    // variants and pass the audit on their cell equi-joins.
     val crossByDesign = Set("q27_inequality_join", "q28_cross_join",
       "q29_scalar_subquery", "p07_jaccard_pairs", "p10_embedding_topk",
       "p13_embedding_near_pairs", "p17_source_similarity",
       "q26_null_aware_anti", "p27_centroid_confusion", "q89_hour_buckets",
-      "q96_theta_exists", "d77")
+      "q96_theta_exists", "d77", "p96_pq_topk")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
