@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
@@ -146,12 +147,32 @@ object Pq {
     new GenericArrayData(lut)
   }
 
+  /** Analysis-time input validation shared by every PQ expression whose
+    * kernel reads the vector with `ArrayData.getFloat`: anything but
+    * array<float> must fail CLEANLY at analysis, not as a runtime
+    * ClassCastException / silent garbage mid-scan. (`ExpectsInputTypes`
+    * is not declarable on this build — `AbstractDataType` is
+    * private[sql], the [[VectorExpressions.ArrayPairFold]] precedent —
+    * so the check is a `checkInputDataTypes` override.)
+    */
+  private[functions] trait FloatVecInput { self: Expression =>
+    protected def vecChild: Expression
+    override def checkInputDataTypes(): TypeCheckResult =
+      vecChild.dataType match {
+        case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+        case t => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects an array<float> embedding, got " +
+            s"${t.simpleString}")
+      }
+  }
+
   /** embedding → struct(code long, err double) against the broadcast
     * codebook; rides whole-stage codegen via `addReferenceObj`.
     */
   case class PqEncode(child: Expression,
       codebook: org.apache.spark.broadcast.Broadcast[Array[Double]])
-      extends UnaryExpression {
+      extends UnaryExpression with FloatVecInput {
+    override protected def vecChild: Expression = child
     override def dataType: DataType = StructType(Seq(
       StructField("code", LongType, nullable = false),
       StructField("err", DoubleType, nullable = false)))
@@ -179,7 +200,8 @@ object Pq {
   /** embedding → M×K ADC lookup table (array of doubles, flat m·K + k). */
   case class PqLut(child: Expression,
       codebook: org.apache.spark.broadcast.Broadcast[Array[Double]])
-      extends UnaryExpression {
+      extends UnaryExpression with FloatVecInput {
+    override protected def vecChild: Expression = child
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
     override def nullable: Boolean = true
     override def prettyName: String = "pq_lut"
@@ -245,7 +267,8 @@ object Pq {
     */
   case class PqCoarseDists(child: Expression,
       codebook: org.apache.spark.broadcast.Broadcast[Array[Double]])
-      extends UnaryExpression {
+      extends UnaryExpression with FloatVecInput {
+    override protected def vecChild: Expression = child
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
     override def nullable: Boolean = true
     override def prettyName: String = "pq_coarse_dists"
@@ -359,7 +382,8 @@ object Pq {
   case class PqResidualEncode(child: Expression,
       coarse: org.apache.spark.broadcast.Broadcast[Array[Double]],
       codebook: org.apache.spark.broadcast.Broadcast[Array[Double]])
-      extends UnaryExpression {
+      extends UnaryExpression with FloatVecInput {
+    override protected def vecChild: Expression = child
     override def dataType: DataType = StructType(Seq(
       StructField("cell", IntegerType, nullable = false),
       StructField("code", LongType, nullable = false),
@@ -389,18 +413,46 @@ object Pq {
       : PqResidualEncode = copy(child = c)
   }
 
-  /** (embedding, cell) → per-cell residual ADC lookup table. */
+  /** Long-cell entry point ([[PqLutResidual]] accepts BIGINT cells from
+    * SQL): bounds-check BEFORE narrowing so an out-of-Int-range value
+    * degrades to null like any other invalid cell, never a silent
+    * truncated probe.
+    */
+  def lutResidualJava(v: ArrayData, cell: Long, coarse: Array[Double],
+                      cb: Array[Double]): ArrayData =
+    if (cell < 0 || cell >= CoarseK) null
+    else lutResidualJava(v, cell.toInt, coarse, cb)
+
+  /** (embedding, cell) → per-cell residual ADC lookup table. The cell
+    * argument accepts INT or BIGINT (a SQL literal like `2` arrives as
+    * int, a joined probe column may be bigint); any other type fails at
+    * analysis via [[FloatVecInput]]-style checks instead of a runtime
+    * ClassCastException.
+    */
   case class PqLutResidual(left: Expression, right: Expression,
       coarse: org.apache.spark.broadcast.Broadcast[Array[Double]],
       codebook: org.apache.spark.broadcast.Broadcast[Array[Double]])
-      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with FloatVecInput {
+    override protected def vecChild: Expression = left
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
     override def nullable: Boolean = true
     override def prettyName: String = "pq_residual_lut"
 
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(FloatType, _), IntegerType | LongType) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (ArrayType(FloatType, _), t) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects an int or bigint cell, got ${t.simpleString}")
+        case (t, _) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects an array<float> embedding, got " +
+            s"${t.simpleString}")
+      }
+
     override def nullSafeEval(v: Any, cell: Any): Any =
-      lutResidualJava(v.asInstanceOf[ArrayData], cell.asInstanceOf[Int],
-        coarse.value, codebook.value)
+      lutResidualJava(v.asInstanceOf[ArrayData],
+        cell.asInstanceOf[Number].longValue(), coarse.value, codebook.value)
 
     override protected def doGenCode(
         ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,

@@ -7,33 +7,58 @@ import org.apache.spark.sql.functions._
   * implementation for every temporally-ordered perceptual-hash modality
   * (audio window fingerprints, video frame hashes), the
   * [[BandedHamming]] precedent applied to alignment search: clip A is
-  * contained in clip B iff EVERY element hash of A equi-joins an
-  * element of B at one fixed offset. The join is on the 64-bit element
-  * hash over slim rows — payloads never participate, and the only
-  * full-sequence comparison is a count.
+  * contained in clip B iff every cap-surviving element hash of A
+  * equi-joins an element of B at one fixed offset. The join is on the
+  * 64-bit element hash over slim rows — payloads never participate, and
+  * the only full-sequence comparison is a count.
   *
   * Contract:
   *  - input: one row per sequence element with (id, pos, n, hash) where
   *    `n` is the element count of that id's sequence.
   *  - output: (inner_id, outer_id, offset_pos, n_matched) where
-  *    n_matched = n(inner) — full coverage at offset_pos. Equal-length
-  *    mutual matches emit one direction (inner_id < outer_id); strict
-  *    sub-sequences emit inner→outer only (n(inner) < n(outer) rules
-  *    out the reverse).
+  *    n_matched = the inner's SURVIVING element count — full coverage of
+  *    every element that passed the degenerate-hash cap at offset_pos.
+  *    Equal-length mutual matches emit one canonical direction
+  *    (inner_id < outer_id); strict sub-sequences emit inner→outer only
+  *    (n(inner) < n(outer) rules out the reverse).
   *
-  * Scale shape: degenerate hashes (digital silence, flat frames — the
-  * [[BandedHamming]] flat-color analog) are size-filtered BEFORE the
-  * join with the house default cap, and the filter's window shares the
-  * join's hash partitioning (no extra exchange). Candidate volume is
-  * bounded at O(rows × cap); the group-by re-shuffles only
-  * (inner, outer, offset) slim rows.
+  * Cap/coverage semantics (the 100 TB recall story): degenerate hashes
+  * (digital silence, flat/black frames — the [[BandedHamming]]
+  * flat-color analog) are size-filtered BEFORE the join with the house
+  * default cap, so a globally common element can never mint a
+  * candidate clique. Coverage is then counted against the inner clip's
+  * SURVIVING elements, not its original length — a clip carrying one
+  * popular window (half a second of silence inside an otherwise unique
+  * song) is still findable instead of silently unreportable. The
+  * `minSurvivingFrac` floor keeps the claim meaningful: a clip whose
+  * surviving count drops below ceil(frac · n) (e.g. an all-silence
+  * clip with ZERO surviving elements) is excluded from the inner side
+  * — "contained" based on a rump of its windows would be noise, and
+  * pure-degenerate clips are exactly the clique-blowup case the cap
+  * exists to drop. With an uncapped call (`maxBucketSize =
+  * Long.MaxValue`) surviving ≡ n and the output reduces exactly to the
+  * original full-coverage contract — which is why the oracled fixture
+  * queries pass the explicit uncapped cap rather than relying on the
+  * default being a no-op.
+  *
+  * Scale shape: candidate volume is bounded at O(rows × cap); the
+  * cap's window shares the join's hash partitioning (no extra
+  * exchange); the surviving-count side is a tiny per-id aggregate
+  * (≤ one row per clip) broadcast back onto the slim
+  * (inner, outer, offset) aggregate.
   */
 object SequenceContainment {
+
+  /** Below this fraction of a clip's elements surviving the cap, the
+    * clip is excluded from the inner (containee) side — see object doc.
+    */
+  val DefaultMinSurvivingFrac = 0.5
 
   /** See object doc. `df` columns: idCol, posCol, nCol, hashCol. */
   def pairs(df: DataFrame, idCol: String, posCol: String, nCol: String,
             hashCol: String,
-            maxBucketSize: Long = BandedHamming.DefaultMaxBucketSize)
+            maxBucketSize: Long = BandedHamming.DefaultMaxBucketSize,
+            minSurvivingFrac: Double = DefaultMinSurvivingFrac)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wins = df.select(col(idCol).as("__id"), col(posCol).as("__pos"),
@@ -41,6 +66,10 @@ object SequenceContainment {
     val capped = wins
       .withColumn("__bs", count(lit(1)).over(Window.partitionBy(col("__h"))))
       .filter(col("__bs") <= maxBucketSize).drop("__bs")
+    // Per-id surviving counts: ≤ one slim row per clip, broadcast onto
+    // the aggregate below (no re-shuffle of the candidate stream).
+    val surv = capped.groupBy(col("__id").as("inner_id"))
+      .agg(count(lit(1)).as("__ns"))
     val a = capped.select(col("__id").as("inner_id"), col("__pos").as("__wa"),
       col("__n").as("__na"), col("__h"))
     val b = capped.select(col("__id").as("outer_id"), col("__pos").as("__wb"),
@@ -51,7 +80,9 @@ object SequenceContainment {
         (col("__wb") - col("__wa")).cast("long").as("offset_pos"))
       .agg(count(lit(1)).as("n_matched"),
         max(col("__na")).as("__na"), max(col("__nb")).as("__nb"))
-      .filter(col("n_matched") === col("__na") &&
+      .join(broadcast(surv), Seq("inner_id"))
+      .filter(col("n_matched") === col("__ns") &&
+        col("__ns") >= ceil(col("__na") * lit(minSurvivingFrac)) &&
         (col("__na") < col("__nb") ||
           (col("__na") === col("__nb") &&
             col("inner_id") < col("outer_id"))))

@@ -1793,13 +1793,19 @@ object Pipeline {
     // hop-aligned excerpts of container id-5's waveform, so ALL of a
     // segment's windows equi-join the container's at one offset — an
     // 8-byte-hash join + alignment count, never a payload comparison.
-    // Default bucket cap: a no-op by construction here (shape-varying
-    // quadratic plant; a spec pins zero degenerate hash buckets), live
-    // protection against digital silence at 100 TB. ----
+    // (A spec pins zero degenerate hash buckets on this shape-varying
+    // quadratic plant; production callers keep the default cap as live
+    // protection against digital silence at 100 TB.) ----
     "p98_audio_containment" -> ((s, dir) => {
+      // maxBucketSize explicit: the oracle computes the UNCAPPED join,
+      // so equality must be structural, never dependent on the default
+      // cap happening to be a no-op on this fixture (the p102
+      // nearDupPairs convention; a spec pins zero degenerate buckets,
+      // production callers keep the default cap).
       AudioHash.containmentPairs(
           AudioHash.windowFingerprints(
-            Multimodal.plantWavsSeg(docs(s, dir)), win = 130, hop = 26))
+            Multimodal.plantWavsSeg(docs(s, dir)), win = 130, hop = 26),
+          maxBucketSize = Long.MaxValue)
         .orderBy(col("inner_id"), col("outer_id"), col("offset_wins"))
     }),
 
@@ -1821,11 +1827,13 @@ object Pipeline {
     // ALL of a segment's frame hashes equi-join the container's at one
     // offset — the SAME SequenceContainment alignment join as the audio
     // side (one audited implementation for both temporal modalities).
-    // Default cap: a no-op by construction (frame-varying gradient
-    // plant), live flat-frame protection at 100 TB. ----
+    // (A spec pins zero degenerate buckets on the frame-varying gradient
+    // plant; production callers keep the default flat-frame cap.) ----
     "p100_video_containment" -> ((s, dir) => {
+      // maxBucketSize explicit — same rationale as p98.
       VideoHash.containmentPairs(
-          VideoHash.frameHashes(Multimodal.plantGifsSeg(docs(s, dir))))
+          VideoHash.frameHashes(Multimodal.plantGifsSeg(docs(s, dir))),
+          maxBucketSize = Long.MaxValue)
         .orderBy(col("inner_id"), col("outer_id"), col("offset_frames"))
     }),
 

@@ -264,4 +264,40 @@ class PqSpec extends AnyFunSuite {
     assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
       .isAssignableFrom(classOf[Pq.PqLutResidual]))
   }
+
+  test("non-float-array inputs fail at ANALYSIS with a clear message, " +
+    "not a runtime ClassCastException mid-scan") {
+    import spark.implicits._
+    Pq.register(spark)
+    val dbl = (0 until 2)
+      .map(i => (i.toLong, vec(i).map(_.toDouble).toSeq)).toDF("id", "v")
+    for (e <- Seq("pq_encode(v)", "pq_lut(v)", "pq_coarse_dists(v)",
+        "pq_residual_encode(v)", "pq_residual_lut(v, 2)")) {
+      val ex = intercept[org.apache.spark.sql.AnalysisException] {
+        dbl.selectExpr(e).collect()
+      }
+      assert(ex.getMessage.contains("array<float>"), s"$e: ${ex.getMessage}")
+    }
+    val fl = (0 until 2).map(i => (i.toLong, vec(i).toSeq)).toDF("id", "v")
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      fl.selectExpr("pq_residual_lut(v, 'x')").collect()
+    }
+    assert(ex.getMessage.contains("cell"), ex.getMessage)
+  }
+
+  test("pq_residual_lut accepts a BIGINT cell (joined probe columns are " +
+    "bigint) identically to int, and out-of-range longs degrade to null") {
+    import spark.implicits._
+    Pq.register(spark)
+    val df = (0 until 4).map(i => (i.toLong, vec(i).toSeq)).toDF("id", "v")
+    val viaInt = df.selectExpr("id", "pq_residual_lut(v, 2) AS l")
+      .collect().map(_.toString).sorted
+    val viaLong = df.selectExpr("id",
+        "pq_residual_lut(v, cast(2 AS bigint)) AS l")
+      .collect().map(_.toString).sorted
+    assert(viaInt.sameElements(viaLong))
+    val oob = df.selectExpr("pq_residual_lut(v, cast(4294967298 AS bigint)) AS l")
+      .collect()
+    assert(oob.forall(_.isNullAt(0)))
+  }
 }
