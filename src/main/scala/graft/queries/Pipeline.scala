@@ -1987,8 +1987,116 @@ object Pipeline {
         .select(col("qid"), col("vec_id"), col("rn").cast("long").as("rn"),
           round(col("adc"), 6).as("adc"))
         .orderBy(col("qid"), col("rn"))
+    }),
+
+    // ---- distributed k-means (Lloyd) coarse-quantizer TRAINING (what
+    // p103/p105 were missing: FAISS trains IndexIVFPQ's coarse layer on
+    // the corpus, it doesn't ship closed-form centroids): seeded pick →
+    // 3 fixed iterations of broadcast-assign + decimal-exact means.
+    // Output = every centroid of every iteration snapshot (0 = seeds),
+    // so the oracle replays the ENTIRE training run arithmetically —
+    // one wrong argmin, mean, tie rule, or empty-cell carry in any
+    // iteration breaks per-row equality. ----
+    "p106_kmeans_train" -> ((s, dir) => {
+      import s.implicits._
+      val m = kmModel(s, dir)
+      val rows: Seq[(Long, Long, Long, Double)] = for {
+        (snap, it) <- m.snapshots.zipWithIndex
+        cell <- 0 until (if (m.dim == 0) 0 else snap.length / m.dim)
+        d <- 0 until m.dim
+      } yield (it.toLong, cell.toLong, d.toLong, snap(cell * m.dim + d))
+      rows.toDF("iter", "cell", "dim_idx", "cval")
+        .orderBy(col("iter"), col("cell"), col("dim_idx"))
+    }),
+
+    // ---- per-iteration training inertia (the Lloyd descent curve, the
+    // convergence diagnostic every k-means run logs): Σ round(min
+    // distance, 6) summed as DECIMAL — exact, layout-stable, and the
+    // oracle recomputes each iteration's value from ITS snapshot. A
+    // spec pins monotone non-increase. ----
+    "p107_kmeans_inertia" -> ((s, dir) => {
+      import s.implicits._
+      val m = kmModel(s, dir)
+      m.inertia.zipWithIndex
+        .map { case (v, i) => ((i + 1).toLong, v) }
+        .toDF("iter", "inertia")
+        .orderBy(col("iter"))
+    }),
+
+    // ---- the trained model APPLIED: final-centroid assignment of the
+    // whole corpus — the broadcast-probe-inside-WSCG shape (a trained
+    // codebook is data on the wire, the CentroidDists expression rides
+    // addReferenceObj exactly like the planted-codebook kernels). ----
+    "p108_kmeans_assign" -> ((s, dir) => {
+      val m = kmModel(s, dir)
+      val dl = graft.functions.KMeans.dists(col("embedding"), m, s)
+      emb(s, dir)
+        .filter(col("embedding").isNotNull && size(col("embedding")) >= 64)
+        .select(col("vec_id"), dl.as("__dl"))
+        .select(col("vec_id"),
+          (array_position(col("__dl"), array_min(col("__dl"))) - 1)
+            .cast("bigint").as("cell"),
+          round(array_min(col("__dl")), 6).as("d2"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- IVF-PQ top-k over the TRAINED coarse quantizer (p103 with
+    // the planted coarse codebook swapped for the Lloyd-trained one —
+    // the full production flow: train → assign inverted lists → probe
+    // 4 nearest trained cells → ADC over 8-byte PQ codes). The oracle
+    // replays training, both argmins, the probe ranking, and every ADC
+    // distance arithmetically. ----
+    "p109_ivfpq_trained_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val P = graft.functions.Pq
+      val m = kmModel(s, dir)
+      val e = emb(s, dir)
+        .filter(col("embedding").isNotNull && size(col("embedding")) >= 64)
+      def dl = graft.functions.KMeans.dists(col("embedding"), m, s)
+      val codes = e.select(col("vec_id"),
+        P.encode(col("embedding")).getField("code").as("pq_code"),
+        (array_position(dl, array_min(dl)) - 1).cast("int").as("cell"))
+      val qs = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), P.lut(col("embedding")).as("lut"),
+          slice(sort_array(transform(dl,
+            (d, l) => struct(d.as("d"), l.as("l")))), 1, 4).as("probes"))
+        .select(col("qid"), col("lut"),
+          explode(col("probes")).as("probe"))
+        .select(col("qid"), col("lut"), col("probe.l").as("cell"))
+      val adc = (0 until P.M).map { m =>
+        element_at(col("lut"),
+          (lit(m * P.K + 1) + shiftright(col("pq_code"), 4 * m)
+            .bitwiseAND(lit(15L))).cast("int"))
+      }.reduce(_ + _)
+      codes.join(broadcast(qs), Seq("cell"))
+        .withColumn("adc", adc)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("vec_id"), col("rn").cast("long").as("rn"),
+          round(col("adc"), 6).as("adc"))
+        .orderBy(col("qid"), col("rn"))
     })
   )
+
+  /** k-means iteration count for the p106–p109 family: fixed and small
+    * so the oracle can unroll the training replay; enough iterations to
+    * make the descent curve and empty-cell carry observable.
+    */
+  private[queries] val KmIters = 3
+
+  /** One trained coarse model per (application, fixture dir) — p106–
+    * p109 share it (training runs once; the [[graft.functions.Pq]]
+    * memo discipline).
+    */
+  private val kmMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), graft.functions.KMeans.Model]
+
+  private def kmModel(s: SparkSession, dir: String)
+      : graft.functions.KMeans.Model =
+    kmMemo.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.functions.KMeans.train(emb(s, dir), "vec_id", "embedding",
+        k = 16, dim = 64, iters = KmIters))
 
   /** Mixed-shape planted audio corpus: 8-bit unsigned mono for even ids,
     * 16-bit signed LE mono/stereo for odd — the p82 fixture (both real
@@ -2352,6 +2460,65 @@ object Pipeline {
         cast(sum(code * (1::BIGINT << (4 * m))) AS bigint) AS pq_code,
         list_sum(list(bd ORDER BY m)) AS err
       FROM pqbest GROUP BY vec_id)"""
+
+  /** DuckDB twin of [[graft.functions.KMeans.train]]: the FULL training
+    * run unrolled (fixed iteration count — no recursive CTE needed, and
+    * the unrolled form is engine-portable). Emits, for `iters` = N:
+    * `kmseed` (scrambled-key seed ranking), `kmc0..kmcN` (iteration
+    * snapshots: iter, cell, dim, cval), `kmcarr0..kmcarrN` (snapshot
+    * centroid lists), and `kmd1..kmdN` (per-(vec, cell) distances used
+    * by iteration t's assignment — also the inertia substrate). Every
+    * operation mirrors the engine bit-for-bit: j-ascending list_sum
+    * distances, first-min argmin via list_position(list_min), the p27
+    * decimal(18,9)-sum/round-6 mean, LEFT JOIN + coalesce empty-cell
+    * carry.
+    */
+  private def oKmCtes(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""kmseed AS (SELECT vec_id, embedding,
+          row_number() OVER (ORDER BY (vec_id * 2654435761) % 4294967296,
+                             vec_id) AS rk
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) >= 64),
+      kmc0 AS (SELECT 0 AS iter, rk - 1 AS cell, t.d - 1 AS dim,
+          embedding[t.d]::DOUBLE AS cval
+        FROM kmseed, unnest(range(1, 65)) AS t(d) WHERE rk <= 16)""")
+    for (t <- 1 to iters) {
+      val p = t - 1
+      sb.append(s""",
+      kmcarr$p AS (SELECT cell, list(cval ORDER BY dim) AS cv
+        FROM kmc$p GROUP BY cell),
+      kmd$t AS (SELECT e.vec_id, c.cell,
+          list_sum(list_transform(list_zip(e.embedding, c.cv),
+            z -> (z[1]::DOUBLE - z[2]) * (z[1]::DOUBLE - z[2]))) AS d2
+        FROM embeddings e CROSS JOIN kmcarr$p c
+        WHERE e.embedding IS NOT NULL AND len(e.embedding) >= 64),
+      kma$t AS (SELECT vec_id,
+          list_position(l, list_min(l)) - 1 AS cell
+        FROM (SELECT vec_id, list(d2 ORDER BY cell) AS l
+              FROM kmd$t GROUP BY vec_id)),
+      kmm$t AS (SELECT a.cell, t.d - 1 AS dim,
+          round(cast(sum(cast(e.embedding[t.d] AS decimal(18,9))) AS double)
+            / count(*), 6) AS cval
+        FROM kma$t a JOIN embeddings e USING (vec_id),
+             unnest(range(1, 65)) AS t(d)
+        GROUP BY a.cell, t.d),
+      kmc$t AS (SELECT $t AS iter, prev.cell, prev.dim,
+          coalesce(m.cval, prev.cval) AS cval
+        FROM kmc$p prev
+        LEFT JOIN kmm$t m ON prev.cell = m.cell AND prev.dim = m.dim)""")
+    }
+    sb.append(s""",
+      kmcarr$iters AS (SELECT cell, list(cval ORDER BY dim) AS cv
+        FROM kmc$iters GROUP BY cell),
+      kmdF AS (SELECT e.vec_id, c.cell,
+          list_sum(list_transform(list_zip(e.embedding, c.cv),
+            z -> (z[1]::DOUBLE - z[2]) * (z[1]::DOUBLE - z[2]))) AS d2
+        FROM embeddings e CROSS JOIN kmcarr$iters c
+        WHERE e.embedding IS NOT NULL AND len(e.embedding) >= 64)""")
+    sb.toString
+  }
 
   // DuckDB twin of FastText.scoreJava: per-doc non-empty tokens, rolling
   // codepoint hash h = (h*31 + cp) % 2^20 via list_reduce (prepended 0 =
@@ -4495,6 +4662,81 @@ object Pipeline {
                 - (((c.m*7 + c.code*13 + j*29) % 41 - 20) / 20.0)),
               x -> x * x)) AS d
           FROM probes p JOIN rcode c ON p.cell = c.cell),
+        adc AS (SELECT qid, vec_id,
+            list_sum(list(d ORDER BY m)) AS adc
+          FROM dm GROUP BY qid, vec_id),
+        r AS (SELECT qid, vec_id, adc,
+            row_number() OVER (PARTITION BY qid
+                               ORDER BY adc, vec_id) AS rn
+          FROM adc)
+        SELECT qid, vec_id, rn, round(adc, 6) AS adc
+        FROM r WHERE rn <= 5 ORDER BY qid, rn""",
+
+    // Training twin: the whole Lloyd run replayed arithmetically —
+    // every centroid of every iteration snapshot.
+    "p106_kmeans_train" ->
+      s"""WITH ${oKmCtes(KmIters)}
+        SELECT CAST(iter AS bigint) AS iter, CAST(cell AS bigint) AS cell,
+               CAST(dim AS bigint) AS dim_idx, cval
+        FROM (SELECT * FROM kmc0 UNION ALL SELECT * FROM kmc1
+              UNION ALL SELECT * FROM kmc2 UNION ALL SELECT * FROM kmc3)
+        ORDER BY iter, cell, dim_idx""",
+
+    // Inertia twin: iteration t's Σ round(min d², 6) as exact DECIMAL,
+    // recomputed from iteration t's own distance relation.
+    "p107_kmeans_inertia" ->
+      s"""WITH ${oKmCtes(KmIters)}
+        SELECT CAST(iter AS bigint) AS iter, inertia FROM (
+          SELECT 1 AS iter,
+                 CAST(sum(CAST(round(md, 6) AS decimal(38,6))) AS double)
+                   AS inertia
+          FROM (SELECT vec_id, min(d2) AS md FROM kmd1 GROUP BY vec_id)
+          UNION ALL
+          SELECT 2 AS iter,
+                 CAST(sum(CAST(round(md, 6) AS decimal(38,6))) AS double)
+          FROM (SELECT vec_id, min(d2) AS md FROM kmd2 GROUP BY vec_id)
+          UNION ALL
+          SELECT 3 AS iter,
+                 CAST(sum(CAST(round(md, 6) AS decimal(38,6))) AS double)
+          FROM (SELECT vec_id, min(d2) AS md FROM kmd3 GROUP BY vec_id))
+        ORDER BY iter""",
+
+    // Assignment twin: final-snapshot distances (kmdF), first-min
+    // argmin, rounded min distance.
+    "p108_kmeans_assign" ->
+      s"""WITH ${oKmCtes(KmIters)}
+        SELECT vec_id,
+               CAST(list_position(l, list_min(l)) - 1 AS bigint) AS cell,
+               round(list_min(l), 6) AS d2
+        FROM (SELECT vec_id, list(d2 ORDER BY cell) AS l
+              FROM kmdF GROUP BY vec_id)
+        ORDER BY vec_id""",
+
+    // Trained-IVF top-k twin: corpus cells and query probes both from
+    // the TRAINED final snapshot (kmdF), ADC distances recomputed
+    // directly from the planted PQ codebook rule (the p103 machinery).
+    "p109_ivfpq_trained_topk" ->
+      s"""WITH $oPqCodeCtes, ${oKmCtes(KmIters)},
+        kccell AS (SELECT vec_id, cell FROM
+            (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                ORDER BY d2, cell) AS rn FROM kmdF)
+          WHERE rn = 1),
+        kqpr AS (SELECT vec_id AS qid, cell,
+            row_number() OVER (PARTITION BY vec_id
+                               ORDER BY d2, cell) AS pr
+          FROM kmdF WHERE vec_id % 50 = 0),
+        kcand AS (SELECT p.qid, c.vec_id
+          FROM (SELECT qid, cell FROM kqpr WHERE pr <= 4) p
+          JOIN kccell c ON p.cell = c.cell),
+        dm AS (SELECT cd.qid, cd.vec_id, b.m,
+            list_sum(list_transform(
+              list_transform(range(0, 8), j ->
+                q.embedding[b.m*8 + j + 1]::DOUBLE
+                  - (((b.m*7 + b.code*13 + j*29) % 41 - 20) / 20.0)),
+              x -> x * x)) AS d
+          FROM kcand cd
+          JOIN embeddings q ON q.vec_id = cd.qid
+          JOIN pqbest b ON cd.vec_id = b.vec_id),
         adc AS (SELECT qid, vec_id,
             list_sum(list(d ORDER BY m)) AS adc
           FROM dm GROUP BY qid, vec_id),
