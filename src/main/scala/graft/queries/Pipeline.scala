@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.functions.{HashExpressions, TextFunctions => TF}
-import graft.operators.{AudioHash, Dedup, Html, ImageHash, Layout, Mp4Meta, Multimodal, Profile, Quantize, Sampling, Similarity, TextOps, Urls, VideoHash, Warc}
+import graft.operators.{AudioHash, BpeTrain, Dedup, Html, ImageHash, Layout, Mp4Meta, Multimodal, Profile, Quantize, Sampling, Similarity, TextOps, Urls, VideoHash, Warc}
 
 /** LLM-training-data pipeline query corpus (beyond the reference's own
   * surface, mandated by BASELINE.json): dedup family, similarity search,
@@ -2076,6 +2076,45 @@ object Pipeline {
         .select(col("qid"), col("vec_id"), col("rn").cast("long").as("rn"),
           round(col("adc"), 6).as("adc"))
         .orderBy(col("qid"), col("rn"))
+    }),
+
+    // ---- BPE merge-table TRAINING (the trainer half of the p78/p87
+    // subword encode chain — classic Sennrich byte-pair encoding):
+    // distributed word-vocab count -> per-rank distributed pair counts
+    // -> deterministic selection (count desc, pair asc) -> greedy
+    // left-to-right non-overlapping rewrite, for a fixed budget. The
+    // oracle replays the ENTIRE run with an independent FORMULATION of
+    // the greedy rewrite (run-parity window marks vs the engine's
+    // array fold) — a green row proves both the counts and the
+    // non-overlap semantics at every rank. ----
+    "p110_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      bpeModel(s, dir).merges
+        .map(m => (m.rank.toLong, m.lhs, m.rhs, m.merged, m.cnt))
+        .toDF("mrank", "lhs", "rhs", "merged", "cnt")
+        .orderBy(col("mrank"))
+    }),
+
+    // ---- the trained tokenizer APPLIED corpus-wide: per-doc token
+    // counts under the trained merge table — train -> tokenize as one
+    // auditable chain (the chain p104 runs with the PLANTED table).
+    // Token counting joins the doc words against the tokenized
+    // VOCABULARY (each distinct word's symbol count), never re-folding
+    // per occurrence — the production shape: the vocab is the model. ----
+    "p111_bpe_trained_tokens" -> ((s, dir) => {
+      val model = bpeModel(s, dir)
+      val sizes = BpeTrain.tokenizedVocab(
+          BpeTrain.wordVocab(docs(s, dir), col("text")), model)
+        .select(col("word"), col("n_syms"))
+      val words = docs(s, dir).select(col("doc_id"),
+          explode(filter(split(TF.normText(col("text")), " "),
+            w => length(w) > 0)).as("word"))
+        .filter(col("word").rlike(BpeTrain.WordPattern))
+      words.join(sizes, Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_syms")).cast("long").as("n_toks"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2097,6 +2136,24 @@ object Pipeline {
     kmMemo.getOrElseUpdate((s.sparkContext.applicationId, dir),
       graft.functions.KMeans.train(emb(s, dir), "vec_id", "embedding",
         k = 16, dim = 64, iters = KmIters))
+
+  /** BPE merge budget for p110/p111: fixed and small so the oracle can
+    * unroll the per-rank replay; large enough that multi-char symbols
+    * merge with each other (rank ≥ 3 typically pairs a merged symbol).
+    */
+  private[queries] val BpeBudget = 8
+
+  /** One trained merge table per (application, fixture dir) — p110/p111
+    * share it (the kmModel memo discipline).
+    */
+  private val bpeMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), graft.operators.BpeTrain.Model]
+
+  private def bpeModel(s: SparkSession, dir: String)
+      : graft.operators.BpeTrain.Model =
+    bpeMemo.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      BpeTrain.train(BpeTrain.wordVocab(docs(s, dir), col("text")),
+        BpeBudget))
 
   /** Mixed-shape planted audio corpus: 8-bit unsigned mono for even ids,
     * 16-bit signed LE mono/stereo for odd — the p82 fixture (both real
@@ -2517,6 +2574,59 @@ object Pipeline {
             z -> (z[1]::DOUBLE - z[2]) * (z[1]::DOUBLE - z[2]))) AS d2
         FROM embeddings e CROSS JOIN kmcarr$iters c
         WHERE e.embedding IS NOT NULL AND len(e.embedding) >= 64)""")
+    sb.toString
+  }
+
+  /** DuckDB twin of [[graft.operators.BpeTrain.train]]: the full merge
+    * run unrolled. Emits `bvoc` (word, freq), `bw0..bwN` (per-rank
+    * symbol sequences: word, pos, sym) and `bbest1..bbestN` (the
+    * selected merges). The greedy non-overlap rewrite is expressed via
+    * run-parity window marks — an INDEPENDENT formulation of the
+    * engine's left-to-right array fold (equivalence argued in the
+    * BpeTrain scaladoc, proven by the differential check).
+    */
+  private def oBpeCtes(budget: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""bvoc AS MATERIALIZED (SELECT t.word, count(*) AS freq
+        FROM documents,
+             unnest(list_filter($oToks, x -> length(x) > 0)) AS t(word)
+        WHERE regexp_matches(t.word, '^[a-z0-9]+$$')
+        GROUP BY t.word),
+      bw0 AS MATERIALIZED (SELECT word, t.i AS pos, substr(word, CAST(t.i AS int), 1) AS sym
+        FROM bvoc, unnest(range(1, length(word) + 1)) AS t(i))""")
+    for (t <- 1 to budget) {
+      val p = t - 1
+      sb.append(s""",
+      bpc$t AS MATERIALIZED (SELECT a.sym AS l, b.sym AS r, sum(v.freq) AS cnt
+        FROM bw$p a, bw$p b, bvoc v
+        WHERE a.word = b.word AND b.pos = a.pos + 1 AND v.word = a.word
+        GROUP BY a.sym, b.sym),
+      bbest$t AS MATERIALIZED (SELECT l, r, cnt FROM bpc$t ORDER BY cnt DESC, l, r
+        LIMIT 1),
+      bmk$t AS MATERIALIZED (SELECT a.word, a.pos
+        FROM bw$p a, bw$p b, bbest$t m
+        WHERE a.word = b.word AND b.pos = a.pos + 1
+          AND a.sym = m.l AND b.sym = m.r),
+      bapp$t AS MATERIALIZED (SELECT word, pos FROM
+          (SELECT word, pos,
+              row_number() OVER (PARTITION BY word, grp ORDER BY pos) AS rix
+           FROM (SELECT word, pos,
+                   pos - row_number() OVER (PARTITION BY word ORDER BY pos)
+                     AS grp
+                 FROM bmk$t))
+        WHERE rix % 2 = 1),
+      bw$t AS MATERIALIZED (SELECT word,
+          row_number() OVER (PARTITION BY word ORDER BY opos) AS pos, sym
+        FROM (SELECT s.word, s.pos AS opos,
+                CASE WHEN a.pos IS NOT NULL THEN s.sym || nx.sym
+                     ELSE s.sym END AS sym
+              FROM bw$p s
+              LEFT JOIN bapp$t a ON a.word = s.word AND a.pos = s.pos
+              LEFT JOIN bapp$t c ON c.word = s.word AND c.pos = s.pos - 1
+              LEFT JOIN bw$p nx ON nx.word = s.word AND nx.pos = s.pos + 1
+              WHERE c.pos IS NULL))""")
+    }
     sb.toString
   }
 
@@ -4745,6 +4855,30 @@ object Pipeline {
                                ORDER BY adc, vec_id) AS rn
           FROM adc)
         SELECT qid, vec_id, rn, round(adc, 6) AS adc
-        FROM r WHERE rn <= 5 ORDER BY qid, rn"""
+        FROM r WHERE rn <= 5 ORDER BY qid, rn""",
+
+    // Trainer twin: every selected merge of the unrolled run.
+    "p110_bpe_train" ->
+      s"""WITH ${oBpeCtes(BpeBudget)}
+        SELECT * FROM (${(1 to BpeBudget).map(t =>
+          s"""SELECT CAST($t AS bigint) AS mrank, l AS lhs, r AS rhs,
+              l || r AS merged, CAST(cnt AS bigint) AS cnt
+            FROM bbest$t""").mkString("\n          UNION ALL\n          ")})
+        ORDER BY mrank""",
+
+    // Trained-tokenizer twin: per-doc token counts via the tokenized
+    // vocabulary of the final rank.
+    "p111_bpe_trained_tokens" ->
+      s"""WITH ${oBpeCtes(BpeBudget)},
+        bsz AS (SELECT word, count(*) AS n_syms
+          FROM bw$BpeBudget GROUP BY word),
+        dw AS (SELECT doc_id, t.word
+          FROM documents,
+               unnest(list_filter($oToks, x -> length(x) > 0)) AS t(word)
+          WHERE regexp_matches(t.word, '^[a-z0-9]+$$'))
+        SELECT dw.doc_id, CAST(count(*) AS bigint) AS n_words,
+               CAST(sum(z.n_syms) AS bigint) AS n_toks
+        FROM dw JOIN bsz z ON z.word = dw.word
+        GROUP BY dw.doc_id ORDER BY dw.doc_id"""
   )
 }
