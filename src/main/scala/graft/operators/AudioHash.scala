@@ -278,6 +278,20 @@ object AudioHash {
       .withColumnRenamed("offset_pos", "offset_wins")
       .withColumnRenamed("n_matched", "n_wins")
 
+  /** Batch-vs-corpus sub-clip refresh pairs — the
+    * [[SequenceContainment.incrementalPairs]] daily-slice shape over
+    * window fingerprints (corpus windows never re-joined against
+    * themselves; ids disjoint across sides by the offset convention).
+    */
+  def incrementalContainmentPairs(corpusWf: DataFrame, batchWf: DataFrame,
+      maxBucketSize: Long = BandedHamming.DefaultMaxBucketSize): DataFrame =
+    SequenceContainment.incrementalPairs(
+        corpusWf.filter(col("decoded") && col("win_idx").isNotNull),
+        batchWf.filter(col("decoded") && col("win_idx").isNotNull),
+        "media_id", "win_idx", "n_wins", "whash", maxBucketSize)
+      .withColumnRenamed("offset_pos", "offset_wins")
+      .withColumnRenamed("n_matched", "n_wins")
+
   /** Near-dup pairs (id_a < id_b, hamming) within `radius` Hamming bits
     * over [[fingerprints]] output — delegates to [[BandedHamming.pairs]]
     * (4×16-bit banding, exact recall at radius ≤ [[ExactRadius]], exact

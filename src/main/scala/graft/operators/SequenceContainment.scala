@@ -59,10 +59,40 @@ object SequenceContainment {
             hashCol: String,
             maxBucketSize: Long = BandedHamming.DefaultMaxBucketSize,
             minSurvivingFrac: Double = DefaultMinSurvivingFrac)
+      : DataFrame =
+    pairsFrom(
+      df.select(col(idCol).as("__id"), col(posCol).as("__pos"),
+        col(nCol).as("__n"), col(hashCol).as("__h"), lit(0).as("__side")),
+      crossSidesOnly = false, maxBucketSize, minSurvivingFrac)
+
+  /** Batch-vs-corpus refresh pairs (the [[BandedHamming.incrementalPairs]]
+    * shape for alignment search — the daily-slice segment-search plan):
+    * containments BETWEEN the settled corpus and an incoming batch, in
+    * BOTH directions (a new clip may be an excerpt of a corpus clip, or
+    * contain one), with corpus-vs-corpus and batch-vs-batch pairs
+    * excluded — the corpus is never re-joined against itself. The
+    * degenerate-hash cap is SYMMETRIC: bucket sizes are counted over the
+    * union of both sides (the r16 BandedHamming lesson — a pathological
+    * batch must not resurrect a capped corpus clique). Ids must be
+    * disjoint across sides (the house id-offset convention); same
+    * output columns and direction rule as [[pairs]].
+    */
+  def incrementalPairs(corpus: DataFrame, batch: DataFrame,
+            idCol: String, posCol: String, nCol: String, hashCol: String,
+            maxBucketSize: Long = BandedHamming.DefaultMaxBucketSize,
+            minSurvivingFrac: Double = DefaultMinSurvivingFrac)
+      : DataFrame = {
+    def side(d: DataFrame, s: Int) =
+      d.select(col(idCol).as("__id"), col(posCol).as("__pos"),
+        col(nCol).as("__n"), col(hashCol).as("__h"), lit(s).as("__side"))
+    pairsFrom(side(corpus, 0).unionByName(side(batch, 1)),
+      crossSidesOnly = true, maxBucketSize, minSurvivingFrac)
+  }
+
+  private def pairsFrom(wins: DataFrame, crossSidesOnly: Boolean,
+                        maxBucketSize: Long, minSurvivingFrac: Double)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wins = df.select(col(idCol).as("__id"), col(posCol).as("__pos"),
-      col(nCol).as("__n"), col(hashCol).as("__h"))
     val capped = wins
       .withColumn("__bs", count(lit(1)).over(Window.partitionBy(col("__h"))))
       .filter(col("__bs") <= maxBucketSize).drop("__bs")
@@ -71,11 +101,15 @@ object SequenceContainment {
     val surv = capped.groupBy(col("__id").as("inner_id"))
       .agg(count(lit(1)).as("__ns"))
     val a = capped.select(col("__id").as("inner_id"), col("__pos").as("__wa"),
-      col("__n").as("__na"), col("__h"))
+      col("__n").as("__na"), col("__h"), col("__side").as("__sa"))
     val b = capped.select(col("__id").as("outer_id"), col("__pos").as("__wb"),
-      col("__n").as("__nb"), col("__h"))
-    a.join(b, Seq("__h"))
+      col("__n").as("__nb"), col("__h"), col("__side").as("__sb"))
+    val joined = a.join(b, Seq("__h"))
       .filter(col("inner_id") =!= col("outer_id"))
+    val scoped =
+      if (crossSidesOnly) joined.filter(col("__sa") =!= col("__sb"))
+      else joined
+    scoped
       .groupBy(col("inner_id"), col("outer_id"),
         (col("__wb") - col("__wa")).cast("long").as("offset_pos"))
       .agg(count(lit(1)).as("n_matched"),
@@ -88,5 +122,32 @@ object SequenceContainment {
             col("inner_id") < col("outer_id"))))
       .select(col("inner_id"), col("outer_id"), col("offset_pos"),
         col("n_matched"))
+  }
+
+  /** Keep-the-container dedup ACTION over containment pairs: a clip
+    * survives iff it is never the inner (contained) side of a pair —
+    * the containment relation from [[pairs]] is TRANSITIVELY CLOSED by
+    * construction (if every element of A matches into B at one offset
+    * and every element of B matches into C at one offset, then every
+    * element of A matches into C at the summed offset, so the pair
+    * (A, C) is emitted directly), which makes "drop anything contained
+    * in a surviving clip" — the recursive chain rule: A ⊂ B ⊂ C keeps
+    * only C — equal to the non-recursive "drop every inner".
+    * (Cap-induced edge loss can break closure in principle; the oracled
+    * queries run uncapped, and a partially-capped chain degrades to
+    * keeping an intermediate container — still a container of the
+    * dropped clips.) For equal-length mutual matches the emit
+    * convention (inner_id < outer_id) keeps the LARGER id — exact-dup
+    * min-id dedup is a different operator (p18's chain).
+    *
+    * `ids`: one row per clip id (column `id`). Output: (id,
+    * is_survivor) for every input id. The dropped set is a slim
+    * distinct aggregate broadcast onto the id list.
+    */
+  def survivors(ids: DataFrame, pairList: DataFrame): DataFrame = {
+    val dropped = pairList.select(col("inner_id").as("id")).distinct()
+      .withColumn("__dropped", lit(1))
+    ids.join(broadcast(dropped), Seq("id"), "left")
+      .select(col("id"), col("__dropped").isNull.as("is_survivor"))
   }
 }

@@ -208,6 +208,18 @@ object VideoHash {
         "media_id", "frame_idx", "n_frames", "fhash", maxBucketSize)
       .withColumnRenamed("offset_pos", "offset_frames")
 
+  /** Batch-vs-corpus sub-sequence refresh pairs — the
+    * [[SequenceContainment.incrementalPairs]] daily-slice shape over
+    * frame hashes (same contract as the audio twin).
+    */
+  def incrementalContainmentPairs(corpusFh: DataFrame, batchFh: DataFrame,
+      maxBucketSize: Long = BandedHamming.DefaultMaxBucketSize): DataFrame =
+    SequenceContainment.incrementalPairs(
+        corpusFh.filter(col("decoded") && col("frame_idx").isNotNull),
+        batchFh.filter(col("decoded") && col("frame_idx").isNotNull),
+        "media_id", "frame_idx", "n_frames", "fhash", maxBucketSize)
+      .withColumnRenamed("offset_pos", "offset_frames")
+
   /** Near-dup pairs (id_a < id_b, hamming) within `radius` Hamming bits
     * over [[fingerprints]] output — delegates to [[BandedHamming.pairs]]
     * (4×16-bit banding, exact recall at radius ≤ [[ExactRadius]], exact

@@ -84,6 +84,16 @@ object Pipeline {
     */
   private val Fresh2IdOffset = 3L << 40
 
+  /** Fourth disjoint id space (bit 42): p112's derived sub-clip ids
+    * (the third chain level of the containment-survivor fixture).
+    */
+  private val SubIdOffset = 1L << 42
+
+  /** Fifth disjoint id space (bit 43): p113's incremental-containment
+    * batch ids (slices + copies).
+    */
+  private val BatchSeqIdOffset = 1L << 43
+
   private def mutateGate: Boolean =
     sys.env.get("GRAFT_MUTATE").contains("1") ||
       sys.props.get("graft.mutate").contains("1")
@@ -2115,6 +2125,64 @@ object Pipeline {
         .agg(count(lit(1)).as("n_words"),
           sum(col("n_syms")).cast("long").as("n_toks"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- keep-the-container dedup ACTION over the containment DAG
+    // (what p98 produced pairs FOR): a clip survives iff it is never
+    // the contained side. The fixture plants a REAL three-level chain
+    // — interior window slices of every segment (sub ⊂ segment ⊂
+    // container), derived at the window-relation level (the operator's
+    // input contract), so the chain rule "A ⊂ B ⊂ C keeps only C" is
+    // load-bearing: transitive closure emits (sub, container) directly
+    // and the survivor set is exactly the containers + standalone
+    // clips. Oracle: the p98 alignment-join twin extended with the same
+    // slice derivation + the inner-side drop rule. ----
+    "p112_containment_survivors" -> ((s, dir) => {
+      val base = AudioHash.windowFingerprints(
+          Multimodal.plantWavsSeg(docs(s, dir)), win = 130, hop = 26)
+        .filter(col("decoded") && col("win_idx").isNotNull)
+        .select(col("media_id"), col("win_idx"), col("n_wins"), col("whash"))
+      val sub = base
+        .filter(col("media_id") % 7 === 5 && col("n_wins") >= 3 &&
+          col("win_idx") >= 1 && col("win_idx") <= col("n_wins") - 2)
+        .select((col("media_id") + SubIdOffset).as("media_id"),
+          (col("win_idx") - 1).as("win_idx"),
+          (col("n_wins") - 2).as("n_wins"), col("whash"))
+      val all = base.unionByName(sub)
+      val pairList = graft.operators.SequenceContainment.pairs(all,
+        "media_id", "win_idx", "n_wins", "whash",
+        maxBucketSize = Long.MaxValue)
+      graft.operators.SequenceContainment.survivors(
+          all.select(col("media_id").as("id")).distinct(), pairList)
+        .orderBy(col("id"))
+    }),
+
+    // ---- incremental (batch-vs-corpus) containment — the daily-slice
+    // refresh for segment search: an incoming batch of clips joined
+    // against the settled corpus windows in both directions, corpus
+    // NEVER re-joined against itself. The batch plants both shapes: a
+    // strict interior excerpt of a corpus clip (batch-inside-corpus)
+    // and a full window copy (equal-length cross dup, canonical
+    // direction). ----
+    "p113_incremental_containment" -> ((s, dir) => {
+      val base = AudioHash.windowFingerprints(
+          Multimodal.plantWavsSeg(docs(s, dir)), win = 130, hop = 26)
+      val slices = base
+        .filter(col("decoded") && col("media_id") % 7 === 1 &&
+          col("n_wins") >= 3 &&
+          col("win_idx") >= 1 && col("win_idx") <= col("n_wins") - 2)
+        .select((col("media_id") + BatchSeqIdOffset).as("media_id"),
+          col("n_frames"),
+          (col("n_wins") - 2).as("n_wins"),
+          (col("win_idx") - 1).as("win_idx"),
+          col("whash"), col("w0"), col("w1"), col("w2"), col("w3"),
+          col("decoded"))
+      val copies = base
+        .filter(col("decoded") && col("media_id") % 7 === 2)
+        .withColumn("media_id", col("media_id") + BatchSeqIdOffset)
+      AudioHash.incrementalContainmentPairs(base,
+          slices.unionByName(copies), maxBucketSize = Long.MaxValue)
+        .orderBy(col("inner_id"), col("outer_id"), col("offset_wins"))
     })
   )
 
@@ -4879,6 +4947,68 @@ object Pipeline {
         SELECT dw.doc_id, CAST(count(*) AS bigint) AS n_words,
                CAST(sum(z.n_syms) AS bigint) AS n_toks
         FROM dw JOIN bsz z ON z.word = dw.word
-        GROUP BY dw.doc_id ORDER BY dw.doc_id"""
+        GROUP BY dw.doc_id ORDER BY dw.doc_id""",
+
+    // Survivor twin: the p98 alignment join extended with the slice
+    // derivation (three-level chain) and the inner-side drop rule.
+    "p112_containment_survivors" ->
+      s"""WITH $oAwinCtes,
+        nws AS (SELECT DISTINCT id, nw FROM swin),
+        aw AS (SELECT a.id, a.w, s.nw, a.w0, a.w1, a.w2, a.w3
+          FROM awin a JOIN nws s ON a.id = s.id),
+        subw AS (SELECT id + 4398046511104 AS id, w - 1 AS w,
+            nw - 2 AS nw, w0, w1, w2, w3
+          FROM aw WHERE id % 7 = 5 AND nw >= 3 AND w >= 1 AND w <= nw - 2),
+        allw AS (SELECT * FROM aw UNION ALL SELECT * FROM subw),
+        cand AS (SELECT a.id AS inner_id, b.id AS outer_id, b.w - a.w AS delta
+          FROM allw a JOIN allw b
+            ON a.w0 = b.w0 AND a.w1 = b.w1 AND a.w2 = b.w2 AND a.w3 = b.w3
+              AND a.id <> b.id),
+        grp AS (SELECT inner_id, outer_id, delta, count(*) AS matched
+          FROM cand GROUP BY inner_id, outer_id, delta),
+        nall AS (SELECT DISTINCT id, nw FROM allw),
+        ok AS (SELECT g.inner_id
+          FROM grp g JOIN nall na ON g.inner_id = na.id
+            JOIN nall nb ON g.outer_id = nb.id
+          WHERE g.matched = na.nw
+            AND (na.nw < nb.nw
+              OR (na.nw = nb.nw AND g.inner_id < g.outer_id)))
+        SELECT id, id NOT IN (SELECT inner_id FROM ok) AS is_survivor
+        FROM (SELECT DISTINCT id FROM allw)
+        ORDER BY id""",
+
+    // Incremental-containment twin: cross-side candidates only (both
+    // directions), batch = the slice + copy derivations.
+    "p113_incremental_containment" ->
+      s"""WITH $oAwinCtes,
+        nws AS (SELECT DISTINCT id, nw FROM swin),
+        aw AS (SELECT a.id, a.w, s.nw, a.w0, a.w1, a.w2, a.w3
+          FROM awin a JOIN nws s ON a.id = s.id),
+        bw AS (SELECT id + 8796093022208 AS id, w - 1 AS w,
+            nw - 2 AS nw, w0, w1, w2, w3
+          FROM aw WHERE id % 7 = 1 AND nw >= 3 AND w >= 1 AND w <= nw - 2
+          UNION ALL
+          SELECT id + 8796093022208 AS id, w, nw, w0, w1, w2, w3
+          FROM aw WHERE id % 7 = 2),
+        cand AS (SELECT a.id AS inner_id, b.id AS outer_id, b.w - a.w AS delta
+          FROM aw a JOIN bw b
+            ON a.w0 = b.w0 AND a.w1 = b.w1 AND a.w2 = b.w2 AND a.w3 = b.w3
+          UNION ALL
+          SELECT a.id, b.id, b.w - a.w
+          FROM bw a JOIN aw b
+            ON a.w0 = b.w0 AND a.w1 = b.w1 AND a.w2 = b.w2 AND a.w3 = b.w3),
+        grp AS (SELECT inner_id, outer_id, delta, count(*) AS matched
+          FROM cand GROUP BY inner_id, outer_id, delta),
+        nall AS (SELECT id, nw FROM nws
+          UNION ALL SELECT DISTINCT id, nw FROM bw),
+        ok AS (SELECT g.inner_id, g.outer_id, g.delta, g.matched
+          FROM grp g JOIN nall na ON g.inner_id = na.id
+            JOIN nall nb ON g.outer_id = nb.id
+          WHERE g.matched = na.nw
+            AND (na.nw < nb.nw
+              OR (na.nw = nb.nw AND g.inner_id < g.outer_id)))
+        SELECT inner_id, outer_id, CAST(delta AS bigint) AS offset_wins,
+               CAST(matched AS bigint) AS n_wins
+        FROM ok ORDER BY inner_id, outer_id, offset_wins"""
   )
 }

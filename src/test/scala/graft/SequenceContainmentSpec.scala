@@ -84,4 +84,66 @@ class SequenceContainmentSpec extends AnyFunSuite {
       .collect()
     assert(loose.length == 1 && loose(0).getLong(3) == 2L)
   }
+
+  test("keep-the-container survivors: a chain A ⊂ B ⊂ C keeps only C " +
+    "(transitive closure emits (A,C) directly), standalone clips " +
+    "survive, equal-length dups keep the larger id") {
+    // C = 10 windows; B = C's windows [2,7); A = B's windows [1,4)
+    val cH = (0 until 10).map(p => 100L + p)
+    val bH = cH.slice(2, 7)
+    val aH = bH.slice(1, 4)
+    val dupH = (0 until 4).map(p => 500L + p)
+    val rows = clip(1L, aH) ++ clip(2L, bH) ++ clip(3L, cH) ++
+      clip(4L, (0 until 6).map(p => 700L + p)) ++ // standalone
+      clip(5L, dupH) ++ clip(6L, dupH) // equal-length mutual
+    val p = SequenceContainment.pairs(df(rows), "id", "pos", "n", "hash",
+      maxBucketSize = Long.MaxValue)
+    // transitive closure: (1,2), (1,3), (2,3) all emitted
+    val inner2outer = p.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Set((1L, 2L), (1L, 3L), (2L, 3L), (5L, 6L)).subsetOf(inner2outer))
+    val surv = SequenceContainment.survivors(
+        df(rows).select(col("id")).distinct(), p)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(surv == Map(1L -> false, 2L -> false, 3L -> true, 4L -> true,
+      5L -> false, 6L -> true))
+  }
+
+  test("incrementalPairs emits ONLY cross-side pairs, both directions, " +
+    "and never re-joins the corpus (or batch) against itself") {
+    // corpus: container 1 with segment 2 (a corpus-corpus containment
+    // that must NOT be emitted); batch: an excerpt of 1 and a clip
+    // containing 2 entirely.
+    val c1 = (0 until 8).map(p => 100L + p)
+    val c2 = c1.slice(3, 6)
+    val bIn = c1.slice(2, 7)  // batch clip inside corpus 1
+    val bOut = (0 until 2).map(p => 900L + p) ++ c2 ++
+      (0 until 2).map(p => 950L + p) // batch clip CONTAINING corpus 2
+    val corpus = df(clip(1L, c1) ++ clip(2L, c2))
+    val batch = df(clip(100L, bIn) ++ clip(101L, bOut))
+    val got = SequenceContainment.incrementalPairs(corpus, batch,
+        "id", "pos", "n", "hash", maxBucketSize = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    // batch 100 ⊂ corpus 1 at offset 2; corpus 2 ⊂ batch 100 at 1;
+    // corpus 2 ⊂ batch 101 at 2 — and NOT (2 ⊂ 1), NOT batch-batch
+    assert(got == Seq((2L, 100L, 1L), (2L, 101L, 2L), (100L, 1L, 2L)),
+      s"got $got")
+  }
+
+  test("incremental cap is SYMMETRIC: a pathological batch flooding one " +
+    "hash caps the corpus side of that bucket too") {
+    val corpus = df(clip(1L, Seq(100L, Popular, 101L, 102L)))
+    val flood = (0 until 60).flatMap(i =>
+      clip(2000L + i, Seq(Popular, Popular)))
+    // a batch excerpt of corpus 1 that includes the flooded hash
+    val batch = df(flood ++ clip(100L, Seq(Popular, 101L, 102L)))
+    val got = SequenceContainment.incrementalPairs(corpus, batch,
+        "id", "pos", "n", "hash", maxBucketSize = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // the Popular windows are capped on BOTH sides; batch 100's two
+    // surviving windows still fully align into corpus 1 at offset 1
+    assert(got == Seq((100L, 1L, 1L, 2L)), s"got $got")
+  }
 }
