@@ -135,6 +135,16 @@ object Warc {
   def plantMixedWarcsFp(docs: DataFrame): DataFrame =
     plantWarcFiles(docs, true, fpDedup = true)
 
+  /** FOUR-modality capstone fixture: [[plantMixedWarcsFp]]'s html +
+    * image + audio responses PLUS [[plantVideoWarcs]]'s mislabeled
+    * (`application/octet-stream`) animated-GIF responses under the
+    * `(id/10)*10` copy rule — one crawl segment exercising every branch
+    * of the router, including the magic-byte video rescue.
+    */
+  def plantFullWarcsFp(docs: DataFrame): DataFrame =
+    plantWarcFiles(docs, withImages = true, fpDedup = true,
+      withVideo = true)
+
   private def plantWarcFiles(docs: DataFrame, withImages: Boolean,
                              fpDedup: Boolean = false,
                              withVideo: Boolean = false): DataFrame = {

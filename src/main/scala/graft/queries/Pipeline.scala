@@ -2183,6 +2183,68 @@ object Pipeline {
       AudioHash.incrementalContainmentPairs(base,
           slices.unionByName(copies), maxBucketSize = Long.MaxValue)
         .orderBy(col("inner_id"), col("outer_id"), col("offset_wins"))
+    }),
+
+    // ---- the FULL crawl-to-corpus capstone: p91's plan with the
+    // router's fourth branch closed — one crawl segment carrying html,
+    // png, wav, AND mislabeled (octet-stream) animated-GIF responses;
+    // parse once, route four ways by sniff-first kind, run each
+    // modality's survivor chain (CC dedup for image/audio/video, the
+    // canonical-URL + extraction + fingerprint funnel for text), land
+    // ONE curated sink, read it back. The oracle composes FOUR
+    // closed-form twins with zero knowledge of WARC framing, codecs,
+    // or routing — including the temporal majority-fold video CTEs. ----
+    "p114_crawl_capstone_full" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val recs = Warc.parseWarc(Warc.plantFullWarcsFp(docs(s, dir)))
+        .filter(col("ok") && col("warc_type") === "response")
+        .withColumn("kind",
+          Warc.contentKind(col("content_type"), col("payload")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def media(k: String) = recs.filter(col("kind") === k)
+        .select(col("media_id"), col("payload").as("data"))
+      def survivors(sigs: DataFrame, pairs: DataFrame, kind: String) =
+        Dedup.connectedComponents(
+            sigs.filter(col("decoded")).select(col("media_id").as("id")),
+            pairs)
+          .filter(col("id") === col("cluster_id"))
+          .select(lit(kind).as("kind"), col("id"), col("cluster_id"))
+      val isigs = ImageHash.dhashSignatures(media("image"))
+      val isurv = survivors(isigs,
+        ImageHash.nearDupPairs(isigs, maxBucketSize = Long.MaxValue), "image")
+      val asigs = AudioHash.fingerprints(media("audio"))
+      val asurv = survivors(asigs,
+        AudioHash.nearDupPairs(asigs, maxBucketSize = Long.MaxValue), "audio")
+      val vsigs = VideoHash.fingerprints(media("video"), everyN = 2)
+      val vsurv = survivors(vsigs,
+        VideoHash.nearDupPairs(vsigs, maxBucketSize = Long.MaxValue), "video")
+      val pages = recs.filter(col("kind") === "html")
+        .select(col("media_id").as("id"), col("target_uri").as("url"),
+          decode(col("payload"), "UTF-8").as("html"))
+      val canon = Urls.withCanonical(pages.select(col("id"), col("url")),
+        "id", "url")
+      val kept1 = canon.withColumn("rk", row_number().over(
+          Window.partitionBy(col("canon_url")).orderBy(col("id"))))
+        .filter(col("rk") === 1)
+      val extracted = Html.blockExtract(pages, "id", "html")
+        .select(col("id"), col("main_text"), col("n_kept"), col("main_chars"))
+      val gated = kept1.select(col("id")).join(extracted, "id")
+        .filter(col("main_chars") >= 120 && col("n_kept") >= 2)
+        .withColumn("fp", md5(regexp_replace(col("main_text"),
+          "^doc [0-9]+ & heading <x> ?", "")))
+      val tsurv = gated.withColumn("rk2", row_number().over(
+          Window.partitionBy(col("fp")).orderBy(col("id"))))
+        .filter(col("rk2") === 1)
+        .select(lit("html").as("kind"), col("id"), col("id").as("cluster_id"))
+      val curated = isurv.unionByName(asurv).unionByName(vsurv)
+        .unionByName(tsurv)
+      val out = Layout.sinkRoot(s) + "/" +
+        java.util.UUID.nameUUIDFromBytes(("p114:" + dir).getBytes("UTF-8"))
+      try Layout.writeCurated(curated, out, "kind", Seq("id"),
+        filesPerPartition = 2)
+      finally recs.unpersist(false)
+      Layout.readCurated(s, out, curated.schema)
+        .orderBy(col("kind"), col("id"))
     })
   )
 
@@ -5009,6 +5071,82 @@ object Pipeline {
               OR (na.nw = nb.nw AND g.inner_id < g.outer_id)))
         SELECT inner_id, outer_id, CAST(delta AS bigint) AS offset_wins,
                CAST(matched AS bigint) AS n_wins
-        FROM ok ORDER BY inner_id, outer_id, offset_wins"""
+        FROM ok ORDER BY inner_id, outer_id, offset_wins""",
+
+    // Full-capstone twin: the p91 composition plus the p102 video CTEs
+    // (closed-form majority-fold words under the (id/10)*10 copy rule +
+    // recursive-CTE CC) as the fourth branch.
+    "p114_crawl_capstone_full" ->
+      s"""WITH RECURSIVE ${oHtmlCtes.stripPrefix("WITH ")},
+        $oBlockCtes,
+        $oUrlCtes,
+        mt AS (SELECT id, coalesce(array_to_string(
+                 list_transform(kept, rr -> rr.t), ' '), '') AS main_text,
+               cast(len(kept) AS integer) AS n_kept FROM k),
+        tsurv AS (SELECT id, canon_url, row_number() OVER (
+                    PARTITION BY canon_url ORDER BY id) AS rk FROM f),
+        ts1 AS (SELECT tsurv.id, mt.main_text, mt.n_kept,
+                  length(mt.main_text) AS main_chars
+                FROM tsurv JOIN mt ON tsurv.id = mt.id WHERE tsurv.rk = 1),
+        tgated AS (SELECT id, md5(regexp_replace(main_text,
+                     '^doc [0-9]+ & heading <x> ?', '')) AS fp2
+                   FROM ts1 WHERE main_chars >= 120 AND n_kept >= 2),
+        tded AS (SELECT id, row_number() OVER (PARTITION BY fp2
+                   ORDER BY id) AS rk2 FROM tgated),
+        allids AS (SELECT doc_id AS id, (doc_id // 8) * 8 AS src
+                   FROM documents WHERE doc_id % 4 = 0),
+        ${oDhashCtes(oPixelFp)},
+        ipr AS (SELECT a.id AS id_a, b.id AS id_b
+          FROM words a JOIN words b ON a.id < b.id
+          WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3),
+        ie AS (SELECT id_a AS s, id_b AS d FROM ipr
+               UNION ALL SELECT id_b, id_a FROM ipr),
+        irec AS (
+          SELECT id, id AS reach FROM allids
+          UNION
+          SELECT ie.s, irec.reach FROM ie JOIN irec ON ie.d = irec.id),
+        ilab AS (SELECT id, min(reach) AS cluster_id FROM irec GROUP BY id),
+        aids AS (SELECT doc_id AS id, (doc_id // 12) * 12 AS src
+                 FROM documents WHERE doc_id % 6 = 0),
+        $oAfpFpCtes,
+        apr AS (SELECT a.id AS id_a, b.id AS id_b
+          FROM fwords a JOIN fwords b ON a.id < b.id
+          WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3),
+        ae AS (SELECT id_a AS s, id_b AS d FROM apr
+               UNION ALL SELECT id_b, id_a FROM apr),
+        arec AS (
+          SELECT id, id AS reach FROM aids
+          UNION
+          SELECT ae.s, arec.reach FROM ae JOIN arec ON ae.d = arec.id),
+        alab AS (SELECT id, min(reach) AS cluster_id FROM arec GROUP BY id),
+        vids AS (SELECT doc_id AS id, (doc_id // 10) * 10 AS src
+                 FROM documents WHERE doc_id % 5 = 0),
+        $oVhashCtes,
+        vpr AS (SELECT a.id AS id_a, b.id AS id_b
+          FROM vwords a JOIN vwords b ON a.id < b.id
+          WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3),
+        ve AS (SELECT id_a AS s, id_b AS d FROM vpr
+               UNION ALL SELECT id_b, id_a FROM vpr),
+        vrec AS (
+          SELECT id, id AS reach FROM vids
+          UNION
+          SELECT ve.s, vrec.reach FROM ve JOIN vrec ON ve.d = vrec.id),
+        vlab AS (SELECT id, min(reach) AS cluster_id FROM vrec GROUP BY id)
+        SELECT kind, id, cluster_id FROM (
+          SELECT 'image' AS kind, id, cluster_id FROM ilab
+          WHERE id = cluster_id
+          UNION ALL
+          SELECT 'audio' AS kind, id, cluster_id FROM alab
+          WHERE id = cluster_id
+          UNION ALL
+          SELECT 'video' AS kind, id, cluster_id FROM vlab
+          WHERE id = cluster_id
+          UNION ALL
+          SELECT 'html' AS kind, id, id AS cluster_id FROM tded
+          WHERE rk2 = 1)
+        ORDER BY kind, id"""
   )
 }
