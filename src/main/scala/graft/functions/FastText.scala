@@ -116,6 +116,126 @@ object FastText {
       copy(child = c)
   }
 
+  /** Runtime kernel for TRAINING-side feature extraction: the feature
+    * indices [[scoreJava]] would probe, as an array (one unigram per
+    * token, then the bigram with the previous token) — the same
+    * single-pass walk, emitting indices instead of folding weights.
+    */
+  def featuresJava(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = s.toString
+    val n = str.length
+    val out = new java.util.ArrayList[Integer](math.max(8, n / 4))
+    var h = 0L
+    var prev = -1L
+    var inTok = false
+    var i = 0
+    while (i <= n) {
+      if (i == n || str.charAt(i) == ' ') {
+        if (inTok) {
+          out.add((h % Dim).toInt)
+          if (prev >= 0) out.add(((prev * 131 + h) % Dim).toInt)
+          prev = h
+          h = 0L
+          inTok = false
+        }
+        i += 1
+      } else {
+        val cp = str.codePointAt(i)
+        h = (h * 31 + cp) % HashMod
+        inTok = true
+        i += Character.charCount(cp)
+      }
+    }
+    val arr = new Array[Int](out.size())
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  /** string -> array<int> of hashed feature indices (training side). */
+  case class FastTextFeatures(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "fasttext_features"
+
+    override def nullSafeEval(input: Any): Any =
+      featuresJava(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.FastText.featuresJava($c)")
+
+    override protected def withNewChildInternal(c: Expression): FastTextFeatures =
+      copy(child = c)
+  }
+
+  /** Weight quantization scale for [[train]] — integer-rational weights
+    * in [−100, 99], the planted table's range.
+    */
+  val TrainScale = 200L
+
+  /** Closed-form classifier TRAINING from label counts (the
+    * Laplace-smoothed positive-rate rule, fixed-point — no transcendental
+    * functions, so Spark and any SQL replay agree bit-for-bit):
+    * w(f) = (pos_f + 1)·200 div (pos_f + neg_f + 2) − 100, counting
+    * every feature OCCURRENCE (the multiset [[scoreJava]] probes).
+    * Unseen features get the neutral prior w = 0.
+    *
+    * Scale shape: one distributed explode+count pass with map-side
+    * combine (shuffle carries ≤ [[Dim]] × 2 longs per partition), then
+    * a ≤ [[Dim]]-row driver exchange to assemble the weight array —
+    * the model-fitting exchange, same as the k-means centroid step.
+    * The returned array plugs straight into [[FastTextScore]].
+    */
+  def train(df: org.apache.spark.sql.DataFrame, text: Column,
+            posLabel: Column): Array[Int] = {
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fasttext_features", exprs => FastTextFeatures(exprs.head), "scala_udf")
+    val rows = df
+      .select(when(posLabel, 1).otherwise(0).as("__p"),
+        explode(call_function("fasttext_features", text)).as("__f"))
+      .groupBy(col("__f"))
+      .agg(sum(col("__p")).as("np"), sum(lit(1) - col("__p")).as("nn"))
+      .collect()
+    val w = new Array[Int](Dim) // unseen: (1·200) div 2 − 100 = 0
+    rows.foreach { r =>
+      val np = r.getLong(1); val nn = r.getLong(2)
+      w(r.getInt(0)) = (((np + 1) * TrainScale) / (np + nn + 2) - 100).toInt
+    }
+    w
+  }
+
+  /** Feature-index column (training-side; registers the expression). */
+  def features(text: Column): Column = features(text, SparkSession.active)
+
+  /** [[features]] against an explicit session (temp-function registries
+    * are per-session — a `newSession()` caller must register there).
+    */
+  def features(text: Column, spark: SparkSession): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fasttext_features", exprs => FastTextFeatures(exprs.head), "scala_udf")
+    call_function("fasttext_features", text)
+  }
+
+  private val regCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Score against a TRAINED weight broadcast — fresh temp-function name
+    * per call (unlike the planted table, several trained models may
+    * coexist in one session; the KMeans.distsColumn mechanism).
+    */
+  def scoreWith(text: Column,
+      w: org.apache.spark.broadcast.Broadcast[Array[Int]],
+      spark: SparkSession): Column = {
+    val name = s"fasttext_score_trained_${regCounter.incrementAndGet()}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => FastTextScore(exprs.head, w), "scala_udf")
+    call_function(name, text)
+  }
+
   // One broadcast per application (the Bpe.bigVocabMemo discipline:
   // keyed by applicationId, not the session object).
   private val weightsMemo = scala.collection.concurrent.TrieMap

@@ -2245,8 +2245,57 @@ object Pipeline {
       finally recs.unpersist(false)
       Layout.readCurated(s, out, curated.schema)
         .orderBy(col("kind"), col("id"))
+    }),
+
+    // ---- classifier TRAINING from label counts (the trainer half of
+    // p93/p94): per-feature occurrence counts over the SAME hashed
+    // unigram+bigram features the scorer probes, folded into
+    // fixed-point Laplace-smoothed weights
+    // w = (pos+1)·200 div (tot+2) − 100 — integer-rational, no
+    // transcendentals, so the oracle replays every count and every
+    // weight exactly. Label: the lang-id task (lang = 'en'). ----
+    "p115_classifier_train" -> ((s, dir) => {
+      val FT = graft.functions.FastText
+      docs(s, dir)
+        .select(when(col("lang") === "en", 1).otherwise(0).as("p"),
+          explode(FT.features(TF.normText(col("text")), s)).as("feat"))
+        .groupBy(col("feat"))
+        .agg(sum(col("p")).as("n_pos"), sum(lit(1) - col("p")).as("n_neg"))
+        .select(col("feat").cast("bigint").as("feat"),
+          col("n_pos"), col("n_neg"),
+          (expr("((n_pos + 1) * 200) div (n_pos + n_neg + 2)") - 100)
+            .as("w"))
+        .orderBy(col("feat"))
+    }),
+
+    // ---- the TRAINED classifier applied corpus-wide (train -> score ->
+    // threshold, the full p94 cascade shape with a trained model): the
+    // trained weight array rides the SAME FastTextScore broadcast-probe
+    // WSCG expression as the planted table — a production model swap is
+    // a data swap. ----
+    "p116_classifier_trained_scores" -> ((s, dir) => {
+      val FT = graft.functions.FastText
+      val bc = ftModel(s, dir)
+      docs(s, dir)
+        .select(col("doc_id"),
+          FT.scoreWith(TF.normText(col("text")), bc, s).as("score"))
+        .select(col("doc_id"), col("score"), (col("score") > 0).as("kept"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** One trained classifier weight broadcast per (application, fixture
+    * dir) — p116 (and any cascade built on it) shares it.
+    */
+  private val ftMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String),
+      org.apache.spark.broadcast.Broadcast[Array[Int]]]
+
+  private def ftModel(s: SparkSession, dir: String)
+      : org.apache.spark.broadcast.Broadcast[Array[Int]] =
+    ftMemo.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      s.sparkContext.broadcast(graft.functions.FastText.train(
+        docs(s, dir), TF.normText(col("text")), col("lang") === "en")))
 
   /** k-means iteration count for the p106–p109 family: fixed and small
     * so the oracle can unroll the training replay; enough iterations to
@@ -2783,6 +2832,21 @@ object Pipeline {
             i -> (((hs[i] * 131 + hs[i+1]) % 4096) * 37 + 11) % 201 - 100)),
             0) AS score
         FROM hh)"""
+
+  // Training-side extension of the p93 hash walk: the per-doc feature
+  // MULTISET (unigram h % 4096, bigram (h1*131 + h2) % 4096 — the exact
+  // indices FastText.featuresJava emits) as rows, plus the lang-id
+  // label. MATERIALIZED: fidx is consumed 2-3 times per query and the
+  // hash walk must not re-expand per consumer.
+  private val oFtFeatCtes =
+    s"""$oFtScoreCtes,
+    fidx AS MATERIALIZED (SELECT id, f FROM (
+        SELECT id, unnest(list_transform(hs, h -> h % 4096)) AS f FROM hh
+        UNION ALL
+        SELECT id, unnest(list_transform(range(1, len(hs)),
+          i -> (hs[i] * 131 + hs[i+1]) % 4096)) AS f FROM hh)),
+    flab AS (SELECT doc_id AS id,
+        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p FROM documents)"""
 
   // DuckDB twin of Bpe.bpeEncodeJava's greedy scan, as a RECURSIVE walk
   // carrying scalars only (cur position, piece count, id sum, positional
@@ -5147,6 +5211,32 @@ object Pipeline {
           UNION ALL
           SELECT 'html' AS kind, id, id AS cluster_id FROM tded
           WHERE rk2 = 1)
-        ORDER BY kind, id"""
+        ORDER BY kind, id""",
+
+    // Classifier-training twin: the p93 hash walk re-used to emit the
+    // feature MULTISET per doc, then counts and the fixed-point weight
+    // rule replayed with integer arithmetic.
+    "p115_classifier_train" ->
+      s"""WITH $oFtFeatCtes
+        SELECT CAST(f AS bigint) AS feat, CAST(sum(p) AS bigint) AS n_pos,
+               CAST(sum(1 - p) AS bigint) AS n_neg,
+               CAST(((sum(p) + 1) * 200) // (sum(p) + sum(1 - p) + 2) - 100
+                 AS bigint) AS w
+        FROM fidx JOIN flab USING (id)
+        GROUP BY f ORDER BY feat""",
+
+    // Trained-score twin: weights re-derived from the counts, every doc
+    // re-scored by summing its feature multiset's weights.
+    "p116_classifier_trained_scores" ->
+      s"""WITH $oFtFeatCtes,
+        wtab AS (SELECT f,
+            ((sum(p) + 1) * 200) // (sum(p) + sum(1 - p) + 2) - 100 AS w
+          FROM fidx JOIN flab USING (id) GROUP BY f),
+        dsc AS (SELECT fx.id, CAST(sum(coalesce(w.w, 0)) AS bigint) AS score
+          FROM fidx fx LEFT JOIN wtab w ON fx.f = w.f GROUP BY fx.id)
+        SELECT d.doc_id, coalesce(dsc.score, 0) AS score,
+               coalesce(dsc.score, 0) > 0 AS kept
+        FROM documents d LEFT JOIN dsc ON d.doc_id = dsc.id
+        ORDER BY doc_id"""
   )
 }
