@@ -488,6 +488,135 @@ object Pq {
     coarseMemo.getOrElseUpdate(spark.sparkContext.applicationId,
       spark.sparkContext.broadcast(buildCoarseCodebook()))
 
+  private val regCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Encode against a TRAINED codebook broadcast — fresh temp-function
+    * name per call (several trained codebooks may coexist in one
+    * session; the KMeans.distsColumn mechanism). Same kernel, same
+    * WSCG shape as the planted-table path.
+    */
+  def encodeWith(vec: Column,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Double]],
+      spark: SparkSession): Column = {
+    val name = s"pq_encode_trained_${regCounter.incrementAndGet()}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => PqEncode(exprs.head, bc), "scala_udf")
+    call_function(name, vec)
+  }
+
+  /** ADC lookup table against a TRAINED codebook broadcast. */
+  def lutWith(vec: Column,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Double]],
+      spark: SparkSession): Column = {
+    val name = s"pq_lut_trained_${regCounter.incrementAndGet()}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => PqLut(exprs.head, bc), "scala_udf")
+    call_function(name, vec)
+  }
+
+  /** A trained product quantizer: `codebook` in the [[buildCodebook]]
+    * flat layout, `snapshots(t)` after iteration t (0 = seeds),
+    * `inertia(t-1)` = Σ round(reconstruction err, 6) of iteration t's
+    * assignment against snapshots(t-1) (DECIMAL-summed — the Lloyd
+    * descent diagnostic), `bc` the final codebook's live broadcast.
+    */
+  case class TrainedPq(codebook: Array[Double],
+                       snapshots: Seq[Array[Double]], inertia: Seq[Double],
+                       bc: org.apache.spark.broadcast.Broadcast[Array[Double]])
+
+  /** Per-subspace k-means TRAINING of the PQ codebook (how FAISS trains
+    * its product subquantizers — M independent Lloyd runs over the
+    * sub-vectors, here folded into ONE distributed pass per iteration):
+    * seeds are the K scrambled-key-ranked corpus vectors' sub-vectors
+    * (c0(m,k,j) = seed_k[m·8+j], the [[graft.functions.KMeans]] seed
+    * rule), assignment is the audited [[encodeJava]] kernel against the
+    * current broadcast (first-min argmin, j-ascending sums), means are
+    * the p27 decimal(18,9)-exact / round-6 rule per (m, cell, j), and
+    * empty cells carry. Deterministic and SQL-recomputable end to end.
+    *
+    * Scale shape: per iteration ONE narrow WSCG encode scan + one
+    * aggregation whose map-side combine bounds the shuffle at
+    * M·K·SubDim rows per partition, then a ≤1024-row driver exchange —
+    * the k-means model-fitting loop at PQ granularity.
+    */
+  def train(df: org.apache.spark.sql.DataFrame, idCol: String,
+            vecCol: String, iters: Int): TrainedPq = {
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    val valid = df.filter(col(vecCol).isNotNull && size(col(vecCol)) >= Dim)
+    val seeds = valid
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        ((col(idCol) * lit(2654435761L)) % lit(4294967296L)).as("__key"))
+      .orderBy(col("__key"), col("__id"))
+      .limit(K)
+      .collect()
+    val init = new Array[Double](M * K * SubDim)
+    seeds.zipWithIndex.foreach { case (r, k) =>
+      val v = r.getSeq[Float](1)
+      var m = 0
+      while (m < M) {
+        var j = 0
+        while (j < SubDim) {
+          init((m * K + k) * SubDim + j) = v(m * SubDim + j).toDouble
+          j += 1
+        }
+        m += 1
+      }
+    }
+    // [[encodeJava]] loops a fixed K cells, so a corpus with fewer than
+    // K valid vectors cannot seed a well-formed codebook — it yields an
+    // empty model (FAISS likewise refuses ntrain < k; the EmptySweep
+    // contract: degrade, don't throw).
+    var cur = if (seeds.length < K) Array.empty[Double] else init
+    val snapshots = Seq.newBuilder[Array[Double]]
+    val inertias = Seq.newBuilder[Double]
+    snapshots += cur
+    if (cur.nonEmpty) {
+      var t = 1
+      while (t <= iters) {
+        val bc = spark.sparkContext.broadcast(cur)
+        val enc = encodeWith(col("__v"), bc, spark)
+        val assigned = valid.select(col(vecCol).as("__v"))
+          .select(col("__v"), enc.getField("code").as("__code"),
+            round(enc.getField("err"), 6)
+              .cast(org.apache.spark.sql.types.DecimalType(38, 6))
+              .as("__e"))
+        val inertiaRow = assigned.agg(sum(col("__e")).cast("double"))
+          .collect()(0)
+        inertias += (if (inertiaRow.isNullAt(0)) 0.0
+                     else inertiaRow.getDouble(0))
+        val means = assigned
+          .select(col("__v"), explode(expr(
+            s"transform(sequence(0, ${M - 1}), m -> struct(" +
+              "CAST(m AS int) AS m, " +
+              "CAST(shiftright(__code, m * 4) % 16 AS int) AS cell))"))
+            .as("__mc"))
+          .select(col("__mc.m").as("__m"), col("__mc.cell").as("__cell"),
+            posexplode(slice(col("__v"),
+              col("__mc.m") * lit(SubDim) + 1, lit(SubDim)))
+              .as(Seq("__j", "__e2")))
+          .groupBy(col("__m"), col("__cell"), col("__j"))
+          .agg((sum(col("__e2")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+            .cast("double") / count(lit(1))).as("__raw"))
+          .select(col("__m"), col("__cell"), col("__j"),
+            round(col("__raw"), 6).as("__cv"))
+          .collect()
+        val next = cur.clone()
+        means.foreach { r =>
+          next((r.getInt(0) * K + r.getInt(1)) * SubDim + r.getInt(2)) =
+            r.getDouble(3)
+        }
+        bc.unpersist(blocking = false)
+        cur = next
+        snapshots += next
+        t += 1
+      }
+    }
+    TrainedPq(cur, snapshots.result(), inertias.result(),
+      spark.sparkContext.broadcast(cur))
+  }
+
   def register(spark: SparkSession): Unit = {
     val bc = codebookBc(spark)
     val cbc = coarseBc(spark)

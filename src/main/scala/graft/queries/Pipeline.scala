@@ -2281,8 +2281,75 @@ object Pipeline {
           FT.scoreWith(TF.normText(col("text")), bc, s).as("score"))
         .select(col("doc_id"), col("score"), (col("score") > 0).as("kept"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- per-subspace PQ codebook TRAINING (how FAISS trains its
+    // product subquantizers — M independent Lloyd runs over the
+    // sub-vectors, folded into ONE distributed encode+aggregate pass
+    // per iteration; assignment IS the audited encodeJava kernel
+    // against the current broadcast). Output = every centroid of every
+    // (m, cell, j) of every iteration snapshot — the oracle replays
+    // the whole run. ----
+    "p117_pq_train" -> ((s, dir) => {
+      import s.implicits._
+      val P = graft.functions.Pq
+      val mo = pqModel(s, dir)
+      val rows: Seq[(Long, Long, Long, Long, Double)] = for {
+        (snap, it) <- mo.snapshots.zipWithIndex
+        mm <- 0 until (if (snap.isEmpty) 0 else P.M)
+        cell <- 0 until P.K
+        j <- 0 until P.SubDim
+      } yield (it.toLong, mm.toLong, cell.toLong, j.toLong,
+        snap((mm * P.K + cell) * P.SubDim + j))
+      rows.toDF("iter", "m", "cell", "dim_idx", "cval")
+        .orderBy(col("iter"), col("m"), col("cell"), col("dim_idx"))
+    }),
+
+    // ---- ADC top-k over the TRAINED product quantizer (p96 with the
+    // planted codebook swapped for the Lloyd-trained one — with p109
+    // this completes the vector-store family's trained path: both the
+    // coarse layer and the code layer now come from corpus training,
+    // and both ride the same broadcast-probe WSCG kernels). ----
+    "p118_pq_trained_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val P = graft.functions.Pq
+      val mo = pqModel(s, dir)
+      val base = emb(s, dir)
+        .filter(col("embedding").isNotNull && size(col("embedding")) >= 64)
+      val e = if (mo.codebook.isEmpty) base.limit(0) else base
+      val codes = e.select(col("vec_id"),
+        P.encodeWith(col("embedding"), mo.bc, s)
+          .getField("code").as("pq_code"))
+      val qs = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"),
+          P.lutWith(col("embedding"), mo.bc, s).as("lut"))
+      val adc = (0 until P.M).map { m =>
+        element_at(col("lut"),
+          (lit(m * P.K + 1) + shiftright(col("pq_code"), 4 * m)
+            .bitwiseAND(lit(15L))).cast("int"))
+      }.reduce(_ + _)
+      codes.join(broadcast(qs))
+        .withColumn("adc", adc)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("vec_id"), col("rn").cast("long").as("rn"),
+          round(col("adc"), 6).as("adc"))
+        .orderBy(col("qid"), col("rn"))
     })
   )
+
+  /** One trained PQ codebook per (application, fixture dir) — p117/p118
+    * share it (the kmModel memo discipline).
+    */
+  private val pqMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), graft.functions.Pq.TrainedPq]
+
+  private def pqModel(s: SparkSession, dir: String)
+      : graft.functions.Pq.TrainedPq =
+    pqMemo.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.functions.Pq.train(emb(s, dir), "vec_id", "embedding",
+        iters = KmIters))
 
   /** One trained classifier weight broadcast per (application, fixture
     * dir) — p116 (and any cascade built on it) shares it.
@@ -2753,6 +2820,69 @@ object Pipeline {
             z -> (z[1]::DOUBLE - z[2]) * (z[1]::DOUBLE - z[2]))) AS d2
         FROM embeddings e CROSS JOIN kmcarr$iters c
         WHERE e.embedding IS NOT NULL AND len(e.embedding) >= 64)""")
+    sb.toString
+  }
+
+  /** DuckDB twin of [[graft.functions.Pq.train]]: the per-subspace
+    * Lloyd run unrolled. Emits `ptseed`, `pt0..ptN` (snapshots: iter,
+    * m, cell, dim, cval), `ptarr0..ptarrN` (per-(m, cell) centroid
+    * lists), and `ptbest` (final (vec, m) → code assignments against
+    * ptarrN). MATERIALIZED throughout — the snapshot chain re-expands
+    * exponentially otherwise (the oBpeCtes lesson).
+    */
+  private def oPtCtes(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""ptseed AS (SELECT vec_id, embedding,
+          row_number() OVER (ORDER BY (vec_id * 2654435761) % 4294967296,
+                             vec_id) AS rk
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) >= 64),
+      pt0 AS MATERIALIZED (SELECT 0 AS iter, gm.m, rk - 1 AS cell,
+          gj.j AS dim, embedding[gm.m*8 + gj.j + 1]::DOUBLE AS cval
+        FROM ptseed, (SELECT unnest(range(0, 8)) AS m) gm,
+             (SELECT unnest(range(0, 8)) AS j) gj
+        WHERE rk <= 16)""")
+    for (t <- 1 to iters) {
+      val p = t - 1
+      sb.append(s""",
+      ptarr$p AS MATERIALIZED (SELECT m, cell, list(cval ORDER BY dim) AS cv
+        FROM pt$p GROUP BY m, cell),
+      ptd$t AS MATERIALIZED (SELECT e.vec_id, c.m, c.cell,
+          list_sum(list_transform(range(0, 8), j ->
+            (e.embedding[c.m*8 + j + 1]::DOUBLE - c.cv[j + 1])
+              * (e.embedding[c.m*8 + j + 1]::DOUBLE - c.cv[j + 1]))) AS d2
+        FROM embeddings e CROSS JOIN ptarr$p c
+        WHERE e.embedding IS NOT NULL AND len(e.embedding) >= 64),
+      pta$t AS MATERIALIZED (SELECT vec_id, m,
+          list_position(l, list_min(l)) - 1 AS cell
+        FROM (SELECT vec_id, m, list(d2 ORDER BY cell) AS l
+              FROM ptd$t GROUP BY vec_id, m)),
+      ptm$t AS MATERIALIZED (SELECT a.m, a.cell, gj.j AS dim,
+          round(cast(sum(cast(e.embedding[a.m*8 + gj.j + 1]
+            AS decimal(18,9))) AS double) / count(*), 6) AS cval
+        FROM pta$t a JOIN embeddings e USING (vec_id),
+             (SELECT unnest(range(0, 8)) AS j) gj
+        GROUP BY a.m, a.cell, gj.j),
+      pt$t AS MATERIALIZED (SELECT $t AS iter, prev.m, prev.cell,
+          prev.dim, coalesce(mm.cval, prev.cval) AS cval
+        FROM pt$p prev
+        LEFT JOIN ptm$t mm ON prev.m = mm.m AND prev.cell = mm.cell
+          AND prev.dim = mm.dim)""")
+    }
+    sb.append(s""",
+      ptarr$iters AS MATERIALIZED (SELECT m, cell,
+          list(cval ORDER BY dim) AS cv FROM pt$iters GROUP BY m, cell),
+      ptdF AS MATERIALIZED (SELECT e.vec_id, c.m, c.cell,
+          list_sum(list_transform(range(0, 8), j ->
+            (e.embedding[c.m*8 + j + 1]::DOUBLE - c.cv[j + 1])
+              * (e.embedding[c.m*8 + j + 1]::DOUBLE - c.cv[j + 1]))) AS d2
+        FROM embeddings e CROSS JOIN ptarr$iters c
+        WHERE e.embedding IS NOT NULL AND len(e.embedding) >= 64),
+      ptbest AS MATERIALIZED (SELECT vec_id, m,
+          list_position(l, list_min(l)) - 1 AS code
+        FROM (SELECT vec_id, m, list(d2 ORDER BY cell) AS l
+              FROM ptdF GROUP BY vec_id, m))""")
     sb.toString
   }
 
@@ -5237,6 +5367,40 @@ object Pipeline {
         SELECT d.doc_id, coalesce(dsc.score, 0) AS score,
                coalesce(dsc.score, 0) > 0 AS kept
         FROM documents d LEFT JOIN dsc ON d.doc_id = dsc.id
-        ORDER BY doc_id"""
+        ORDER BY doc_id""",
+
+    // PQ-trainer twin: every (m, cell, j) centroid of every snapshot.
+    "p117_pq_train" ->
+      s"""WITH ${oPtCtes(KmIters)}
+        SELECT CAST(iter AS bigint) AS iter, CAST(m AS bigint) AS m,
+               CAST(cell AS bigint) AS cell, CAST(dim AS bigint) AS dim_idx,
+               cval
+        FROM (SELECT * FROM pt0 UNION ALL SELECT * FROM pt1
+              UNION ALL SELECT * FROM pt2 UNION ALL SELECT * FROM pt3)
+        ORDER BY iter, m, cell, dim_idx""",
+
+    // Trained-ADC twin: candidate codes from the final snapshot
+    // (ptbest), every (query, candidate, m) distance recomputed against
+    // the trained centroid lists, m-ascending sum, same ranking.
+    "p118_pq_trained_topk" ->
+      s"""WITH ${oPtCtes(KmIters)},
+        q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+              WHERE vec_id % 50 = 0
+                AND embedding IS NOT NULL AND len(embedding) >= 64),
+        dm AS (SELECT q.qid, c.vec_id, c.m,
+            list_sum(list_transform(range(0, 8), j ->
+              (q.qe[c.m*8 + j + 1]::DOUBLE - a.cv[j + 1])
+                * (q.qe[c.m*8 + j + 1]::DOUBLE - a.cv[j + 1]))) AS d
+          FROM q CROSS JOIN ptbest c
+          JOIN ptarr${KmIters} a ON a.m = c.m AND a.cell = c.code),
+        adc AS (SELECT qid, vec_id,
+            list_sum(list(d ORDER BY m)) AS adc
+          FROM dm GROUP BY qid, vec_id),
+        r AS (SELECT qid, vec_id, adc,
+            row_number() OVER (PARTITION BY qid
+                               ORDER BY adc, vec_id) AS rn
+          FROM adc)
+        SELECT qid, vec_id, rn, round(adc, 6) AS adc
+        FROM r WHERE rn <= 5 ORDER BY qid, rn"""
   )
 }

@@ -264,7 +264,38 @@ object RetryProof {
           SpillProof.resultHash(rows) == SpillProof.resultHash(baseline),
         needFetch = true, fetchFailed = fetched)
     }
-    val outcomes = mapSide :+ fetchSide
+    // TRAINER injection (round 17): training loops run multiple jobs
+    // over the same input; the guard fails every input partition once
+    // (the first job that touches it retries, later jobs find the
+    // marker), and the trained MODEL must be bit-identical to the
+    // unguarded baseline — a lost task during training must not shift a
+    // seed, an argmin, a mean, or a selected merge.
+    val trainerSide = {
+      val e = Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val kmBase = graft.functions.KMeans
+        .train(e, "vec_id", "embedding", k = 16, dim = 64, iters = 2)
+      val kmTag = "km_train@" + System.nanoTime()
+      val (kmGot, kmFailed, _) = withFailureCount(spark) {
+        graft.functions.KMeans.train(guarded(e, kmTag),
+          "vec_id", "embedding", k = 16, dim = 64, iters = 2)
+      }
+      val km = Outcome("km_train", kmFailed, kmGot.centroids.length,
+        kmGot.centroids.sameElements(kmBase.centroids) &&
+          kmGot.inertia == kmBase.inertia)
+      val vocab = graft.operators.BpeTrain.wordVocab(docs, col("text"))
+      val bpeBase = graft.operators.BpeTrain.train(vocab, 4)
+      val bpeTag = "bpe_train@" + System.nanoTime()
+      val (bpeGot, bpeFailed, _) = withFailureCount(spark) {
+        graft.operators.BpeTrain.train(
+          graft.operators.BpeTrain.wordVocab(guarded(docs, bpeTag),
+            col("text")), 4)
+      }
+      val bpe = Outcome("bpe_train", bpeFailed, bpeGot.merges.length,
+        bpeGot.merges == bpeBase.merges)
+      Seq(km, bpe)
+    }
+    val outcomes = (mapSide ++ trainerSide) :+ fetchSide
 
     println(f"${"case"}%-14s ${"failed_tasks"}%12s ${"rows"}%8s  identical")
     outcomes.foreach { o =>

@@ -328,6 +328,50 @@ object ScaleSmoke {
         .filter(col("rn") <= 5)
         .agg(sum(col("rn"))).collect().length.toLong
     }, emb1, embN, "pqAdcTopK")
+    // Round-17 trainers: each iteration is one narrow scan + an
+    // aggregation bounded by the MODEL size (map-side combine), so the
+    // exponent pins the scan, not the model exchange. bpeTrain runs on
+    // the cluster-stable amplification (its vocab grows with the corpus
+    // there — the Heaps-law shape — whereas plain amplify adds only
+    // factor suffix words); the containment survivors/refresh joins are
+    // the capped slim-row equi-join shape.
+    bench2(df => graft.functions.KMeans
+        .train(df, "vec_id", "embedding", k = 16, dim = 64, iters = 2)
+        .centroids.length.toLong,
+      emb1, embN, "kmeansTrain(2it)")
+    bench2(df => graft.functions.Pq
+        .train(df, "vec_id", "embedding", iters = 2)
+        .codebook.length.toLong,
+      emb1, embN, "pqTrain(2it)")
+    bench2(df => graft.operators.BpeTrain
+        .train(graft.operators.BpeTrain.wordVocab(df, col("text")), 4)
+        .merges.length.toLong,
+      docs1Stable, docsNStable, "bpeTrain(4merges)")
+    bench2(df => FastText
+        .train(df, TextFunctions.normText(col("text")),
+          length(col("text")) % 2 === 0)
+        .length.toLong,
+      docs1, docsN, "classifierTrain")
+    bench2({ df =>
+      val wf = AudioHash.windowFingerprints(Multimodal.plantWavsSeg(df),
+          130, 26)
+        .filter(col("decoded") && col("win_idx").isNotNull)
+      graft.operators.SequenceContainment.survivors(
+          wf.select(col("media_id").as("id")).distinct(),
+          AudioHash.containmentPairs(wf))
+        .agg(sum(when(col("is_survivor"), 1L).otherwise(0L)))
+        .collect().length.toLong
+    }, docs1, docsN, "containmentSurvivors")
+    bench2({ df =>
+      val base = AudioHash.windowFingerprints(Multimodal.plantWavsSeg(df),
+        130, 26)
+      val batch = base
+        .filter(col("decoded") && col("media_id") % 7 === 2)
+        .withColumn("media_id", col("media_id") + (1L << 43))
+      AudioHash.incrementalContainmentPairs(base, batch)
+        .agg(sum(col("offset_wins")), count(lit(1)))
+        .collect().length.toLong
+    }, docs1, docsN, "incrContainment")
     spark.stop()
   }
 }
