@@ -427,4 +427,38 @@ object Similarity {
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  /** SemDeDup-style semantic dedup: within-CLUSTER exact pair pruning
+    * over a trained coarse quantizer's cell assignment (Abbas et al.,
+    * "SemDeDup", arXiv:2303.09540 — cluster first, compare only inside
+    * clusters). A row is a duplicate iff some SAME-cell row with a
+    * smaller id lies within squared-L2 `tau`; the smallest id of every
+    * dup group therefore survives, as do all singletons.
+    *
+    * Scale shape: ONE shuffle hashing both sides on `cellCol`, then an
+    * equi-join — never corpus-all-pairs. Work per cell is quadratic in
+    * cell size: that is the SemDeDup design point, and why the trained
+    * k must grow with the corpus (k ≈ N/targetCellSize keeps per-cell
+    * cost constant; cross-cell near-dups are unreported by design —
+    * the documented recall tradeoff of cluster-scoped comparison).
+    *
+    * Returns every input row as (idCol, cellCol, kept) — `kept=false`
+    * marks rows a production pipeline would drop.
+    */
+  def semanticDedup(rows: DataFrame, tau: Double,
+                    idCol: String = "vec_id", cellCol: String = "cell",
+                    vecCol: String = "embedding"): DataFrame = {
+    val a = rows.select(col(idCol).as("__id"), col(cellCol).as("__cell"),
+      col(vecCol).as("__v"))
+    val b = rows.select(col(idCol).as("__id2"), col(cellCol).as("__cell"),
+      col(vecCol).as("__v2"))
+    val dup = a.join(b, Seq("__cell"))
+      .filter(col("__id2") < col("__id") &&
+        l2Squared(col("__v"), col("__v2")) <= tau)
+      .select(col("__id")).distinct()
+      .withColumn("__dup", lit(true))
+    a.join(dup, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("__cell").as(cellCol),
+        coalesce(!col("__dup"), lit(true)).as("kept"))
+  }
 }

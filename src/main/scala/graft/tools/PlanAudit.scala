@@ -113,11 +113,17 @@ object PlanAudit {
     // volume doesn't scale with corpus size (the production shape; the
     // p10/p27 broadcast-side argument). p103/p105 are the pruned
     // variants and pass the audit on their cell equi-joins.
+    // p118: p96 with the TRAINED codebook — the same brute-force ADC
+    // baseline shape and the same broadcast-panel argument.
+    // p119: the recall eval's EXACT side is brute-force by definition
+    // (ground truth for the index under measurement); the panel is a
+    // fixed eval set, the corpus side streams once — linear in corpus.
     val crossByDesign = Set("q27_inequality_join", "q28_cross_join",
       "q29_scalar_subquery", "p07_jaccard_pairs", "p10_embedding_topk",
       "p13_embedding_near_pairs", "p17_source_similarity",
       "q26_null_aware_anti", "p27_centroid_confusion", "q89_hour_buckets",
-      "q96_theta_exists", "d77", "p96_pq_topk")
+      "q96_theta_exists", "d77", "p96_pq_topk", "p118_pq_trained_topk",
+      "p119_ann_recall")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)

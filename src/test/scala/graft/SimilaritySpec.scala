@@ -364,4 +364,41 @@ class SimilaritySpec extends AnyFunSuite {
         "Column helpers must self-register on the active session")
     } finally SparkSession.setActiveSession(spark)
   }
+
+  test("semanticDedup: keep-smallest-id within cell; cross-cell dups " +
+    "unreported by design; boundary distance counts as dup") {
+    import spark.implicits._
+    val v0 = Seq(1.0f, 0.0f)
+    // id 1/2 identical in cell 0 -> 2 dies, 1 survives.
+    // id 3 in cell 1 with the SAME vector -> survives (cluster-pruned:
+    // cross-cell comparison never happens; the SemDeDup recall tradeoff).
+    // id 4 in cell 0 at squared-L2 exactly tau=0.25 from id 1 -> dup
+    // (<= is inclusive). id 5 in cell 0 beyond tau -> survives.
+    val rows = Seq(
+      (1L, 0L, v0), (2L, 0L, v0), (3L, 1L, v0),
+      (4L, 0L, Seq(1.0f, 0.5f)),   // d2 = 0.25 == tau
+      (5L, 0L, Seq(2.0f, 0.0f))    // d2 = 1.0 > tau
+    ).toDF("vec_id", "cell", "embedding")
+    val got = Similarity.semanticDedup(rows, tau = 0.25)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> true,
+      4L -> false, 5L -> true), s"got $got")
+  }
+
+  test("semanticDedup: chain A~B, B~C with A,C apart keeps only A " +
+    "(smaller id wins transitively through the pairwise rule)") {
+    import spark.implicits._
+    // B is within tau of both A and C; A and C are 4.0 apart (> tau).
+    // Pairwise rule: B dies to A; C dies to B (a smaller id within tau
+    // — even though B itself is a dup). Production semantics: one scan
+    // decides per-row keep/drop without chasing the dup graph.
+    val rows = Seq(
+      (1L, 0L, Seq(0.0f, 0.0f)),
+      (2L, 0L, Seq(1.0f, 0.0f)),
+      (3L, 0L, Seq(2.0f, 0.0f))
+    ).toDF("vec_id", "cell", "embedding")
+    val got = Similarity.semanticDedup(rows, tau = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false), s"got $got")
+  }
 }
