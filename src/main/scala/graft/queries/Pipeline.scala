@@ -2505,6 +2505,112 @@ object Pipeline {
         .filter(col("rk") <= 8)
         .select(col("vec_id"), col("cell"), col("rk").cast("long").as("rk"))
         .orderBy(col("cell"), col("rk"))
+    }),
+
+    // ---- kNN label prediction over the trained index (the classic
+    // ANN-backed classifier: predict = majority label of the IVF-PQ
+    // top-5, ties broken label-ascending): the trained index serves a
+    // downstream MODEL, not just a search box — and the embeddings
+    // table's label column finally closes its loop. Self-votes count
+    // (queries are corpus members; documented). The oracle replays the
+    // index ranking, the vote count, and the tie rule. ----
+    "p124_knn_label_predict" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val labels = emb(s, dir).select(col("vec_id"), col("label"))
+      val votes = trainedIvfTopK(s, dir)
+        .select(col("qid"), col("vec_id"))
+        .join(labels, Seq("vec_id"))
+        .groupBy(col("qid"), col("label"))
+        .agg(count(lit(1)).as("n_votes"))
+      votes.withColumn("vr", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("n_votes").desc, col("label"))))
+        .filter(col("vr") === 1)
+        .join(labels.select(col("vec_id").as("qid"),
+          col("label").as("true_label")), Seq("qid"))
+        .select(col("qid"), col("label").cast("int").as("pred_label"),
+          col("n_votes"), col("true_label").cast("int").as("true_label"),
+          (col("label") === col("true_label")).as("correct"))
+        .orderBy(col("qid"))
+    }),
+
+    // ---- vector-index health report (the maintenance dashboard a
+    // production store watches after every (re)train/admit cycle):
+    // per trained coarse cell, the inverted-list population and the
+    // DECIMAL-summed PQ reconstruction error — unbalanced cells mean a
+    // bad coarse layer, rising error means the codebook no longer fits
+    // the data (retrain trigger). Per-vector error is the audited
+    // encodeJava kernel's sum; the p107 round-6 decimal discipline
+    // keeps the per-cell totals layout-stable and SQL-recomputable. ----
+    "p125_index_health" -> ((s, dir) => {
+      val P = graft.functions.Pq
+      val km = kmModel(s, dir)
+      val pq = pqModel(s, dir)
+      val e = emb(s, dir)
+        .filter(col("embedding").isNotNull && size(col("embedding")) >= 64)
+      val live = if (pq.codebook.isEmpty) e.limit(0) else e
+      def dl = graft.functions.KMeans.dists(col("embedding"), km, s)
+      live.select(
+          (array_position(dl, array_min(dl)) - 1).cast("bigint").as("cell"),
+          round(P.encodeWith(col("embedding"), pq.bc, s).getField("err"), 6)
+            .cast("decimal(38,6)").as("err"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("err")).cast("double").as("total_err"))
+        .orderBy(col("cell"))
+    }),
+
+    // ---- RESIDUAL IVF-PQ with BOTH layers TRAINED (the last planted
+    // layer in the vector stack falls: p105's production FAISS
+    // IndexIVFPQ `by_residual` layout, now with the Lloyd-trained
+    // coarse quantizer AND a PQ codebook trained on the residuals
+    // v − C(cell) themselves — exactly FAISS's training order). The
+    // residuals are float-cast per element (one IEEE round-to-nearest,
+    // replayed by the oracle as CAST(... AS FLOAT)) so the SAME
+    // audited float-array trainer/encoder kernels serve both spaces.
+    // Each (query, probed cell) gets its own residual LUT. The oracle
+    // replays the coarse training, the residual derivation, the
+    // residual PQ training, both argmins, the probe ranking, and every
+    // ADC distance arithmetically. ----
+    "p126_residual_trained_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val P = graft.functions.Pq
+      val km = kmModel(s, dir)
+      val rpq = resPqModel(s, dir)
+      val res = residualFrame(s, dir)
+      val live = if (rpq.codebook.isEmpty) res.limit(0) else res
+      val codes = live.select(col("vec_id"), col("cell"),
+        P.encodeWith(col("resv"), rpq.bc, s).getField("code").as("pq_code"))
+      val e = emb(s, dir)
+        .filter(col("embedding").isNotNull && size(col("embedding")) >= 64)
+      val eLive = if (rpq.codebook.isEmpty) e.limit(0) else e
+      def dl = graft.functions.KMeans.dists(col("embedding"), km, s)
+      val qs = eLive.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding"),
+          slice(sort_array(transform(dl,
+            (d, l) => struct(d.as("d"), l.as("l")))), 1, 4).as("probes"))
+        .select(col("qid"), col("embedding"),
+          explode(col("probes")).as("probe"))
+        .select(col("qid"), col("embedding"),
+          col("probe.l").cast("int").as("cell"))
+        .join(broadcast(kmCentroidsDf(s, km)), Seq("cell"))
+        .select(col("qid"), col("cell"),
+          P.lutWith(zip_with(col("embedding"), col("cv"),
+            (x, c) => (x.cast("double") - c).cast("float")), rpq.bc, s)
+            .as("lut"))
+      val adc = (0 until P.M).map { m =>
+        element_at(col("lut"),
+          (lit(m * P.K + 1) + shiftright(col("pq_code"), 4 * m)
+            .bitwiseAND(lit(15L))).cast("int"))
+      }.reduce(_ + _)
+      codes.join(broadcast(qs), Seq("cell"))
+        .withColumn("adc", adc)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("vec_id"), col("rn").cast("long").as("rn"),
+          round(col("adc"), 6).as("adc"))
+        .orderBy(col("qid"), col("rn"))
     })
   )
 
@@ -2587,6 +2693,52 @@ object Pipeline {
         Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))))
       .filter(col("rn") <= 5)
   }
+
+  /** The trained coarse centroids as a k-row (cell, cv double[]) frame
+    * — the broadcast side of residual computation (16 rows; a model is
+    * data on the wire).
+    */
+  private def kmCentroidsDf(s: SparkSession,
+      m: graft.functions.KMeans.Model): DataFrame = {
+    import s.implicits._
+    (0 until m.k).map(c => (c,
+      (0 until m.dim).map(j => m.centroids(c * m.dim + j))))
+      .toDF("cell", "cv")
+  }
+
+  /** (vec_id, cell, resv float[]) — every valid vector's residual
+    * against its TRAINED coarse centroid, float-cast per element (one
+    * IEEE round-to-nearest, replayed by the oracle as
+    * `CAST(x::DOUBLE - cv AS FLOAT)`), so the residual frame feeds the
+    * SAME float-array PQ trainer/encoder as raw vectors — the FAISS
+    * IndexIVFPQ `by_residual` layout with trained layers (p105's
+    * planted counterpart).
+    */
+  private def residualFrame(s: SparkSession, dir: String): DataFrame = {
+    val km = kmModel(s, dir)
+    val e = emb(s, dir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) >= 64)
+    def dl = graft.functions.KMeans.dists(col("embedding"), km, s)
+    e.select(col("vec_id"), col("embedding"),
+        (array_position(dl, array_min(dl)) - 1).cast("int").as("cell"))
+      .join(broadcast(kmCentroidsDf(s, km)), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("embedding"), col("cv"),
+          (x, c) => (x.cast("double") - c).cast("float")).as("resv"))
+  }
+
+  /** One trained RESIDUAL product quantizer per (application, fixture
+    * dir) — trained on [[residualFrame]] with the same Lloyd schedule
+    * as the raw-vector model (the pqModel memo discipline).
+    */
+  private val resPqMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), graft.functions.Pq.TrainedPq]
+
+  private def resPqModel(s: SparkSession, dir: String)
+      : graft.functions.Pq.TrainedPq =
+    resPqMemo.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.functions.Pq.train(residualFrame(s, dir), "vec_id", "resv",
+        iters = KmIters))
 
   private val p121Memo =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
@@ -3039,7 +3191,7 @@ object Pipeline {
         FROM (SELECT vec_id, list(d2 ORDER BY cell) AS l
               FROM kmd$t GROUP BY vec_id)),
       kmm$t AS (SELECT a.cell, t.d - 1 AS dim,
-          round(cast(sum(cast(e.embedding[t.d] AS decimal(18,9))) AS double)
+          round(cast(sum(cast(e.embedding[t.d]::DOUBLE AS decimal(18,9))) AS double)
             / count(*), 6) AS cval
         FROM kma$t a JOIN embeddings e USING (vec_id),
              unnest(range(1, 65)) AS t(d)
@@ -3102,15 +3254,29 @@ object Pipeline {
     * lists), and `ptbest` (final (vec, m) → code assignments against
     * ptarrN). MATERIALIZED throughout — the snapshot chain re-expands
     * exponentially otherwise (the oBpeCtes lesson).
+    *
+    * `src` generalizes the training relation (default: the raw
+    * embeddings table): p126 passes the residual relation — any
+    * (vec_id, embedding float[]) source, a table name or an aliasable
+    * parenthesized subquery.
+    *
+    * The decimal means cast `::DOUBLE` BEFORE `AS decimal(18,9)`:
+    * DuckDB's direct FLOAT→DECIMAL scales in float32 (0.1f →
+    * 0.100000000) while Spark casts through the double expansion
+    * (0.1f → 0.100000001); the conventions diverge by up to one
+    * decimal ulp per element, which the residual-space training (p126)
+    * surfaced as a round-6 mean landing on the flipped side of a
+    * boundary. The double path is the shared exact semantics.
     */
-  private def oPtCtes(iters: Int): String = {
+  private def oPtCtes(iters: Int, src: String = "embeddings"): String = {
     val sb = new StringBuilder
     sb.append(
-      s"""ptseed AS (SELECT vec_id, embedding,
+      s"""ptsrc AS MATERIALIZED (SELECT vec_id, embedding FROM $src sv
+        WHERE embedding IS NOT NULL AND len(embedding) >= 64),
+      ptseed AS (SELECT vec_id, embedding,
           row_number() OVER (ORDER BY (vec_id * 2654435761) % 4294967296,
                              vec_id) AS rk
-        FROM embeddings
-        WHERE embedding IS NOT NULL AND len(embedding) >= 64),
+        FROM ptsrc),
       pt0 AS MATERIALIZED (SELECT 0 AS iter, gm.m, rk - 1 AS cell,
           gj.j AS dim, embedding[gm.m*8 + gj.j + 1]::DOUBLE AS cval
         FROM ptseed, (SELECT unnest(range(0, 8)) AS m) gm,
@@ -3125,16 +3291,15 @@ object Pipeline {
           list_sum(list_transform(range(0, 8), j ->
             (e.embedding[c.m*8 + j + 1]::DOUBLE - c.cv[j + 1])
               * (e.embedding[c.m*8 + j + 1]::DOUBLE - c.cv[j + 1]))) AS d2
-        FROM embeddings e CROSS JOIN ptarr$p c
-        WHERE e.embedding IS NOT NULL AND len(e.embedding) >= 64),
+        FROM ptsrc e CROSS JOIN ptarr$p c),
       pta$t AS MATERIALIZED (SELECT vec_id, m,
           list_position(l, list_min(l)) - 1 AS cell
         FROM (SELECT vec_id, m, list(d2 ORDER BY cell) AS l
               FROM ptd$t GROUP BY vec_id, m)),
       ptm$t AS MATERIALIZED (SELECT a.m, a.cell, gj.j AS dim,
-          round(cast(sum(cast(e.embedding[a.m*8 + gj.j + 1]
+          round(cast(sum(cast(e.embedding[a.m*8 + gj.j + 1]::DOUBLE
             AS decimal(18,9))) AS double) / count(*), 6) AS cval
-        FROM pta$t a JOIN embeddings e USING (vec_id),
+        FROM pta$t a JOIN ptsrc e USING (vec_id),
              (SELECT unnest(range(0, 8)) AS j) gj
         GROUP BY a.m, a.cell, gj.j),
       pt$t AS MATERIALIZED (SELECT $t AS iter, prev.m, prev.cell,
@@ -3150,8 +3315,7 @@ object Pipeline {
           list_sum(list_transform(range(0, 8), j ->
             (e.embedding[c.m*8 + j + 1]::DOUBLE - c.cv[j + 1])
               * (e.embedding[c.m*8 + j + 1]::DOUBLE - c.cv[j + 1]))) AS d2
-        FROM embeddings e CROSS JOIN ptarr$iters c
-        WHERE e.embedding IS NOT NULL AND len(e.embedding) >= 64),
+        FROM ptsrc e CROSS JOIN ptarr$iters c),
       ptbest AS MATERIALIZED (SELECT vec_id, m,
           list_position(l, list_min(l)) - 1 AS code
         FROM (SELECT vec_id, m, list(d2 ORDER BY cell) AS l
@@ -3992,7 +4156,7 @@ object Pipeline {
       """WITH x AS (SELECT label AS clabel, d, embedding[d] AS v
                   FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(d)),
         c AS (SELECT clabel, d,
-                     round(cast(sum(cast(v AS decimal(18,9))) AS double) / count(*), 6) AS cv
+                     round(cast(sum(cast(v::DOUBLE AS decimal(18,9))) AS double) / count(*), 6) AS cv
               FROM x GROUP BY clabel, d),
         carr AS (SELECT clabel, list(cv ORDER BY d) AS cvec FROM c GROUP BY clabel),
         dist AS (SELECT e.vec_id, e.label, carr.clabel,
@@ -5796,6 +5960,89 @@ object Pipeline {
               ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS rk
           FROM bsa)
         SELECT vec_id, CAST(cell AS bigint) AS cell, CAST(rk AS bigint) AS rk
-        FROM bsr WHERE rk <= 8 ORDER BY cell, rk"""
+        FROM bsr WHERE rk <= 8 ORDER BY cell, rk""",
+
+    // kNN-classify twin: the trained-index top-5 (tivf), neighbor
+    // labels joined in, votes counted, the (count desc, label asc)
+    // tie rule replayed.
+    "p124_knn_label_predict" ->
+      s"""WITH $oTrainedIvfCtes,
+        kv AS (SELECT t.qid, e.label, count(*) AS n_votes
+          FROM tivf t JOIN embeddings e ON e.vec_id = t.vec_id
+          WHERE t.rn <= 5 GROUP BY t.qid, e.label),
+        kw AS (SELECT qid, label, n_votes,
+            row_number() OVER (PARTITION BY qid
+              ORDER BY n_votes DESC, label) AS vr
+          FROM kv)
+        SELECT k.qid, CAST(k.label AS integer) AS pred_label, k.n_votes,
+               CAST(q.label AS integer) AS true_label,
+               k.label = q.label AS correct
+        FROM kw k JOIN embeddings q ON q.vec_id = k.qid
+        WHERE k.vr = 1 ORDER BY k.qid""",
+
+    // Health twin: trained-cell argmin (kmdF), per-vector error as the
+    // m-ascending sum of per-subspace argmin distances against the
+    // trained snapshot (ptdF), round-6 DECIMAL totals per cell.
+    "p125_index_health" ->
+      s"""WITH ${oPtCtes(KmIters)}, ${oKmCtes(KmIters)},
+        hcell AS (SELECT vec_id, cell FROM
+            (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                ORDER BY d2, cell) AS rn FROM kmdF)
+          WHERE rn = 1),
+        herr AS (SELECT vec_id, list_sum(list(md ORDER BY m)) AS err
+          FROM (SELECT vec_id, m, min(d2) AS md
+                FROM ptdF GROUP BY vec_id, m)
+          GROUP BY vec_id)
+        SELECT CAST(c.cell AS bigint) AS cell, count(*) AS n_vecs,
+               CAST(sum(CAST(round(e.err, 6) AS decimal(38,6))) AS double)
+                 AS total_err
+        FROM hcell c JOIN herr e ON c.vec_id = e.vec_id
+        GROUP BY c.cell ORDER BY cell""",
+
+    // Fully-trained residual twin: coarse training replayed (oKmCtes),
+    // residuals derived with the same per-element float cast, the PQ
+    // trainer replayed OVER THE RESIDUAL RELATION (oPtCtes src
+    // override), then both argmins, the probe ranking, and each
+    // (query, probed-cell) residual ADC recomputed.
+    "p126_residual_trained_topk" ->
+      s"""WITH ${oKmCtes(KmIters)},
+        rcell AS MATERIALIZED (SELECT vec_id, cell FROM
+            (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                ORDER BY d2, cell) AS rn FROM kmdF)
+          WHERE rn = 1),
+        ${oPtCtes(KmIters, s"""(SELECT e.vec_id,
+            list_transform(list_zip(e.embedding, c.cv),
+              z -> CAST(z[1]::DOUBLE - z[2] AS FLOAT)) AS embedding
+          FROM embeddings e
+          JOIN rcell a ON a.vec_id = e.vec_id
+          JOIN kmcarr$KmIters c ON c.cell = a.cell)""")},
+        zqpr AS (SELECT vec_id AS qid, cell,
+            row_number() OVER (PARTITION BY vec_id
+                               ORDER BY d2, cell) AS pr
+          FROM kmdF WHERE vec_id % 50 = 0),
+        zcand AS (SELECT p.qid, p.cell, c.vec_id
+          FROM (SELECT qid, cell FROM zqpr WHERE pr <= 4) p
+          JOIN rcell c ON p.cell = c.cell),
+        zdm AS (SELECT cd.qid, cd.vec_id, b.m,
+            list_sum(list_transform(range(0, 8), j ->
+              (CAST(q.embedding[b.m*8 + j + 1]::DOUBLE
+                  - qc.cv[b.m*8 + j + 1] AS FLOAT)::DOUBLE - a.cv[j + 1])
+              * (CAST(q.embedding[b.m*8 + j + 1]::DOUBLE
+                  - qc.cv[b.m*8 + j + 1] AS FLOAT)::DOUBLE - a.cv[j + 1])))
+              AS d
+          FROM zcand cd
+          JOIN embeddings q ON q.vec_id = cd.qid
+          JOIN kmcarr$KmIters qc ON qc.cell = cd.cell
+          JOIN ptbest b ON b.vec_id = cd.vec_id
+          JOIN ptarr$KmIters a ON a.m = b.m AND a.cell = b.code),
+        zadc AS (SELECT qid, vec_id,
+            list_sum(list(d ORDER BY m)) AS adc
+          FROM zdm GROUP BY qid, vec_id),
+        zr AS (SELECT qid, vec_id, adc,
+            row_number() OVER (PARTITION BY qid
+                               ORDER BY adc, vec_id) AS rn
+          FROM zadc)
+        SELECT qid, vec_id, rn, round(adc, 6) AS adc
+        FROM zr WHERE rn <= 5 ORDER BY qid, rn"""
   )
 }
