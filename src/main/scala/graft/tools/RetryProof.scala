@@ -226,6 +226,20 @@ object RetryProof {
             .select(col("vec_id"), col("embedding")))
           .select(col("vec_id"), pq.getField("code").as("c"),
             pq.getField("err").as("e"))
+      }),
+      // cluster-scoped semantic dedup (round 17): the input feeds BOTH
+      // sides of the within-cell self-join; a retried scan task must
+      // regenerate identical cells and squared-L2 distances, or the
+      // pair set — and therefore the survivor set — silently shifts.
+      ("semantic_dedup", wrap => {
+        val e = wrap(Tables.load(spark, sfDir, "embeddings")
+            .select(col("vec_id"), col("embedding")))
+          .filter(col("embedding").isNotNull &&
+            size(col("embedding")) >= 64)
+          .withColumn("cell",
+            pmod(col("vec_id") * lit(2654435761L), lit(16L))
+              .cast("bigint"))
+        graft.operators.Similarity.semanticDedup(e, tau = 1.5)
       }))
 
     val mapSide = cases.map { case (name, build) =>

@@ -372,6 +372,55 @@ object ScaleSmoke {
         .agg(sum(col("offset_wins")), count(lit(1)))
         .collect().length.toLong
     }, docs1, docsN, "incrContainment")
+    // Round-17 part 2: cluster-scoped semantic dedup measured under the
+    // PRODUCTION k-scaling discipline (hash cells sized ~32, k grows
+    // with the corpus — the SemDeDup contract that keeps per-cell
+    // quadratic work constant; at FIXED k the within-cell pair count
+    // grows ~f² by construction). The recall eval's exact side is a
+    // FIXED 10-query panel (query volume doesn't grow with the corpus);
+    // residual encode is a narrow broadcast-join + WSCG scan against
+    // FIXED trained models (models are fit once, applied to any scale).
+    bench2({ df =>
+      val n = df.count()
+      val k = math.max(1L, n / 32L)
+      val assigned = df.withColumn("cell",
+        pmod(col("vec_id") * lit(2654435761L), lit(k)).cast("bigint"))
+      Similarity.semanticDedup(assigned, tau = 0.5)
+        .agg(sum(when(col("kept"), 1L).otherwise(0L)))
+        .collect().length.toLong
+    }, emb1, embN, "semanticDedup(k~N/32)")
+    bench2({ df =>
+      import org.apache.spark.sql.expressions.Window
+      val qs = broadcast(emb1.filter(col("vec_id") % 50 === 0).limit(10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+      df.join(qs)
+        .select(col("qid"), col("vec_id"),
+          graft.functions.VectorFunctions
+            .l2Squared(col("embedding"), col("qe")).as("d2"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("d2"), col("vec_id"))))
+        .filter(col("rn") <= 5)
+        .agg(sum(col("rn"))).collect().length.toLong
+    }, emb1, embN, "exactTopK(fixed panel)")
+    val kmFixed = graft.functions.KMeans
+      .train(emb1, "vec_id", "embedding", k = 16, dim = 64, iters = 1)
+    val pqFixed = graft.functions.Pq
+      .train(emb1, "vec_id", "embedding", iters = 1)
+    bench2({ df =>
+      import spark.implicits._
+      val cents = (0 until kmFixed.k).map(c => (c,
+        (0 until 64).map(j => kmFixed.centroids(c * 64 + j))))
+        .toDF("cell", "cv")
+      val dl = graft.functions.KMeans.dists(col("embedding"), kmFixed, spark)
+      df.select(col("vec_id"), col("embedding"),
+          (array_position(dl, array_min(dl)) - 1).cast("int").as("cell"))
+        .join(broadcast(cents), Seq("cell"))
+        .select(graft.functions.Pq.encodeWith(
+          zip_with(col("embedding"), col("cv"),
+            (x, c) => (x.cast("double") - c).cast("float")),
+          pqFixed.bc, spark).getField("code").as("c"))
+        .agg(sum(bit_count(col("c")))).collect().length.toLong
+    }, emb1, embN, "residualEncode(fixed)")
     spark.stop()
   }
 }
