@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
@@ -2611,6 +2611,106 @@ object Pipeline {
         .select(col("qid"), col("vec_id"), col("rn").cast("long").as("rn"),
           round(col("adc"), 6).as("adc"))
         .orderBy(col("qid"), col("rn"))
+    }),
+
+    // ---- Matryoshka truncation eval (MRL, Kusupati et al.
+    // arXiv:2205.13147): recall@5 of PREFIX-dimension (first 16 of 64)
+    // exact search against full-dimension exact search — the
+    // dimension-vs-quality tradeoff every MRL deployment measures
+    // before shipping truncated vectors. Both sides are fixed-panel
+    // brute force (the eval baseline class, PlanAudit-exempt); the
+    // oracle recomputes both rankings and the intersection. ----
+    "p127_matryoshka_recall" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val VF = graft.functions.VectorFunctions
+      val e = emb(s, dir)
+        .filter(col("embedding").isNotNull && size(col("embedding")) >= 64)
+      val qs = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      def top5(dist: Column): DataFrame = e.join(broadcast(qs))
+        .select(col("qid"), col("vec_id"), dist.as("d2"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("d2"), col("vec_id"))))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("vec_id"))
+      val full = top5(VF.l2Squared(col("embedding"), col("qe")))
+      val prefix = top5(VF.l2Squared(slice(col("embedding"), 1, 16),
+        slice(col("qe"), 1, 16)))
+      val hits = full.join(prefix, Seq("qid", "vec_id"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+      qs.select(col("qid")).join(hits, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) / lit(5.0)).as("recall"))
+        .orderBy(col("qid"))
+    }),
+
+    // ---- int8 scalar-quantization eval: recall@5 of exact search over
+    // the int8-DECODED corpus (p29's quantizer — queries stay float,
+    // the production asymmetric-distance shape) against float exact —
+    // what the 4× shrink costs in answer quality. The oracle replays
+    // the quantize, the decode, and both rankings. ----
+    "p128_int8_recall" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val VF = graft.functions.VectorFunctions
+      val e = emb(s, dir)
+        .filter(col("embedding").isNotNull && size(col("embedding")) >= 64)
+      val qs = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      def top5(df: DataFrame, dist: Column): DataFrame =
+        df.join(broadcast(qs))
+          .select(col("qid"), col("vec_id"), dist.as("d2"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("d2"), col("vec_id"))))
+          .filter(col("rn") <= 5)
+          .select(col("qid"), col("vec_id"))
+      val full = top5(e, VF.l2Squared(col("embedding"), col("qe")))
+      val deq = Quantize.int8(e).select(col("vec_id"),
+        Quantize.decode(col("qv"), col("lo"), col("scale")).as("dv"))
+      val approx = top5(deq, VF.l2Squared(col("dv"), col("qe")))
+      val hits = full.join(approx, Seq("qid", "vec_id"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+      qs.select(col("qid")).join(hits, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) / lit(5.0)).as("recall"))
+        .orderBy(col("qid"))
+    }),
+
+    // ---- hybrid retrieval: reciprocal-rank fusion (Cormack et al.,
+    // SIGIR'09) of the BM25 top-20 (p23's exact scorer and ranking)
+    // with an embedding top-20 (exact L2 against a fixed query vector,
+    // doc_id = vec_id — the RAG hybrid-search shape). Ranks are
+    // integers, so each 1/(60+r) term is an exact rational and the
+    // two-term fused sum is deterministic double arithmetic; absent
+    // ranks contribute 0 (the standard RRF convention). ----
+    "p129_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val VF = graft.functions.VectorFunctions
+      val bm = TextOps.bm25TopK(docs(s, dir), "doc_id", "text",
+        queryTokens = Seq("spark", "join", "window"), k = 20)
+        .select(col("id").as("doc_id"), col("rk").as("rk_txt"))
+      val e = emb(s, dir)
+        .filter(col("embedding").isNotNull && size(col("embedding")) >= 64)
+      val q0 = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val vec = e.crossJoin(broadcast(q0))
+        .select(col("vec_id").as("doc_id"),
+          VF.l2Squared(col("embedding"), col("qe")).as("d2"))
+        .withColumn("rk_vec", row_number().over(
+          Window.orderBy(col("d2"), col("doc_id"))))
+        .filter(col("rk_vec") <= 20)
+        .select(col("doc_id"), col("rk_vec"))
+      bm.join(vec, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("rk_txt"), col("rk_vec"),
+          (coalesce(lit(1.0) / (lit(60.0) + col("rk_txt")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60.0) + col("rk_vec")), lit(0.0)))
+            .as("rrf0"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rrf0").desc, col("doc_id"))))
+        .filter(col("rk") <= 10)
+        .select(col("doc_id"), round(col("rrf0"), 6).as("rrf"),
+          coalesce(col("rk_txt"), lit(0)).cast("int").as("rk_txt"),
+          coalesce(col("rk_vec"), lit(0)).cast("int").as("rk_vec"),
+          col("rk").cast("long").as("rk"))
+        .orderBy(col("rk"))
     })
   )
 
@@ -6043,6 +6143,136 @@ object Pipeline {
                                ORDER BY adc, vec_id) AS rn
           FROM zadc)
         SELECT qid, vec_id, rn, round(adc, 6) AS adc
-        FROM zr WHERE rn <= 5 ORDER BY qid, rn"""
+        FROM zr WHERE rn <= 5 ORDER BY qid, rn""",
+
+    // Matryoshka twin: both exact rankings (full and 16-dim prefix)
+    // and the intersection recomputed; n/5.0 is exactly representable.
+    "p127_matryoshka_recall" ->
+      s"""WITH mq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+          WHERE vec_id % 50 = 0
+            AND embedding IS NOT NULL AND len(embedding) >= 64),
+        me AS (SELECT vec_id, embedding FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) >= 64),
+        mfull AS (SELECT qid, vec_id FROM (
+            SELECT mq.qid, me.vec_id, row_number() OVER (PARTITION BY mq.qid
+              ORDER BY list_sum(list_transform(list_zip(mq.qe, me.embedding),
+                z -> (z[1]::DOUBLE - z[2]::DOUBLE)
+                   * (z[1]::DOUBLE - z[2]::DOUBLE))), me.vec_id) AS rn
+            FROM mq CROSS JOIN me)
+          WHERE rn <= 5),
+        mpre AS (SELECT qid, vec_id FROM (
+            SELECT mq.qid, me.vec_id, row_number() OVER (PARTITION BY mq.qid
+              ORDER BY list_sum(list_transform(
+                list_zip(mq.qe[1:16], me.embedding[1:16]),
+                z -> (z[1]::DOUBLE - z[2]::DOUBLE)
+                   * (z[1]::DOUBLE - z[2]::DOUBLE))), me.vec_id) AS rn
+            FROM mq CROSS JOIN me)
+          WHERE rn <= 5),
+        mh AS (SELECT f.qid, count(*) AS n FROM mfull f
+          JOIN mpre p ON f.qid = p.qid AND f.vec_id = p.vec_id
+          GROUP BY f.qid)
+        SELECT mq.qid, CAST(coalesce(mh.n, 0) AS bigint) AS n_hits,
+               coalesce(mh.n, 0) / 5.0 AS recall
+        FROM mq LEFT JOIN mh ON mq.qid = mh.qid
+        ORDER BY mq.qid""",
+
+    // int8 twin: the p29 quantize rule, the per-element decode, and
+    // both rankings recomputed.
+    "p128_int8_recall" ->
+      s"""WITH iq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+          WHERE vec_id % 50 = 0
+            AND embedding IS NOT NULL AND len(embedding) >= 64),
+        ie AS (SELECT vec_id, embedding,
+            list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) >= 64),
+        ib AS (SELECT vec_id, embedding, v, list_min(v) AS lo,
+            CASE WHEN list_max(v) > list_min(v)
+                 THEN (list_max(v) - list_min(v)) / 255.0 ELSE 1.0 END AS sc
+          FROM ie),
+        idq AS (SELECT vec_id,
+            list_transform(v, x ->
+              ((cast(round((x - lo) / sc) AS integer) - 128) + 128)
+                * sc + lo) AS dv
+          FROM ib),
+        ifull AS (SELECT qid, vec_id FROM (
+            SELECT iq.qid, ie.vec_id, row_number() OVER (PARTITION BY iq.qid
+              ORDER BY list_sum(list_transform(list_zip(iq.qe, ie.embedding),
+                z -> (z[1]::DOUBLE - z[2]::DOUBLE)
+                   * (z[1]::DOUBLE - z[2]::DOUBLE))), ie.vec_id) AS rn
+            FROM iq CROSS JOIN ie)
+          WHERE rn <= 5),
+        iapx AS (SELECT qid, vec_id FROM (
+            SELECT iq.qid, d.vec_id, row_number() OVER (PARTITION BY iq.qid
+              ORDER BY list_sum(list_transform(list_zip(d.dv, iq.qe),
+                z -> (z[1] - z[2]::DOUBLE) * (z[1] - z[2]::DOUBLE))),
+                d.vec_id) AS rn
+            FROM iq CROSS JOIN idq d)
+          WHERE rn <= 5),
+        ih AS (SELECT f.qid, count(*) AS n FROM ifull f
+          JOIN iapx p ON f.qid = p.qid AND f.vec_id = p.vec_id
+          GROUP BY f.qid)
+        SELECT iq.qid, CAST(coalesce(ih.n, 0) AS bigint) AS n_hits,
+               coalesce(ih.n, 0) / 5.0 AS recall
+        FROM iq LEFT JOIN ih ON iq.qid = ih.qid
+        ORDER BY iq.qid""",
+
+    // RRF twin: the p23 BM25 chain (same round-4 score and ranking),
+    // the exact-L2 vector ranking against the fixed query vector, the
+    // full-outer fusion with 1/(60+rank) terms, and the fused ranking.
+    "p129_hybrid_rrf" ->
+      s"""WITH t AS (SELECT doc_id, string_split($oNorm, ' ') AS toks
+          FROM documents),
+        st AS (SELECT count(*) AS n,
+              sum(len(toks))::double / count(*) AS avgdl,
+              sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END)
+                AS df_spark,
+              sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END)
+                AS df_join,
+              sum(CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END)
+                AS df_window
+          FROM t),
+        sc AS (SELECT doc_id, round(
+              len(list_filter(toks, x -> x = 'spark'))::double * 2.2
+                * ln(1 + (n - df_spark + 0.5) / (df_spark + 0.5))
+                / (len(list_filter(toks, x -> x = 'spark'))::double
+                   + 1.2 * (0.25 + 0.75 * len(toks)::double / avgdl))
+            + len(list_filter(toks, x -> x = 'join'))::double * 2.2
+                * ln(1 + (n - df_join + 0.5) / (df_join + 0.5))
+                / (len(list_filter(toks, x -> x = 'join'))::double
+                   + 1.2 * (0.25 + 0.75 * len(toks)::double / avgdl))
+            + len(list_filter(toks, x -> x = 'window'))::double * 2.2
+                * ln(1 + (n - df_window + 0.5) / (df_window + 0.5))
+                / (len(list_filter(toks, x -> x = 'window'))::double
+                   + 1.2 * (0.25 + 0.75 * len(toks)::double / avgdl)), 4)
+              AS score
+          FROM t, st),
+        rt AS (SELECT doc_id, rk AS rk_txt FROM (
+            SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+              AS rk
+            FROM sc WHERE score > 0)
+          WHERE rk <= 20),
+        vq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        rv AS (SELECT doc_id, rk_vec FROM (
+            SELECT e.vec_id AS doc_id, row_number() OVER (ORDER BY
+              list_sum(list_transform(list_zip(e.embedding, vq.qe),
+                z -> (z[1]::DOUBLE - z[2]::DOUBLE)
+                   * (z[1]::DOUBLE - z[2]::DOUBLE))), e.vec_id) AS rk_vec
+            FROM embeddings e CROSS JOIN vq
+            WHERE e.embedding IS NOT NULL AND len(e.embedding) >= 64)
+          WHERE rk_vec <= 20),
+        fu AS (SELECT coalesce(rt.doc_id, rv.doc_id) AS doc_id,
+            rt.rk_txt, rv.rk_vec,
+            coalesce(1.0 / (60.0 + rt.rk_txt), 0.0)
+              + coalesce(1.0 / (60.0 + rv.rk_vec), 0.0) AS rrf0
+          FROM rt FULL OUTER JOIN rv ON rt.doc_id = rv.doc_id),
+        fr AS (SELECT doc_id, rrf0, rk_txt, rk_vec,
+            row_number() OVER (ORDER BY rrf0 DESC, doc_id) AS rk
+          FROM fu)
+        SELECT doc_id, round(rrf0, 6) AS rrf,
+               CAST(coalesce(rk_txt, 0) AS integer) AS rk_txt,
+               CAST(coalesce(rk_vec, 0) AS integer) AS rk_vec,
+               CAST(rk AS bigint) AS rk
+        FROM fr WHERE rk <= 10 ORDER BY rk"""
   )
 }

@@ -118,12 +118,17 @@ object PlanAudit {
     // p119: the recall eval's EXACT side is brute-force by definition
     // (ground truth for the index under measurement); the panel is a
     // fixed eval set, the corpus side streams once — linear in corpus.
+    // p127/p128: the same eval class — BOTH sides are fixed-panel
+    // brute-force baselines (truncation / quantization quality vs the
+    // exact ground truth). p129: the vector arm ranks against ONE fixed
+    // query vector (a 1-row broadcast side).
     val crossByDesign = Set("q27_inequality_join", "q28_cross_join",
       "q29_scalar_subquery", "p07_jaccard_pairs", "p10_embedding_topk",
       "p13_embedding_near_pairs", "p17_source_similarity",
       "q26_null_aware_anti", "p27_centroid_confusion", "q89_hour_buckets",
       "q96_theta_exists", "d77", "p96_pq_topk", "p118_pq_trained_topk",
-      "p119_ann_recall")
+      "p119_ann_recall", "p127_matryoshka_recall", "p128_int8_recall",
+      "p129_hybrid_rrf")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
