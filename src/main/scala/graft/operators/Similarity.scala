@@ -461,4 +461,39 @@ object Similarity {
       .select(col("__id").as(idCol), col("__cell").as(cellCol),
         coalesce(!col("__dup"), lit(true)).as("kept"))
   }
+
+  /** The batch-vs-corpus refresh half of [[semanticDedup]] (the
+    * `BandedHamming.incrementalPairs` shape for the semantic family): a
+    * BATCH row is a duplicate iff a same-cell CORPUS row lies within
+    * `tau` (any id — settled state always wins), or a same-cell batch
+    * row with a smaller id does (the within-batch survivor rule).
+    * Corpus rows are never joined against themselves and never
+    * reported — a daily refresh re-prices only the new rows.
+    *
+    * Both joins hash on `cellCol` only; per-cell work is batch×cell
+    * population, the same k ≈ N/targetCellSize discipline as
+    * [[semanticDedup]].
+    */
+  def incrementalSemanticDedup(corpus: DataFrame, batch: DataFrame,
+      tau: Double, idCol: String = "vec_id", cellCol: String = "cell",
+      vecCol: String = "embedding"): DataFrame = {
+    val b = batch.select(col(idCol).as("__id"), col(cellCol).as("__cell"),
+      col(vecCol).as("__v"))
+    val c = corpus.select(col(idCol).as("__id2"),
+      col(cellCol).as("__cell"), col(vecCol).as("__v2"))
+    val b2 = batch.select(col(idCol).as("__id2"),
+      col(cellCol).as("__cell"), col(vecCol).as("__v2"))
+    val dupVsCorpus = b.join(c, Seq("__cell"))
+      .filter(l2Squared(col("__v"), col("__v2")) <= tau)
+      .select(col("__id"))
+    val dupVsBatch = b.join(b2, Seq("__cell"))
+      .filter(col("__id2") < col("__id") &&
+        l2Squared(col("__v"), col("__v2")) <= tau)
+      .select(col("__id"))
+    val dup = dupVsCorpus.unionByName(dupVsBatch).distinct()
+      .withColumn("__dup", lit(true))
+    b.join(dup, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("__cell").as(cellCol),
+        coalesce(!col("__dup"), lit(true)).as("kept"))
+  }
 }

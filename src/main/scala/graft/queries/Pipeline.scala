@@ -2711,6 +2711,72 @@ object Pipeline {
           coalesce(col("rk_vec"), lit(0)).cast("int").as("rk_vec"),
           col("rk").cast("long").as("rk"))
         .orderBy(col("rk"))
+    }),
+
+    // ---- incremental SemDeDup (the daily-refresh half of p120, the
+    // BandedHamming.incrementalPairs shape for the semantic family):
+    // the settled corpus is one side, the batch — exact copies, dim-1
+    // near-copies, and FRESH vectors (dims 1–8 replaced, far from
+    // everything) — the other; a batch row dies to any same-cell
+    // corpus row within tau, or to a smaller-id same-cell batch row.
+    // Corpus rows never re-join against themselves and never appear in
+    // the output. The oracle replays training, all assignments, both
+    // pair rules, and the survivor set. ----
+    "p130_incremental_semantic_dedup" -> ((s, dir) => {
+      val m = kmModel(s, dir)
+      val base = emb(s, dir)
+        .filter(col("embedding").isNotNull && size(col("embedding")) >= 64)
+        .select(col("vec_id"), col("embedding"))
+      val exactCopies = base.filter(col("vec_id") % 10 === 3)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val nearCopies = base.filter(col("vec_id") % 20 === 7)
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          concat(array(lit(0.5f)), slice(col("embedding"), 2, 63))
+            .as("embedding"))
+      val fresh = base.filter(col("vec_id") % 25 === 11)
+        .select((col("vec_id") + 3000000L).as("vec_id"),
+          concat(array_repeat(lit(0.9f), 8), slice(col("embedding"), 9, 56))
+            .as("embedding"))
+      val batch = exactCopies.unionByName(nearCopies).unionByName(fresh)
+      def dl = graft.functions.KMeans.dists(col("embedding"), m, s)
+      def assign(df: DataFrame): DataFrame =
+        df.select(col("vec_id"), col("embedding"),
+          (array_position(dl, array_min(dl)) - 1).cast("bigint").as("cell"))
+      Similarity.incrementalSemanticDedup(assign(base), assign(batch),
+          tau = 1.0)
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- quality-decile mixture (the curriculum/mixing recipe on top
+    // of the TRAINED classifier): rank the corpus by trained score,
+    // split into integer deciles — ((rank−1)·10) div n, pure integer
+    // arithmetic — and keep a decile-dependent slice by the
+    // scrambled-key rule (rate 100−9·decile %: the best decile ships
+    // whole, the worst mostly drops — the quality-weighted sampling
+    // shape of DoReMi-style mixture tuning, kept SQL-recomputable).
+    // Output is the per-decile mixing report. ----
+    "p131_quality_decile_mix" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val FT = graft.functions.FastText
+      val scored = docs(s, dir)
+        .select(col("doc_id"),
+          FT.scoreWith(TF.normText(col("text")), ftModel(s, dir), s)
+            .as("score"))
+      scored
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(lit(1))))
+        .withColumn("decile", expr("((rnk - 1) * 10) div n").cast("int"))
+        .withColumn("kept",
+          pmod(col("doc_id") * lit(2654435761L), lit(100L))
+            < (lit(100) - lit(9) * col("decile")).cast("long"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          min(col("score")).as("min_score"),
+          max(col("score")).as("max_score"))
+        .orderBy(col("decile"))
     })
   )
 
@@ -6273,6 +6339,73 @@ object Pipeline {
                CAST(coalesce(rk_txt, 0) AS integer) AS rk_txt,
                CAST(coalesce(rk_vec, 0) AS integer) AS rk_vec,
                CAST(rk AS bigint) AS rk
-        FROM fr WHERE rk <= 10 ORDER BY rk"""
+        FROM fr WHERE rk <= 10 ORDER BY rk""",
+
+    // Incremental-SemDeDup twin: the planted batch re-derived, every
+    // assignment recomputed against the trained final snapshot, the
+    // corpus-beats-batch and smaller-batch-id rules replayed.
+    "p130_incremental_semantic_dedup" ->
+      s"""WITH ${oKmCtes(KmIters)},
+        nd0 AS (SELECT vec_id, embedding AS v FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) >= 64),
+        ndb AS MATERIALIZED (
+          SELECT vec_id + 1000000 AS vec_id, v FROM nd0 WHERE vec_id % 10 = 3
+          UNION ALL
+          SELECT vec_id + 2000000, [0.5::FLOAT] || v[2:]
+          FROM nd0 WHERE vec_id % 20 = 7
+          UNION ALL
+          SELECT vec_id + 3000000,
+                 list_transform(range(0, 8), x -> 0.9::FLOAT) || v[9:]
+          FROM nd0 WHERE vec_id % 25 = 11),
+        ndall AS MATERIALIZED (
+          SELECT vec_id, v, 0 AS is_b FROM nd0
+          UNION ALL SELECT vec_id, v, 1 FROM ndb),
+        ndd AS MATERIALIZED (SELECT a.vec_id, a.is_b, c.cell,
+            list_sum(list_transform(list_zip(a.v, c.cv),
+              z -> (z[1]::DOUBLE - z[2]) * (z[1]::DOUBLE - z[2]))) AS d2
+          FROM ndall a CROSS JOIN kmcarr$KmIters c),
+        nda AS MATERIALIZED (SELECT vec_id, is_b, cell FROM
+            (SELECT vec_id, is_b, cell, row_number() OVER
+                (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM ndd)
+          WHERE rn = 1),
+        nddup AS (SELECT x.vec_id FROM nda x
+          JOIN nda y ON x.cell = y.cell
+            AND (y.is_b = 0 OR y.vec_id < x.vec_id)
+          JOIN ndall xv ON xv.vec_id = x.vec_id
+          JOIN ndall yv ON yv.vec_id = y.vec_id
+          WHERE x.is_b = 1
+            AND list_sum(list_transform(list_zip(xv.v, yv.v),
+              z -> (z[1]::DOUBLE - z[2]::DOUBLE)
+                 * (z[1]::DOUBLE - z[2]::DOUBLE))) <= 1.0
+          GROUP BY x.vec_id)
+        SELECT a.vec_id, CAST(a.cell AS bigint) AS cell,
+               (d.vec_id IS NULL) AS kept
+        FROM nda a LEFT JOIN nddup d ON a.vec_id = d.vec_id
+        WHERE a.is_b = 1 ORDER BY a.vec_id""",
+
+    // Decile-mixture twin: trained scores re-derived, global rank and
+    // integer decile replayed, the scrambled-key keep rule counted.
+    "p131_quality_decile_mix" ->
+      s"""WITH $oFtFeatCtes,
+        wtab AS (SELECT f,
+            ((sum(p) + 1) * 200) // (sum(p) + sum(1 - p) + 2) - 100 AS w
+          FROM fidx JOIN flab USING (id) GROUP BY f),
+        dsc AS (SELECT fx.id, CAST(sum(coalesce(w.w, 0)) AS bigint) AS score
+          FROM fidx fx LEFT JOIN wtab w ON fx.f = w.f GROUP BY fx.id),
+        dall AS (SELECT d.doc_id, coalesce(dsc.score, 0) AS score
+          FROM documents d LEFT JOIN dsc ON d.doc_id = dsc.id),
+        drk AS (SELECT doc_id, score,
+            row_number() OVER (ORDER BY score DESC, doc_id) AS rnk,
+            count(*) OVER () AS n
+          FROM dall),
+        ddec AS (SELECT doc_id, score,
+            ((rnk - 1) * 10) // n AS decile FROM drk)
+        SELECT CAST(decile AS integer) AS decile, count(*) AS n_docs,
+               CAST(sum(CASE WHEN (doc_id * 2654435761) % 100
+                   < 100 - 9 * decile THEN 1 ELSE 0 END) AS bigint)
+                 AS n_kept,
+               CAST(min(score) AS bigint) AS min_score,
+               CAST(max(score) AS bigint) AS max_score
+        FROM ddec GROUP BY decile ORDER BY decile"""
   )
 }

@@ -401,4 +401,21 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(got == Map(1L -> true, 2L -> false, 3L -> false), s"got $got")
   }
+
+  test("incrementalSemanticDedup: corpus beats batch at ANY id; " +
+    "within-batch smaller id wins; corpus rows never reported") {
+    import spark.implicits._
+    val corpus = Seq((100L, 0L, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "cell", "embedding")
+    val batch = Seq(
+      (1L, 0L, Seq(1.0f, 0.0f)),  // dup of corpus 100 DESPITE smaller id
+      (2L, 0L, Seq(5.0f, 0.0f)),  // fresh in cell 0
+      (3L, 0L, Seq(5.0f, 0.5f)),  // dup of batch 2 (d2 = 0.25 == tau)
+      (4L, 1L, Seq(1.0f, 0.0f))   // corpus twin in ANOTHER cell -> kept
+    ).toDF("vec_id", "cell", "embedding")
+    val got = Similarity.incrementalSemanticDedup(corpus, batch, tau = 0.25)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true),
+      s"got $got")
+  }
 }
