@@ -2777,6 +2777,30 @@ object Pipeline {
           min(col("score")).as("min_score"),
           max(col("score")).as("max_score"))
         .orderBy(col("decile"))
+    }),
+
+    // ---- STREAMING vector ingest (the online half of the vector
+    // store: embedding shards arrive as files, each row is assigned to
+    // its coarse cell and PQ-encoded STATELESS inside the micro-batch
+    // — append mode, no watermark, no state store; the index append is
+    // p121's admission fed by a stream). Run to completion into the
+    // memory sink; the result must equal the batch encode of the same
+    // file — the oracle recomputes every coarse argmin and packed code
+    // closed-form and never knows a stream ran. ----
+    "p132_stream_vector_ingest" -> ((s, dir) => {
+      import graft.streaming.Streams
+      import org.apache.spark.sql.streaming.OutputMode
+      val P = graft.functions.Pq
+      val enc = P.encode(col("embedding"))
+      val dl = P.coarseDists(col("embedding"))
+      Streams.runToMemory(
+        Streams.embeddingsStream(s, dir)
+          .filter(col("embedding").isNotNull && size(col("embedding")) >= 64)
+          .select(col("vec_id"),
+            (array_position(dl, array_min(dl)) - 1).cast("int").as("cell"),
+            enc.getField("code").as("pq_code")),
+        name = "p132_mem", mode = OutputMode.Append())
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -6406,6 +6430,27 @@ object Pipeline {
                  AS n_kept,
                CAST(min(score) AS bigint) AS min_score,
                CAST(max(score) AS bigint) AS max_score
-        FROM ddec GROUP BY decile ORDER BY decile"""
+        FROM ddec GROUP BY decile ORDER BY decile""",
+
+    // Stream-ingest twin: the planted coarse argmin and the packed PQ
+    // code recomputed closed-form over the file — batch semantics; the
+    // stream must be invisible.
+    "p132_stream_vector_ingest" ->
+      s"""WITH $oPqCodeCtes,
+        svc AS (SELECT vec_id,
+            list_transform(range(0, 16), l ->
+              list_sum(list_transform(
+                list_transform(range(0, 64), j ->
+                  embedding[j + 1]::DOUBLE
+                    - (((l*17 + j*23) % 37 - 18) / 18.0)),
+                x -> x * x))) AS dl
+          FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) >= 64),
+        svcell AS (SELECT vec_id,
+            list_position(dl, list_min(dl)) - 1 AS cell FROM svc)
+        SELECT p.vec_id, CAST(c.cell AS integer) AS cell,
+               CAST(p.pq_code AS bigint) AS pq_code
+        FROM pqagg p JOIN svcell c ON p.vec_id = c.vec_id
+        ORDER BY p.vec_id"""
   )
 }

@@ -273,6 +273,39 @@ object Streams {
     Tables.normalizeEventTs(stream)
   }
 
+  /** Read the embeddings table as a FILE STREAM (the vector-ingest
+    * front door: new embedding shards arrive as files). Same staging
+    * discipline as [[eventsStream]] — the file source needs a
+    * directory, keyed by source (mtime, length) so a regenerated
+    * fixture never serves a stale hardlink. No timestamp columns, so
+    * no normalization.
+    */
+  def embeddingsStream(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+    val abs = Paths.get(dir).toAbsolutePath
+    val srcFile = abs.resolve("embeddings.parquet")
+    val ver =
+      if (Files.exists(srcFile))
+        s"${Files.getLastModifiedTime(srcFile).toMillis}-${Files.size(srcFile)}"
+      else "absent"
+    val key = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(s"$abs|$ver") & 0xffffffffL)
+    val streamDir = Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_derived",
+      s"${abs.getFileName}-$key", "embeddings_stream")
+    val target = streamDir.resolve("embeddings.parquet")
+    if (!Files.exists(target)) {
+      Files.createDirectories(streamDir)
+      try Files.createLink(target, Paths.get(s"$dir/embeddings.parquet"))
+      catch { case _: Exception =>
+        try Files.copy(Paths.get(s"$dir/embeddings.parquet"), target)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      }
+    }
+    spark.readStream.schema(raw.schema).parquet(streamDir.toString)
+  }
+
   // Guards the set-conf → start() → restore-conf window in [[runToMemory]]
   // so concurrent runToMemory calls can't interleave their overrides.
   private val startLock = new Object
