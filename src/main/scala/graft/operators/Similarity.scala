@@ -496,4 +496,29 @@ object Similarity {
       .select(col("__id").as(idCol), col("__cell").as(cellCol),
         coalesce(!col("__dup"), lit(true)).as("kept"))
   }
+
+  /** Semantic decontamination: flag every row whose embedding lies
+    * within squared-L2 `tau` of a same-cell REFERENCE row (the eval /
+    * benchmark panel) — the embedding-space analog of the p26/p49
+    * n-gram decontamination, catching paraphrase-level leakage that
+    * token overlap misses. One-sided by design: rows are never
+    * compared against each other (that is [[semanticDedup]]), and
+    * reference rows are never reported. Same cluster-scoped join shape
+    * and k-scaling discipline as the dedup family.
+    */
+  def semanticDecontaminate(reference: DataFrame, rows: DataFrame,
+      tau: Double, idCol: String = "vec_id", cellCol: String = "cell",
+      vecCol: String = "embedding"): DataFrame = {
+    val b = rows.select(col(idCol).as("__id"), col(cellCol).as("__cell"),
+      col(vecCol).as("__v"))
+    val r = reference.select(col(cellCol).as("__cell"),
+      col(vecCol).as("__v2"))
+    val hit = b.join(r, Seq("__cell"))
+      .filter(l2Squared(col("__v"), col("__v2")) <= tau)
+      .select(col("__id")).distinct()
+      .withColumn("__dup", lit(true))
+    b.join(hit, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("__cell").as(cellCol),
+        coalesce(!col("__dup"), lit(true)).as("kept"))
+  }
 }

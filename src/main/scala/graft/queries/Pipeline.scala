@@ -2801,6 +2801,75 @@ object Pipeline {
             enc.getField("code").as("pq_code")),
         name = "p132_mem", mode = OutputMode.Append())
         .orderBy(col("vec_id"))
+    }),
+
+    // ---- semantic DECONTAMINATION (the embedding-space analog of
+    // p26/p49's n-gram eval-overlap scrub): flag every training vector
+    // within tau of a same-trained-cell EVAL-panel vector — the
+    // paraphrase-level leakage n-gram overlap misses. One-sided by
+    // design (training rows are never compared against each other).
+    // The fixture plants contamination: byte-exact eval copies and
+    // dim-replaced near-copies re-ingested under training ids. ----
+    "p133_semantic_decontamination" -> ((s, dir) => {
+      val m = kmModel(s, dir)
+      val e = emb(s, dir)
+        .filter(col("embedding").isNotNull && size(col("embedding")) >= 64)
+        .select(col("vec_id"), col("embedding"))
+      val evalPanel = e.filter(col("vec_id") % 50 === 0)
+      val contamExact = evalPanel
+        .select((col("vec_id") + 4000000L).as("vec_id"), col("embedding"))
+      val contamNear = evalPanel
+        .select((col("vec_id") + 5000000L).as("vec_id"),
+          concat(array(lit(0.5f)), slice(col("embedding"), 2, 63))
+            .as("embedding"))
+      val train = e.filter(col("vec_id") % 50 =!= 0)
+        .unionByName(contamExact).unionByName(contamNear)
+      def dl = graft.functions.KMeans.dists(col("embedding"), m, s)
+      def assign(df: DataFrame): DataFrame =
+        df.select(col("vec_id"), col("embedding"),
+          (array_position(dl, array_min(dl)) - 1).cast("bigint").as("cell"))
+      Similarity.semanticDecontaminate(assign(evalPanel), assign(train),
+          tau = 1.0)
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- sequential vector-corpus build (the batch twin of
+    // Streams.vectorIngest, the p40 shape for the semantic family):
+    // batch 0 (even ids) SemDeDup'd internally becomes the corpus;
+    // batch 1 (odd ids + planted exact copies of every 10th even id)
+    // is internally deduped then ADMITTED — a batch-1 row dies to any
+    // same-cell corpus row within tau or a smaller-id batch-1 row.
+    // Output = the admitted corpus with batch provenance; the oracle
+    // replays both dedups and the admission rule. StreamingSpec proves
+    // the foreachBatch loop (idempotent b<id> replay) over the same
+    // operators. ----
+    "p134_sequential_vector_admit" -> ((s, dir) => {
+      val m = kmModel(s, dir)
+      val e = emb(s, dir)
+        .filter(col("embedding").isNotNull && size(col("embedding")) >= 64)
+        .select(col("vec_id"), col("embedding"))
+      def dl = graft.functions.KMeans.dists(col("embedding"), m, s)
+      def assign(df: DataFrame): DataFrame =
+        df.select(col("vec_id"), col("embedding"),
+          (array_position(dl, array_min(dl)) - 1).cast("bigint").as("cell"))
+      val b0all = assign(e.filter(col("vec_id") % 2 === 0))
+      val b0 = b0all.join(
+        Similarity.semanticDedup(b0all, tau = 1.0)
+          .filter(col("kept")).select(col("vec_id")), Seq("vec_id"))
+      val copies = e.filter(col("vec_id") % 10 === 4)
+        .select((col("vec_id") + 6000000L).as("vec_id"), col("embedding"))
+      val b1all = assign(
+        e.filter(col("vec_id") % 2 === 1).unionByName(copies))
+      val b1cand = b1all.join(
+        Similarity.semanticDedup(b1all, tau = 1.0)
+          .filter(col("kept")).select(col("vec_id")), Seq("vec_id"))
+      val b1adm = b1cand.join(
+        Similarity.incrementalSemanticDedup(b0, b1cand, tau = 1.0)
+          .filter(col("kept")).select(col("vec_id")), Seq("vec_id"))
+      b0.select(col("vec_id"), col("cell"), lit(0).as("batch"))
+        .unionByName(
+          b1adm.select(col("vec_id"), col("cell"), lit(1).as("batch")))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -6451,6 +6520,109 @@ object Pipeline {
         SELECT p.vec_id, CAST(c.cell AS integer) AS cell,
                CAST(p.pq_code AS bigint) AS pq_code
         FROM pqagg p JOIN svcell c ON p.vec_id = c.vec_id
-        ORDER BY p.vec_id"""
+        ORDER BY p.vec_id""",
+
+    // Decontamination twin: planted contamination re-derived, every
+    // assignment recomputed, the one-sided eval-vs-train rule replayed.
+    "p133_semantic_decontamination" ->
+      s"""WITH ${oKmCtes(KmIters)},
+        dc0 AS (SELECT vec_id, embedding AS v FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) >= 64),
+        dcev AS MATERIALIZED (SELECT vec_id, v FROM dc0
+          WHERE vec_id % 50 = 0),
+        dctr AS MATERIALIZED (
+          SELECT vec_id, v FROM dc0 WHERE vec_id % 50 <> 0
+          UNION ALL SELECT vec_id + 4000000, v FROM dcev
+          UNION ALL SELECT vec_id + 5000000, [0.5::FLOAT] || v[2:]
+          FROM dcev),
+        dcall AS MATERIALIZED (
+          SELECT vec_id, v, 0 AS is_t FROM dcev
+          UNION ALL SELECT vec_id, v, 1 FROM dctr),
+        dcd AS MATERIALIZED (SELECT a.vec_id, a.is_t, c.cell,
+            list_sum(list_transform(list_zip(a.v, c.cv),
+              z -> (z[1]::DOUBLE - z[2]) * (z[1]::DOUBLE - z[2]))) AS d2
+          FROM dcall a CROSS JOIN kmcarr$KmIters c),
+        dca AS MATERIALIZED (SELECT vec_id, is_t, cell FROM
+            (SELECT vec_id, is_t, cell, row_number() OVER
+                (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM dcd)
+          WHERE rn = 1),
+        dchit AS (SELECT x.vec_id FROM dca x
+          JOIN dca y ON x.cell = y.cell AND y.is_t = 0
+          JOIN dcall xv ON xv.vec_id = x.vec_id
+          JOIN dcall yv ON yv.vec_id = y.vec_id
+          WHERE x.is_t = 1
+            AND list_sum(list_transform(list_zip(xv.v, yv.v),
+              z -> (z[1]::DOUBLE - z[2]::DOUBLE)
+                 * (z[1]::DOUBLE - z[2]::DOUBLE))) <= 1.0
+          GROUP BY x.vec_id)
+        SELECT a.vec_id, CAST(a.cell AS bigint) AS cell,
+               (h.vec_id IS NULL) AS kept
+        FROM dca a LEFT JOIN dchit h ON a.vec_id = h.vec_id
+        WHERE a.is_t = 1 ORDER BY a.vec_id""",
+
+    // Sequential-admission twin: both internal dedups and the
+    // batch-vs-corpus admission rule replayed over the trained-cell
+    // assignments.
+    "p134_sequential_vector_admit" ->
+      s"""WITH ${oKmCtes(KmIters)},
+        sv0 AS (SELECT vec_id, embedding AS v FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) >= 64),
+        svb0 AS MATERIALIZED (SELECT vec_id, v FROM sv0
+          WHERE vec_id % 2 = 0),
+        svb1 AS MATERIALIZED (
+          SELECT vec_id, v FROM sv0 WHERE vec_id % 2 = 1
+          UNION ALL SELECT vec_id + 6000000, v FROM sv0
+          WHERE vec_id % 10 = 4),
+        svall AS MATERIALIZED (
+          SELECT vec_id, v, 0 AS b FROM svb0
+          UNION ALL SELECT vec_id, v, 1 FROM svb1),
+        svd AS MATERIALIZED (SELECT a.vec_id, a.b, c.cell,
+            list_sum(list_transform(list_zip(a.v, c.cv),
+              z -> (z[1]::DOUBLE - z[2]) * (z[1]::DOUBLE - z[2]))) AS d2
+          FROM svall a CROSS JOIN kmcarr$KmIters c),
+        sva AS MATERIALIZED (SELECT vec_id, b, cell FROM
+            (SELECT vec_id, b, cell, row_number() OVER
+                (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM svd)
+          WHERE rn = 1),
+        b0dup AS (SELECT x.vec_id FROM sva x
+          JOIN sva y ON x.cell = y.cell AND y.b = 0
+            AND y.vec_id < x.vec_id
+          JOIN svall xv ON xv.vec_id = x.vec_id
+          JOIN svall yv ON yv.vec_id = y.vec_id
+          WHERE x.b = 0
+            AND list_sum(list_transform(list_zip(xv.v, yv.v),
+              z -> (z[1]::DOUBLE - z[2]::DOUBLE)
+                 * (z[1]::DOUBLE - z[2]::DOUBLE))) <= 1.0
+          GROUP BY x.vec_id),
+        b0k AS MATERIALIZED (SELECT a.vec_id, a.cell FROM sva a
+          LEFT JOIN b0dup d ON a.vec_id = d.vec_id
+          WHERE a.b = 0 AND d.vec_id IS NULL),
+        b1dup AS (SELECT x.vec_id FROM sva x
+          JOIN sva y ON x.cell = y.cell AND y.b = 1
+            AND y.vec_id < x.vec_id
+          JOIN svall xv ON xv.vec_id = x.vec_id
+          JOIN svall yv ON yv.vec_id = y.vec_id
+          WHERE x.b = 1
+            AND list_sum(list_transform(list_zip(xv.v, yv.v),
+              z -> (z[1]::DOUBLE - z[2]::DOUBLE)
+                 * (z[1]::DOUBLE - z[2]::DOUBLE))) <= 1.0
+          GROUP BY x.vec_id),
+        b1k AS MATERIALIZED (SELECT a.vec_id, a.cell FROM sva a
+          LEFT JOIN b1dup d ON a.vec_id = d.vec_id
+          WHERE a.b = 1 AND d.vec_id IS NULL),
+        b1hit AS (SELECT x.vec_id FROM b1k x
+          JOIN b0k y ON x.cell = y.cell
+          JOIN svall xv ON xv.vec_id = x.vec_id
+          JOIN svall yv ON yv.vec_id = y.vec_id
+          WHERE list_sum(list_transform(list_zip(xv.v, yv.v),
+              z -> (z[1]::DOUBLE - z[2]::DOUBLE)
+                 * (z[1]::DOUBLE - z[2]::DOUBLE))) <= 1.0
+          GROUP BY x.vec_id)
+        SELECT vec_id, CAST(cell AS bigint) AS cell, 0 AS batch FROM b0k
+        UNION ALL
+        SELECT k.vec_id, CAST(k.cell AS bigint) AS cell, 1 AS batch
+        FROM b1k k LEFT JOIN b1hit h ON k.vec_id = h.vec_id
+        WHERE h.vec_id IS NULL
+        ORDER BY vec_id"""
   )
 }

@@ -233,6 +233,61 @@ object Streams {
       .start()
   }
 
+  /** Streaming VECTOR-ingest loop (the [[dedupIngest]] analog for the
+    * semantic-dedup family): each micro-batch of (id, cell, vector)
+    * rows — cells pre-assigned by the caller's trained quantizer — is
+    * (1) internally SemDeDup'd ([[graft.operators.Similarity
+    * .semanticDedup]]), (2) admitted against the corpus accumulated so
+    * far ([[graft.operators.Similarity.incrementalSemanticDedup]] —
+    * the cluster-scoped batch-vs-corpus join, corpus never
+    * self-joined), and (3) appended to the corpus directory. Same
+    * idempotent `b<batchId>` overwrite discipline as [[dedupIngest]]:
+    * a replayed micro-batch rewrites its own directory, which is
+    * excluded from the corpus it admits against.
+    */
+  def vectorIngest(vecs: DataFrame, corpusDir: String, tau: Double,
+                   idCol: String = "vec_id", cellCol: String = "cell",
+                   vecCol: String = "embedding",
+                   checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Similarity
+    import java.nio.file.{Files, Paths}
+    val writer = vecs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF()
+        val internalKept = Similarity
+          .semanticDedup(b, tau, idCol, cellCol, vecCol)
+          .filter(col("kept")).select(col(idCol))
+        val internal = b.join(internalKept, Seq(idCol))
+        val root = Paths.get(corpusDir)
+        val prior: Seq[String] =
+          if (!Files.isDirectory(root)) Nil
+          else {
+            import scala.jdk.CollectionConverters._
+            val st = Files.list(root)
+            try st.iterator().asScala.toList
+              .filter(p => Files.isDirectory(p) &&
+                p.getFileName.toString != s"b$batchId")
+              .map(_.toString)
+            finally st.close()
+          }
+        val admitted =
+          if (prior.nonEmpty) {
+            val corpus = spark.read.option("recursiveFileLookup", "true")
+              .parquet(prior: _*)
+            val adm = Similarity.incrementalSemanticDedup(corpus, internal,
+                tau, idCol, cellCol, vecCol)
+              .filter(col("kept")).select(col(idCol))
+            internal.join(adm, Seq(idCol))
+          } else internal
+        admitted.write.mode("overwrite").parquet(s"$corpusDir/b$batchId")
+        ()
+    }
+    checkpoint.foldLeft(writer)((w, c) => w.option("checkpointLocation", c))
+      .start()
+  }
+
   /** Read the events table as a FILE STREAM (the parquet file is the
     * micro-batch source), matching `Tables.load`'s nanos handling.
     */

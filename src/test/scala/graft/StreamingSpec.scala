@@ -247,4 +247,45 @@ class StreamingSpec extends AnyFunSuite {
         "replayed batch must rewrite its own dir, not self-suppress")
     } finally q.stop()
   }
+
+  test("vectorIngest: streaming vector-corpus build admits novel " +
+    "vectors, drops within-batch and cross-batch semantic dups, " +
+    "replays idempotently") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val vA = Seq(1.0f, 0.0f); val vB = Seq(5.0f, 0.0f)
+    val vC = Seq(9.0f, 0.0f); val vD = Seq(13.0f, 2.0f)
+    def near(v: Seq[Float]) = Seq(v.head + 0.3f, v(1))
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft_vingest")
+      .toString + "/corpus"
+    val input = MemoryStream[(Long, Long, Seq[Float])]
+    val q = graft.streaming.Streams.vectorIngest(
+      input.toDF().toDF("vec_id", "cell", "embedding"), corpusDir,
+      tau = 0.25)
+    try {
+      // Batch 0: A, A' (within-batch near-dup), B.
+      input.addData((1L, 0L, vA), (2L, 0L, near(vA)), (3L, 0L, vB))
+      q.processAllAvailable()
+      // Batch 1: A'' (cross-batch dup of A), C, C' (within-batch), D.
+      input.addData((4L, 0L, near(vA)), (5L, 0L, vC),
+        (6L, 0L, near(vC)), (7L, 1L, vD))
+      q.processAllAvailable()
+      val corpus = spark.read.option("recursiveFileLookup", "true")
+        .parquet(corpusDir)
+      assert(corpus.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+        == Seq(1L, 3L, 5L, 7L),
+        "corpus must hold exactly the first representative of each group")
+      // Replay idempotence: a failed attempt of batch 2 must not
+      // self-suppress the replay (own dir excluded from the corpus).
+      val vE = Seq(20.0f, 0.0f); val vF = Seq(25.0f, 0.0f)
+      Seq((8L, 0L, vE)).toDF("vec_id", "cell", "embedding")
+        .write.mode("overwrite").parquet(s"$corpusDir/b2")
+      input.addData((8L, 0L, vE), (9L, 1L, vF))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$corpusDir/b2")
+        .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+        == Seq(8L, 9L),
+        "replayed batch must rewrite its own dir, not self-suppress")
+    } finally q.stop()
+  }
 }
