@@ -474,6 +474,10 @@ object Pq {
 
   // One broadcast per application (the Bpe.bigVocabMemo discipline:
   // keyed by applicationId, not the session object).
+  // Memo maps key by applicationId and never evict: one entry per
+  // application lifetime (one app per JVM in every real deployment);
+  // Spark's ContextCleaner reclaims the broadcast itself when the app
+  // stops. Same discipline for the FastText/Bpe/KMeans/Pipeline memos.
   private val codebookMemo = scala.collection.concurrent.TrieMap
     .empty[String, org.apache.spark.broadcast.Broadcast[Array[Double]]]
 
