@@ -168,4 +168,31 @@ object NdvSizing {
         JoinSizingDecision(ls, rs, broadcastRight = false, n))
     }
   }
+
+  /** Default broadcast budget for the measured gates (the
+    * [[sizedEquiJoin]] value, shared so operator call sites and specs
+    * agree on one number).
+    */
+  val DefaultBroadcastBytes: Long = 32L * 1024 * 1024
+
+  /** One-sided half of [[sizedEquiJoin]] — the measured-count broadcast
+    * GATE: hint `broadcast(df)` only when the measured row count × schema
+    * width fits under `broadcastBytes`, otherwise return `df` unhinted
+    * and let the join shuffle. For operators whose "small" side is small
+    * by CONSTRUCTION at fixture scale but merely an aggregate of the
+    * input at corpus scale (one row per clip, one row per cluster…): a
+    * forced hint there rests on Catalyst's size ESTIMATE of an aggregate
+    * and an optimistic guess OOMs the driver at 100 TB, while the
+    * measured count costs one narrow pre-pass — the same trade
+    * [[sizedEquiJoin]] makes. Returns the (possibly hinted) frame plus
+    * the measured rows for observability.
+    */
+  def measuredBroadcast(df: DataFrame,
+                        broadcastBytes: Long = DefaultBroadcastBytes)
+      : (DataFrame, Long) = {
+    val rows = df.count()
+    if (estimatedBytes(df, rows) <= broadcastBytes)
+      (org.apache.spark.sql.functions.broadcast(df), rows)
+    else (df, rows)
+  }
 }

@@ -96,10 +96,15 @@ object SequenceContainment {
     val capped = wins
       .withColumn("__bs", count(lit(1)).over(Window.partitionBy(col("__h"))))
       .filter(col("__bs") <= maxBucketSize).drop("__bs")
-    // Per-id surviving counts: ≤ one slim row per clip, broadcast onto
-    // the aggregate below (no re-shuffle of the candidate stream).
-    val surv = capped.groupBy(col("__id").as("inner_id"))
-      .agg(count(lit(1)).as("__ns"))
+    // Per-id surviving counts: one slim row per clip. Small at fixture
+    // scale but per-CLIP-cardinality at corpus scale, so the broadcast is
+    // gated on a MEASURED count (NdvSizing.measuredBroadcast — the r17
+    // verdict's fix: a forced hint here rested on Catalyst's size
+    // estimate of an aggregate), degrading to a shuffled join past the
+    // budget instead of an executor OOM.
+    val (surv, _) = graft.engine.NdvSizing.measuredBroadcast(
+      capped.groupBy(col("__id").as("inner_id"))
+        .agg(count(lit(1)).as("__ns")))
     val a = capped.select(col("__id").as("inner_id"), col("__pos").as("__wa"),
       col("__n").as("__na"), col("__h"), col("__side").as("__sa"))
     val b = capped.select(col("__id").as("outer_id"), col("__pos").as("__wb"),
@@ -114,7 +119,7 @@ object SequenceContainment {
         (col("__wb") - col("__wa")).cast("long").as("offset_pos"))
       .agg(count(lit(1)).as("n_matched"),
         max(col("__na")).as("__na"), max(col("__nb")).as("__nb"))
-      .join(broadcast(surv), Seq("inner_id"))
+      .join(surv, Seq("inner_id"))
       .filter(col("n_matched") === col("__ns") &&
         col("__ns") >= ceil(col("__na") * lit(minSurvivingFrac)) &&
         (col("__na") < col("__nb") ||
@@ -142,12 +147,16 @@ object SequenceContainment {
     *
     * `ids`: one row per clip id (column `id`). Output: (id,
     * is_survivor) for every input id. The dropped set is a slim
-    * distinct aggregate broadcast onto the id list.
+    * distinct aggregate; its broadcast is gated on a measured count
+    * ([[graft.engine.NdvSizing.measuredBroadcast]] — per-clip
+    * cardinality at corpus scale, same rationale as the surviving-count
+    * join above), falling back to a shuffled left join past the budget.
     */
   def survivors(ids: DataFrame, pairList: DataFrame): DataFrame = {
-    val dropped = pairList.select(col("inner_id").as("id")).distinct()
-      .withColumn("__dropped", lit(1))
-    ids.join(broadcast(dropped), Seq("id"), "left")
+    val (dropped, _) = graft.engine.NdvSizing.measuredBroadcast(
+      pairList.select(col("inner_id").as("id")).distinct()
+        .withColumn("__dropped", lit(1)))
+    ids.join(dropped, Seq("id"), "left")
       .select(col("id"), col("__dropped").isNull.as("is_survivor"))
   }
 }

@@ -2364,10 +2364,11 @@ object Pipeline {
     // rule. Cross-cell dups are unreported BY DESIGN (the SemDeDup
     // recall tradeoff, spec-pinned in SimilaritySpec). ----
     "p120_semantic_dedup" -> ((s, dir) => {
+      plantedIdGuard(s, dir)
       val m = kmModel(s, dir)
       val base = emb(s, dir)
         .filter(col("embedding").isNotNull && size(col("embedding")) >= 64)
-        .select(col("vec_id"), col("embedding"))
+        .select(col("vec_id"), slice(col("embedding"), 1, 64).as("embedding"))
       val exactCopies = base.filter(col("vec_id") % 10 === 3)
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
       val nearCopies = base.filter(col("vec_id") % 20 === 7)
@@ -2723,10 +2724,11 @@ object Pipeline {
     // the output. The oracle replays training, all assignments, both
     // pair rules, and the survivor set. ----
     "p130_incremental_semantic_dedup" -> ((s, dir) => {
+      plantedIdGuard(s, dir)
       val m = kmModel(s, dir)
       val base = emb(s, dir)
         .filter(col("embedding").isNotNull && size(col("embedding")) >= 64)
-        .select(col("vec_id"), col("embedding"))
+        .select(col("vec_id"), slice(col("embedding"), 1, 64).as("embedding"))
       val exactCopies = base.filter(col("vec_id") % 10 === 3)
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
       val nearCopies = base.filter(col("vec_id") % 20 === 7)
@@ -2811,10 +2813,11 @@ object Pipeline {
     // The fixture plants contamination: byte-exact eval copies and
     // dim-replaced near-copies re-ingested under training ids. ----
     "p133_semantic_decontamination" -> ((s, dir) => {
+      plantedIdGuard(s, dir)
       val m = kmModel(s, dir)
       val e = emb(s, dir)
         .filter(col("embedding").isNotNull && size(col("embedding")) >= 64)
-        .select(col("vec_id"), col("embedding"))
+        .select(col("vec_id"), slice(col("embedding"), 1, 64).as("embedding"))
       val evalPanel = e.filter(col("vec_id") % 50 === 0)
       val contamExact = evalPanel
         .select((col("vec_id") + 4000000L).as("vec_id"), col("embedding"))
@@ -2844,10 +2847,11 @@ object Pipeline {
     // the foreachBatch loop (idempotent b<id> replay) over the same
     // operators. ----
     "p134_sequential_vector_admit" -> ((s, dir) => {
+      plantedIdGuard(s, dir)
       val m = kmModel(s, dir)
       val e = emb(s, dir)
         .filter(col("embedding").isNotNull && size(col("embedding")) >= 64)
-        .select(col("vec_id"), col("embedding"))
+        .select(col("vec_id"), slice(col("embedding"), 1, 64).as("embedding"))
       def dl = graft.functions.KMeans.dists(col("embedding"), m, s)
       def assign(df: DataFrame): DataFrame =
         df.select(col("vec_id"), col("embedding"),
@@ -2872,6 +2876,31 @@ object Pipeline {
         .orderBy(col("vec_id"))
     })
   )
+
+  /** Fixture contract of the planted-duplicate vector families
+    * (p120/p130/p133/p134): their re-ingested copies mint ids at fixed
+    * decimal offsets (+1e6 … +6e6), so corpus ids must stay below 1e6
+    * or the planted groups would collide with real ids — silently, and
+    * identically in the oracle twin (ADVICE r17). Asserted once per
+    * (application, fixture dir): one max() over the id column (a
+    * column-pruned scan, memoized like [[Queries.embCount]]), failing
+    * LOUDLY instead of corrupting both engines the same way. A fixture
+    * that legitimately outgrows 1e6 ids should move these families to
+    * the high-bit offset scheme ([[CopyIdOffset]]).
+    */
+  private val maxVecIdMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+
+  private def plantedIdGuard(s: SparkSession, dir: String): Unit = {
+    val mx = maxVecIdMemo.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir), {
+        val r = emb(s, dir).agg(max(col("vec_id"))).collect()(0)
+        if (r.isNullAt(0)) -1L else r.getLong(0)
+      })
+    require(mx < 1000000L,
+      s"planted-copy id offsets (+1e6..+6e6) collide with corpus ids: " +
+        s"max vec_id=$mx in $dir")
+  }
 
   /** One trained PQ codebook per (application, fixture dir) — p117/p118
     * share it (the kmModel memo discipline).
@@ -6104,7 +6133,7 @@ object Pipeline {
     // keep-smallest-id rule — all recomputed.
     "p120_semantic_dedup" ->
       s"""WITH ${oKmCtes(KmIters)},
-        sd0 AS (SELECT vec_id, embedding AS v FROM embeddings
+        sd0 AS (SELECT vec_id, embedding[:64] AS v FROM embeddings
           WHERE embedding IS NOT NULL AND len(embedding) >= 64),
         sdall AS MATERIALIZED (
           SELECT vec_id, v FROM sd0
@@ -6439,7 +6468,7 @@ object Pipeline {
     // corpus-beats-batch and smaller-batch-id rules replayed.
     "p130_incremental_semantic_dedup" ->
       s"""WITH ${oKmCtes(KmIters)},
-        nd0 AS (SELECT vec_id, embedding AS v FROM embeddings
+        nd0 AS (SELECT vec_id, embedding[:64] AS v FROM embeddings
           WHERE embedding IS NOT NULL AND len(embedding) >= 64),
         ndb AS MATERIALIZED (
           SELECT vec_id + 1000000 AS vec_id, v FROM nd0 WHERE vec_id % 10 = 3
@@ -6526,7 +6555,7 @@ object Pipeline {
     // assignment recomputed, the one-sided eval-vs-train rule replayed.
     "p133_semantic_decontamination" ->
       s"""WITH ${oKmCtes(KmIters)},
-        dc0 AS (SELECT vec_id, embedding AS v FROM embeddings
+        dc0 AS (SELECT vec_id, embedding[:64] AS v FROM embeddings
           WHERE embedding IS NOT NULL AND len(embedding) >= 64),
         dcev AS MATERIALIZED (SELECT vec_id, v FROM dc0
           WHERE vec_id % 50 = 0),
@@ -6565,7 +6594,7 @@ object Pipeline {
     // assignments.
     "p134_sequential_vector_admit" ->
       s"""WITH ${oKmCtes(KmIters)},
-        sv0 AS (SELECT vec_id, embedding AS v FROM embeddings
+        sv0 AS (SELECT vec_id, embedding[:64] AS v FROM embeddings
           WHERE embedding IS NOT NULL AND len(embedding) >= 64),
         svb0 AS MATERIALIZED (SELECT vec_id, v FROM sv0
           WHERE vec_id % 2 = 0),

@@ -197,7 +197,6 @@ object Streams {
                   checkpoint: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
-    import java.nio.file.{Files, Paths}
     val writer = docs.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
@@ -207,18 +206,7 @@ object Streams {
         // own b<batchId> dir is excluded: on micro-batch replay it holds
         // the failed attempt's output, and admitting the batch against its
         // own rows would suppress everything to empty.
-        val root = Paths.get(corpusDir)
-        val prior: Seq[String] =
-          if (!Files.isDirectory(root)) Nil
-          else {
-            import scala.jdk.CollectionConverters._
-            val s = Files.list(root)
-            try s.iterator().asScala.toList
-              .filter(p => Files.isDirectory(p) &&
-                p.getFileName.toString != s"b$batchId")
-              .map(_.toString)
-            finally s.close()
-          }
+        val prior = priorBatchDirs(spark, corpusDir, batchId)
         val admitted =
           if (prior.nonEmpty)
             Dedup.incrementalAdmit(
@@ -251,7 +239,6 @@ object Streams {
                    checkpoint: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Similarity
-    import java.nio.file.{Files, Paths}
     val writer = vecs.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
@@ -260,18 +247,7 @@ object Streams {
           .semanticDedup(b, tau, idCol, cellCol, vecCol)
           .filter(col("kept")).select(col(idCol))
         val internal = b.join(internalKept, Seq(idCol))
-        val root = Paths.get(corpusDir)
-        val prior: Seq[String] =
-          if (!Files.isDirectory(root)) Nil
-          else {
-            import scala.jdk.CollectionConverters._
-            val st = Files.list(root)
-            try st.iterator().asScala.toList
-              .filter(p => Files.isDirectory(p) &&
-                p.getFileName.toString != s"b$batchId")
-              .map(_.toString)
-            finally st.close()
-          }
+        val prior = priorBatchDirs(spark, corpusDir, batchId)
         val admitted =
           if (prior.nonEmpty) {
             val corpus = spark.read.option("recursiveFileLookup", "true")
@@ -288,6 +264,81 @@ object Streams {
       .start()
   }
 
+  /** Every PRIOR batch subdirectory of an ingest-loop corpus dir —
+    * listed through the Hadoop `FileSystem` API (not `java.nio`), so the
+    * foreachBatch loops work against any filesystem the read/write sides
+    * already reach (HDFS, object stores with an FS adapter, `file:/`) —
+    * the r17 verdict's locality fix. The current batch's own
+    * `b<batchId>` dir is excluded (replay holds the failed attempt).
+    */
+  private def priorBatchDirs(spark: SparkSession, corpusDir: String,
+                             batchId: Long): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(corpusDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName != s"b$batchId")
+      .map(_.getPath.toString)
+  }
+
+  /** Stage a single fixture parquet file into a scratch DIRECTORY (the
+    * file stream source requires one): hardlink when possible, copy
+    * otherwise. The staged dir is keyed by the source's absolute path
+    * plus (NANOSECOND mtime, length) — millisecond keys could serve a
+    * stale hardlink for a fixture regenerated at identical byte size
+    * within the same millisecond (ADVICE r17) — and older stagings of
+    * the SAME fixture path are pruned on each new version, so
+    * regenerations don't accumulate dead directories.
+    */
+  private def stagedStreamDir(dir: String, fileName: String,
+                              sub: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    val abs = Paths.get(dir).toAbsolutePath
+    val srcFile = abs.resolve(fileName)
+    val ver =
+      if (Files.exists(srcFile))
+        s"${Files.getLastModifiedTime(srcFile)
+          .to(java.util.concurrent.TimeUnit.NANOSECONDS)}-${Files.size(srcFile)}"
+      else "absent"
+    def hex(sd: String): String = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(sd) & 0xffffffffL)
+    val base = Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_derived")
+    // Two-part key: a stable per-(path, file) prefix, then the version —
+    // so stale versions of the same fixture are FINDABLE for pruning
+    // while distinct fixtures never collide.
+    val prefix = s"${abs.getFileName}-${hex(s"$abs|$fileName")}-"
+    val rootName = prefix + hex(ver)
+    if (Files.isDirectory(base)) {
+      // Best-effort prune: a sibling with the same prefix but a different
+      // version hash is by definition stale (the source file changed).
+      import scala.jdk.CollectionConverters._
+      val st = Files.list(base)
+      try st.iterator().asScala.toList
+        .filter(p => p.getFileName.toString.startsWith(prefix) &&
+          p.getFileName.toString != rootName)
+        .foreach { stale =>
+          try Files.walk(stale).iterator().asScala.toSeq.reverse
+            .foreach(Files.deleteIfExists(_))
+          catch { case _: Exception => () }
+        }
+      finally st.close()
+    }
+    val streamDir = base.resolve(rootName).resolve(sub)
+    val target = streamDir.resolve(fileName)
+    if (!Files.exists(target)) {
+      Files.createDirectories(streamDir)
+      // Concurrent stagers race benignly: whoever loses either step finds
+      // the file already present (same source), which is success.
+      try Files.createLink(target, srcFile)
+      catch { case _: Exception =>
+        try Files.copy(srcFile, target)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      }
+    }
+    streamDir
+  }
+
   /** Read the events table as a FILE STREAM (the parquet file is the
     * micro-batch source), matching `Tables.load`'s nanos handling.
     */
@@ -295,34 +346,7 @@ object Streams {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    // The file stream source requires a DIRECTORY; stage the single events
-    // file into a scratch dir once (hardlink when possible, copy otherwise).
-    import java.nio.file.{Files, Paths}
-    // Key the staged dir by absolute path + source (mtime, length): a
-    // regenerated events.parquet changes the key, so a stale hardlink
-    // pinning the old inode is never served.
-    val abs = Paths.get(dir).toAbsolutePath
-    val srcFile = abs.resolve("events.parquet")
-    val ver =
-      if (Files.exists(srcFile))
-        s"${Files.getLastModifiedTime(srcFile).toMillis}-${Files.size(srcFile)}"
-      else "absent"
-    val key = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(s"$abs|$ver") & 0xffffffffL)
-    val streamDir = Paths.get(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_derived",
-      s"${abs.getFileName}-$key", "events_stream")
-    val target = streamDir.resolve("events.parquet")
-    if (!Files.exists(target)) {
-      Files.createDirectories(streamDir)
-      // Concurrent stagers race benignly: whoever loses either step finds
-      // the file already present (same source), which is success.
-      try Files.createLink(target, Paths.get(s"$dir/events.parquet"))
-      catch { case _: Exception =>
-        try Files.copy(Paths.get(s"$dir/events.parquet"), target)
-        catch { case _: java.nio.file.FileAlreadyExistsException => () }
-      }
-    }
+    val streamDir = stagedStreamDir(dir, "events.parquet", "events_stream")
     val stream = spark.readStream.schema(raw.schema).parquet(streamDir.toString)
     // Same nanos/NTZ/timestamp normalization as the batch path.
     Tables.normalizeEventTs(stream)
@@ -330,34 +354,13 @@ object Streams {
 
   /** Read the embeddings table as a FILE STREAM (the vector-ingest
     * front door: new embedding shards arrive as files). Same staging
-    * discipline as [[eventsStream]] — the file source needs a
-    * directory, keyed by source (mtime, length) so a regenerated
-    * fixture never serves a stale hardlink. No timestamp columns, so
-    * no normalization.
+    * discipline as [[eventsStream]]; no timestamp columns, so no
+    * normalization.
     */
   def embeddingsStream(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
     val raw = spark.read.parquet(s"$dir/embeddings.parquet")
-    val abs = Paths.get(dir).toAbsolutePath
-    val srcFile = abs.resolve("embeddings.parquet")
-    val ver =
-      if (Files.exists(srcFile))
-        s"${Files.getLastModifiedTime(srcFile).toMillis}-${Files.size(srcFile)}"
-      else "absent"
-    val key = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(s"$abs|$ver") & 0xffffffffL)
-    val streamDir = Paths.get(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_derived",
-      s"${abs.getFileName}-$key", "embeddings_stream")
-    val target = streamDir.resolve("embeddings.parquet")
-    if (!Files.exists(target)) {
-      Files.createDirectories(streamDir)
-      try Files.createLink(target, Paths.get(s"$dir/embeddings.parquet"))
-      catch { case _: Exception =>
-        try Files.copy(Paths.get(s"$dir/embeddings.parquet"), target)
-        catch { case _: java.nio.file.FileAlreadyExistsException => () }
-      }
-    }
+    val streamDir =
+      stagedStreamDir(dir, "embeddings.parquet", "embeddings_stream")
     spark.readStream.schema(raw.schema).parquet(streamDir.toString)
   }
 

@@ -146,4 +146,33 @@ class SequenceContainmentSpec extends AnyFunSuite {
     // surviving windows still fully align into corpus 1 at offset 1
     assert(got == Seq((100L, 1L, 1L, 2L)), s"got $got")
   }
+
+  test("measured broadcast gate (r17 verdict): under the budget the hint " +
+    "lands in the plan; past it the join is unhinted — results identical") {
+    import graft.engine.NdvSizing
+    val wins = clip(1L, (0 until 6).map(p => 100L + p)) ++
+      clip(2L, (0 until 3).map(p => 102L + p)) // 2 ⊂ 1 at offset 2
+    // Helper regimes, pinned directly: a measured 2-row aggregate is
+    // hinted under the default budget, and NOT hinted under a 1-byte one.
+    val agg = df(wins).groupBy(col("id")).agg(count(lit(1)).as("ns"))
+    // Hints only survive as part of a join relation — pin them there.
+    def joinPlan(side: org.apache.spark.sql.DataFrame): String =
+      df(wins).join(side, Seq("id")).queryExecution.optimizedPlan.toString
+    val (hinted, nRows) = NdvSizing.measuredBroadcast(agg)
+    assert(nRows == 2L)
+    assert(joinPlan(hinted).contains("broadcast"),
+      "under-budget side lost its hint")
+    val (unhinted, _) = NdvSizing.measuredBroadcast(agg, broadcastBytes = 1L)
+    assert(!joinPlan(unhinted).contains("broadcast"),
+      "past-budget side still carries a hint")
+    // End to end: pairs() runs through the gate (fixture-scale counts →
+    // hinted) and the containment answer is the structural one.
+    val got = pairs(wins, cap = Long.MaxValue)
+    assert(got == Seq((2L, 1L, 2L, 3L)), s"got $got")
+    val plan = SequenceContainment.pairs(df(wins), "id", "pos", "n", "hash",
+        maxBucketSize = Long.MaxValue)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("broadcast"),
+      s"fixture-scale surviving-count join should be hinted:\n$plan")
+  }
 }

@@ -256,8 +256,11 @@ class StreamingSpec extends AnyFunSuite {
     val vA = Seq(1.0f, 0.0f); val vB = Seq(5.0f, 0.0f)
     val vC = Seq(9.0f, 0.0f); val vD = Seq(13.0f, 2.0f)
     def near(v: Seq[Float]) = Seq(v.head + 0.3f, v(1))
-    val corpusDir = java.nio.file.Files.createTempDirectory("graft_vingest")
-      .toString + "/corpus"
+    // Scheme-prefixed on purpose: the corpus listing goes through the
+    // Hadoop FileSystem API (r17 verdict #3), so a `file:/` URI — the
+    // minimal stand-in for any non-local FS — must work end to end.
+    val corpusDir = "file:" + java.nio.file.Files
+      .createTempDirectory("graft_vingest").toString + "/corpus"
     val input = MemoryStream[(Long, Long, Seq[Float])]
     val q = graft.streaming.Streams.vectorIngest(
       input.toDF().toDF("vec_id", "cell", "embedding"), corpusDir,
@@ -287,5 +290,49 @@ class StreamingSpec extends AnyFunSuite {
         == Seq(8L, 9L),
         "replayed batch must rewrite its own dir, not self-suppress")
     } finally q.stop()
+  }
+
+  test("embeddingsStream staging: a regenerated fixture gets a FRESH " +
+    "staged dir keyed by nanosecond mtime, and the stale staging of the " +
+    "same fixture path is pruned (ADVICE r17)") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft_stage").toString
+    def writeFixture(ids: Seq[Long]): Unit = {
+      val tmp = dir + "/emb_tmp"
+      ids.map(i => (i, Seq(i.toFloat))).toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, Paths.get(dir, "embeddings.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    def stagedDirs(): Seq[String] = {
+      val base = Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_derived")
+      val name = Paths.get(dir).getFileName.toString
+      if (!Files.isDirectory(base)) Nil
+      else {
+        val st = Files.list(base)
+        try st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith(name + "-")).toList
+        finally st.close()
+      }
+    }
+    def streamedIds(name: String): Seq[Long] =
+      Streams.runToMemory(Streams.embeddingsStream(spark, dir),
+          name, mode = OutputMode.Append())
+        .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    writeFixture(Seq(1L, 2L))
+    assert(streamedIds("stage_v1") == Seq(1L, 2L))
+    val firstStaging = stagedDirs()
+    assert(firstStaging.size == 1, s"staging dirs: $firstStaging")
+    writeFixture(Seq(3L, 4L, 5L))
+    assert(streamedIds("stage_v2") == Seq(3L, 4L, 5L),
+      "regenerated fixture must be served fresh, not from a stale hardlink")
+    val secondStaging = stagedDirs()
+    assert(secondStaging.size == 1 && secondStaging != firstStaging,
+      s"stale staging must be pruned: before=$firstStaging after=$secondStaging")
   }
 }
