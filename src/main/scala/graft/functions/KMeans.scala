@@ -144,11 +144,37 @@ object KMeans {
     * iteration, each a small driver exchange); an empty or
     * all-malformed corpus yields an empty model and no jobs beyond the
     * seed probe (the EmptySweep contract: degrade, don't throw).
+    *
+    * `sampleFraction` < 1 trains on the deterministic hash-sample
+    * ([[graft.operators.Sampling.deterministicSample]] — membership a
+    * pure function of the id, so a SQL oracle replays the slice
+    * exactly), PERSISTED across the Lloyd iterations: at 100 TB,
+    * `iters × 2` full-corpus scans is not how anyone trains a coarse
+    * quantizer — FAISS trains on a sample — and the per-iteration cost
+    * decouples from corpus size (the r17 verdict's trainer fix). The
+    * default full-corpus path (no persist: caching 100 TB would be
+    * worse than re-scanning) is kept for fixture-exact oracles.
     */
   def train(df: DataFrame, idCol: String, vecCol: String, k: Int, dim: Int,
-            iters: Int): Model = {
+            iters: Int, sampleFraction: Double = 1.0): Model = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction=$sampleFraction out of (0,1]")
     val spark = df.sparkSession
-    val valid = df.filter(col(vecCol).isNotNull && size(col(vecCol)) >= dim)
+    val all = df.filter(col(vecCol).isNotNull && size(col(vecCol)) >= dim)
+    val sampled = sampleFraction < 1.0
+    val valid =
+      if (sampled)
+        graft.operators.Sampling
+          .deterministicSample(all, idCol, sampleFraction)
+          .select(col(idCol), col(vecCol))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else all
+    try trainOn(valid, spark, idCol, vecCol, k, dim, iters)
+    finally if (sampled) valid.unpersist(false)
+  }
+
+  private def trainOn(valid: DataFrame, spark: SparkSession, idCol: String,
+                      vecCol: String, k: Int, dim: Int, iters: Int): Model = {
     val seeds = valid
       .select(col(idCol).as("__id"), col(vecCol).as("__v"),
         ((col(idCol) * lit(2654435761L)) % lit(4294967296L)).as("__key"))

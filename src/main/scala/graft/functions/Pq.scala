@@ -542,12 +542,37 @@ object Pq {
     * aggregation whose map-side combine bounds the shuffle at
     * M·K·SubDim rows per partition, then a ≤1024-row driver exchange —
     * the k-means model-fitting loop at PQ granularity.
+    *
+    * `sampleFraction` < 1 trains on the deterministic hash-sample,
+    * persisted across iterations — the [[graft.functions.KMeans.train]]
+    * sampling contract (FAISS trains subquantizers on a sample too);
+    * the full-corpus default stays un-persisted for fixture-exact
+    * oracles.
     */
   def train(df: org.apache.spark.sql.DataFrame, idCol: String,
-            vecCol: String, iters: Int): TrainedPq = {
+            vecCol: String, iters: Int,
+            sampleFraction: Double = 1.0): TrainedPq = {
     import org.apache.spark.sql.functions._
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction=$sampleFraction out of (0,1]")
     val spark = df.sparkSession
-    val valid = df.filter(col(vecCol).isNotNull && size(col(vecCol)) >= Dim)
+    val all = df.filter(col(vecCol).isNotNull && size(col(vecCol)) >= Dim)
+    val sampled = sampleFraction < 1.0
+    val valid =
+      if (sampled)
+        graft.operators.Sampling
+          .deterministicSample(all, idCol, sampleFraction)
+          .select(col(idCol), col(vecCol))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else all
+    try trainOn(valid, spark, idCol, vecCol, iters)
+    finally if (sampled) valid.unpersist(false)
+  }
+
+  private def trainOn(valid: org.apache.spark.sql.DataFrame,
+                      spark: SparkSession, idCol: String,
+                      vecCol: String, iters: Int): TrainedPq = {
+    import org.apache.spark.sql.functions._
     val seeds = valid
       .select(col(idCol).as("__id"), col(vecCol).as("__v"),
         ((col(idCol) * lit(2654435761L)) % lit(4294967296L)).as("__key"))

@@ -2874,8 +2874,81 @@ object Pipeline {
         .unionByName(
           b1adm.select(col("vec_id"), col("cell"), lit(1).as("batch")))
         .orderBy(col("vec_id"))
+    }),
+
+    // ---- k-means trained on the DETERMINISTIC HALF-SAMPLE (the r17
+    // verdict's trainer fix, the FAISS shape: `train` sees a sample,
+    // `add` sees everything): the training slice is the p19 hash-sample
+    // — membership a pure function of the id — persisted across the
+    // Lloyd iterations so per-iteration cost decouples from corpus
+    // size. Output: every centroid of every snapshot, exactly p106's
+    // contract; the oracle replays the whole run over the SAME sample
+    // predicate. ----
+    "p135_kmeans_sampled_train" -> ((s, dir) => {
+      import s.implicits._
+      val m = kmSampledModel(s, dir)
+      val rows: Seq[(Long, Long, Long, Double)] = for {
+        (snap, it) <- m.snapshots.zipWithIndex
+        cell <- 0 until (if (m.dim == 0) 0 else snap.length / m.dim)
+        d <- 0 until m.dim
+      } yield (it.toLong, cell.toLong, d.toLong, snap(cell * m.dim + d))
+      rows.toDF("iter", "cell", "dim_idx", "cval")
+        .orderBy(col("iter"), col("cell"), col("dim_idx"))
+    }),
+
+    // ---- PQ trained on the half-sample, ENCODING THE FULL CORPUS (the
+    // train/add split end to end): every corpus vector's packed code +
+    // reconstruction error under the sample-trained codebook — p95's
+    // output contract with the codebook trained on the slice. The
+    // oracle replays the sampled training and the full-corpus
+    // assignment (oPtCtes src/assignSrc split). ----
+    "p136_pq_sampled_encode" -> ((s, dir) => {
+      val P = graft.functions.Pq
+      val pq = pqSampledModel(s, dir)
+      val e = emb(s, dir)
+        .filter(col("embedding").isNotNull && size(col("embedding")) >= 64)
+      val live = if (pq.codebook.isEmpty) e.limit(0) else e
+      val enc = P.encodeWith(col("embedding"), pq.bc, s)
+      live.select(col("vec_id"),
+          enc.getField("code").as("pq_code"),
+          round(enc.getField("err"), 6).as("rec_err"))
+        .orderBy(col("vec_id"))
     })
   )
+
+  /** Shared sample parameters of the sampled-trainer family
+    * (p135/p136): the deterministic hash-sample keeps ids whose
+    * [[graft.operators.Sampling.bucketHash]] falls under fraction·2^32.
+    * `SampledTrainSql` is the DuckDB twin of that predicate — plain `%`
+    * equals pmod for the non-negative ids the fixture contract
+    * guarantees.
+    */
+  private[queries] val SampledTrainFraction = 0.5
+  private val SampledTrainCutoff =
+    (SampledTrainFraction * 4294967296.0).toLong
+  private val SampledTrainSql =
+    s"""(SELECT vec_id, embedding FROM embeddings
+       WHERE ((vec_id % 4294967296) * 1103515245) % 4294967296
+             < $SampledTrainCutoff)"""
+
+  private val kmSampledMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), graft.functions.KMeans.Model]
+
+  private def kmSampledModel(s: SparkSession, dir: String)
+      : graft.functions.KMeans.Model =
+    kmSampledMemo.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.functions.KMeans.train(emb(s, dir), "vec_id", "embedding",
+        k = 16, dim = 64, iters = KmIters,
+        sampleFraction = SampledTrainFraction))
+
+  private val pqSampledMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), graft.functions.Pq.TrainedPq]
+
+  private def pqSampledModel(s: SparkSession, dir: String)
+      : graft.functions.Pq.TrainedPq =
+    pqSampledMemo.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.functions.Pq.train(emb(s, dir), "vec_id", "embedding",
+        iters = KmIters, sampleFraction = SampledTrainFraction))
 
   /** Fixture contract of the planted-duplicate vector families
     * (p120/p130/p133/p134): their re-ingested copies mint ids at fixed
@@ -3453,14 +3526,25 @@ object Pipeline {
     * decimal(18,9)-sum/round-6 mean, LEFT JOIN + coalesce empty-cell
     * carry.
     */
-  private def oKmCtes(iters: Int): String = {
+  /** DuckDB twin of [[graft.functions.KMeans.train]], unrolled. `src`
+    * generalizes the TRAINING relation (default: the embeddings table;
+    * the sampled-train family passes the hash-sample subquery, the
+    * rebuild family the drifted corpus); `assignSrc` the relation the
+    * final snapshot ASSIGNS (`kmdF`) — FAISS's train-on-sample /
+    * add-everything split. Both accept a table name or an aliasable
+    * parenthesized subquery; null `assignSrc` means "same as src".
+    */
+  private def oKmCtes(iters: Int, src: String = "embeddings",
+                      assignSrc: String = null): String = {
+    val asrc = Option(assignSrc).getOrElse(src)
     val sb = new StringBuilder
     sb.append(
-      s"""kmseed AS (SELECT vec_id, embedding,
+      s"""kmsrc AS MATERIALIZED (SELECT vec_id, embedding FROM $src kmsv
+        WHERE embedding IS NOT NULL AND len(embedding) >= 64),
+      kmseed AS (SELECT vec_id, embedding,
           row_number() OVER (ORDER BY (vec_id * 2654435761) % 4294967296,
                              vec_id) AS rk
-        FROM embeddings
-        WHERE embedding IS NOT NULL AND len(embedding) >= 64),
+        FROM kmsrc),
       kmc0 AS (SELECT 0 AS iter, rk - 1 AS cell, t.d - 1 AS dim,
           embedding[t.d]::DOUBLE AS cval
         FROM kmseed, unnest(range(1, 65)) AS t(d) WHERE rk <= 16)""")
@@ -3472,8 +3556,7 @@ object Pipeline {
       kmd$t AS (SELECT e.vec_id, c.cell,
           list_sum(list_transform(list_zip(e.embedding, c.cv),
             z -> (z[1]::DOUBLE - z[2]) * (z[1]::DOUBLE - z[2]))) AS d2
-        FROM embeddings e CROSS JOIN kmcarr$p c
-        WHERE e.embedding IS NOT NULL AND len(e.embedding) >= 64),
+        FROM kmsrc e CROSS JOIN kmcarr$p c),
       kma$t AS (SELECT vec_id,
           list_position(l, list_min(l)) - 1 AS cell
         FROM (SELECT vec_id, list(d2 ORDER BY cell) AS l
@@ -3481,7 +3564,7 @@ object Pipeline {
       kmm$t AS (SELECT a.cell, t.d - 1 AS dim,
           round(cast(sum(cast(e.embedding[t.d]::DOUBLE AS decimal(18,9))) AS double)
             / count(*), 6) AS cval
-        FROM kma$t a JOIN embeddings e USING (vec_id),
+        FROM kma$t a JOIN kmsrc e USING (vec_id),
              unnest(range(1, 65)) AS t(d)
         GROUP BY a.cell, t.d),
       kmc$t AS (SELECT $t AS iter, prev.cell, prev.dim,
@@ -3492,11 +3575,12 @@ object Pipeline {
     sb.append(s""",
       kmcarr$iters AS (SELECT cell, list(cval ORDER BY dim) AS cv
         FROM kmc$iters GROUP BY cell),
+      kmasrc AS MATERIALIZED (SELECT vec_id, embedding FROM $asrc kmav
+        WHERE embedding IS NOT NULL AND len(embedding) >= 64),
       kmdF AS (SELECT e.vec_id, c.cell,
           list_sum(list_transform(list_zip(e.embedding, c.cv),
             z -> (z[1]::DOUBLE - z[2]) * (z[1]::DOUBLE - z[2]))) AS d2
-        FROM embeddings e CROSS JOIN kmcarr$iters c
-        WHERE e.embedding IS NOT NULL AND len(e.embedding) >= 64)""")
+        FROM kmasrc e CROSS JOIN kmcarr$iters c)""")
     sb.toString
   }
 
@@ -3556,7 +3640,9 @@ object Pipeline {
     * surfaced as a round-6 mean landing on the flipped side of a
     * boundary. The double path is the shared exact semantics.
     */
-  private def oPtCtes(iters: Int, src: String = "embeddings"): String = {
+  private def oPtCtes(iters: Int, src: String = "embeddings",
+                      assignSrc: String = null): String = {
+    val asrc = Option(assignSrc).getOrElse(src)
     val sb = new StringBuilder
     sb.append(
       s"""ptsrc AS MATERIALIZED (SELECT vec_id, embedding FROM $src sv
@@ -3599,11 +3685,13 @@ object Pipeline {
     sb.append(s""",
       ptarr$iters AS MATERIALIZED (SELECT m, cell,
           list(cval ORDER BY dim) AS cv FROM pt$iters GROUP BY m, cell),
+      ptasrc AS MATERIALIZED (SELECT vec_id, embedding FROM $asrc av
+        WHERE embedding IS NOT NULL AND len(embedding) >= 64),
       ptdF AS MATERIALIZED (SELECT e.vec_id, c.m, c.cell,
           list_sum(list_transform(range(0, 8), j ->
             (e.embedding[c.m*8 + j + 1]::DOUBLE - c.cv[j + 1])
               * (e.embedding[c.m*8 + j + 1]::DOUBLE - c.cv[j + 1]))) AS d2
-        FROM ptsrc e CROSS JOIN ptarr$iters c),
+        FROM ptasrc e CROSS JOIN ptarr$iters c),
       ptbest AS MATERIALIZED (SELECT vec_id, m,
           list_position(l, list_min(l)) - 1 AS code
         FROM (SELECT vec_id, m, list(d2 ORDER BY cell) AS l
@@ -6652,6 +6740,34 @@ object Pipeline {
         SELECT k.vec_id, CAST(k.cell AS bigint) AS cell, 1 AS batch
         FROM b1k k LEFT JOIN b1hit h ON k.vec_id = h.vec_id
         WHERE h.vec_id IS NULL
-        ORDER BY vec_id"""
+        ORDER BY vec_id""",
+
+    // Sampled-train twin: the full Lloyd replay (seeds, assignments,
+    // decimal means, empty-cell carry) over the SAME deterministic
+    // hash-sample predicate the engine trains on.
+    "p135_kmeans_sampled_train" ->
+      s"""WITH ${oKmCtes(KmIters, SampledTrainSql)}
+        SELECT CAST(iter AS bigint) AS iter, CAST(cell AS bigint) AS cell,
+               CAST(dim AS bigint) AS dim_idx, cval
+        FROM (SELECT * FROM kmc0 UNION ALL SELECT * FROM kmc1
+              UNION ALL SELECT * FROM kmc2 UNION ALL SELECT * FROM kmc3)
+        ORDER BY iter, cell, dim_idx""",
+
+    // Sampled-PQ twin: per-subspace training replayed over the sample,
+    // then the FULL corpus assigned against the final snapshot (the
+    // oPtCtes src/assignSrc split) — packed codes and m-ascending
+    // reconstruction errors recomputed arithmetically.
+    "p136_pq_sampled_encode" ->
+      s"""WITH ${oPtCtes(KmIters, SampledTrainSql, "embeddings")},
+        pscode AS (SELECT vec_id,
+            CAST(sum(CAST(code AS bigint) << (4 * m)) AS bigint) AS pq_code
+          FROM ptbest GROUP BY vec_id),
+        pserr AS (SELECT vec_id, list_sum(list(md ORDER BY m)) AS err
+          FROM (SELECT vec_id, m, min(d2) AS md
+                FROM ptdF GROUP BY vec_id, m)
+          GROUP BY vec_id)
+        SELECT c.vec_id, c.pq_code, round(e.err, 6) AS rec_err
+        FROM pscode c JOIN pserr e USING (vec_id)
+        ORDER BY c.vec_id"""
   )
 }

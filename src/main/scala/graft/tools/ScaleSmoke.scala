@@ -343,6 +343,19 @@ object ScaleSmoke {
         .train(df, "vec_id", "embedding", iters = 2)
         .codebook.length.toLong,
       emb1, embN, "pqTrain(2it)")
+    // Round-18: the sampled trainer under the production discipline —
+    // fraction sized so the TRAINING SLICE stays ~constant as the corpus
+    // grows (the FAISS train-on-sample shape). Per-iteration cost should
+    // decouple from corpus size; the residual exponent is the one
+    // up-front count + sample scan.
+    bench2({ df =>
+      val n = math.max(1L, df.count())
+      val frac = math.min(1.0, 4000.0 / n)
+      graft.functions.KMeans
+        .train(df, "vec_id", "embedding", k = 16, dim = 64, iters = 2,
+          sampleFraction = frac)
+        .centroids.length.toLong
+    }, emb1, embN, "kmeansTrainSampled(~4k slice)")
     bench2(df => graft.operators.BpeTrain
         .train(graft.operators.BpeTrain.wordVocab(df, col("text")), 4)
         .merges.length.toLong,

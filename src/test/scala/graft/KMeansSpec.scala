@@ -195,4 +195,28 @@ class KMeansSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString()
     assert(plan.contains("*(1) Project"), s"fell out of WSCG:\n$plan")
   }
+
+  test("sampled training trains on EXACTLY the deterministic hash-sample: " +
+    "snapshots equal a full train over the pre-filtered slice, and the " +
+    "sample sees fewer rows than the corpus") {
+    val df = corpus(80)
+    val frac = 0.5
+    val slice = graft.operators.Sampling
+      .deterministicSample(df, "vec_id", frac)
+    val nSlice = slice.count()
+    assert(nSlice > 0 && nSlice < 80, s"degenerate sample: $nSlice")
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val sampled = KMeans.train(df, "vec_id", "embedding", k = 4, dim = Dim,
+      iters = 2, sampleFraction = frac)
+    val manual = KMeans.train(slice, "vec_id", "embedding", k = 4, dim = Dim,
+      iters = 2)
+    assert(sampled.snapshots.size == manual.snapshots.size)
+    sampled.snapshots.zip(manual.snapshots).foreach { case (a, b) =>
+      assert(a.sameElements(b), "sampled train diverged from the slice train")
+    }
+    assert(sampled.inertia == manual.inertia)
+    // The training slice must not stay cached after train returns.
+    assert(spark.sparkContext.getPersistentRDDs.keySet
+      .subsetOf(cachedBefore), "training slice left persisted")
+  }
 }

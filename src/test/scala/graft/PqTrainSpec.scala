@@ -117,4 +117,23 @@ class PqTrainSpec extends AnyFunSuite {
     val mo = Pq.train(empty, "vec_id", "embedding", 3)
     assert(mo.codebook.isEmpty && mo.inertia.isEmpty)
   }
+
+  test("sampled training equals a full train over the pre-filtered " +
+    "hash-slice and leaves nothing persisted") {
+    val df = corpus(120)
+    val frac = 0.5
+    val slice = graft.operators.Sampling
+      .deterministicSample(df, "vec_id", frac)
+    val nSlice = slice.count()
+    assert(nSlice >= Pq.K && nSlice < 120, s"degenerate sample: $nSlice")
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val sampled = Pq.train(df, "vec_id", "embedding", iters = 2,
+      sampleFraction = frac)
+    val manual = Pq.train(slice, "vec_id", "embedding", iters = 2)
+    assert(sampled.codebook.sameElements(manual.codebook) &&
+      sampled.inertia == manual.inertia,
+      "sampled train diverged from the slice train")
+    assert(spark.sparkContext.getPersistentRDDs.keySet
+      .subsetOf(cachedBefore), "training slice left persisted")
+  }
 }
