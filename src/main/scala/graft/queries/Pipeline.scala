@@ -2913,6 +2913,67 @@ object Pipeline {
           enc.getField("code").as("pq_code"),
           round(enc.getField("err"), 6).as("rec_err"))
         .orderBy(col("vec_id"))
+    }),
+
+    // ---- MULTI-PROBE SemDeDup (the r17 verdict's cross-cell recall
+    // item): p120's fixture under the probed rule — the row under test
+    // compares against smaller-id home-cell rows in its TOP-2 trained
+    // cells, recovering boundary near-dups the single-cell scope
+    // provably misses (SimilaritySpec plants the miss/catch pair). The
+    // oracle recomputes the top-2 argmin expansion and both pair rules. ----
+    "p137_semantic_dedup_multiprobe" -> ((s, dir) => {
+      plantedIdGuard(s, dir)
+      val m = kmModel(s, dir)
+      val base = emb(s, dir)
+        .filter(col("embedding").isNotNull && size(col("embedding")) >= 64)
+        .select(col("vec_id"), slice(col("embedding"), 1, 64).as("embedding"))
+      val exactCopies = base.filter(col("vec_id") % 10 === 3)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val nearCopies = base.filter(col("vec_id") % 20 === 7)
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          concat(array(lit(0.5f)), slice(col("embedding"), 2, 63))
+            .as("embedding"))
+      val all = base.unionByName(exactCopies).unionByName(nearCopies)
+      val dl = graft.functions.KMeans.dists(col("embedding"), m, s)
+      val probed = all.select(col("vec_id"), col("embedding"),
+        transform(slice(sort_array(transform(dl,
+            (d, l) => struct(d.as("d"), l.as("l")))), 1, 2),
+          p => p.getField("l").cast("bigint")).as("cells"))
+      Similarity.semanticDedupProbed(probed, tau = 1.0)
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- multi-probe INCREMENTAL SemDeDup: p130's refresh fixture with
+    // the batch side probing its top-2 trained cells against home-cell
+    // corpus and smaller-id home-cell batch rows — the daily refresh
+    // with boundary recall. ----
+    "p138_incremental_multiprobe_dedup" -> ((s, dir) => {
+      plantedIdGuard(s, dir)
+      val m = kmModel(s, dir)
+      val base = emb(s, dir)
+        .filter(col("embedding").isNotNull && size(col("embedding")) >= 64)
+        .select(col("vec_id"), slice(col("embedding"), 1, 64).as("embedding"))
+      val exactCopies = base.filter(col("vec_id") % 10 === 3)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val nearCopies = base.filter(col("vec_id") % 20 === 7)
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          concat(array(lit(0.5f)), slice(col("embedding"), 2, 63))
+            .as("embedding"))
+      val fresh = base.filter(col("vec_id") % 25 === 11)
+        .select((col("vec_id") + 3000000L).as("vec_id"),
+          concat(array_repeat(lit(0.9f), 8), slice(col("embedding"), 9, 56))
+            .as("embedding"))
+      val batch = exactCopies.unionByName(nearCopies).unionByName(fresh)
+      def dl = graft.functions.KMeans.dists(col("embedding"), m, s)
+      val corpus = base.select(col("vec_id"), col("embedding"),
+        (array_position(dl, array_min(dl)) - 1).cast("bigint").as("cell"))
+      val probedBatch = batch.select(col("vec_id"), col("embedding"),
+        transform(slice(sort_array(transform(dl,
+            (d, l) => struct(d.as("d"), l.as("l")))), 1, 2),
+          p => p.getField("l").cast("bigint")).as("cells"))
+      Similarity.incrementalSemanticDedupProbed(corpus, probedBatch,
+          tau = 1.0)
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -6768,6 +6829,87 @@ object Pipeline {
           GROUP BY vec_id)
         SELECT c.vec_id, c.pq_code, round(e.err, 6) AS rec_err
         FROM pscode c JOIN pserr e USING (vec_id)
-        ORDER BY c.vec_id"""
+        ORDER BY c.vec_id""",
+
+    // Multi-probe SemDeDup twin: the planted re-ingest, every distance,
+    // the TOP-2 argmin expansion (row_number <= 2) on the probe side,
+    // home cells on the comparison side, keep-smallest-id replayed.
+    "p137_semantic_dedup_multiprobe" ->
+      s"""WITH ${oKmCtes(KmIters)},
+        mp0 AS (SELECT vec_id, embedding[:64] AS v FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) >= 64),
+        mpall AS MATERIALIZED (
+          SELECT vec_id, v FROM mp0
+          UNION ALL
+          SELECT vec_id + 1000000, v FROM mp0 WHERE vec_id % 10 = 3
+          UNION ALL
+          SELECT vec_id + 2000000,
+                 [0.5::FLOAT] || v[2:] FROM mp0 WHERE vec_id % 20 = 7),
+        mpd AS MATERIALIZED (SELECT a.vec_id, c.cell,
+            list_sum(list_transform(list_zip(a.v, c.cv),
+              z -> (z[1]::DOUBLE - z[2]) * (z[1]::DOUBLE - z[2]))) AS d2
+          FROM mpall a CROSS JOIN kmcarr$KmIters c),
+        mpr AS MATERIALIZED (SELECT vec_id, cell,
+            row_number() OVER (PARTITION BY vec_id
+                               ORDER BY d2, cell) AS rn
+          FROM mpd),
+        mph AS MATERIALIZED (SELECT vec_id, cell FROM mpr WHERE rn = 1),
+        mpdup AS (SELECT x.vec_id FROM (SELECT vec_id, cell FROM mpr
+            WHERE rn <= 2) x
+          JOIN mph y ON x.cell = y.cell AND y.vec_id < x.vec_id
+          JOIN mpall xv ON xv.vec_id = x.vec_id
+          JOIN mpall yv ON yv.vec_id = y.vec_id
+          WHERE list_sum(list_transform(list_zip(xv.v, yv.v),
+              z -> (z[1]::DOUBLE - z[2]::DOUBLE)
+                 * (z[1]::DOUBLE - z[2]::DOUBLE))) <= 1.0
+          GROUP BY x.vec_id)
+        SELECT h.vec_id, CAST(h.cell AS bigint) AS cell,
+               (d.vec_id IS NULL) AS kept
+        FROM mph h LEFT JOIN mpdup d ON h.vec_id = d.vec_id
+        ORDER BY h.vec_id""",
+
+    // Multi-probe refresh twin: batch side expanded to its top-2
+    // trained cells, corpus and within-batch comparanda at home cells,
+    // corpus-beats-batch and smaller-batch-id rules replayed.
+    "p138_incremental_multiprobe_dedup" ->
+      s"""WITH ${oKmCtes(KmIters)},
+        mq0 AS (SELECT vec_id, embedding[:64] AS v FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) >= 64),
+        mqb AS MATERIALIZED (
+          SELECT vec_id + 1000000 AS vec_id, v FROM mq0 WHERE vec_id % 10 = 3
+          UNION ALL
+          SELECT vec_id + 2000000, [0.5::FLOAT] || v[2:]
+          FROM mq0 WHERE vec_id % 20 = 7
+          UNION ALL
+          SELECT vec_id + 3000000,
+                 list_transform(range(0, 8), x -> 0.9::FLOAT) || v[9:]
+          FROM mq0 WHERE vec_id % 25 = 11),
+        mqall AS MATERIALIZED (
+          SELECT vec_id, v, 0 AS is_b FROM mq0
+          UNION ALL SELECT vec_id, v, 1 FROM mqb),
+        mqd AS MATERIALIZED (SELECT a.vec_id, a.is_b, c.cell,
+            list_sum(list_transform(list_zip(a.v, c.cv),
+              z -> (z[1]::DOUBLE - z[2]) * (z[1]::DOUBLE - z[2]))) AS d2
+          FROM mqall a CROSS JOIN kmcarr$KmIters c),
+        mqr AS MATERIALIZED (SELECT vec_id, is_b, cell,
+            row_number() OVER (PARTITION BY vec_id
+                               ORDER BY d2, cell) AS rn
+          FROM mqd),
+        mqh AS MATERIALIZED (SELECT vec_id, is_b, cell FROM mqr
+          WHERE rn = 1),
+        mqdup AS (SELECT x.vec_id FROM (SELECT vec_id, cell FROM mqr
+            WHERE is_b = 1 AND rn <= 2) x
+          JOIN mqh y ON x.cell = y.cell
+            AND (y.is_b = 0 OR y.vec_id < x.vec_id)
+          JOIN mqall xv ON xv.vec_id = x.vec_id
+          JOIN mqall yv ON yv.vec_id = y.vec_id
+          WHERE list_sum(list_transform(list_zip(xv.v, yv.v),
+              z -> (z[1]::DOUBLE - z[2]::DOUBLE)
+                 * (z[1]::DOUBLE - z[2]::DOUBLE))) <= 1.0
+          GROUP BY x.vec_id)
+        SELECT h.vec_id, CAST(h.cell AS bigint) AS cell,
+               (d.vec_id IS NULL) AS kept
+        FROM mqh h LEFT JOIN mqdup d ON h.vec_id = d.vec_id
+        WHERE h.is_b = 1 ORDER BY h.vec_id"""
   )
 }

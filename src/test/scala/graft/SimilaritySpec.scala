@@ -418,4 +418,59 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true),
       s"got $got")
   }
+
+  test("semanticDedupProbed catches the just-across-the-boundary pair " +
+    "single-cell semanticDedup provably misses, and reports home cells") {
+    import spark.implicits._
+    // y (id 1): home cell 0. x (id 2): identical vector, home cell 1,
+    // second probe cell 0 — the boundary pair. Single-cell scope (home
+    // cells only) keeps both; the top-2 probe kills x.
+    val rows = Seq(
+      (1L, Seq(0L, 9L), Seq(1.0f, 0.0f)),
+      (2L, Seq(1L, 0L), Seq(1.0f, 0.0f)),
+      (3L, Seq(2L, 3L), Seq(1.0f, 0.0f))  // probes never reach cell 0
+    ).toDF("vec_id", "cells", "embedding")
+    val single = Similarity.semanticDedup(
+        rows.select(col("vec_id"), element_at(col("cells"), 1).as("cell"),
+          col("embedding")), tau = 0.25)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(single == Map(1L -> true, 2L -> true, 3L -> true),
+      s"single-cell baseline must miss the boundary pair: $single")
+    val probed = Similarity.semanticDedupProbed(rows, tau = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1).toSeq
+    assert(probed == Seq((1L, 0L, true), (2L, 1L, false), (3L, 2L, true)),
+      s"got $probed")
+    // Probing is one-sided by convention: the SMALLER id probing into
+    // the larger's home does not kill the larger (only the row under
+    // test expands) — pin that so the convention is explicit.
+    val oneSided = Seq(
+      (1L, Seq(0L, 1L), Seq(1.0f, 0.0f)),   // smaller id probes cell 1
+      (2L, Seq(1L, 9L), Seq(1.0f, 0.0f)))   // larger id never probes 0
+      .toDF("vec_id", "cells", "embedding")
+    val got1 = Similarity.semanticDedupProbed(oneSided, tau = 0.25)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got1 == Map(1L -> true, 2L -> true), s"got $got1")
+  }
+
+  test("incrementalSemanticDedupProbed: batch probes top-2 against " +
+    "home-cell corpus and smaller-id batch rows") {
+    import spark.implicits._
+    val corpus = Seq((100L, 0L, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "cell", "embedding")
+    val batch = Seq(
+      // boundary dup of corpus 100: home 1, second probe 0
+      (1L, Seq(1L, 0L), Seq(1.0f, 0.0f)),
+      // fresh: probes never reach cell 0
+      (2L, Seq(2L, 3L), Seq(1.0f, 0.0f)),
+      // within-batch boundary dup of batch 2 (home 3, probe 2)
+      (3L, Seq(3L, 2L), Seq(1.0f, 0.0f))
+    ).toDF("vec_id", "cells", "embedding")
+    val got = Similarity
+      .incrementalSemanticDedupProbed(corpus, batch, tau = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L, false), (2L, 2L, true), (3L, 3L, false)),
+      s"got $got")
+  }
 }
