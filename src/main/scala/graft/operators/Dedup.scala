@@ -312,6 +312,47 @@ object Dedup {
     corpusOut.unionByName(batchOut)
   }
 
+  /** DELETION propagation through settled cluster labels — the
+    * [[admitToClusters]] dual (right-to-be-forgotten: a delete list must
+    * scrub the corpus, and its cluster labels must stay consistent with
+    * a from-scratch rebuild over the survivors) with the same
+    * bounded-work discipline: node REMOVAL may SPLIT a cluster (the
+    * deleted node was a bridge) or orphan a label (the deleted node was
+    * the cluster minimum), so connected components is recomputed — but
+    * ONLY over clusters that contain a deleted id. Untouched clusters —
+    * the overwhelming majority at 100 TB — keep their labels without
+    * re-running CC or shuffling their rows through it, which is exactly
+    * the from-scratch answer because CC labels are closed over the edge
+    * list: no edge leaves a cluster, so deleting nodes of touched
+    * clusters cannot change any untouched component.
+    *
+    * Contract: `pairs` must be the SAME edge list `labels` was computed
+    * from (the settled state every refresh loop already lands — p92's
+    * fixture shape). Returns (id, cluster_id) for every SURVIVING id,
+    * equal to from-scratch [[connectedComponents]] over the surviving
+    * subgraph (differentially proven by p140's oracle; the cluster
+    * SPLIT case is pinned in DedupPropertySpec).
+    */
+  def propagateDeletes(labels: DataFrame, pairs: DataFrame,
+                       deletes: DataFrame): DataFrame = {
+    val del = deletes.select(col("id")).distinct()
+    // Touched clusters: one slim row per cluster containing a deleted
+    // id — O(|deletes|), measured-gated onto the label scan.
+    val (touched, _) = graft.engine.NdvSizing.measuredBroadcast(
+      labels.join(del, Seq("id")).select(col("cluster_id")).distinct())
+    val untouched = labels.join(touched, Seq("cluster_id"), "left_anti")
+    val tsurv = labels.join(touched, Seq("cluster_id"))
+      .join(del, Seq("id"), "left_anti")
+      .select(col("id"))
+    // Edge list restricted to touched-cluster SURVIVORS on both ends:
+    // the only edges whose components can have changed.
+    val e = pairs.select(col("id_a"), col("id_b"))
+      .join(tsurv.select(col("id").as("id_a")), Seq("id_a"))
+      .join(tsurv.select(col("id").as("id_b")), Seq("id_b"))
+    untouched.select(col("id"), col("cluster_id"))
+      .unionByName(connectedComponents(tsurv, e))
+  }
+
   /** Drop every doc that near-dups a lower-id doc (single pass over the pair
     * list — the greedy keep-lowest rule; full transitive closure would need
     * iterative connected components, overkill for dedup-keep-one).

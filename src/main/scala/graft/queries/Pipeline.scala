@@ -2974,6 +2974,119 @@ object Pipeline {
       Similarity.incrementalSemanticDedupProbed(corpus, probedBatch,
           tau = 1.0)
         .orderBy(col("vec_id"))
+    }),
+
+    // ---- index REBUILD + SWAP (the action on p125's health report —
+    // the lifecycle closure the r17 verdict ranked #3): the corpus has
+    // DRIFTED (fresh vectors the original training never saw); both
+    // layers are RETRAINED from scratch on the drifted corpus, every
+    // vector re-encoded, the new index landed to a fresh versioned
+    // directory, and the serve path flipped to it. Correctness
+    // statement: the post-swap index answers top-k IDENTICALLY to a
+    // from-scratch fully-trained index over the drifted corpus — the
+    // oracle replays both retrainings and the ADC ranking and never
+    // knows a swap (or the old index) existed. ----
+    "p139_index_rebuild_swap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      plantedIdGuard(s, dir)
+      val P = graft.functions.Pq
+      val (km2, pq2) = rebuiltModels(s, dir)
+      val drifted = driftedFrame(s, dir)
+      val live = if (pq2.codebook.isEmpty) drifted.limit(0) else drifted
+      val index = s.read
+        .schema("vec_id BIGINT, cell INT, pq_code BIGINT")
+        .parquet(p139Fixture(s, dir))
+      def dl = graft.functions.KMeans.dists(col("embedding"), km2, s)
+      val qs = live.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"),
+          P.lutWith(col("embedding"), pq2.bc, s).as("lut"),
+          slice(sort_array(transform(dl,
+            (d, l) => struct(d.as("d"), l.as("l")))), 1, 4).as("probes"))
+        .select(col("qid"), col("lut"), explode(col("probes")).as("probe"))
+        .select(col("qid"), col("lut"), col("probe.l").cast("int").as("cell"))
+      val adc = (0 until P.M).map { m =>
+        element_at(col("lut"),
+          (lit(m * P.K + 1) + shiftright(col("pq_code"), 4 * m)
+            .bitwiseAND(lit(15L))).cast("int"))
+      }.reduce(_ + _)
+      index.join(broadcast(qs), Seq("cell"))
+        .withColumn("adc", adc)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("vec_id"), col("rn").cast("long").as("rn"),
+          round(col("adc"), 6).as("adc"))
+        .orderBy(col("qid"), col("rn"))
+    }),
+
+    // ---- DELETION propagation through settled cluster labels (the
+    // right-to-be-forgotten scrub, the admitToClusters dual): the p92
+    // landed image corpus drops every id = 2 (mod 9); labels are
+    // repaired with CC recomputed ONLY over clusters touching a deleted
+    // node — a removed bridge may SPLIT a cluster, a removed minimum
+    // relabels its survivors (both pinned in DedupPropertySpec). The
+    // oracle is from-scratch recursive CC over the SURVIVING subgraph —
+    // equality proves bounded-work deletion computes exactly what a
+    // full rebuild would. ----
+    "p140_deletion_propagation" -> ((s, dir) => {
+      val fx = p92Fixture(s, dir)
+      val labels = s.read.parquet(fx.corpusLabels)
+      val sigs = s.read.parquet(fx.corpusSigs)
+      val pairs = ImageHash.nearDupPairs(sigs,
+          maxBucketSize = Long.MaxValue)
+        .select(col("id_a"), col("id_b"))
+      val deletes = labels.filter(col("id") % 9 === 2).select(col("id"))
+      Dedup.propagateDeletes(labels, pairs, deletes)
+        .orderBy(col("id"))
+    }),
+
+    // ---- deletion through the LANDED vector index (the FAISS
+    // remove_ids shape: entries leave the inverted lists, the trained
+    // models stay — no retrain on delete): p121's admitted index minus
+    // every vec_id = 5 (mod 13), serving the surviving query panel.
+    // The oracle replays both original trainings over the FULL corpus
+    // (models legitimately saw the deleted rows) and ranks over the
+    // survivors only — deletion must be answer-exact, not best-effort. ----
+    "p141_index_delete_serve" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val P = graft.functions.Pq
+      val km = kmModel(s, dir)
+      val pq = pqModel(s, dir)
+      val e = emb(s, dir)
+        .filter(col("embedding").isNotNull && size(col("embedding")) >= 64)
+      val live = if (pq.codebook.isEmpty) e.limit(0) else e
+      def dl = graft.functions.KMeans.dists(col("embedding"), km, s)
+      val corpusIdx = s.read
+        .schema("vec_id BIGINT, cell INT, pq_code BIGINT")
+        .parquet(p121Fixture(s, dir))
+      val batchIdx = live.filter(col("vec_id") % 17 === 3)
+        .select(col("vec_id"),
+          (array_position(dl, array_min(dl)) - 1).cast("int").as("cell"),
+          P.encodeWith(col("embedding"), pq.bc, s).getField("code")
+            .as("pq_code"))
+      val index = corpusIdx.unionByName(batchIdx)
+        .filter(col("vec_id") % 13 =!= 5)
+      val qs = live.filter(col("vec_id") % 50 === 0 &&
+          col("vec_id") % 13 =!= 5)
+        .select(col("vec_id").as("qid"),
+          P.lutWith(col("embedding"), pq.bc, s).as("lut"),
+          slice(sort_array(transform(dl,
+            (d, l) => struct(d.as("d"), l.as("l")))), 1, 4).as("probes"))
+        .select(col("qid"), col("lut"), explode(col("probes")).as("probe"))
+        .select(col("qid"), col("lut"), col("probe.l").cast("int").as("cell"))
+      val adc = (0 until P.M).map { m =>
+        element_at(col("lut"),
+          (lit(m * P.K + 1) + shiftright(col("pq_code"), 4 * m)
+            .bitwiseAND(lit(15L))).cast("int"))
+      }.reduce(_ + _)
+      index.join(broadcast(qs), Seq("cell"))
+        .withColumn("adc", adc)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("vec_id"), col("rn").cast("long").as("rn"),
+          round(col("adc"), 6).as("adc"))
+        .orderBy(col("qid"), col("rn"))
     })
   )
 
@@ -3010,6 +3123,82 @@ object Pipeline {
     pqSampledMemo.getOrElseUpdate((s.sparkContext.applicationId, dir),
       graft.functions.Pq.train(emb(s, dir), "vec_id", "embedding",
         iters = KmIters, sampleFraction = SampledTrainFraction))
+
+  /** The DRIFTED corpus of the rebuild family (p139): the base vectors
+    * plus the p130 fresh rule (+3e6, dims 1-8 replaced — embeddings the
+    * original training never saw, i.e. distribution drift). Both sides
+    * pinned to 64 dims (the planted-family discipline).
+    */
+  private def driftedFrame(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) >= 64)
+      .select(col("vec_id"), slice(col("embedding"), 1, 64).as("embedding"))
+    val fresh = base.filter(col("vec_id") % 25 === 11)
+      .select((col("vec_id") + 3000000L).as("vec_id"),
+        concat(array_repeat(lit(0.9f), 8), slice(col("embedding"), 9, 56))
+          .as("embedding"))
+    base.unionByName(fresh)
+  }
+
+  /** DuckDB twin of [[driftedFrame]] — the `src` both trainer CTE
+    * builders replay the rebuild trainings over.
+    */
+  private val DriftedSql =
+    """(SELECT vec_id, embedding[:64] AS embedding FROM embeddings
+       WHERE embedding IS NOT NULL AND len(embedding) >= 64
+       UNION ALL
+       SELECT vec_id + 3000000,
+              list_transform(range(0, 8), x -> 0.9::FLOAT)
+                || (embedding[:64])[9:]
+       FROM embeddings
+       WHERE embedding IS NOT NULL AND len(embedding) >= 64
+         AND vec_id % 25 = 11)"""
+
+  /** The REBUILT models: coarse + PQ retrained from scratch on the
+    * drifted corpus (the retrain half of the p125 health loop — rising
+    * reconstruction error means the codebooks no longer fit; the fix is
+    * retrain + re-encode + swap, not patching the old model).
+    */
+  private val rebuiltMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String),
+      (graft.functions.KMeans.Model, graft.functions.Pq.TrainedPq)]
+
+  private def rebuiltModels(s: SparkSession, dir: String)
+      : (graft.functions.KMeans.Model, graft.functions.Pq.TrainedPq) =
+    rebuiltMemo.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      val d = driftedFrame(s, dir)
+      (graft.functions.KMeans.train(d, "vec_id", "embedding",
+        k = 16, dim = 64, iters = KmIters),
+        graft.functions.Pq.train(d, "vec_id", "embedding", iters = KmIters))
+    })
+
+  private val p139Memo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  /** p139's SWAPPED index: the drifted corpus re-encoded under the
+    * REBUILT models and landed to a fresh versioned directory (`v2` —
+    * the old landed index, p121's fixture, stays untouched until the
+    * serve path flips to the new root: the atomic-swap deployment
+    * shape). Built once per (application, fixture dir); deterministic
+    * contents, oracle-independent (the p121Fixture discipline).
+    */
+  private def p139Fixture(s: SparkSession, dir: String): String =
+    p139Memo.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      val root = Layout.sinkRoot(s) + "/" + java.util.UUID
+        .nameUUIDFromBytes(("p139fixture:" + dir).getBytes("UTF-8"))
+        .toString + "/v2"
+      val P = graft.functions.Pq
+      val (km2, pq2) = rebuiltModels(s, dir)
+      val d = driftedFrame(s, dir)
+      val live = if (pq2.codebook.isEmpty) d.limit(0) else d
+      def dl = graft.functions.KMeans.dists(col("embedding"), km2, s)
+      live.select(col("vec_id"),
+          (array_position(dl, array_min(dl)) - 1).cast("int").as("cell"),
+          P.encodeWith(col("embedding"), pq2.bc, s).getField("code")
+            .as("pq_code"))
+        .write.mode("overwrite").parquet(root)
+      root
+    })
 
   /** Fixture contract of the planted-duplicate vector families
     * (p120/p130/p133/p134): their re-ingested copies mint ids at fixed
@@ -6910,6 +7099,103 @@ object Pipeline {
         SELECT h.vec_id, CAST(h.cell AS bigint) AS cell,
                (d.vec_id IS NULL) AS kept
         FROM mqh h LEFT JOIN mqdup d ON h.vec_id = d.vec_id
-        WHERE h.is_b = 1 ORDER BY h.vec_id"""
+        WHERE h.is_b = 1 ORDER BY h.vec_id""",
+
+    // Rebuild twin: the from-scratch fully-trained index over the
+    // DRIFTED relation — both retrainings replayed (oKmCtes/oPtCtes
+    // src = the drifted subquery), cells, codes, probes, and every ADC
+    // distance recomputed — with no knowledge of the old index, the
+    // landing directory, or the swap.
+    "p139_index_rebuild_swap" ->
+      s"""WITH ${oPtCtes(KmIters, DriftedSql)}, ${oKmCtes(KmIters, DriftedSql)},
+        rbcell AS (SELECT vec_id, cell FROM
+            (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                ORDER BY d2, cell) AS rn FROM kmdF)
+          WHERE rn = 1),
+        rbq AS (SELECT vec_id AS qid, cell,
+            row_number() OVER (PARTITION BY vec_id
+                               ORDER BY d2, cell) AS pr
+          FROM kmdF WHERE vec_id % 50 = 0),
+        rbcand AS (SELECT p.qid, c.vec_id
+          FROM (SELECT qid, cell FROM rbq WHERE pr <= 4) p
+          JOIN rbcell c ON p.cell = c.cell),
+        rbdm AS (SELECT cd.qid, cd.vec_id, b.m,
+            list_sum(list_transform(range(0, 8), j ->
+              (q.embedding[b.m*8 + j + 1]::DOUBLE - a.cv[j + 1])
+                * (q.embedding[b.m*8 + j + 1]::DOUBLE - a.cv[j + 1]))) AS d
+          FROM rbcand cd
+          JOIN kmasrc q ON q.vec_id = cd.qid
+          JOIN ptbest b ON cd.vec_id = b.vec_id
+          JOIN ptarr$KmIters a ON a.m = b.m AND a.cell = b.code),
+        rbadc AS (SELECT qid, vec_id,
+            list_sum(list(d ORDER BY m)) AS adc
+          FROM rbdm GROUP BY qid, vec_id),
+        rbr AS (SELECT qid, vec_id, adc,
+            row_number() OVER (PARTITION BY qid
+                               ORDER BY adc, vec_id) AS rn
+          FROM rbadc)
+        SELECT qid, vec_id, rn, round(adc, 6) AS adc
+        FROM rbr WHERE rn <= 5 ORDER BY qid, rn""",
+
+    // Deletion-propagation twin: from-scratch recursive CC over the
+    // SURVIVING subgraph (the p92 corpus-half planted rule minus every
+    // id = 2 mod 9) — bounded-work label repair must equal the full
+    // rebuild.
+    "p140_deletion_propagation" ->
+      s"""WITH RECURSIVE delall AS (
+          SELECT doc_id AS id, doc_id AS src FROM documents
+          UNION ALL
+          SELECT doc_id + $CopyIdOffset AS id, doc_id AS src FROM documents
+          WHERE doc_id % 5 = 0),
+        allids AS (SELECT id, src FROM delall WHERE id % 9 <> 2),
+        ${oDhashCtes(oPixelFp)},
+        pr AS (SELECT a.id AS id_a, b.id AS id_b
+          FROM words a JOIN words b ON a.id < b.id
+          WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3),
+        e AS (SELECT id_a AS s, id_b AS d FROM pr
+              UNION ALL SELECT id_b, id_a FROM pr),
+        rec AS (
+          SELECT id, id AS reach FROM allids
+          UNION
+          SELECT e.s, rec.reach FROM e JOIN rec ON e.d = rec.id)
+        SELECT id, min(reach) AS cluster_id
+        FROM rec GROUP BY id ORDER BY id""",
+
+    // Index-deletion twin: p121's from-scratch fully-trained replay
+    // with the delete predicate applied to candidates AND the panel;
+    // the trainings stay over the FULL corpus (models saw the deleted
+    // rows — deletion scrubs entries, not weights).
+    "p141_index_delete_serve" ->
+      s"""WITH ${oPtCtes(KmIters)}, ${oKmCtes(KmIters)},
+        dlcell AS (SELECT vec_id, cell FROM
+            (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                ORDER BY d2, cell) AS rn FROM kmdF)
+          WHERE rn = 1),
+        dlq AS (SELECT vec_id AS qid, cell,
+            row_number() OVER (PARTITION BY vec_id
+                               ORDER BY d2, cell) AS pr
+          FROM kmdF WHERE vec_id % 50 = 0 AND vec_id % 13 <> 5),
+        dlcand AS (SELECT p.qid, c.vec_id
+          FROM (SELECT qid, cell FROM dlq WHERE pr <= 4) p
+          JOIN dlcell c ON p.cell = c.cell
+          WHERE c.vec_id % 13 <> 5),
+        dldm AS (SELECT cd.qid, cd.vec_id, b.m,
+            list_sum(list_transform(range(0, 8), j ->
+              (q.embedding[b.m*8 + j + 1]::DOUBLE - a.cv[j + 1])
+                * (q.embedding[b.m*8 + j + 1]::DOUBLE - a.cv[j + 1]))) AS d
+          FROM dlcand cd
+          JOIN embeddings q ON q.vec_id = cd.qid
+          JOIN ptbest b ON cd.vec_id = b.vec_id
+          JOIN ptarr$KmIters a ON a.m = b.m AND a.cell = b.code),
+        dladc AS (SELECT qid, vec_id,
+            list_sum(list(d ORDER BY m)) AS adc
+          FROM dldm GROUP BY qid, vec_id),
+        dlr AS (SELECT qid, vec_id, adc,
+            row_number() OVER (PARTITION BY qid
+                               ORDER BY adc, vec_id) AS rn
+          FROM dladc)
+        SELECT qid, vec_id, rn, round(adc, 6) AS adc
+        FROM dlr WHERE rn <= 5 ORDER BY qid, rn"""
   )
 }

@@ -570,4 +570,30 @@ class DedupPropertySpec extends AnyFunSuite {
       s"span join must be an equi-join on the window hash:\n$plan")
     assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"))
   }
+
+  test("propagateDeletes: removing a bridge SPLITS its cluster, removing " +
+    "a cluster minimum relabels survivors, untouched clusters pass " +
+    "through — equal to from-scratch CC over the survivors") {
+    import spark.implicits._
+    // Settled graph: chain 1-2-3 (cluster 1), pair 10-11 (cluster 10,
+    // untouched), pair 20-21 (cluster 20, minimum deleted).
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val labels = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L).toDF("id", "cluster_id")
+    val deletes = Seq(2L, 20L).toDF("id")
+    val got = Dedup.propagateDeletes(labels, pairs, deletes)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // deleting bridge 2 splits {1,3}; deleting minimum 20 leaves 21 as
+    // its own cluster; {10,11} untouched.
+    val expected = Seq((1L, 1L), (3L, 3L), (10L, 10L), (11L, 10L),
+      (21L, 21L))
+    assert(got == expected, s"got $got")
+    // From-scratch CC over the surviving subgraph must agree.
+    val survIds = Seq(1L, 3L, 10L, 11L, 21L).toDF("id")
+    val survPairs = Seq((10L, 11L)).toDF("id_a", "id_b")
+    val scratch = Dedup.connectedComponents(survIds, survPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == scratch, s"propagate=$got scratch=$scratch")
+  }
 }
