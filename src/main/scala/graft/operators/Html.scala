@@ -67,7 +67,62 @@ object Html {
     * composite fixtures ([[Warc.plantWarcs]]) embed the SAME closed-form
     * page without a second scan or a self-join.
     */
-  def plantedPage(id: Column, text: Column): Column = {
+  def plantedPage(id: Column, text: Column): Column =
+    plantedPageWith(id, text, lit(""))
+
+  /** Figure count per planted page: 0, 1 or 2 — pages without figures
+    * exercise the empty side of the pair join.
+    */
+  private def nFigures(id: Column): Column = (id % 3).cast("int")
+
+  /** Image id referenced by figure slot `j` of page `id`: the nearest
+    * ids ≡ 0 (mod 4) — exactly the ids whose crawl file carries an
+    * image response ([[Warc.plantPairedWarcs]]), so most references
+    * resolve and the tail past the corpus maximum exercises the
+    * missing-image side.
+    */
+  private def figTarget(id: Column, j: Column): Column =
+    (id - id % 4) + j * 4
+
+  /** The planted `<figure>` blocks of a page: `<img>` whose src is a
+    * MESSY variant of the crawl image URI (lowercase no-www host with
+    * an explicit default port and a fragment — canonicalization, not
+    * string equality, must join it to [[Urls.plantedImageUrl]]'s
+    * variant), a one-word `alt`, and — for (id+j) % 3 ≠ 2 — a
+    * `<figcaption>` carrying an `&amp;` entity (the decode path is part
+    * of the differential). Caption-less figures fall back to the alt
+    * text and FAIL the word-count quality gate by construction.
+    */
+  def plantedFigures(id: Column, text: Column): Column = {
+    val n = nFigures(id)
+    def fig(j: Column): Column = {
+      val tgt = figTarget(id, j).cast("string")
+      val src = concat(lit("https://site"), (figTarget(id, j) % 13).cast("string"),
+        lit(".example.com:443/media/img"), tgt, lit(".png#thumb"))
+      val cap = concat(lit("a planted photo &amp; caption of doc "), tgt,
+        lit(" slot "), j.cast("string"))
+      concat(lit("<figure><img src=\""), src, lit("\" alt=\"thumb"), tgt,
+        lit("\">"),
+        when((id + j) % 3 =!= 2,
+          concat(lit("<figcaption>"), cap, lit("</figcaption>")))
+          .otherwise(lit("")),
+        lit("</figure>"))
+    }
+    when(n >= 1,
+      array_join(transform(sequence(lit(0), n - 1), fig(_)), ""))
+      .otherwise(lit(""))
+  }
+
+  /** [[plantedPage]] with the figure blocks inserted between the
+    * paragraphs and the footer — the multimodal-page fixture of the
+    * image–text pair family. `<figure>` is not a [[BlockRe]] tag, so
+    * [[blockExtract]]'s segmentation is unchanged by construction.
+    */
+  def plantedPageWithFigures(id: Column, text: Column): Column =
+    plantedPageWith(id, text, plantedFigures(id, text))
+
+  private def plantedPageWith(id: Column, text: Column,
+                              figures: Column): Column = {
     val idS = id.cast("string")
     val toks = tokens(text)
     val n = size(toks)
@@ -112,7 +167,7 @@ object Html {
       "<a href=\"/t\">terms of use</a> &amp; <a href=\"/c\">contact</a>" +
       "</footer>")
 
-    concat(head, nav, h1, paras, footer, lit("</body></html>"))
+    concat(head, nav, h1, paras, figures, footer, lit("</body></html>"))
   }
 
   /** Decode the common HTML entities. `&amp;` is decoded LAST so that
@@ -210,5 +265,71 @@ object Html {
         size(col("__kept")).as("n_kept"),
         array_join(transform(col("__kept"), i => i("t")), " ").as("main_text"))
       .withColumn("main_chars", length(col("main_text")))
+  }
+
+  /** Per-figure extraction — the first half of the LAION-shape
+    * image–text pair operator: segment every `<figure>` block, pull the
+    * `<img>` src, the `alt` text and the `<figcaption>` content, and
+    * derive the CAPTION (figcaption when present, alt otherwise — the
+    * standard alt-text fallback) through the same strip/decode/collapse
+    * path as [[htmlToText]]. One narrow projection + a posexplode — no
+    * shuffle; pages without figures emit nothing.
+    *
+    * Heuristic note (real corpora): `<img[^>]*\ssrc=` also matches a
+    * `data-src=`-style attribute whose name ends in `src` — acceptable
+    * for a crawl heuristic, RE2-safe (no lookbehind).
+    *
+    * Output: (page_id, fig_idx, src, caption, n_caption_words).
+    */
+  def imageFigures(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val figs = regexp_extract_all(col(htmlCol),
+      lit("(?s)<figure(?:\\s[^>]*)?>.*?</figure\\s*>"), lit(0))
+    val caption = {
+      val figcap = regexp_extract(col("__fig"),
+        "(?s)<figcaption(?:\\s[^>]*)?>(.*?)</figcaption\\s*>", 1)
+      val alt = regexp_extract(col("__fig"),
+        "(?s)<img[^>]*\\salt=\"([^\"]*)\"", 1)
+      when(length(figcap) > 0, htmlToText(figcap))
+        .otherwise(htmlToText(alt))
+    }
+    df.select(col(idCol).as("page_id"),
+        posexplode(figs).as(Seq("fig_idx", "__fig")))
+      .select(col("page_id"), col("fig_idx"),
+        regexp_extract(col("__fig"),
+          "(?s)<img[^>]*\\ssrc=\"([^\"]*)\"", 1).as("src"),
+        caption.as("caption"))
+      .withColumn("n_caption_words",
+        when(col("caption") === "", lit(0))
+          .otherwise(size(split(col("caption"), " "))))
+  }
+
+  /** Image–text PAIR extraction (the LAION shape — the multimodal
+    * training-pair product): page figures joined to the crawl's decoded
+    * image records on [[Urls.canonicalize]]d source URL, captions
+    * quality-gated at [[MinBlockWords]] words. The join is a slim
+    * equi-join on the canonical URL — payloads were dropped on both
+    * sides before it (figures carry text, image records carry a
+    * decoded flag), so nothing heavier than a caption shuffles at any
+    * corpus scale.
+    *
+    * `images`: one row per crawl image record with its id, target URL
+    * and decode status. Output: (page_id, fig_idx, image_id [-1 when
+    * the reference resolves to no crawl image], caption,
+    * n_caption_words, kept, decoded).
+    */
+  def imageTextPairs(pages: DataFrame, idCol: String, htmlCol: String,
+                     images: DataFrame, imgIdCol: String, imgUrlCol: String,
+                     decodedCol: String): DataFrame = {
+    val figs = imageFigures(pages, idCol, htmlCol)
+      .withColumn("canon_src", Urls.canonicalize(col("src")))
+    val imgs = images.select(col(imgIdCol).as("__img_id"),
+      Urls.canonicalize(col(imgUrlCol)).as("canon_src"),
+      col(decodedCol).as("__decoded"))
+    figs.join(imgs, Seq("canon_src"), "left")
+      .select(col("page_id"), col("fig_idx"),
+        coalesce(col("__img_id"), lit(-1L)).as("image_id"),
+        col("caption"), col("n_caption_words"),
+        (col("n_caption_words") >= MinBlockWords).as("kept"),
+        coalesce(col("__decoded"), lit(false)).as("decoded"))
   }
 }

@@ -61,6 +61,27 @@ object Urls {
       frag)
   }
 
+  /** Deterministic messy CRAWL-side image URL per image id — the
+    * [[plantedUrl]] rule for the media records of the paired-crawl
+    * fixture ([[Warc.plantPairedWarcs]]): case-varied scheme/host with
+    * `www.`, sometimes the default port, sometimes a `utm_` tracking
+    * param. Canonicalizes to
+    * `https://site{id%13}.example.com/media/img{id}.png` — the SAME
+    * canonical form as the page-side `<img src>` variant
+    * ([[Html.plantedFigures]]), which is lowercase/no-www with port +
+    * fragment: the pair join must go through [[canonicalize]], not
+    * string equality.
+    */
+  def plantedImageUrl(id: Column): Column = {
+    def s(c: Column): Column = c.cast("string")
+    concat(
+      when(id % 8 === 0, lit("HTTPS")).otherwise(lit("https")),
+      lit("://WWW.Site"), s(id % 13), lit(".Example.COM"),
+      when(id % 5 === 0, lit(":443")).otherwise(lit("")),
+      lit("/media/img"), s(id), lit(".png"),
+      when(id % 3 === 0, lit("?utm_source=x")).otherwise(lit("")))
+  }
+
   /** Lowercased host with `www.` and any port stripped. */
   def hostOf(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*", "")

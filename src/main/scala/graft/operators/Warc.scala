@@ -145,17 +145,35 @@ object Warc {
     plantWarcFiles(docs, withImages = true, fpDedup = true,
       withVideo = true)
 
+  /** PAIRED-crawl fixture — the image–text pair family's front door:
+    * html responses carry the FIGURE-bearing planted page
+    * ([[Html.plantedPageWithFigures]] — `<img src>` + closed-form
+    * alt/figcaption text), and every id % 4 == 0 file carries an
+    * `image/png` response whose WARC-Target-URI is the messy crawl-side
+    * image URL ([[Urls.plantedImageUrl]]) and whose payload is the
+    * dedup-grade planted PNG under the `(id/8)*8` copy rule — so the
+    * extracted pairs can be joined on canonical URL AND folded through
+    * perceptual image dedup (the p143 capstone), all closed-form in id.
+    */
+  def plantPairedWarcs(docs: DataFrame): DataFrame =
+    plantWarcFiles(docs, withImages = false, paired = true)
+
   private def plantWarcFiles(docs: DataFrame, withImages: Boolean,
                              fpDedup: Boolean = false,
-                             withVideo: Boolean = false): DataFrame = {
+                             withVideo: Boolean = false,
+                             paired: Boolean = false): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(Multimodal.mediaSchema)
+    val page =
+      if (paired) Html.plantedPageWithFigures(col("doc_id"), col("text"))
+      else Html.plantedPage(col("doc_id"), col("text"))
     // Fan out FIRST (the plantPngs discipline: one-file fixtures otherwise
     // pin the assembly to a single task), then build page + URL as column
     // expressions of (id, text) in the same narrow stage — no self-join.
     Multimodal.fanOutIds(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id").as("id"),
-        Html.plantedPage(col("doc_id"), col("text")).as("html"),
-        Urls.plantedUrl(col("doc_id")).as("url"))
+        page.as("html"),
+        Urls.plantedUrl(col("doc_id")).as("url"),
+        Urls.plantedImageUrl(col("doc_id")).as("imgurl"))
       .mapPartitions { rows =>
         val writers =
           if (withImages) Multimodal.audioWriters() else Nil
@@ -171,6 +189,7 @@ object Warc {
           val id = r.getLong(0)
           val html = r.getString(1)
           val url = r.getString(2)
+          val imgUrl = r.getString(3)
           val bos = new java.io.ByteArrayOutputStream()
           def record(headers: Seq[(String, String)], payload: Array[Byte]): Unit = {
             bos.write("WARC/1.0\r\n".getBytes("US-ASCII"))
@@ -207,6 +226,18 @@ object Warc {
                 "Content-Type" -> "image/png"),
               if (fpDedup) Multimodal.plantedPngFpBytes((id / 8) * 8)
               else Multimodal.plantedPngBytes(id))
+          }
+          // Paired fixture: the image record lives at its OWN messy URL
+          // (not a page-URL suffix) so the pair join exercises real
+          // canonicalization; payload under the (id/8)*8 copy rule.
+          if (paired && id % 4 == 0) {
+            javax.imageio.ImageIO.setUseCache(false)
+            record(
+              Seq("WARC-Type" -> "response",
+                "WARC-Record-ID" -> s"<urn:graft:pimg:$id>",
+                "WARC-Target-URI" -> imgUrl,
+                "Content-Type" -> "image/png"),
+              Multimodal.plantedPngFpBytes((id / 8) * 8))
           }
           if (withImages && id % 6 == 0)
             record(

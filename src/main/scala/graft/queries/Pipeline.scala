@@ -3087,6 +3087,88 @@ object Pipeline {
         .select(col("qid"), col("vec_id"), col("rn").cast("long").as("rn"),
           round(col("adc"), 6).as("adc"))
         .orderBy(col("qid"), col("rn"))
+    }),
+
+    // ---- IMAGE–TEXT PAIR extraction (the LAION-shape multimodal
+    // training-pair product — the one operator class the r17 verdict
+    // ranked first): the paired crawl's pages embed <img src> + closed-
+    // form alt/figcaption text; figures are extracted with real regex
+    // segmentation, captions stripped/decoded through the htmlToText
+    // path, the src CANONICALIZED and joined to the crawl's decoded
+    // image records (whose target URLs are a DIFFERENT messy variant —
+    // the join only lands through Urls.canonicalize), and captions
+    // quality-gated at 3 words. The oracle recomputes every pair, its
+    // decoded caption, the alt fallback, the gate, and the join
+    // closed-form from the id arithmetic — it never parses a page. ----
+    "p142_image_text_pairs" -> ((s, dir) => {
+      val recs = Warc.parseWarc(Warc.plantPairedWarcs(docs(s, dir)))
+        .filter(col("ok") && col("warc_type") === "response")
+        .withColumn("kind",
+          Warc.contentKind(col("content_type"), col("payload")))
+      val pages = recs.filter(col("kind") === "html")
+        .select(col("media_id").as("page_id"),
+          decode(col("payload"), "UTF-8").as("html"))
+      val imgRecs = recs.filter(col("kind") === "image")
+      val imgs = ImageHash.dhashSignatures(
+          imgRecs.select(col("media_id"), col("payload").as("data")))
+        .select(col("media_id").as("image_id"), col("decoded"))
+        .join(imgRecs.select(col("media_id").as("image_id"),
+          col("target_uri").as("img_url")), Seq("image_id"))
+      Html.imageTextPairs(pages, "page_id", "html",
+          imgs, "image_id", "img_url", "decoded")
+        .select(col("page_id"), col("fig_idx"), col("image_id"),
+          col("caption"), col("n_caption_words"), col("kept"),
+          col("decoded"))
+        .orderBy(col("page_id"), col("fig_idx"))
+    }),
+
+    // ---- the PAIRED-crawl capstone (the LAION pipeline end to end):
+    // WARC → route → figure extraction → canonical-URL join → caption
+    // quality gate → PNG decode → perceptual image dedup (dHash + CC
+    // under the (id/8)*8 copy rule) → captions AGGREGATED PER CANONICAL
+    // IMAGE (cluster minimum) — the dataset a multimodal trainer
+    // actually consumes: one row per unique image with its caption
+    // pool. Oracle: planted pairs + dhash words + recursive CC, all
+    // closed-form. ----
+    "p143_paired_crawl_capstone" -> ((s, dir) => {
+      val recs = Warc.parseWarc(Warc.plantPairedWarcs(docs(s, dir)))
+        .filter(col("ok") && col("warc_type") === "response")
+        .withColumn("kind",
+          Warc.contentKind(col("content_type"), col("payload")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pages = recs.filter(col("kind") === "html")
+        .select(col("media_id").as("page_id"),
+          decode(col("payload"), "UTF-8").as("html"))
+      val imgRecs = recs.filter(col("kind") === "image")
+      val sigs = ImageHash.dhashSignatures(
+        imgRecs.select(col("media_id"), col("payload").as("data")))
+      val imgs = sigs.select(col("media_id").as("image_id"), col("decoded"))
+        .join(imgRecs.select(col("media_id").as("image_id"),
+          col("target_uri").as("img_url")), Seq("image_id"))
+      val pairs = Html.imageTextPairs(pages, "page_id", "html",
+          imgs, "image_id", "img_url", "decoded")
+        .filter(col("kept") && col("decoded"))
+      // uncapped pairs: oracle equality (the p91 reasoning); planted
+      // copy volume is bounded by the (id/8)*8 rule.
+      val labels = Dedup.connectedComponents(
+        sigs.filter(col("decoded")).select(col("media_id").as("id")),
+        ImageHash.nearDupPairs(sigs, maxBucketSize = Long.MaxValue))
+      val shaped = pairs
+        .join(labels.select(col("id").as("image_id"), col("cluster_id")),
+          Seq("image_id"))
+        .groupBy(col("cluster_id").as("canonical_image"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("page_id")).as("n_pages"),
+          min(col("caption")).as("first_caption"))
+        .withColumn("shard", pmod(col("canonical_image"), lit(4L)).cast("int"))
+      // the p86 sink discipline: eager write (the export IS part of the
+      // pipeline under test), then the cache releases before return.
+      val out = Layout.sinkRoot(s) + "/" + java.util.UUID
+        .nameUUIDFromBytes(("p143:" + dir).getBytes("UTF-8")).toString
+      try Layout.writeCurated(shaped, out, "shard", Seq("canonical_image"))
+      finally recs.unpersist(false)
+      Layout.readCurated(s, out, shaped.schema)
+        .orderBy(col("canonical_image"))
     })
   )
 
@@ -7196,6 +7278,72 @@ object Pipeline {
                                ORDER BY adc, vec_id) AS rn
           FROM dladc)
         SELECT qid, vec_id, rn, round(adc, 6) AS adc
-        FROM dlr WHERE rn <= 5 ORDER BY qid, rn"""
+        FROM dlr WHERE rn <= 5 ORDER BY qid, rn""",
+
+    // Image–text pair twin: every figure, target id, decoded caption
+    // (entity decode included), alt fallback, quality gate, and the
+    // canonical-URL join outcome recomputed closed-form from the id
+    // arithmetic — the oracle never parses a page or a URL; the Spark
+    // side earns equality only if regex segmentation, htmlToText, and
+    // canonicalize all land exactly.
+    "p142_image_text_pairs" ->
+      s"""WITH pfa AS (SELECT doc_id AS id FROM documents),
+        pfig AS (SELECT id, t.j AS j, (id - id % 4) + 4*t.j AS tgt
+          FROM pfa, unnest(range(0, id % 3)) AS t(j)),
+        pcap AS (SELECT id, j, tgt,
+            CASE WHEN (id + j) % 3 <> 2
+              THEN 'a planted photo & caption of doc ' || tgt
+                   || ' slot ' || j
+              ELSE 'thumb' || tgt END AS caption
+          FROM pfig),
+        pimg AS (SELECT doc_id AS tgt FROM documents WHERE doc_id % 4 = 0)
+        SELECT c.id AS page_id, CAST(c.j AS integer) AS fig_idx,
+               coalesce(i.tgt, -1) AS image_id, c.caption,
+               CAST(len(string_split(c.caption, ' ')) AS integer)
+                 AS n_caption_words,
+               len(string_split(c.caption, ' ')) >= 3 AS kept,
+               i.tgt IS NOT NULL AS decoded
+        FROM pcap c LEFT JOIN pimg i ON c.tgt = i.tgt
+        ORDER BY page_id, fig_idx""",
+
+    // Paired-capstone twin: the planted pairs (gated, resolved), the
+    // dHash words of every crawl image under the (id/8)*8 copy rule,
+    // recursive CC for the canonical image, and the per-cluster caption
+    // aggregation — the whole LAION chain recomputed without a parser
+    // or a codec.
+    "p143_paired_crawl_capstone" ->
+      s"""WITH RECURSIVE allids AS (
+          SELECT doc_id AS id, (doc_id // 8) * 8 AS src FROM documents
+          WHERE doc_id % 4 = 0),
+        ${oDhashCtes(oPixelFp)},
+        cpr AS (SELECT a.id AS id_a, b.id AS id_b
+          FROM words a JOIN words b ON a.id < b.id
+          WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3),
+        ce AS (SELECT id_a AS s, id_b AS d FROM cpr
+               UNION ALL SELECT id_b, id_a FROM cpr),
+        crec AS (
+          SELECT id, id AS reach FROM allids
+          UNION
+          SELECT ce.s, crec.reach FROM ce JOIN crec ON ce.d = crec.id),
+        clab AS (SELECT id, min(reach) AS cluster_id FROM crec GROUP BY id),
+        pfa AS (SELECT doc_id AS id FROM documents),
+        pfig AS (SELECT id, t.j AS j, (id - id % 4) + 4*t.j AS tgt
+          FROM pfa, unnest(range(0, id % 3)) AS t(j)),
+        pcap AS (SELECT id, j, tgt,
+            CASE WHEN (id + j) % 3 <> 2
+              THEN 'a planted photo & caption of doc ' || tgt
+                   || ' slot ' || j
+              ELSE 'thumb' || tgt END AS caption
+          FROM pfig),
+        pok AS (SELECT c.id, c.j, c.tgt, c.caption
+          FROM pcap c JOIN allids i ON c.tgt = i.id
+          WHERE len(string_split(c.caption, ' ')) >= 3)
+        SELECT l.cluster_id AS canonical_image, count(*) AS n_pairs,
+               count(DISTINCT p.id) AS n_pages,
+               min(p.caption) AS first_caption,
+               CAST(l.cluster_id % 4 AS integer) AS shard
+        FROM pok p JOIN clab l ON p.tgt = l.id
+        GROUP BY l.cluster_id ORDER BY canonical_image"""
   )
 }

@@ -296,6 +296,83 @@ class HtmlSpec extends AnyFunSuite {
     assert(tot(3) > tot(4), "content fingerprint must collapse some dups")
   }
 
+  test("imageFigures: figcaption caption with entity decode, alt " +
+    "fallback, attribute-bearing tags, figureless pages emit nothing") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "<html><body><p>x</p>" +
+        "<figure><img src=\"https://a.com/i1.png\" alt=\"a1\">" +
+        "<figcaption>cap &amp; one <b>bold</b></figcaption></figure>" +
+        "<figure class=\"z\"><img src=\"https://a.com/i2.png\" " +
+        "alt=\"alt two words\"></figure>" +
+        "</body></html>"),
+      (2L, "<html><body><p>no figures here</p></body></html>"))
+      .toDF("page_id", "html")
+    val got = Html.imageFigures(pages, "page_id", "html")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getString(3), r.getInt(4))).sortBy(x => (x._1, x._2)).toSeq
+    assert(got == Seq(
+      (1L, 0, "https://a.com/i1.png", "cap & one bold", 4),
+      (1L, 1, "https://a.com/i2.png", "alt two words", 3)), s"got $got")
+  }
+
+  test("imageTextPairs: join lands only through canonicalization, " +
+    "unresolved references get image_id -1, gate at 3 words") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "<html><body>" +
+        // messy page-side src; image record uses a DIFFERENT messy form
+        "<figure><img src=\"https://WWW.a.com:443/i.png#t\" alt=\"x\">" +
+        "<figcaption>a good caption here</figcaption></figure>" +
+        // reference that resolves to no crawl image
+        "<figure><img src=\"https://b.com/miss.png\" alt=\"y\">" +
+        "<figcaption>another fine caption</figcaption></figure>" +
+        // resolves, but alt-only (1 word) -> fails the gate
+        "<figure><img src=\"https://c.com/j.png\" alt=\"solo\"></figure>" +
+        "</body></html>"))
+      .toDF("page_id", "html")
+    val images = Seq(
+      (100L, "HTTPS://a.com/i.png?utm_source=z", true),
+      (101L, "https://c.com/j.png", false))
+      .toDF("image_id", "img_url", "decoded")
+    val got = Html.imageTextPairs(pages, "page_id", "html",
+        images, "image_id", "img_url", "decoded")
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getString(3),
+        r.getBoolean(5), r.getBoolean(6))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0, 100L, "a good caption here", true, true),
+      (1, -1L, "another fine caption", true, false),
+      (2, 101L, "solo", false, false)), s"got $got")
+  }
+
+  test("planted figures: page-side src and crawl-side image URL " +
+    "canonicalize to the SAME key, and blockExtract is unchanged by " +
+    "figure insertion") {
+    import spark.implicits._
+    val ids = Seq(4L, 8L, 12L).toDF("id")
+    val both = ids.select(
+      Urls.canonicalize(
+        concat(lit("https://site"), (col("id") % 13).cast("string"),
+          lit(".example.com:443/media/img"), col("id").cast("string"),
+          lit(".png#thumb"))).as("page_side"),
+      Urls.canonicalize(Urls.plantedImageUrl(col("id"))).as("crawl_side"))
+      .collect()
+    both.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"canon mismatch: ${r.getString(0)} vs ${r.getString(1)}"))
+    val doc = oneDoc(7L, (1 to 30).map(i => s"w$i").mkString(" "))
+    val plain = Html.blockExtract(
+      doc.select(col("doc_id"),
+        Html.plantedPage(col("doc_id"), col("text")).as("html")),
+      "doc_id", "html").collect()(0)
+    val figured = Html.blockExtract(
+      doc.select(col("doc_id"),
+        Html.plantedPageWithFigures(col("doc_id"), col("text")).as("html")),
+      "doc_id", "html").collect()(0)
+    assert(plain.getAs[String]("main_text") ==
+      figured.getAs[String]("main_text"),
+      "figure blocks must be invisible to blockExtract")
+  }
+
   test("urls: planted corpus produces real post-canonicalization dup " +
     "groups (the crawl-dedup signal)") {
     import org.apache.spark.sql.expressions.Window
