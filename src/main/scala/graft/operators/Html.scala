@@ -99,8 +99,15 @@ object Html {
       val tgt = figTarget(id, j).cast("string")
       val src = concat(lit("https://site"), (figTarget(id, j) % 13).cast("string"),
         lit(".example.com:443/media/img"), tgt, lit(".png#thumb"))
-      val cap = concat(lit("a planted photo &amp; caption of doc "), tgt,
-        lit(" slot "), j.cast("string"))
+      // Caption language varies by (id+j) parity — English stopwords
+      // vs French articles — so the language-ID quality gate downstream
+      // has a real signal; both variants keep the &amp; entity.
+      val cap = when((id + j) % 2 === 0,
+        concat(lit("a planted photo &amp; the caption of doc "), tgt,
+          lit(" and slot "), j.cast("string")))
+        .otherwise(
+          concat(lit("le photo &amp; la caption planted doc "), tgt,
+            lit(" slot "), j.cast("string")))
       concat(lit("<figure><img src=\""), src, lit("\" alt=\"thumb"), tgt,
         lit("\">"),
         when((id + j) % 3 =!= 2,
@@ -314,8 +321,9 @@ object Html {
     *
     * `images`: one row per crawl image record with its id, target URL
     * and decode status. Output: (page_id, fig_idx, image_id [-1 when
-    * the reference resolves to no crawl image], caption,
-    * n_caption_words, kept, decoded).
+    * the reference resolves to no crawl image], caption, caption_lang
+    * (the n-gram language-ID heuristic — the LAION-style lang filter
+    * input), n_caption_words, kept, decoded).
     */
   def imageTextPairs(pages: DataFrame, idCol: String, htmlCol: String,
                      images: DataFrame, imgIdCol: String, imgUrlCol: String,
@@ -328,7 +336,10 @@ object Html {
     figs.join(imgs, Seq("canon_src"), "left")
       .select(col("page_id"), col("fig_idx"),
         coalesce(col("__img_id"), lit(-1L)).as("image_id"),
-        col("caption"), col("n_caption_words"),
+        col("caption"),
+        graft.functions.TextFunctions.langId(col("caption"))
+          .as("caption_lang"),
+        col("n_caption_words"),
         (col("n_caption_words") >= MinBlockWords).as("kept"),
         coalesce(col("__decoded"), lit(false)).as("decoded"))
   }

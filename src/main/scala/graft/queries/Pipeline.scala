@@ -3117,8 +3117,8 @@ object Pipeline {
       Html.imageTextPairs(pages, "page_id", "html",
           imgs, "image_id", "img_url", "decoded")
         .select(col("page_id"), col("fig_idx"), col("image_id"),
-          col("caption"), col("n_caption_words"), col("kept"),
-          col("decoded"))
+          col("caption"), col("caption_lang"), col("n_caption_words"),
+          col("kept"), col("decoded"))
         .orderBy(col("page_id"), col("fig_idx"))
     }),
 
@@ -3147,7 +3147,8 @@ object Pipeline {
           col("target_uri").as("img_url")), Seq("image_id"))
       val pairs = Html.imageTextPairs(pages, "page_id", "html",
           imgs, "image_id", "img_url", "decoded")
-        .filter(col("kept") && col("decoded"))
+        .filter(col("kept") && col("decoded") &&
+          col("caption_lang") === "en")
       // uncapped pairs: oracle equality (the p91 reasoning); planted
       // copy volume is bounded by the (id/8)*8 rule.
       val labels = Dedup.connectedComponents(
@@ -7291,19 +7292,34 @@ object Pipeline {
         pfig AS (SELECT id, t.j AS j, (id - id % 4) + 4*t.j AS tgt
           FROM pfa, unnest(range(0, id % 3)) AS t(j)),
         pcap AS (SELECT id, j, tgt,
-            CASE WHEN (id + j) % 3 <> 2
-              THEN 'a planted photo & caption of doc ' || tgt
+            CASE WHEN (id + j) % 3 <> 2 AND (id + j) % 2 = 0
+              THEN 'a planted photo & the caption of doc ' || tgt
+                   || ' and slot ' || j
+              WHEN (id + j) % 3 <> 2
+              THEN 'le photo & la caption planted doc ' || tgt
                    || ' slot ' || j
               ELSE 'thumb' || tgt END AS caption
           FROM pfig),
+        plng AS (SELECT id, j, tgt, caption,
+            CASE
+              WHEN ' ' || caption || ' ' LIKE '% the %'
+                OR ' ' || caption || ' ' LIKE '% and %' THEN 'en'
+              WHEN ' ' || caption || ' ' LIKE '% le %'
+                OR ' ' || caption || ' ' LIKE '% la %' THEN 'fr'
+              WHEN ' ' || caption || ' ' LIKE '% der %'
+                OR ' ' || caption || ' ' LIKE '% und %' THEN 'de'
+              WHEN ' ' || caption || ' ' LIKE '% el %'
+                OR ' ' || caption || ' ' LIKE '% los %' THEN 'es'
+              ELSE 'unknown' END AS caption_lang
+          FROM pcap),
         pimg AS (SELECT doc_id AS tgt FROM documents WHERE doc_id % 4 = 0)
         SELECT c.id AS page_id, CAST(c.j AS integer) AS fig_idx,
-               coalesce(i.tgt, -1) AS image_id, c.caption,
+               coalesce(i.tgt, -1) AS image_id, c.caption, c.caption_lang,
                CAST(len(string_split(c.caption, ' ')) AS integer)
                  AS n_caption_words,
                len(string_split(c.caption, ' ')) >= 3 AS kept,
                i.tgt IS NOT NULL AS decoded
-        FROM pcap c LEFT JOIN pimg i ON c.tgt = i.tgt
+        FROM plng c LEFT JOIN pimg i ON c.tgt = i.tgt
         ORDER BY page_id, fig_idx""",
 
     // Paired-capstone twin: the planted pairs (gated, resolved), the
@@ -7331,14 +7347,19 @@ object Pipeline {
         pfig AS (SELECT id, t.j AS j, (id - id % 4) + 4*t.j AS tgt
           FROM pfa, unnest(range(0, id % 3)) AS t(j)),
         pcap AS (SELECT id, j, tgt,
-            CASE WHEN (id + j) % 3 <> 2
-              THEN 'a planted photo & caption of doc ' || tgt
+            CASE WHEN (id + j) % 3 <> 2 AND (id + j) % 2 = 0
+              THEN 'a planted photo & the caption of doc ' || tgt
+                   || ' and slot ' || j
+              WHEN (id + j) % 3 <> 2
+              THEN 'le photo & la caption planted doc ' || tgt
                    || ' slot ' || j
               ELSE 'thumb' || tgt END AS caption
           FROM pfig),
         pok AS (SELECT c.id, c.j, c.tgt, c.caption
           FROM pcap c JOIN allids i ON c.tgt = i.id
-          WHERE len(string_split(c.caption, ' ')) >= 3)
+          WHERE len(string_split(c.caption, ' ')) >= 3
+            AND (' ' || c.caption || ' ' LIKE '% the %'
+              OR ' ' || c.caption || ' ' LIKE '% and %'))
         SELECT l.cluster_id AS canonical_image, count(*) AS n_pairs,
                count(DISTINCT p.id) AS n_pages,
                min(p.caption) AS first_caption,

@@ -338,11 +338,11 @@ class HtmlSpec extends AnyFunSuite {
     val got = Html.imageTextPairs(pages, "page_id", "html",
         images, "image_id", "img_url", "decoded")
       .collect().map(r => (r.getInt(1), r.getLong(2), r.getString(3),
-        r.getBoolean(5), r.getBoolean(6))).sortBy(_._1).toSeq
+        r.getString(4), r.getBoolean(6), r.getBoolean(7))).sortBy(_._1).toSeq
     assert(got == Seq(
-      (0, 100L, "a good caption here", true, true),
-      (1, -1L, "another fine caption", true, false),
-      (2, 101L, "solo", false, false)), s"got $got")
+      (0, 100L, "a good caption here", "unknown", true, true),
+      (1, -1L, "another fine caption", "unknown", true, false),
+      (2, 101L, "solo", "unknown", false, false)), s"got $got")
   }
 
   test("planted figures: page-side src and crawl-side image URL " +
