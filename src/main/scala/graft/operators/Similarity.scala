@@ -565,6 +565,33 @@ object Similarity {
         coalesce(!col("__dup"), lit(true)).as("kept"))
   }
 
+  /** Multi-probe [[semanticDecontaminate]]: the TRAINING side probes
+    * its `nProbe` nearest cells (`cellsCol`, nearest first) against
+    * home-cell REFERENCE rows — paraphrase-level leakage sitting just
+    * across a cell boundary from its eval twin is the exact case the
+    * single-cell scrub misses, and an eval-set scrub is where missed
+    * recall costs the most (a leaked benchmark row poisons the eval).
+    * Same one-sided conventions as [[semanticDedupProbed]]: only the
+    * probing side expands, reference rows are never reported.
+    */
+  def semanticDecontaminateProbed(reference: DataFrame, rows: DataFrame,
+      tau: Double, idCol: String = "vec_id", cellCol: String = "cell",
+      cellsCol: String = "cells", vecCol: String = "embedding"): DataFrame = {
+    val b = rows.select(col(idCol).as("__id"),
+      explode(col(cellsCol)).as("__cell"), col(vecCol).as("__v"))
+    val r = reference.select(col(cellCol).as("__cell"),
+      col(vecCol).as("__v2"))
+    val hit = b.join(r, Seq("__cell"))
+      .filter(l2Squared(col("__v"), col("__v2")) <= tau)
+      .select(col("__id")).distinct()
+      .withColumn("__dup", lit(true))
+    rows.select(col(idCol).as("__id"),
+        element_at(col(cellsCol), 1).as("__home"))
+      .join(hit, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("__home").as("cell"),
+        coalesce(!col("__dup"), lit(true)).as("kept"))
+  }
+
   /** Semantic decontamination: flag every row whose embedding lies
     * within squared-L2 `tau` of a same-cell REFERENCE row (the eval /
     * benchmark panel) — the embedding-space analog of the p26/p49

@@ -3170,6 +3170,37 @@ object Pipeline {
       finally recs.unpersist(false)
       Layout.readCurated(s, out, shaped.schema)
         .orderBy(col("canonical_image"))
+    }),
+
+    // ---- multi-probe semantic DECONTAMINATION: p133's fixture with
+    // the training side probing its top-2 trained cells against
+    // home-cell eval rows — boundary-straddling paraphrase leakage is
+    // exactly where an eval scrub's missed recall costs the most. ----
+    "p144_decontamination_multiprobe" -> ((s, dir) => {
+      plantedIdGuard(s, dir)
+      val m = kmModel(s, dir)
+      val e = emb(s, dir)
+        .filter(col("embedding").isNotNull && size(col("embedding")) >= 64)
+        .select(col("vec_id"), slice(col("embedding"), 1, 64).as("embedding"))
+      val evalPanel = e.filter(col("vec_id") % 50 === 0)
+      val contamExact = evalPanel
+        .select((col("vec_id") + 4000000L).as("vec_id"), col("embedding"))
+      val contamNear = evalPanel
+        .select((col("vec_id") + 5000000L).as("vec_id"),
+          concat(array(lit(0.5f)), slice(col("embedding"), 2, 63))
+            .as("embedding"))
+      val train = e.filter(col("vec_id") % 50 =!= 0)
+        .unionByName(contamExact).unionByName(contamNear)
+      def dl = graft.functions.KMeans.dists(col("embedding"), m, s)
+      val refHome = evalPanel.select(col("vec_id"), col("embedding"),
+        (array_position(dl, array_min(dl)) - 1).cast("bigint").as("cell"))
+      val probedTrain = train.select(col("vec_id"), col("embedding"),
+        transform(slice(sort_array(transform(dl,
+            (d, l) => struct(d.as("d"), l.as("l")))), 1, 2),
+          p => p.getField("l").cast("bigint")).as("cells"))
+      Similarity.semanticDecontaminateProbed(refHome, probedTrain,
+          tau = 1.0)
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -7365,6 +7396,47 @@ object Pipeline {
                min(p.caption) AS first_caption,
                CAST(l.cluster_id % 4 AS integer) AS shard
         FROM pok p JOIN clab l ON p.tgt = l.id
-        GROUP BY l.cluster_id ORDER BY canonical_image"""
+        GROUP BY l.cluster_id ORDER BY canonical_image""",
+
+    // Multi-probe decontamination twin: p133's planted contamination,
+    // the training side's top-2 argmin expansion, home-cell eval rows,
+    // the one-sided rule replayed.
+    "p144_decontamination_multiprobe" ->
+      s"""WITH ${oKmCtes(KmIters)},
+        md0 AS (SELECT vec_id, embedding[:64] AS v FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) >= 64),
+        mdev AS MATERIALIZED (SELECT vec_id, v FROM md0
+          WHERE vec_id % 50 = 0),
+        mdtr AS MATERIALIZED (
+          SELECT vec_id, v FROM md0 WHERE vec_id % 50 <> 0
+          UNION ALL SELECT vec_id + 4000000, v FROM mdev
+          UNION ALL SELECT vec_id + 5000000, [0.5::FLOAT] || v[2:]
+          FROM mdev),
+        mdall AS MATERIALIZED (
+          SELECT vec_id, v, 0 AS is_t FROM mdev
+          UNION ALL SELECT vec_id, v, 1 FROM mdtr),
+        mdd AS MATERIALIZED (SELECT a.vec_id, a.is_t, c.cell,
+            list_sum(list_transform(list_zip(a.v, c.cv),
+              z -> (z[1]::DOUBLE - z[2]) * (z[1]::DOUBLE - z[2]))) AS d2
+          FROM mdall a CROSS JOIN kmcarr$KmIters c),
+        mdr AS MATERIALIZED (SELECT vec_id, is_t, cell,
+            row_number() OVER (PARTITION BY vec_id
+                               ORDER BY d2, cell) AS rn
+          FROM mdd),
+        mdh AS MATERIALIZED (SELECT vec_id, is_t, cell FROM mdr
+          WHERE rn = 1),
+        mdhit AS (SELECT x.vec_id FROM (SELECT vec_id, cell FROM mdr
+            WHERE is_t = 1 AND rn <= 2) x
+          JOIN mdh y ON x.cell = y.cell AND y.is_t = 0
+          JOIN mdall xv ON xv.vec_id = x.vec_id AND xv.is_t = 1
+          JOIN mdall yv ON yv.vec_id = y.vec_id AND yv.is_t = 0
+          WHERE list_sum(list_transform(list_zip(xv.v, yv.v),
+              z -> (z[1]::DOUBLE - z[2]::DOUBLE)
+                 * (z[1]::DOUBLE - z[2]::DOUBLE))) <= 1.0
+          GROUP BY x.vec_id)
+        SELECT h.vec_id, CAST(h.cell AS bigint) AS cell,
+               (d.vec_id IS NULL) AS kept
+        FROM mdh h LEFT JOIN mdhit d ON h.vec_id = d.vec_id
+        WHERE h.is_t = 1 ORDER BY h.vec_id"""
   )
 }

@@ -473,4 +473,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == Seq((1L, 1L, false), (2L, 2L, true), (3L, 3L, false)),
       s"got $got")
   }
+
+  test("semanticDecontaminateProbed: a boundary-straddling leak is " +
+    "caught via the second probe; reference rows never reported") {
+    import spark.implicits._
+    val reference = Seq((1000L, 0L, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "cell", "embedding")
+    val rows = Seq(
+      (1L, Seq(1L, 0L), Seq(1.0f, 0.0f)),  // leak: home 1, probe 0
+      (2L, Seq(2L, 3L), Seq(1.0f, 0.0f))   // probes never reach cell 0
+    ).toDF("vec_id", "cells", "embedding")
+    val got = Similarity
+      .semanticDecontaminateProbed(reference, rows, tau = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L, false), (2L, 2L, true)), s"got $got")
+    // Single-cell scrub misses the same leak (home cells only).
+    val single = Similarity.semanticDecontaminate(reference,
+        rows.select(col("vec_id"), element_at(col("cells"), 1).as("cell"),
+          col("embedding")), tau = 0.25)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(single == Map(1L -> true, 2L -> true),
+      s"single-cell baseline must miss the boundary leak: $single")
+  }
 }
