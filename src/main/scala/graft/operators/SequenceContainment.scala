@@ -44,8 +44,10 @@ import org.apache.spark.sql.functions._
   * Scale shape: candidate volume is bounded at O(rows × cap); the
   * cap's window shares the join's hash partitioning (no extra
   * exchange); the surviving-count side is a tiny per-id aggregate
-  * (≤ one row per clip) broadcast back onto the slim
-  * (inner, outer, offset) aggregate.
+  * (≤ one row per clip) joined UNHINTED onto the slim
+  * (inner, outer, offset) aggregate — AQE converts it to broadcast at
+  * runtime from its true map-output size (the measured gate with zero
+  * extra passes), and degrades to a shuffled join past the threshold.
   */
 object SequenceContainment {
 
@@ -97,14 +99,17 @@ object SequenceContainment {
       .withColumn("__bs", count(lit(1)).over(Window.partitionBy(col("__h"))))
       .filter(col("__bs") <= maxBucketSize).drop("__bs")
     // Per-id surviving counts: one slim row per clip. Small at fixture
-    // scale but per-CLIP-cardinality at corpus scale, so the broadcast is
-    // gated on a MEASURED count (NdvSizing.measuredBroadcast — the r17
-    // verdict's fix: a forced hint here rested on Catalyst's size
-    // estimate of an aggregate), degrading to a shuffled join past the
-    // budget instead of an executor OOM.
-    val (surv, _) = graft.engine.NdvSizing.measuredBroadcast(
-      capped.groupBy(col("__id").as("inner_id"))
-        .agg(count(lit(1)).as("__ns")))
+    // scale but per-CLIP-cardinality at corpus scale, so NO forced
+    // broadcast hint (the r17 verdict: a hint here rested on Catalyst's
+    // size ESTIMATE of an aggregate) and no driver-measured count
+    // either — a count pre-pass re-evaluates this operator's expensive
+    // upstream (plant/decode/window-cap) once per gate, which a 6.6×
+    // p112 regression measured in round 18. The UNHINTED join is the
+    // measured gate: AQE converts it to broadcast at runtime from the
+    // aggregate's TRUE map-output size (zero extra passes), and past
+    // the threshold it stays a shuffled join — degrade, never OOM.
+    val surv = capped.groupBy(col("__id").as("inner_id"))
+      .agg(count(lit(1)).as("__ns"))
     val a = capped.select(col("__id").as("inner_id"), col("__pos").as("__wa"),
       col("__n").as("__na"), col("__h"), col("__side").as("__sa"))
     val b = capped.select(col("__id").as("outer_id"), col("__pos").as("__wb"),
@@ -147,15 +152,14 @@ object SequenceContainment {
     *
     * `ids`: one row per clip id (column `id`). Output: (id,
     * is_survivor) for every input id. The dropped set is a slim
-    * distinct aggregate; its broadcast is gated on a measured count
-    * ([[graft.engine.NdvSizing.measuredBroadcast]] — per-clip
-    * cardinality at corpus scale, same rationale as the surviving-count
-    * join above), falling back to a shuffled left join past the budget.
+    * distinct aggregate at per-clip cardinality — UNHINTED for the same
+    * reason as the surviving-count join above (a driver-measured count
+    * would re-run the whole containment join once per call; AQE's
+    * runtime conversion gates on the aggregate's true size for free).
     */
   def survivors(ids: DataFrame, pairList: DataFrame): DataFrame = {
-    val (dropped, _) = graft.engine.NdvSizing.measuredBroadcast(
-      pairList.select(col("inner_id").as("id")).distinct()
-        .withColumn("__dropped", lit(1)))
+    val dropped = pairList.select(col("inner_id").as("id")).distinct()
+      .withColumn("__dropped", lit(1))
     ids.join(dropped, Seq("id"), "left")
       .select(col("id"), col("__dropped").isNull.as("is_survivor"))
   }

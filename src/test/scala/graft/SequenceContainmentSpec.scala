@@ -147,13 +147,15 @@ class SequenceContainmentSpec extends AnyFunSuite {
     assert(got == Seq((100L, 1L, 1L, 2L)), s"got $got")
   }
 
-  test("measured broadcast gate (r17 verdict): under the budget the hint " +
-    "lands in the plan; past it the join is unhinted — results identical") {
+  test("broadcast gating (r17 verdict): no FORCED hint in the containment " +
+    "plans (AQE gates on measured runtime sizes instead), and the " +
+    "explicit measured gate helper works for cheap-upstream callers") {
     import graft.engine.NdvSizing
     val wins = clip(1L, (0 until 6).map(p => 100L + p)) ++
       clip(2L, (0 until 3).map(p => 102L + p)) // 2 ⊂ 1 at offset 2
-    // Helper regimes, pinned directly: a measured 2-row aggregate is
-    // hinted under the default budget, and NOT hinted under a 1-byte one.
+    // The measuredBroadcast helper (used where the upstream is cheap,
+    // e.g. Dedup.propagateDeletes): a measured 2-row aggregate is
+    // hinted under the default budget, and NOT under a 1-byte one.
     val agg = df(wins).groupBy(col("id")).agg(count(lit(1)).as("ns"))
     // Hints only survive as part of a join relation — pin them there.
     def joinPlan(side: org.apache.spark.sql.DataFrame): String =
@@ -165,14 +167,24 @@ class SequenceContainmentSpec extends AnyFunSuite {
     val (unhinted, _) = NdvSizing.measuredBroadcast(agg, broadcastBytes = 1L)
     assert(!joinPlan(unhinted).contains("broadcast"),
       "past-budget side still carries a hint")
-    // End to end: pairs() runs through the gate (fixture-scale counts →
-    // hinted) and the containment answer is the structural one.
+    // SequenceContainment itself must carry NO forced hint: a hint
+    // rests on Catalyst's estimate of an aggregate, and a driver-
+    // measured count re-runs the expensive upstream (the 6.6× p112
+    // regression) — the unhinted join lets AQE convert from TRUE
+    // runtime sizes with zero extra passes.
     val got = pairs(wins, cap = Long.MaxValue)
     assert(got == Seq((2L, 1L, 2L, 3L)), s"got $got")
     val plan = SequenceContainment.pairs(df(wins), "id", "pos", "n", "hash",
         maxBucketSize = Long.MaxValue)
       .queryExecution.optimizedPlan.toString
-    assert(plan.contains("broadcast"),
-      s"fixture-scale surviving-count join should be hinted:\n$plan")
+    assert(!plan.contains("broadcast"),
+      s"containment must not force a broadcast hint:\n$plan")
+    val splan = SequenceContainment.survivors(
+        df(wins).select(col("id")).distinct(),
+        SequenceContainment.pairs(df(wins), "id", "pos", "n", "hash",
+          maxBucketSize = Long.MaxValue))
+      .queryExecution.optimizedPlan.toString
+    assert(!splan.contains("broadcast"),
+      s"survivors must not force a broadcast hint:\n$splan")
   }
 }
