@@ -128,6 +128,40 @@ object Html {
   def plantedPageWithFigures(id: Column, text: Column): Column =
     plantedPageWith(id, text, plantedFigures(id, text))
 
+  /** The planted `<audio>` figure of a page — the AudioCaps-shape
+    * fixture: every ODD id carries one `<figure><audio src>` whose src
+    * is a messy variant of the crawl clip URL for the NEXT audio id
+    * (`id - id%6 + 6` — references past the corpus maximum exercise
+    * the missing-clip side), with a figcaption for id % 5 ≠ 3
+    * (caption-less audio figures have NO alt fallback and fail the
+    * gate), language by id % 4 parity.
+    */
+  def plantedAudioFigures(id: Column): Column = {
+    val tgtL = id - id % 6 + 6
+    val tgt = tgtL.cast("string")
+    val src = concat(lit("https://site"), (tgtL % 13).cast("string"),
+      lit(".example.com:443/media/clip"), tgt, lit(".wav#t"))
+    val cap = when(id % 4 === 1,
+      concat(lit("a field recording &amp; the clip "), tgt,
+        lit(" and take "), id.cast("string")))
+      .otherwise(
+        concat(lit("le enregistrement &amp; la clip "), tgt,
+          lit(" take "), id.cast("string")))
+    when(id % 2 === 1,
+      concat(lit("<figure><audio src=\""), src, lit("\"></audio>"),
+        when(id % 5 =!= 3,
+          concat(lit("<figcaption>"), cap, lit("</figcaption>")))
+          .otherwise(lit("")),
+        lit("</figure>")))
+      .otherwise(lit(""))
+  }
+
+  /** [[plantedPage]] with the audio figure inserted — the paired-crawl
+    * fixture for [[audioTextPairs]].
+    */
+  def plantedPageWithAudioFigures(id: Column, text: Column): Column =
+    plantedPageWith(id, text, plantedAudioFigures(id))
+
   private def plantedPageWith(id: Column, text: Column,
                               figures: Column): Column = {
     val idS = id.cast("string")
@@ -288,23 +322,38 @@ object Html {
     *
     * Output: (page_id, fig_idx, src, caption, n_caption_words).
     */
-  def imageFigures(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+  def imageFigures(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    mediaFigures(df, idCol, htmlCol, "img", altFallback = true)
+
+  /** [[imageFigures]] for `<audio src>` figures — the AudioCaps-shape
+    * front half (audio clip + surrounding caption text). No alt
+    * fallback: `<audio>` carries no alt attribute, so a caption-less
+    * audio figure yields an empty caption and fails the word gate.
+    */
+  def audioFigures(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    mediaFigures(df, idCol, htmlCol, "audio", altFallback = false)
+
+  private def mediaFigures(df: DataFrame, idCol: String, htmlCol: String,
+                           tag: String, altFallback: Boolean): DataFrame = {
     val figs = regexp_extract_all(col(htmlCol),
       lit("(?s)<figure(?:\\s[^>]*)?>.*?</figure\\s*>"), lit(0))
     val caption = {
       val figcap = regexp_extract(col("__fig"),
         "(?s)<figcaption(?:\\s[^>]*)?>(.*?)</figcaption\\s*>", 1)
       val alt = regexp_extract(col("__fig"),
-        "(?s)<img[^>]*\\salt=\"([^\"]*)\"", 1)
+        s"(?s)<$tag[^>]*\\salt=\"([^\"]*)\"", 1)
       when(length(figcap) > 0, htmlToText(figcap))
-        .otherwise(htmlToText(alt))
+        .otherwise(if (altFallback) htmlToText(alt) else lit(""))
     }
     df.select(col(idCol).as("page_id"),
         posexplode(figs).as(Seq("fig_idx", "__fig")))
       .select(col("page_id"), col("fig_idx"),
         regexp_extract(col("__fig"),
-          "(?s)<img[^>]*\\ssrc=\"([^\"]*)\"", 1).as("src"),
+          s"(?s)<$tag[^>]*\\ssrc=\"([^\"]*)\"", 1).as("src"),
         caption.as("caption"))
+      // figures of OTHER media kinds (no <tag src>) drop out here, so
+      // mixed pages route each figure to exactly its modality's pairs.
+      .filter(col("src") =!= "")
       .withColumn("n_caption_words",
         when(col("caption") === "", lit(0))
           .otherwise(size(split(col("caption"), " "))))
@@ -327,15 +376,31 @@ object Html {
     */
   def imageTextPairs(pages: DataFrame, idCol: String, htmlCol: String,
                      images: DataFrame, imgIdCol: String, imgUrlCol: String,
-                     decodedCol: String): DataFrame = {
-    val figs = imageFigures(pages, idCol, htmlCol)
-      .withColumn("canon_src", Urls.canonicalize(col("src")))
-    val imgs = images.select(col(imgIdCol).as("__img_id"),
-      Urls.canonicalize(col(imgUrlCol)).as("canon_src"),
+                     decodedCol: String): DataFrame =
+    mediaTextPairs(imageFigures(pages, idCol, htmlCol), "image_id",
+      images, imgIdCol, imgUrlCol, decodedCol)
+
+  /** [[imageTextPairs]] for the audio modality: `<audio src>` figures
+    * joined to the crawl's decoded audio records — the AudioCaps-shape
+    * (clip, caption) training-pair product. Same canonical-URL join,
+    * same quality gates; the media-id column is `audio_id`.
+    */
+  def audioTextPairs(pages: DataFrame, idCol: String, htmlCol: String,
+                     clips: DataFrame, clipIdCol: String, clipUrlCol: String,
+                     decodedCol: String): DataFrame =
+    mediaTextPairs(audioFigures(pages, idCol, htmlCol), "audio_id",
+      clips, clipIdCol, clipUrlCol, decodedCol)
+
+  private def mediaTextPairs(figs: DataFrame, outIdCol: String,
+                             media: DataFrame, mIdCol: String,
+                             mUrlCol: String, decodedCol: String): DataFrame = {
+    val f = figs.withColumn("canon_src", Urls.canonicalize(col("src")))
+    val m = media.select(col(mIdCol).as("__m_id"),
+      Urls.canonicalize(col(mUrlCol)).as("canon_src"),
       col(decodedCol).as("__decoded"))
-    figs.join(imgs, Seq("canon_src"), "left")
+    f.join(m, Seq("canon_src"), "left")
       .select(col("page_id"), col("fig_idx"),
-        coalesce(col("__img_id"), lit(-1L)).as("image_id"),
+        coalesce(col("__m_id"), lit(-1L)).as(outIdCol),
         col("caption"),
         graft.functions.TextFunctions.langId(col("caption"))
           .as("caption_lang"),

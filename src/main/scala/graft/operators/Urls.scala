@@ -82,6 +82,22 @@ object Urls {
       when(id % 3 === 0, lit("?utm_source=x")).otherwise(lit("")))
   }
 
+  /** [[plantedImageUrl]] for the crawl-side AUDIO records
+    * ([[Warc.plantAudioPairedWarcs]]): same messy-variant discipline,
+    * path `/media/clip{id}.wav`, canonicalizing to
+    * `https://site{id%13}.example.com/media/clip{id}.wav` — the same
+    * canonical key as the page-side `<audio src>` variant.
+    */
+  def plantedAudioUrl(id: Column): Column = {
+    def s(c: Column): Column = c.cast("string")
+    concat(
+      when(id % 12 === 0, lit("HTTPS")).otherwise(lit("https")),
+      lit("://WWW.Site"), s(id % 13), lit(".Example.COM"),
+      when(id % 5 === 0, lit(":443")).otherwise(lit("")),
+      lit("/media/clip"), s(id), lit(".wav"),
+      when(id % 9 === 0, lit("?utm_source=x")).otherwise(lit("")))
+  }
+
   /** Lowercased host with `www.` and any port stripped. */
   def hostOf(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*", "")

@@ -158,13 +158,26 @@ object Warc {
   def plantPairedWarcs(docs: DataFrame): DataFrame =
     plantWarcFiles(docs, withImages = false, paired = true)
 
+  /** The [[plantPairedWarcs]] shape for the AUDIO modality: html
+    * responses carry the `<audio>`-figure page
+    * ([[Html.plantedPageWithAudioFigures]]), and every id % 6 == 0
+    * file carries an `audio/wav` response at the messy crawl-side clip
+    * URL ([[Urls.plantedAudioUrl]]) with the dedup-grade planted WAV
+    * under the `(id/12)*12` copy rule.
+    */
+  def plantAudioPairedWarcs(docs: DataFrame): DataFrame =
+    plantWarcFiles(docs, withImages = false, pairedAudio = true)
+
   private def plantWarcFiles(docs: DataFrame, withImages: Boolean,
                              fpDedup: Boolean = false,
                              withVideo: Boolean = false,
-                             paired: Boolean = false): DataFrame = {
+                             paired: Boolean = false,
+                             pairedAudio: Boolean = false): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(Multimodal.mediaSchema)
     val page =
       if (paired) Html.plantedPageWithFigures(col("doc_id"), col("text"))
+      else if (pairedAudio)
+        Html.plantedPageWithAudioFigures(col("doc_id"), col("text"))
       else Html.plantedPage(col("doc_id"), col("text"))
     // Fan out FIRST (the plantPngs discipline: one-file fixtures otherwise
     // pin the assembly to a single task), then build page + URL as column
@@ -173,10 +186,11 @@ object Warc {
       .select(col("doc_id").as("id"),
         page.as("html"),
         Urls.plantedUrl(col("doc_id")).as("url"),
-        Urls.plantedImageUrl(col("doc_id")).as("imgurl"))
+        Urls.plantedImageUrl(col("doc_id")).as("imgurl"),
+        Urls.plantedAudioUrl(col("doc_id")).as("audurl"))
       .mapPartitions { rows =>
         val writers =
-          if (withImages) Multimodal.audioWriters() else Nil
+          if (withImages || pairedAudio) Multimodal.audioWriters() else Nil
         val gifWriter =
           if (withVideo) {
             javax.imageio.ImageIO.setUseCache(false)
@@ -190,6 +204,7 @@ object Warc {
           val html = r.getString(1)
           val url = r.getString(2)
           val imgUrl = r.getString(3)
+          val audUrl = r.getString(4)
           val bos = new java.io.ByteArrayOutputStream()
           def record(headers: Seq[(String, String)], payload: Array[Byte]): Unit = {
             bos.write("WARC/1.0\r\n".getBytes("US-ASCII"))
@@ -227,6 +242,15 @@ object Warc {
               if (fpDedup) Multimodal.plantedPngFpBytes((id / 8) * 8)
               else Multimodal.plantedPngBytes(id))
           }
+          // Audio-paired fixture: the clip record at its own messy URL,
+          // payload under the (id/12)*12 copy rule.
+          if (pairedAudio && id % 6 == 0)
+            record(
+              Seq("WARC-Type" -> "response",
+                "WARC-Record-ID" -> s"<urn:graft:paud:$id>",
+                "WARC-Target-URI" -> audUrl,
+                "Content-Type" -> "audio/wav"),
+              Multimodal.plantedWavFpBytes((id / 12) * 12, writers))
           // Paired fixture: the image record lives at its OWN messy URL
           // (not a page-URL suffix) so the pair join exercises real
           // canonicalization; payload under the (id/8)*8 copy rule.

@@ -3201,6 +3201,37 @@ object Pipeline {
       Similarity.semanticDecontaminateProbed(refHome, probedTrain,
           tau = 1.0)
         .orderBy(col("vec_id"))
+    }),
+
+    // ---- AUDIO–text pair extraction (the AudioCaps shape — the pair
+    // operator generalized to a second modality): odd pages embed one
+    // <audio src> figure referencing the NEXT audio id's clip (tail
+    // references miss — the unresolved side), captions in two
+    // languages, NO alt fallback (audio has none — caption-less
+    // figures fail the gate with an empty caption). Clips are routed
+    // by the WARC front door, really decoded (AudioHash.fingerprints),
+    // and joined on the canonical URL across two different messy
+    // variants. The oracle recomputes everything closed-form. ----
+    "p145_audio_text_pairs" -> ((s, dir) => {
+      val recs = Warc.parseWarc(Warc.plantAudioPairedWarcs(docs(s, dir)))
+        .filter(col("ok") && col("warc_type") === "response")
+        .withColumn("kind",
+          Warc.contentKind(col("content_type"), col("payload")))
+      val pages = recs.filter(col("kind") === "html")
+        .select(col("media_id").as("page_id"),
+          decode(col("payload"), "UTF-8").as("html"))
+      val audRecs = recs.filter(col("kind") === "audio")
+      val clips = AudioHash.fingerprints(
+          audRecs.select(col("media_id"), col("payload").as("data")))
+        .select(col("media_id").as("audio_id"), col("decoded"))
+        .join(audRecs.select(col("media_id").as("audio_id"),
+          col("target_uri").as("clip_url")), Seq("audio_id"))
+      Html.audioTextPairs(pages, "page_id", "html",
+          clips, "audio_id", "clip_url", "decoded")
+        .select(col("page_id"), col("fig_idx"), col("audio_id"),
+          col("caption"), col("caption_lang"), col("n_caption_words"),
+          col("kept"), col("decoded"))
+        .orderBy(col("page_id"), col("fig_idx"))
     })
   )
 
@@ -7437,6 +7468,45 @@ object Pipeline {
         SELECT h.vec_id, CAST(h.cell AS bigint) AS cell,
                (d.vec_id IS NULL) AS kept
         FROM mdh h LEFT JOIN mdhit d ON h.vec_id = d.vec_id
-        WHERE h.is_t = 1 ORDER BY h.vec_id"""
+        WHERE h.is_t = 1 ORDER BY h.vec_id""",
+
+    // Audio–text pair twin: odd-page figures, the next-audio-id target,
+    // both caption languages, the empty no-figcaption caption (audio
+    // has no alt fallback), the language rule, the gate, and the
+    // canonical-URL join outcome — all closed-form in id arithmetic.
+    "p145_audio_text_pairs" ->
+      s"""WITH afa AS (SELECT doc_id AS id FROM documents
+          WHERE doc_id % 2 = 1),
+        acap AS (SELECT id, id - id % 6 + 6 AS tgt,
+            CASE WHEN id % 5 <> 3 AND id % 4 = 1
+              THEN 'a field recording & the clip ' || (id - id % 6 + 6)
+                   || ' and take ' || id
+              WHEN id % 5 <> 3
+              THEN 'le enregistrement & la clip ' || (id - id % 6 + 6)
+                   || ' take ' || id
+              ELSE '' END AS caption
+          FROM afa),
+        alng AS (SELECT id, tgt, caption,
+            CASE
+              WHEN ' ' || caption || ' ' LIKE '% the %'
+                OR ' ' || caption || ' ' LIKE '% and %' THEN 'en'
+              WHEN ' ' || caption || ' ' LIKE '% le %'
+                OR ' ' || caption || ' ' LIKE '% la %' THEN 'fr'
+              WHEN ' ' || caption || ' ' LIKE '% der %'
+                OR ' ' || caption || ' ' LIKE '% und %' THEN 'de'
+              WHEN ' ' || caption || ' ' LIKE '% el %'
+                OR ' ' || caption || ' ' LIKE '% los %' THEN 'es'
+              ELSE 'unknown' END AS caption_lang,
+            CASE WHEN caption = '' THEN 0
+                 ELSE len(string_split(caption, ' ')) END AS nw
+          FROM acap),
+        aud AS (SELECT doc_id AS tgt FROM documents WHERE doc_id % 6 = 0)
+        SELECT c.id AS page_id, CAST(0 AS integer) AS fig_idx,
+               coalesce(a.tgt, -1) AS audio_id, c.caption, c.caption_lang,
+               CAST(c.nw AS integer) AS n_caption_words,
+               c.nw >= 3 AS kept,
+               a.tgt IS NOT NULL AS decoded
+        FROM alng c LEFT JOIN aud a ON c.tgt = a.tgt
+        ORDER BY page_id, fig_idx"""
   )
 }

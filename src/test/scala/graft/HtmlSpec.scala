@@ -373,6 +373,33 @@ class HtmlSpec extends AnyFunSuite {
       "figure blocks must be invisible to blockExtract")
   }
 
+  test("audioFigures: no alt fallback, mixed-modality pages route each " +
+    "figure to exactly its modality's extractor") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "<html><body>" +
+        "<figure><img src=\"https://a.com/i.png\" alt=\"img alt words\">" +
+        "</figure>" +
+        "<figure><audio src=\"https://a.com/c.wav\"></audio>" +
+        "<figcaption>a clip caption here</figcaption></figure>" +
+        "<figure><audio src=\"https://a.com/d.wav\"></audio></figure>" +
+        "</body></html>"))
+      .toDF("page_id", "html")
+    val imgs = Html.imageFigures(pages, "page_id", "html")
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getString(3)))
+      .toSeq
+    assert(imgs == Seq((0, "https://a.com/i.png", "img alt words")),
+      s"imgs: $imgs")
+    val auds = Html.audioFigures(pages, "page_id", "html")
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getString(3),
+        r.getInt(4))).sortBy(_._1).toSeq
+    // fig_idx is the page-wide figure position (1 and 2 here); the
+    // caption-less audio figure has NO alt fallback -> empty, 0 words.
+    assert(auds == Seq(
+      (1, "https://a.com/c.wav", "a clip caption here", 4),
+      (2, "https://a.com/d.wav", "", 0)), s"auds: $auds")
+  }
+
   test("urls: planted corpus produces real post-canonicalization dup " +
     "groups (the crawl-dedup signal)") {
     import org.apache.spark.sql.expressions.Window
