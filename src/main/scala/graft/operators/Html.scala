@@ -162,6 +162,53 @@ object Html {
   def plantedPageWithAudioFigures(id: Column, text: Column): Column =
     plantedPageWith(id, text, plantedAudioFigures(id))
 
+  /** The planted `<video>` figure of a page — the WebVid-shape fixture:
+    * every id % 3 == 2 page carries one video figure whose src is the
+    * page-side variant of the crawl clip URL for the NEXT video id
+    * (`id - id%5 + 5` — tail references past the corpus maximum
+    * exercise the missing-clip side). The MARKUP alternates by parity —
+    * even ids use a direct `<video poster src>` (the `poster` attribute
+    * is an IMAGE url the extractor must not confuse with the clip src),
+    * odd ids use the HTML5 nested-`<source>` form (`<video controls>`
+    * with no src attribute at all) — so both extraction paths of
+    * [[videoFigures]] are exercised by every fixture. Figcaption for
+    * id % 7 ≠ 4 (video has no alt fallback either — caption-less
+    * figures fail the gate), language by id % 4 < 2: de / es (the two
+    * langId families the image/audio fixtures don't cover).
+    */
+  def plantedVideoFigures(id: Column): Column = {
+    val tgtL = id - id % 5 + 5
+    val tgt = tgtL.cast("string")
+    val src = concat(lit("https://site"), (tgtL % 13).cast("string"),
+      lit(".example.com:443/media/anim"), tgt, lit(".gif#t"),
+      id.cast("string"))
+    val media = when(id % 2 === 0,
+      concat(lit("<video poster=\"/thumb"), id.cast("string"),
+        lit(".png\" src=\""), src, lit("\"></video>")))
+      .otherwise(
+        concat(lit("<video controls><source src=\""), src,
+          lit("\" type=\"video/gif\"></video>")))
+    val cap = when(id % 4 < 2,
+      concat(lit("der clip &amp; "), tgt, lit(" und take "),
+        id.cast("string")))
+      .otherwise(
+        concat(lit("el video &amp; "), tgt, lit(" los frames "),
+          id.cast("string")))
+    when(id % 3 === 2,
+      concat(lit("<figure>"), media,
+        when(id % 7 =!= 4,
+          concat(lit("<figcaption>"), cap, lit("</figcaption>")))
+          .otherwise(lit("")),
+        lit("</figure>")))
+      .otherwise(lit(""))
+  }
+
+  /** [[plantedPage]] with the video figure inserted — the paired-crawl
+    * fixture for [[videoTextPairs]].
+    */
+  def plantedPageWithVideoFigures(id: Column, text: Column): Column =
+    plantedPageWith(id, text, plantedVideoFigures(id))
+
   private def plantedPageWith(id: Column, text: Column,
                               figures: Column): Column = {
     val idS = id.cast("string")
@@ -333,8 +380,21 @@ object Html {
   def audioFigures(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
     mediaFigures(df, idCol, htmlCol, "audio", altFallback = false)
 
+  /** [[imageFigures]] for `<video>` figures — the WebVid-shape front
+    * half. Two src conventions coexist in real markup: a direct
+    * `src` attribute on the `<video>` tag, and the HTML5
+    * `<video><source src>` nested form (no src attribute at all) —
+    * the extractor takes the direct attribute when present, else the
+    * first nested `<source src>`. The `poster` attribute (an IMAGE
+    * url) never matches either rule. No alt fallback (video has none).
+    */
+  def videoFigures(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    mediaFigures(df, idCol, htmlCol, "video", altFallback = false,
+      nestedSource = true)
+
   private def mediaFigures(df: DataFrame, idCol: String, htmlCol: String,
-                           tag: String, altFallback: Boolean): DataFrame = {
+                           tag: String, altFallback: Boolean,
+                           nestedSource: Boolean = false): DataFrame = {
     val figs = regexp_extract_all(col(htmlCol),
       lit("(?s)<figure(?:\\s[^>]*)?>.*?</figure\\s*>"), lit(0))
     val caption = {
@@ -345,11 +405,25 @@ object Html {
       when(length(figcap) > 0, htmlToText(figcap))
         .otherwise(if (altFallback) htmlToText(alt) else lit(""))
     }
+    val src = {
+      // `[^>]*` cannot cross the tag's closing `>`, so a nested
+      // `<source src>` never satisfies the direct rule and vice versa.
+      val direct = regexp_extract(col("__fig"),
+        s"(?s)<$tag[^>]*\\ssrc=\"([^\"]*)\"", 1)
+      if (!nestedSource) direct
+      else {
+        // The figure's OWN media tag must carry the nested <source> —
+        // scope the fallback to the <tag ...>...</tag> span so a
+        // (malformed) sibling <source> outside it never leaks in.
+        val nested = regexp_extract(col("__fig"),
+          s"(?s)<$tag(?:\\s[^>]*)?>.*?<source[^>]*\\ssrc=\"([^\"]*)\"", 1)
+        when(direct =!= "", direct).otherwise(nested)
+      }
+    }
     df.select(col(idCol).as("page_id"),
         posexplode(figs).as(Seq("fig_idx", "__fig")))
       .select(col("page_id"), col("fig_idx"),
-        regexp_extract(col("__fig"),
-          s"(?s)<$tag[^>]*\\ssrc=\"([^\"]*)\"", 1).as("src"),
+        src.as("src"),
         caption.as("caption"))
       // figures of OTHER media kinds (no <tag src>) drop out here, so
       // mixed pages route each figure to exactly its modality's pairs.
@@ -389,6 +463,18 @@ object Html {
                      clips: DataFrame, clipIdCol: String, clipUrlCol: String,
                      decodedCol: String): DataFrame =
     mediaTextPairs(audioFigures(pages, idCol, htmlCol), "audio_id",
+      clips, clipIdCol, clipUrlCol, decodedCol)
+
+  /** [[imageTextPairs]] for the video modality: `<video>` figures
+    * (direct-src or nested-`<source>`) joined to the crawl's decoded
+    * clip records — the WebVid-shape (clip, caption) training-pair
+    * product. Same canonical-URL join, same quality gates; the media-id
+    * column is `video_id`.
+    */
+  def videoTextPairs(pages: DataFrame, idCol: String, htmlCol: String,
+                     clips: DataFrame, clipIdCol: String, clipUrlCol: String,
+                     decodedCol: String): DataFrame =
+    mediaTextPairs(videoFigures(pages, idCol, htmlCol), "video_id",
       clips, clipIdCol, clipUrlCol, decodedCol)
 
   private def mediaTextPairs(figs: DataFrame, outIdCol: String,

@@ -98,6 +98,23 @@ object Urls {
       when(id % 9 === 0, lit("?utm_source=x")).otherwise(lit("")))
   }
 
+  /** [[plantedImageUrl]] for the crawl-side VIDEO records
+    * ([[Warc.plantVideoPairedWarcs]]): same messy-variant discipline,
+    * path `/media/anim{id}.gif`, canonicalizing to
+    * `https://site{id%13}.example.com/media/anim{id}.gif` — the same
+    * canonical key as the page-side `<video src>` / nested
+    * `<source src>` variant ([[Html.plantedVideoFigures]]).
+    */
+  def plantedVideoUrl(id: Column): Column = {
+    def s(c: Column): Column = c.cast("string")
+    concat(
+      when(id % 10 === 0, lit("HTTPS")).otherwise(lit("https")),
+      lit("://WWW.Site"), s(id % 13), lit(".Example.COM"),
+      when(id % 4 === 0, lit(":443")).otherwise(lit("")),
+      lit("/media/anim"), s(id), lit(".gif"),
+      when(id % 15 === 0, lit("?utm_source=x")).otherwise(lit("")))
+  }
+
   /** Lowercased host with `www.` and any port stripped. */
   def hostOf(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*", "")

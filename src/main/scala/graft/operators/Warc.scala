@@ -168,16 +168,32 @@ object Warc {
   def plantAudioPairedWarcs(docs: DataFrame): DataFrame =
     plantWarcFiles(docs, withImages = false, pairedAudio = true)
 
+  /** The [[plantPairedWarcs]] shape for the VIDEO modality: html
+    * responses carry the `<video>`-figure page
+    * ([[Html.plantedPageWithVideoFigures]] — direct-src and
+    * nested-`<source>` markup alternating by parity), and every
+    * id % 5 == 0 file carries an animated-GIF response at the messy
+    * crawl-side clip URL ([[Urls.plantedVideoUrl]]) whose Content-Type
+    * is the DELIBERATE `application/octet-stream` mislabel (the router
+    * must rescue it by magic bytes, same as [[plantVideoWarcs]]) under
+    * the `(id/10)*10` copy rule.
+    */
+  def plantVideoPairedWarcs(docs: DataFrame): DataFrame =
+    plantWarcFiles(docs, withImages = false, pairedVideo = true)
+
   private def plantWarcFiles(docs: DataFrame, withImages: Boolean,
                              fpDedup: Boolean = false,
                              withVideo: Boolean = false,
                              paired: Boolean = false,
-                             pairedAudio: Boolean = false): DataFrame = {
+                             pairedAudio: Boolean = false,
+                             pairedVideo: Boolean = false): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(Multimodal.mediaSchema)
     val page =
       if (paired) Html.plantedPageWithFigures(col("doc_id"), col("text"))
       else if (pairedAudio)
         Html.plantedPageWithAudioFigures(col("doc_id"), col("text"))
+      else if (pairedVideo)
+        Html.plantedPageWithVideoFigures(col("doc_id"), col("text"))
       else Html.plantedPage(col("doc_id"), col("text"))
     // Fan out FIRST (the plantPngs discipline: one-file fixtures otherwise
     // pin the assembly to a single task), then build page + URL as column
@@ -187,12 +203,13 @@ object Warc {
         page.as("html"),
         Urls.plantedUrl(col("doc_id")).as("url"),
         Urls.plantedImageUrl(col("doc_id")).as("imgurl"),
-        Urls.plantedAudioUrl(col("doc_id")).as("audurl"))
+        Urls.plantedAudioUrl(col("doc_id")).as("audurl"),
+        Urls.plantedVideoUrl(col("doc_id")).as("vidurl"))
       .mapPartitions { rows =>
         val writers =
           if (withImages || pairedAudio) Multimodal.audioWriters() else Nil
         val gifWriter =
-          if (withVideo) {
+          if (withVideo || pairedVideo) {
             javax.imageio.ImageIO.setUseCache(false)
             val w = javax.imageio.ImageIO
               .getImageWritersByFormatName("gif").next()
@@ -205,6 +222,7 @@ object Warc {
           val url = r.getString(2)
           val imgUrl = r.getString(3)
           val audUrl = r.getString(4)
+          val vidUrl = r.getString(5)
           val bos = new java.io.ByteArrayOutputStream()
           def record(headers: Seq[(String, String)], payload: Array[Byte]): Unit = {
             bos.write("WARC/1.0\r\n".getBytes("US-ASCII"))
@@ -281,6 +299,17 @@ object Warc {
               Seq("WARC-Type" -> "response",
                 "WARC-Record-ID" -> s"<urn:graft:vid:$id>",
                 "WARC-Target-URI" -> (url + "/anim.gif"),
+                "Content-Type" -> "application/octet-stream"),
+              Multimodal.plantedGifFpBytes((id / 10) * 10, gifWriter))
+          // Video-paired fixture: the clip record at its OWN messy URL
+          // (the pair join exercises real canonicalization), still
+          // Content-Type-mislabeled (the router rescues it by GIF magic
+          // alone); payload under the (id/10)*10 copy rule.
+          if (pairedVideo && id % 5 == 0)
+            record(
+              Seq("WARC-Type" -> "response",
+                "WARC-Record-ID" -> s"<urn:graft:pvid:$id>",
+                "WARC-Target-URI" -> vidUrl,
                 "Content-Type" -> "application/octet-stream"),
               Multimodal.plantedGifFpBytes((id / 10) * 10, gifWriter))
           Row(id, "web", bos.toByteArray,

@@ -3232,6 +3232,39 @@ object Pipeline {
           col("caption"), col("caption_lang"), col("n_caption_words"),
           col("kept"), col("decoded"))
         .orderBy(col("page_id"), col("fig_idx"))
+    }),
+
+    // ---- VIDEO–text pair extraction (the WebVid shape — the third
+    // modality of the pair family): id % 3 == 2 pages embed one <video>
+    // figure referencing the NEXT video id's clip, with the MARKUP
+    // alternating between a direct `src` attribute (plus a poster
+    // image the extractor must not confuse with the clip) and the
+    // HTML5 nested-<source> form; captions in de/es (the two langId
+    // families the image/audio fixtures don't cover). Clips arrive
+    // Content-Type-MISLABELED (router rescues them by GIF magic),
+    // are really demux-decoded (VideoHash.fingerprints), and joined
+    // on the canonical URL. The oracle recomputes everything
+    // closed-form. ----
+    "p146_video_text_pairs" -> ((s, dir) => {
+      val recs = Warc.parseWarc(Warc.plantVideoPairedWarcs(docs(s, dir)))
+        .filter(col("ok") && col("warc_type") === "response")
+        .withColumn("kind",
+          Warc.contentKind(col("content_type"), col("payload")))
+      val pages = recs.filter(col("kind") === "html")
+        .select(col("media_id").as("page_id"),
+          decode(col("payload"), "UTF-8").as("html"))
+      val vidRecs = recs.filter(col("kind") === "video")
+      val clips = VideoHash.fingerprints(
+          vidRecs.select(col("media_id"), col("payload").as("data")))
+        .select(col("media_id").as("video_id"), col("decoded"))
+        .join(vidRecs.select(col("media_id").as("video_id"),
+          col("target_uri").as("clip_url")), Seq("video_id"))
+      Html.videoTextPairs(pages, "page_id", "html",
+          clips, "video_id", "clip_url", "decoded")
+        .select(col("page_id"), col("fig_idx"), col("video_id"),
+          col("caption"), col("caption_lang"), col("n_caption_words"),
+          col("kept"), col("decoded"))
+        .orderBy(col("page_id"), col("fig_idx"))
     })
   )
 
@@ -7507,6 +7540,47 @@ object Pipeline {
                c.nw >= 3 AS kept,
                a.tgt IS NOT NULL AS decoded
         FROM alng c LEFT JOIN aud a ON c.tgt = a.tgt
+        ORDER BY page_id, fig_idx""",
+
+    // Video–text pair twin: id%3==2 page figures, the next-video-id
+    // target, the de/es caption languages, the empty no-figcaption
+    // caption (video has no alt fallback), the language rule, the gate,
+    // and the canonical-URL join outcome — all closed-form in id
+    // arithmetic (both markup variants extract the SAME src, so the
+    // twin never needs to know which parity used nested <source>).
+    "p146_video_text_pairs" ->
+      s"""WITH vfa AS (SELECT doc_id AS id FROM documents
+          WHERE doc_id % 3 = 2),
+        vcap AS (SELECT id, id - id % 5 + 5 AS tgt,
+            CASE WHEN id % 7 <> 4 AND id % 4 < 2
+              THEN 'der clip & ' || (id - id % 5 + 5)
+                   || ' und take ' || id
+              WHEN id % 7 <> 4
+              THEN 'el video & ' || (id - id % 5 + 5)
+                   || ' los frames ' || id
+              ELSE '' END AS caption
+          FROM vfa),
+        vlng AS (SELECT id, tgt, caption,
+            CASE
+              WHEN ' ' || caption || ' ' LIKE '% the %'
+                OR ' ' || caption || ' ' LIKE '% and %' THEN 'en'
+              WHEN ' ' || caption || ' ' LIKE '% le %'
+                OR ' ' || caption || ' ' LIKE '% la %' THEN 'fr'
+              WHEN ' ' || caption || ' ' LIKE '% der %'
+                OR ' ' || caption || ' ' LIKE '% und %' THEN 'de'
+              WHEN ' ' || caption || ' ' LIKE '% el %'
+                OR ' ' || caption || ' ' LIKE '% los %' THEN 'es'
+              ELSE 'unknown' END AS caption_lang,
+            CASE WHEN caption = '' THEN 0
+                 ELSE len(string_split(caption, ' ')) END AS nw
+          FROM vcap),
+        vid AS (SELECT doc_id AS tgt FROM documents WHERE doc_id % 5 = 0)
+        SELECT c.id AS page_id, CAST(0 AS integer) AS fig_idx,
+               coalesce(v.tgt, -1) AS video_id, c.caption, c.caption_lang,
+               CAST(c.nw AS integer) AS n_caption_words,
+               c.nw >= 3 AS kept,
+               v.tgt IS NOT NULL AS decoded
+        FROM vlng c LEFT JOIN vid v ON c.tgt = v.tgt
         ORDER BY page_id, fig_idx"""
   )
 }

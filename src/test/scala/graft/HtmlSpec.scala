@@ -400,6 +400,61 @@ class HtmlSpec extends AnyFunSuite {
       (2, "https://a.com/d.wav", "", 0)), s"auds: $auds")
   }
 
+  test("videoFigures: direct src, nested <source> fallback, poster " +
+    "never mistaken for src, and cross-modality figures drop out") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "<html><body>" +
+        // direct src + poster BEFORE it (poster must not win)
+        "<figure><video poster=\"/th.png\" src=\"https://a.com/v1.gif\">" +
+        "</video><figcaption>ein clip und mehr</figcaption></figure>" +
+        // nested <source>, no src attribute on <video> at all
+        "<figure><video controls><source src=\"https://a.com/v2.gif\" " +
+        "type=\"video/gif\"></video></figure>" +
+        // poster-only video (no src anywhere) -> drops out
+        "<figure><video poster=\"/only.png\"></video></figure>" +
+        // an image figure -> not a video figure
+        "<figure><img src=\"https://a.com/i.png\" alt=\"alt words\">" +
+        "</figure>" +
+        "</body></html>"))
+      .toDF("page_id", "html")
+    val vids = Html.videoFigures(pages, "page_id", "html")
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getString(3),
+        r.getInt(4))).sortBy(_._1).toSeq
+    assert(vids == Seq(
+      (0, "https://a.com/v1.gif", "ein clip und mehr", 4),
+      (1, "https://a.com/v2.gif", "", 0)), s"vids: $vids")
+    // the image figure still routes to the image extractor only
+    val imgs = Html.imageFigures(pages, "page_id", "html")
+      .collect().map(r => (r.getInt(1), r.getString(2))).toSeq
+    assert(imgs == Seq((3, "https://a.com/i.png")), s"imgs: $imgs")
+  }
+
+  test("planted video figures: page-side src (both markup parities) and " +
+    "crawl-side clip URL canonicalize to the SAME key") {
+    import spark.implicits._
+    // id%3==2 pages: 2 (even -> direct src), 5 (odd -> nested <source>)
+    val pages = Seq(2L, 5L).toDF("id")
+      .select(col("id"),
+        Html.plantedPageWithVideoFigures(col("id"),
+          lit((1 to 30).map(i => s"w$i").mkString(" "))).as("html"))
+    val figs = Html.videoFigures(pages, "id", "html")
+      .select(col("page_id"),
+        Urls.canonicalize(col("src")).as("page_canon"))
+    // the figure of page id targets clip id - id%5 + 5
+    val crawl = Seq(2L -> 5L, 5L -> 10L).toDF("page_id", "tgt")
+      .select(col("page_id"),
+        Urls.canonicalize(Urls.plantedVideoUrl(col("tgt"))).as("crawl_canon"))
+    val joined = figs.join(crawl, Seq("page_id")).collect()
+    assert(joined.length == 2)
+    joined.foreach { r =>
+      assert(r.getAs[String]("page_canon") == r.getAs[String]("crawl_canon"),
+        s"canon mismatch on page ${r.getLong(0)}: " +
+          s"${r.getAs[String]("page_canon")} vs " +
+          s"${r.getAs[String]("crawl_canon")}")
+    }
+  }
+
   test("urls: planted corpus produces real post-canonicalization dup " +
     "groups (the crawl-dedup signal)") {
     import org.apache.spark.sql.expressions.Window
