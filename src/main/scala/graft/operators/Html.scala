@@ -355,6 +355,54 @@ object Html {
       .withColumn("main_chars", length(col("main_text")))
   }
 
+  /** Interleaved multimodal training DOCUMENT (the MMC4/OBELICS shape —
+    * what a vision-language-model pretraining corpus actually stores):
+    * one row per kept item of the page in DOCUMENT ORDER, where an item
+    * is either a main-content text block (the [[blockExtract]] jusText
+    * gate: link density < [[LinkDensityMaxMicro]], ≥ [[MinBlockWords]]
+    * words) or an image placement (a `<figure>` with an `<img src>`).
+    * Text rows carry the block text and its word count; image rows
+    * carry the raw src (join it to crawl records via
+    * [[Urls.canonicalize]] downstream) and `n_words = 0`.
+    *
+    * Document order is preserved BY CONSTRUCTION: one alternation regex
+    * extracts blocks and figures in a single left-to-right pass, the
+    * quality gate is an array `filter`, and `posexplode` numbers the
+    * surviving sequence — no explode/groupBy/window round trip, no
+    * shuffle; the whole operator is one narrow projection per page at
+    * any corpus scale. Same two-level HOF materialization discipline as
+    * [[blockExtract]] (level 1 runs the strip regex once per item).
+    */
+  def interleavedDoc(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val itemRe = BlockRe + "|<figure(?:\\s[^>]*)?>.*?</figure\\s*>"
+    val items = regexp_extract_all(col(htmlCol), lit(itemRe), lit(0))
+    val raw = transform(items, b => struct(
+      startswith(b, lit("<figure")).as("f"),
+      htmlToText(b).as("t"),
+      anchorChars(b).as("a"),
+      regexp_extract(b, "(?s)<img[^>]*\\ssrc=\"([^\"]*)\"", 1).as("s")))
+    val infos = transform(col("__raw"), r => struct(
+      r("f").as("f"), r("t").as("t"), r("s").as("s"),
+      when(r("t") === "", lit(0)).otherwise(size(split(r("t"), " "))).as("w"),
+      floor(r("a") * 1000000L / greatest(length(r("t")), lit(1)))
+        .cast("long").as("ld")))
+    val kept = filter(col("__infos"), i =>
+      (i("f") && i("s") =!= "") ||
+        (!i("f") && i("ld") < LinkDensityMaxMicro && i("w") >= MinBlockWords))
+    df.select(col(idCol).as("page_id"), raw.as("__raw"))
+      .select(col("page_id"), infos.as("__infos"))
+      .select(col("page_id"), kept.as("__kept"))
+      .select(col("page_id"),
+        posexplode(col("__kept")).as(Seq("seq_idx", "__i")))
+      .select(col("page_id"), col("seq_idx"),
+        when(col("__i")("f"), lit("image")).otherwise(lit("text"))
+          .as("kind"),
+        when(col("__i")("f"), col("__i")("s")).otherwise(col("__i")("t"))
+          .as("content"),
+        when(col("__i")("f"), lit(0)).otherwise(col("__i")("w"))
+          .as("n_words"))
+  }
+
   /** Per-figure extraction — the first half of the LAION-shape
     * image–text pair operator: segment every `<figure>` block, pull the
     * `<img>` src, the `alt` text and the `<figcaption>` content, and

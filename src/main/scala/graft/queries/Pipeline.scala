@@ -3265,6 +3265,58 @@ object Pipeline {
           col("caption"), col("caption_lang"), col("n_caption_words"),
           col("kept"), col("decoded"))
         .orderBy(col("page_id"), col("fig_idx"))
+    }),
+
+    // ---- INTERLEAVED multimodal documents (the MMC4/OBELICS shape —
+    // what a vision-language-model pretraining corpus stores): one row
+    // per kept item in DOCUMENT ORDER — jusText-gated text blocks and
+    // <figure><img src> placements — over the figure-bearing planted
+    // pages. The oracle rebuilds the text items through the blockExtract
+    // twin (figures are invisible to block segmentation by construction,
+    // so the plain-page CTEs apply) and appends the figure items from
+    // the closed-form id arithmetic, numbering the merged sequence. ----
+    "p147_interleaved_docs" -> ((s, dir) => {
+      val pages = docs(s, dir).select(col("doc_id"),
+        Html.plantedPageWithFigures(col("doc_id"), col("text")).as("html"))
+      Html.interleavedDoc(pages, "doc_id", "html")
+        .orderBy(col("page_id"), col("seq_idx"))
+    }),
+
+    // ---- MULTIMODAL shard export (p104's discipline for the VLM
+    // corpus): each interleaved page is costed at its text words plus a
+    // fixed 16 "patch tokens" per image placement (the
+    // image-as-fixed-token-budget convention of VLM pretraining), pages
+    // are packed id-ordered into ~5k-token shards by the scalable
+    // two-phase prefix sum, landed to a shard-partitioned curated sink,
+    // and summarized from the read-back — the full multimodal
+    // training-shard product. ----
+    "p148_multimodal_shards" -> ((s, dir) => {
+      val pages = docs(s, dir).select(col("doc_id"),
+        Html.plantedPageWithFigures(col("doc_id"), col("text")).as("html"))
+      // Persist the per-page costs: packByBudget's two-phase prefix sum
+      // evaluates its input twice and the sink write a third time —
+      // without the cache the parse+extract stage (the expensive one)
+      // reruns each time (the p104 rationale).
+      val costs = Html.interleavedDoc(pages, "doc_id", "html")
+        .groupBy(col("page_id"))
+        .agg(sum(when(col("kind") === "image", lit(16))
+            .otherwise(col("n_words"))).cast("long").as("n_toks"),
+          count(when(col("kind") === "image", lit(1))).as("n_images"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val packed = Sampling.packByBudget(costs, "page_id", "n_toks",
+        budget = 5000L)
+      val out = Layout.sinkRoot(s) + "/" + java.util.UUID
+        .nameUUIDFromBytes(("p148:" + dir).getBytes("UTF-8")).toString
+      try Layout.writeCurated(packed, out, "shard", Seq("page_id"))
+      finally costs.unpersist(false)
+      Layout.readCurated(s, out, packed.schema)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_pages"),
+          sum(col("n_toks")).cast("long").as("total_toks"),
+          sum(col("n_images")).cast("long").as("total_images"),
+          min(col("page_id")).as("first_page"),
+          max(col("page_id")).as("last_page"))
+        .orderBy(col("shard"))
     })
   )
 
@@ -7581,6 +7633,55 @@ object Pipeline {
                c.nw >= 3 AS kept,
                v.tgt IS NOT NULL AS decoded
         FROM vlng c LEFT JOIN vid v ON c.tgt = v.tgt
-        ORDER BY page_id, fig_idx"""
+        ORDER BY page_id, fig_idx""",
+
+    // Interleaved-document twin: kept text blocks via the blockExtract
+    // CTEs over the PLAIN page (figure insertion is invariant to block
+    // segmentation — spec-pinned), figure items appended from the
+    // closed-form id arithmetic (figures sit between the last paragraph
+    // and the dropped footer, so they are last in document order), the
+    // merged sequence numbered 0..n-1.
+    "p147_interleaved_docs" ->
+      s"""$oHtmlCtes,
+        $oBlockCtes,
+        tx AS (SELECT id, cast(u.i AS integer) AS seq_idx,
+                 'text' AS kind,
+                 kept[cast(u.i AS integer) + 1].t AS content
+               FROM k, unnest(range(0, len(kept))) AS u(i)),
+        fg AS (SELECT id, cast(len(kept) + t.j AS integer) AS seq_idx,
+                 'image' AS kind,
+                 'https://site' || (((id - id % 4) + 4*t.j) % 13)
+                   || '.example.com:443/media/img'
+                   || ((id - id % 4) + 4*t.j) || '.png#thumb' AS content
+               FROM k, unnest(range(0, id % 3)) AS t(j))
+        SELECT id AS page_id, seq_idx, kind, content,
+               CASE WHEN kind = 'text'
+                 THEN cast(len(string_split(content, ' ')) AS integer)
+                 ELSE 0 END AS n_words
+        FROM (SELECT * FROM tx UNION ALL SELECT * FROM fg)
+        ORDER BY page_id, seq_idx""",
+
+    // Multimodal-shard twin: per-page cost = kept-block word sum plus
+    // 16 per figure (all id%3 figures carry a src), then the p21/p104
+    // packing arithmetic — exclusive page-ordered prefix sum,
+    // floor(excl / budget) — and the per-shard rollup.
+    "p148_multimodal_shards" ->
+      s"""$oHtmlCtes,
+        $oBlockCtes,
+        ct AS (SELECT id,
+                 coalesce(list_sum(list_transform(kept,
+                   rr -> len(string_split(rr.t, ' ')))), 0)
+                   + 16 * (id % 3) AS n_toks,
+                 id % 3 AS n_images
+               FROM k),
+        pk AS (SELECT id, n_toks, n_images,
+              coalesce(sum(n_toks) OVER (ORDER BY id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+              FROM ct)
+        SELECT cast(floor(excl / 5000) AS integer) AS shard,
+              count(*) AS n_pages, cast(sum(n_toks) AS bigint) AS total_toks,
+              cast(sum(n_images) AS bigint) AS total_images,
+              min(id) AS first_page, max(id) AS last_page
+        FROM pk GROUP BY shard ORDER BY shard"""
   )
 }

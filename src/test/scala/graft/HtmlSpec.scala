@@ -455,6 +455,32 @@ class HtmlSpec extends AnyFunSuite {
     }
   }
 
+  test("interleavedDoc: document order is preserved with figures " +
+    "BETWEEN paragraphs, gates drop chrome and srcless figures, and " +
+    "the surviving sequence renumbers densely") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "<html><body>" +
+        "<nav><a href=\"/a\">nav one</a><a href=\"/b\">nav two</a></nav>" +
+        "<p>first paragraph with plenty of words here</p>" +
+        "<figure><img src=\"https://a.com/1.png\" alt=\"x\"></figure>" +
+        "<p>second paragraph also has words</p>" +
+        "<figure><video src=\"https://a.com/v.gif\"></video></figure>" + // no <img> -> dropped
+        "<p>tiny</p>" + // < 3 words -> dropped
+        "<figure><img src=\"https://a.com/2.png\"></figure>" +
+        "<footer><a href=\"/p\">privacy</a></footer>" +
+        "</body></html>"))
+      .toDF("page_id", "html")
+    val got = Html.interleavedDoc(pages, "page_id", "html")
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getString(3),
+        r.getInt(4))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0, "text", "first paragraph with plenty of words here", 7),
+      (1, "image", "https://a.com/1.png", 0),
+      (2, "text", "second paragraph also has words", 5),
+      (3, "image", "https://a.com/2.png", 0)), s"got $got")
+  }
+
   test("urls: planted corpus produces real post-canonicalization dup " +
     "groups (the crawl-dedup signal)") {
     import org.apache.spark.sql.expressions.Window
