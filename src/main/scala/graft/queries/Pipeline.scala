@@ -3317,6 +3317,41 @@ object Pipeline {
           min(col("page_id")).as("first_page"),
           max(col("page_id")).as("last_page"))
         .orderBy(col("shard"))
+    }),
+
+    // ---- STREAMING pair extraction (the online front door of the
+    // LAION pipeline): page batches arrive as a FILE STREAM, figures
+    // are extracted STATELESS inside each micro-batch (regex
+    // segmentation + caption strip are narrow projections — no state
+    // store, no watermark), and each figure stream-static LEFT-joins
+    // the LANDED media index (p142's decoded crawl records) on the
+    // canonical URL. Append mode, run to completion; the result must
+    // equal the batch extraction — the oracle is p142's, verbatim, and
+    // never knows a stream ran. ----
+    "p149_stream_pair_extract" -> ((s, dir) => {
+      import graft.streaming.Streams
+      import org.apache.spark.sql.streaming.OutputMode
+      val recs = Warc.parseWarc(Warc.plantPairedWarcs(docs(s, dir)))
+        .filter(col("ok") && col("warc_type") === "response")
+        .withColumn("kind",
+          Warc.contentKind(col("content_type"), col("payload")))
+      val imgRecs = recs.filter(col("kind") === "image")
+      val imgs = ImageHash.dhashSignatures(
+          imgRecs.select(col("media_id"), col("payload").as("data")))
+        .select(col("media_id").as("image_id"), col("decoded"))
+        .join(imgRecs.select(col("media_id").as("image_id"),
+          col("target_uri").as("img_url")), Seq("image_id"))
+      val pages = Streams.documentsStream(s, dir)
+        .select(col("doc_id").as("page_id"),
+          Html.plantedPageWithFigures(col("doc_id"), col("text")).as("html"))
+      Streams.runToMemory(
+        Html.imageTextPairs(pages, "page_id", "html",
+          imgs, "image_id", "img_url", "decoded"),
+        name = "p149_mem", mode = OutputMode.Append())
+        .select(col("page_id"), col("fig_idx"), col("image_id"),
+          col("caption"), col("caption_lang"), col("n_caption_words"),
+          col("kept"), col("decoded"))
+        .orderBy(col("page_id"), col("fig_idx"))
     })
   )
 
@@ -4411,6 +4446,45 @@ object Pipeline {
         FROM st0 LEFT JOIN st1 ON st0.host = st1.host
                  LEFT JOIN st2 ON st0.host = st2.host
         ORDER BY st0.host"""
+
+  // Image–text pair twin, shared by p142 (batch) and p149 (streaming —
+  // answer-invisible by contract): every figure, target id, decoded
+  // caption, alt fallback, gate, language, and canonical-URL join
+  // outcome recomputed closed-form from the id arithmetic.
+  private val OImageTextPairsSql =
+    s"""WITH pfa AS (SELECT doc_id AS id FROM documents),
+        pfig AS (SELECT id, t.j AS j, (id - id % 4) + 4*t.j AS tgt
+          FROM pfa, unnest(range(0, id % 3)) AS t(j)),
+        pcap AS (SELECT id, j, tgt,
+            CASE WHEN (id + j) % 3 <> 2 AND (id + j) % 2 = 0
+              THEN 'a planted photo & the caption of doc ' || tgt
+                   || ' and slot ' || j
+              WHEN (id + j) % 3 <> 2
+              THEN 'le photo & la caption planted doc ' || tgt
+                   || ' slot ' || j
+              ELSE 'thumb' || tgt END AS caption
+          FROM pfig),
+        plng AS (SELECT id, j, tgt, caption,
+            CASE
+              WHEN ' ' || caption || ' ' LIKE '% the %'
+                OR ' ' || caption || ' ' LIKE '% and %' THEN 'en'
+              WHEN ' ' || caption || ' ' LIKE '% le %'
+                OR ' ' || caption || ' ' LIKE '% la %' THEN 'fr'
+              WHEN ' ' || caption || ' ' LIKE '% der %'
+                OR ' ' || caption || ' ' LIKE '% und %' THEN 'de'
+              WHEN ' ' || caption || ' ' LIKE '% el %'
+                OR ' ' || caption || ' ' LIKE '% los %' THEN 'es'
+              ELSE 'unknown' END AS caption_lang
+          FROM pcap),
+        pimg AS (SELECT doc_id AS tgt FROM documents WHERE doc_id % 4 = 0)
+        SELECT c.id AS page_id, CAST(c.j AS integer) AS fig_idx,
+               coalesce(i.tgt, -1) AS image_id, c.caption, c.caption_lang,
+               CAST(len(string_split(c.caption, ' ')) AS integer)
+                 AS n_caption_words,
+               len(string_split(c.caption, ' ')) >= 3 AS kept,
+               i.tgt IS NOT NULL AS decoded
+        FROM plng c LEFT JOIN pimg i ON c.tgt = i.tgt
+        ORDER BY page_id, fig_idx"""
 
   val oracles: Map[String, String] = Map(
     "p41_ngram_perplexity" ->
@@ -7434,40 +7508,13 @@ object Pipeline {
     // arithmetic — the oracle never parses a page or a URL; the Spark
     // side earns equality only if regex segmentation, htmlToText, and
     // canonicalize all land exactly.
-    "p142_image_text_pairs" ->
-      s"""WITH pfa AS (SELECT doc_id AS id FROM documents),
-        pfig AS (SELECT id, t.j AS j, (id - id % 4) + 4*t.j AS tgt
-          FROM pfa, unnest(range(0, id % 3)) AS t(j)),
-        pcap AS (SELECT id, j, tgt,
-            CASE WHEN (id + j) % 3 <> 2 AND (id + j) % 2 = 0
-              THEN 'a planted photo & the caption of doc ' || tgt
-                   || ' and slot ' || j
-              WHEN (id + j) % 3 <> 2
-              THEN 'le photo & la caption planted doc ' || tgt
-                   || ' slot ' || j
-              ELSE 'thumb' || tgt END AS caption
-          FROM pfig),
-        plng AS (SELECT id, j, tgt, caption,
-            CASE
-              WHEN ' ' || caption || ' ' LIKE '% the %'
-                OR ' ' || caption || ' ' LIKE '% and %' THEN 'en'
-              WHEN ' ' || caption || ' ' LIKE '% le %'
-                OR ' ' || caption || ' ' LIKE '% la %' THEN 'fr'
-              WHEN ' ' || caption || ' ' LIKE '% der %'
-                OR ' ' || caption || ' ' LIKE '% und %' THEN 'de'
-              WHEN ' ' || caption || ' ' LIKE '% el %'
-                OR ' ' || caption || ' ' LIKE '% los %' THEN 'es'
-              ELSE 'unknown' END AS caption_lang
-          FROM pcap),
-        pimg AS (SELECT doc_id AS tgt FROM documents WHERE doc_id % 4 = 0)
-        SELECT c.id AS page_id, CAST(c.j AS integer) AS fig_idx,
-               coalesce(i.tgt, -1) AS image_id, c.caption, c.caption_lang,
-               CAST(len(string_split(c.caption, ' ')) AS integer)
-                 AS n_caption_words,
-               len(string_split(c.caption, ' ')) >= 3 AS kept,
-               i.tgt IS NOT NULL AS decoded
-        FROM plng c LEFT JOIN pimg i ON c.tgt = i.tgt
-        ORDER BY page_id, fig_idx""",
+    "p142_image_text_pairs" -> OImageTextPairsSql,
+
+    // Streaming pair-extraction twin: IDENTICAL to p142's — the stream
+    // must be answer-invisible (pages arriving as micro-batches with a
+    // stream-static join against the landed media index produce exactly
+    // the batch pairs).
+    "p149_stream_pair_extract" -> OImageTextPairsSql,
 
     // Paired-capstone twin: the planted pairs (gated, resolved), the
     // dHash words of every crawl image under the (id/8)*8 copy rule,

@@ -364,6 +364,17 @@ object Streams {
     spark.readStream.schema(raw.schema).parquet(streamDir.toString)
   }
 
+  /** Read the documents table as a FILE STREAM (the crawl front door:
+    * new page batches arrive as files). Same staging discipline as
+    * [[eventsStream]]; no timestamp columns, so no normalization.
+    */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+    val streamDir =
+      stagedStreamDir(dir, "documents.parquet", "documents_stream")
+    spark.readStream.schema(raw.schema).parquet(streamDir.toString)
+  }
+
   // Guards the set-conf → start() → restore-conf window in [[runToMemory]]
   // so concurrent runToMemory calls can't interleave their overrides.
   private val startLock = new Object
