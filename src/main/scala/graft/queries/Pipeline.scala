@@ -3352,6 +3352,50 @@ object Pipeline {
           col("caption"), col("caption_lang"), col("n_caption_words"),
           col("kept"), col("decoded"))
         .orderBy(col("page_id"), col("fig_idx"))
+    }),
+
+    // ---- HARD-NEGATIVE mining for contrastive training (the CLIP
+    // batch-construction problem): for each probe image, the nearest
+    // OTHER images by perceptual distance that are NOT its near-dups —
+    // a near-duplicate ranked as a negative is a false negative that
+    // poisons the contrastive loss, so the probe's whole CC cluster is
+    // excluded, not just the probe. Fixed probe panel vs the full
+    // corpus is the brute-force ground-truth baseline (the p119 eval
+    // class, PlanAudit-adjudicated); the production path bounds
+    // candidates with the banded index and falls back to random
+    // negatives when a band is empty. Oracle: dhash words + recursive
+    // CC + the full hamming ranking, closed-form. ----
+    "p150_hard_negatives" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val recs = Warc.parseWarc(Warc.plantPairedWarcs(docs(s, dir)))
+        .filter(col("ok") && col("warc_type") === "response")
+        .withColumn("kind",
+          Warc.contentKind(col("content_type"), col("payload")))
+      val imgRecs = recs.filter(col("kind") === "image")
+      val sigs = ImageHash.dhashSignatures(
+          imgRecs.select(col("media_id"), col("payload").as("data")))
+        .filter(col("decoded"))
+      val labels = Dedup.connectedComponents(
+        sigs.select(col("media_id").as("id")),
+        ImageHash.nearDupPairs(sigs, maxBucketSize = Long.MaxValue))
+      val lab = sigs.select(col("media_id"), col("dhash"))
+        .join(labels.select(col("id").as("media_id"), col("cluster_id")),
+          Seq("media_id"))
+      val probes = lab.filter(col("media_id") % 64 === 0)
+        .select(col("media_id").as("probe_id"),
+          col("dhash").as("q_hash"), col("cluster_id").as("q_cluster"))
+      val cands = probes.join(lab,
+          col("media_id") =!= col("probe_id") &&
+            col("cluster_id") =!= col("q_cluster"))
+        .withColumn("dist",
+          bit_count(col("q_hash").bitwiseXOR(col("dhash"))).cast("int"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("dist"), col("media_id"))
+      cands.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("probe_id"), col("media_id").as("negative_id"),
+          col("rn"), col("dist"))
+        .orderBy(col("probe_id"), col("rn"))
     })
   )
 
@@ -7515,6 +7559,43 @@ object Pipeline {
     // stream-static join against the landed media index produce exactly
     // the batch pairs).
     "p149_stream_pair_extract" -> OImageTextPairsSql,
+
+    // Hard-negative twin: dhash words under the (id/8)*8 copy rule,
+    // recursive CC, probe panel id%64=0, candidates = every decoded
+    // image outside the probe's cluster, dist = the 4-band hamming sum
+    // (equals the full 64-bit popcount), rank by (dist, id), top 3.
+    "p150_hard_negatives" ->
+      s"""WITH RECURSIVE allids AS (
+          SELECT doc_id AS id, (doc_id // 8) * 8 AS src FROM documents
+          WHERE doc_id % 4 = 0),
+        ${oDhashCtes(oPixelFp)},
+        cpr AS (SELECT a.id AS id_a, b.id AS id_b
+          FROM words a JOIN words b ON a.id < b.id
+          WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3),
+        ce AS (SELECT id_a AS s, id_b AS d FROM cpr
+               UNION ALL SELECT id_b, id_a FROM cpr),
+        crec AS (
+          SELECT id, id AS reach FROM allids
+          UNION
+          SELECT ce.s, crec.reach FROM ce JOIN crec ON ce.d = crec.id),
+        clab AS (SELECT id, min(reach) AS cluster_id FROM crec GROUP BY id),
+        hw AS (SELECT w.id, w.b0, w.b1, w.b2, w.b3, l.cluster_id
+          FROM words w JOIN clab l ON w.id = l.id),
+        pb AS (SELECT * FROM hw WHERE id % 64 = 0),
+        cd AS (SELECT p.id AS probe_id, c.id AS negative_id,
+            bit_count(xor(p.b0, c.b0)) + bit_count(xor(p.b1, c.b1))
+              + bit_count(xor(p.b2, c.b2)) + bit_count(xor(p.b3, c.b3))
+              AS dist
+          FROM pb p JOIN hw c ON c.id <> p.id
+            AND c.cluster_id <> p.cluster_id),
+        r AS (SELECT probe_id, negative_id, dist,
+            row_number() OVER (PARTITION BY probe_id
+                               ORDER BY dist, negative_id) AS rn
+          FROM cd)
+        SELECT probe_id, negative_id, CAST(rn AS integer) AS rn,
+               CAST(dist AS integer) AS dist
+        FROM r WHERE rn <= 3 ORDER BY probe_id, rn""",
 
     // Paired-capstone twin: the planted pairs (gated, resolved), the
     // dHash words of every crawl image under the (id/8)*8 copy rule,

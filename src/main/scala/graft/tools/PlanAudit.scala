@@ -122,13 +122,17 @@ object PlanAudit {
     // brute-force baselines (truncation / quantization quality vs the
     // exact ground truth). p129: the vector arm ranks against ONE fixed
     // query vector (a 1-row broadcast side).
+    // p150: hard-negative mining ground truth — the sparse probe panel
+    // (id % 64) broadcasts against the corpus signatures exactly like
+    // p119's exact side; the production path bounds candidates with the
+    // banded index (rationale in the query comment).
     val crossByDesign = Set("q27_inequality_join", "q28_cross_join",
       "q29_scalar_subquery", "p07_jaccard_pairs", "p10_embedding_topk",
       "p13_embedding_near_pairs", "p17_source_similarity",
       "q26_null_aware_anti", "p27_centroid_confusion", "q89_hour_buckets",
       "q96_theta_exists", "d77", "p96_pq_topk", "p118_pq_trained_topk",
       "p119_ann_recall", "p127_matryoshka_recall", "p128_int8_recall",
-      "p129_hybrid_rrf")
+      "p129_hybrid_rrf", "p150_hard_negatives")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
