@@ -3396,6 +3396,40 @@ object Pipeline {
         .select(col("probe_id"), col("media_id").as("negative_id"),
           col("rn"), col("dist"))
         .orderBy(col("probe_id"), col("rn"))
+    }),
+
+    // ---- LANGUAGE-rebalanced pair mixture (the multilingual
+    // rebalancing of a LAION-style pair corpus): the kept+resolved
+    // pairs are temperature-sampled on caption_lang with the XLM-R
+    // n^alpha rule — one |langs|-row driver exchange, keep fractions
+    // rounded to 6 decimals, membership a pure hash of the minted
+    // pair id (page_id*4 + fig_idx; fig_idx < 3 by construction, so
+    // the mint is injective). The oracle replays the pair extraction,
+    // the per-language counts, sqrt reweighting, and the hash cutoff
+    // closed-form. ----
+    "p151_pair_language_mixture" -> ((s, dir) => {
+      val recs = Warc.parseWarc(Warc.plantPairedWarcs(docs(s, dir)))
+        .filter(col("ok") && col("warc_type") === "response")
+        .withColumn("kind",
+          Warc.contentKind(col("content_type"), col("payload")))
+      val pages = recs.filter(col("kind") === "html")
+        .select(col("media_id").as("page_id"),
+          decode(col("payload"), "UTF-8").as("html"))
+      val imgRecs = recs.filter(col("kind") === "image")
+      val imgs = ImageHash.dhashSignatures(
+          imgRecs.select(col("media_id"), col("payload").as("data")))
+        .select(col("media_id").as("image_id"), col("decoded"))
+        .join(imgRecs.select(col("media_id").as("image_id"),
+          col("target_uri").as("img_url")), Seq("image_id"))
+      val pairs = Html.imageTextPairs(pages, "page_id", "html",
+          imgs, "image_id", "img_url", "decoded")
+        .filter(col("kept") && col("decoded"))
+        .withColumn("pair_id", col("page_id") * 4 + col("fig_idx"))
+      Sampling.temperatureMixture(pairs, "caption_lang", "pair_id",
+          budget = 120L, alpha = 0.5)
+        .select(col("pair_id"), col("page_id"), col("fig_idx"),
+          col("image_id"), col("caption_lang"))
+        .orderBy(col("pair_id"))
     })
   )
 
@@ -7559,6 +7593,55 @@ object Pipeline {
     // stream-static join against the landed media index produce exactly
     // the batch pairs).
     "p149_stream_pair_extract" -> OImageTextPairsSql,
+
+    // Pair-mixture twin: the pair CTEs (kept+resolved only), per-lang
+    // counts, the p44 sqrt-reweighting arithmetic (6-decimal keep
+    // fractions, IEEE-exact sqrt in both engines), the hash cutoff
+    // over the minted pair id.
+    "p151_pair_language_mixture" ->
+      s"""WITH pfa AS (SELECT doc_id AS id FROM documents),
+        pfig AS (SELECT id, t.j AS j, (id - id % 4) + 4*t.j AS tgt
+          FROM pfa, unnest(range(0, id % 3)) AS t(j)),
+        pcap AS (SELECT id, j, tgt,
+            CASE WHEN (id + j) % 3 <> 2 AND (id + j) % 2 = 0
+              THEN 'a planted photo & the caption of doc ' || tgt
+                   || ' and slot ' || j
+              WHEN (id + j) % 3 <> 2
+              THEN 'le photo & la caption planted doc ' || tgt
+                   || ' slot ' || j
+              ELSE 'thumb' || tgt END AS caption
+          FROM pfig),
+        plng AS (SELECT id, j, tgt, caption,
+            CASE
+              WHEN ' ' || caption || ' ' LIKE '% the %'
+                OR ' ' || caption || ' ' LIKE '% and %' THEN 'en'
+              WHEN ' ' || caption || ' ' LIKE '% le %'
+                OR ' ' || caption || ' ' LIKE '% la %' THEN 'fr'
+              WHEN ' ' || caption || ' ' LIKE '% der %'
+                OR ' ' || caption || ' ' LIKE '% und %' THEN 'de'
+              WHEN ' ' || caption || ' ' LIKE '% el %'
+                OR ' ' || caption || ' ' LIKE '% los %' THEN 'es'
+              ELSE 'unknown' END AS caption_lang
+          FROM pcap),
+        pimg AS (SELECT doc_id AS tgt FROM documents WHERE doc_id % 4 = 0),
+        pp AS (SELECT c.id*4 + c.j AS pair_id, c.id AS page_id,
+                 CAST(c.j AS integer) AS fig_idx, i.tgt AS image_id,
+                 c.caption_lang
+          FROM plng c JOIN pimg i ON c.tgt = i.tgt
+          WHERE len(string_split(c.caption, ' ')) >= 3),
+        cnt AS (SELECT caption_lang, count(*)::double AS n
+                FROM pp GROUP BY caption_lang),
+        sden AS (SELECT sum(sqrt(n)) AS denom FROM cnt),
+        fk AS (SELECT caption_lang,
+                 round(least(1.0, 120 * (sqrt(n) / denom) / n) * 1000000)
+                   / 1000000 AS keep
+               FROM cnt, sden)
+        SELECT pp.pair_id, pp.page_id, pp.fig_idx, pp.image_id,
+               pp.caption_lang
+        FROM pp JOIN fk ON pp.caption_lang = fk.caption_lang
+        WHERE ((pp.pair_id % 4294967296) * 1103515245) % 4294967296 <
+              cast(trunc(fk.keep * 4294967296.0) AS bigint)
+        ORDER BY pp.pair_id""",
 
     // Hard-negative twin: dhash words under the (id/8)*8 copy rule,
     // recursive CC, probe panel id%64=0, candidates = every decoded
