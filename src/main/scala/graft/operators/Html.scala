@@ -209,6 +209,16 @@ object Html {
   def plantedPageWithVideoFigures(id: Column, text: Column): Column =
     plantedPageWith(id, text, plantedVideoFigures(id))
 
+  /** [[plantedPage]] with ALL THREE modality figure families inserted
+    * (image, then audio, then video — each under its own id rule, so
+    * most pages carry a proper subset) — the mixed-modality fixture of
+    * the three-way interleaved document ([[interleavedDoc]] with
+    * `allModalities = true`).
+    */
+  def plantedPageWithAllFigures(id: Column, text: Column): Column =
+    plantedPageWith(id, text, concat(plantedFigures(id, text),
+      plantedAudioFigures(id), plantedVideoFigures(id)))
+
   private def plantedPageWith(id: Column, text: Column,
                               figures: Column): Column = {
     val idS = id.cast("string")
@@ -373,32 +383,56 @@ object Html {
     * any corpus scale. Same two-level HOF materialization discipline as
     * [[blockExtract]] (level 1 runs the strip regex once per item).
     */
-  def interleavedDoc(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+  def interleavedDoc(df: DataFrame, idCol: String, htmlCol: String,
+                     allModalities: Boolean = false): DataFrame = {
     val itemRe = BlockRe + "|<figure(?:\\s[^>]*)?>.*?</figure\\s*>"
     val items = regexp_extract_all(col(htmlCol), lit(itemRe), lit(0))
+    def aud(b: Column): Column =
+      if (!allModalities) lit("")
+      else regexp_extract(b, "(?s)<audio[^>]*\\ssrc=\"([^\"]*)\"", 1)
+    def vid(b: Column): Column =
+      if (!allModalities) lit("")
+      else {
+        val direct = regexp_extract(b,
+          "(?s)<video[^>]*\\ssrc=\"([^\"]*)\"", 1)
+        val nested = regexp_extract(b,
+          "(?s)<video(?:\\s[^>]*)?>.*?<source[^>]*\\ssrc=\"([^\"]*)\"", 1)
+        when(direct =!= "", direct).otherwise(nested)
+      }
     val raw = transform(items, b => struct(
       startswith(b, lit("<figure")).as("f"),
       htmlToText(b).as("t"),
       anchorChars(b).as("a"),
-      regexp_extract(b, "(?s)<img[^>]*\\ssrc=\"([^\"]*)\"", 1).as("s")))
+      regexp_extract(b, "(?s)<img[^>]*\\ssrc=\"([^\"]*)\"", 1).as("si"),
+      aud(b).as("sa"),
+      vid(b).as("sv")))
     val infos = transform(col("__raw"), r => struct(
-      r("f").as("f"), r("t").as("t"), r("s").as("s"),
+      r("f").as("f"), r("t").as("t"),
+      r("si").as("si"), r("sa").as("sa"), r("sv").as("sv"),
       when(r("t") === "", lit(0)).otherwise(size(split(r("t"), " "))).as("w"),
       floor(r("a") * 1000000L / greatest(length(r("t")), lit(1)))
         .cast("long").as("ld")))
     val kept = filter(col("__infos"), i =>
-      (i("f") && i("s") =!= "") ||
+      (i("f") && (i("si") =!= "" || i("sa") =!= "" || i("sv") =!= "")) ||
         (!i("f") && i("ld") < LinkDensityMaxMicro && i("w") >= MinBlockWords))
+    val kind =
+      when(!col("__i")("f"), lit("text"))
+        .when(col("__i")("si") =!= "", lit("image"))
+        .when(col("__i")("sa") =!= "", lit("audio"))
+        .otherwise(lit("video"))
+    val content =
+      when(!col("__i")("f"), col("__i")("t"))
+        .when(col("__i")("si") =!= "", col("__i")("si"))
+        .when(col("__i")("sa") =!= "", col("__i")("sa"))
+        .otherwise(col("__i")("sv"))
     df.select(col(idCol).as("page_id"), raw.as("__raw"))
       .select(col("page_id"), infos.as("__infos"))
       .select(col("page_id"), kept.as("__kept"))
       .select(col("page_id"),
         posexplode(col("__kept")).as(Seq("seq_idx", "__i")))
       .select(col("page_id"), col("seq_idx"),
-        when(col("__i")("f"), lit("image")).otherwise(lit("text"))
-          .as("kind"),
-        when(col("__i")("f"), col("__i")("s")).otherwise(col("__i")("t"))
-          .as("content"),
+        kind.as("kind"),
+        content.as("content"),
         when(col("__i")("f"), lit(0)).otherwise(col("__i")("w"))
           .as("n_words"))
   }

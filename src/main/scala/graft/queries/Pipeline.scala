@@ -3430,6 +3430,21 @@ object Pipeline {
         .select(col("pair_id"), col("page_id"), col("fig_idx"),
           col("image_id"), col("caption_lang"))
         .orderBy(col("pair_id"))
+    }),
+
+    // ---- THREE-modality interleaved documents (p147 with figures of
+    // every modality on one page): image, audio (direct src), and
+    // video (direct-src OR nested-<source>) placements classified per
+    // figure, kept text blocks between them — the any-modality
+    // training document. Figure families are planted under their own
+    // id rules (most pages carry a proper subset), so the oracle
+    // appends image, then audio, then video items in document order
+    // from the closed-form arithmetic. ----
+    "p152_interleaved_multimodal" -> ((s, dir) => {
+      val pages = docs(s, dir).select(col("doc_id"),
+        Html.plantedPageWithAllFigures(col("doc_id"), col("text")).as("html"))
+      Html.interleavedDoc(pages, "doc_id", "html", allModalities = true)
+        .orderBy(col("page_id"), col("seq_idx"))
     })
   )
 
@@ -7593,6 +7608,42 @@ object Pipeline {
     // stream-static join against the landed media index produce exactly
     // the batch pairs).
     "p149_stream_pair_extract" -> OImageTextPairsSql,
+
+    // Three-modality interleaved twin: kept text blocks via the
+    // blockExtract CTEs over the plain page, then image items (id%3
+    // slots), the audio item (odd ids), and the video item (id%3==2)
+    // appended in document order — each content string the closed-form
+    // page-side src; both video markup parities extract the same src.
+    "p152_interleaved_multimodal" ->
+      s"""$oHtmlCtes,
+        $oBlockCtes,
+        tx AS (SELECT id, cast(u.i AS bigint) AS pos, 'text' AS kind,
+                 kept[cast(u.i AS integer) + 1].t AS content
+               FROM k, unnest(range(0, len(kept))) AS u(i)),
+        fgi AS (SELECT id, len(kept) + t.j AS pos, 'image' AS kind,
+                 'https://site' || (((id - id % 4) + 4*t.j) % 13)
+                   || '.example.com:443/media/img'
+                   || ((id - id % 4) + 4*t.j) || '.png#thumb' AS content
+               FROM k, unnest(range(0, id % 3)) AS t(j)),
+        fga AS (SELECT id, len(kept) + (id % 3) AS pos, 'audio' AS kind,
+                 'https://site' || ((id - id % 6 + 6) % 13)
+                   || '.example.com:443/media/clip'
+                   || (id - id % 6 + 6) || '.wav#t' AS content
+               FROM k WHERE id % 2 = 1),
+        fgv AS (SELECT id, len(kept) + (id % 3) + (id % 2) AS pos,
+                 'video' AS kind,
+                 'https://site' || ((id - id % 5 + 5) % 13)
+                   || '.example.com:443/media/anim'
+                   || (id - id % 5 + 5) || '.gif#t' || id AS content
+               FROM k WHERE id % 3 = 2)
+        SELECT id AS page_id, cast(pos AS integer) AS seq_idx, kind,
+               content,
+               CASE WHEN kind = 'text'
+                 THEN cast(len(string_split(content, ' ')) AS integer)
+                 ELSE 0 END AS n_words
+        FROM (SELECT * FROM tx UNION ALL SELECT * FROM fgi
+              UNION ALL SELECT * FROM fga UNION ALL SELECT * FROM fgv)
+        ORDER BY page_id, seq_idx""",
 
     // Pair-mixture twin: the pair CTEs (kept+resolved only), per-lang
     // counts, the p44 sqrt-reweighting arithmetic (6-decimal keep
