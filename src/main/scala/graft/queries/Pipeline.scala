@@ -3445,6 +3445,61 @@ object Pipeline {
         Html.plantedPageWithAllFigures(col("doc_id"), col("text")).as("html"))
       Html.interleavedDoc(pages, "doc_id", "html", allModalities = true)
         .orderBy(col("page_id"), col("seq_idx"))
+    }),
+
+    // ---- DELETION PROPAGATION through the pair corpus (p140's
+    // right-to-be-forgotten scrub for the multimodal product): a
+    // delete list of image ids scrubs the pairs (anti-join), and the
+    // canonical-image labels are REPAIRED with CC recomputed only over
+    // clusters touching a deleted id (Dedup.propagateDeletes — deleting
+    // a cluster's minimum relabels its survivors). Output = the p143
+    // caption pools over the post-delete corpus; the oracle is a
+    // FROM-SCRATCH rebuild over the survivors and must match the
+    // incremental repair exactly. ----
+    "p153_pair_deletion" -> ((s, dir) => {
+      val recs = Warc.parseWarc(Warc.plantPairedWarcs(docs(s, dir)))
+        .filter(col("ok") && col("warc_type") === "response")
+        .withColumn("kind",
+          Warc.contentKind(col("content_type"), col("payload")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pages = recs.filter(col("kind") === "html")
+        .select(col("media_id").as("page_id"),
+          decode(col("payload"), "UTF-8").as("html"))
+      val imgRecs = recs.filter(col("kind") === "image")
+      val sigs = ImageHash.dhashSignatures(
+          imgRecs.select(col("media_id"), col("payload").as("data")))
+        .filter(col("decoded"))
+      val ndPairs = ImageHash.nearDupPairs(sigs, maxBucketSize = Long.MaxValue)
+      val labels0 = Dedup.connectedComponents(
+        sigs.select(col("media_id").as("id")), ndPairs)
+      val deletes = sigs.filter(col("media_id") % 12 === 0)
+        .select(col("media_id").as("id"))
+      val labels = Dedup.propagateDeletes(labels0, ndPairs, deletes)
+      val imgs = sigs.select(col("media_id").as("image_id"), col("decoded"))
+        .join(imgRecs.select(col("media_id").as("image_id"),
+          col("target_uri").as("img_url")), Seq("image_id"))
+      val pairs = Html.imageTextPairs(pages, "page_id", "html",
+          imgs, "image_id", "img_url", "decoded")
+        .filter(col("kept") && col("decoded"))
+        .join(deletes.select(col("id").as("image_id")),
+          Seq("image_id"), "left_anti")
+      val shaped = pairs
+        .join(labels.select(col("id").as("image_id"), col("cluster_id")),
+          Seq("image_id"))
+        .groupBy(col("cluster_id").as("canonical_image"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("page_id")).as("n_pages"),
+          min(col("caption")).as("first_caption"))
+        .withColumn("shard",
+          pmod(col("canonical_image"), lit(4L)).cast("int"))
+      // the p143 sink discipline: the post-delete pool IS the refreshed
+      // export; eager write, then the fixture cache releases.
+      val out = Layout.sinkRoot(s) + "/" + java.util.UUID
+        .nameUUIDFromBytes(("p153:" + dir).getBytes("UTF-8")).toString
+      try Layout.writeCurated(shaped, out, "shard", Seq("canonical_image"))
+      finally recs.unpersist(false)
+      Layout.readCurated(s, out, shaped.schema)
+        .orderBy(col("canonical_image"))
     })
   )
 
@@ -7608,6 +7663,51 @@ object Pipeline {
     // stream-static join against the landed media index produce exactly
     // the batch pairs).
     "p149_stream_pair_extract" -> OImageTextPairsSql,
+
+    // Pair-deletion twin: a FROM-SCRATCH rebuild over the survivors —
+    // allids excludes the deleted images (id % 12 = 0), words + CC run
+    // on the surviving set only, and the caption pools aggregate the
+    // surviving resolved pairs; the incremental repair
+    // (propagateDeletes) must match this exactly, including clusters
+    // whose minimum was deleted (relabel) and whose bridge was deleted
+    // (split).
+    "p153_pair_deletion" ->
+      s"""WITH RECURSIVE allids AS (
+          SELECT doc_id AS id, (doc_id // 8) * 8 AS src FROM documents
+          WHERE doc_id % 4 = 0 AND doc_id % 12 <> 0),
+        ${oDhashCtes(oPixelFp)},
+        cpr AS (SELECT a.id AS id_a, b.id AS id_b
+          FROM words a JOIN words b ON a.id < b.id
+          WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3),
+        ce AS (SELECT id_a AS s, id_b AS d FROM cpr
+               UNION ALL SELECT id_b, id_a FROM cpr),
+        crec AS (
+          SELECT id, id AS reach FROM allids
+          UNION
+          SELECT ce.s, crec.reach FROM ce JOIN crec ON ce.d = crec.id),
+        clab AS (SELECT id, min(reach) AS cluster_id FROM crec GROUP BY id),
+        pfa AS (SELECT doc_id AS id FROM documents),
+        pfig AS (SELECT id, t.j AS j, (id - id % 4) + 4*t.j AS tgt
+          FROM pfa, unnest(range(0, id % 3)) AS t(j)),
+        pcap AS (SELECT id, j, tgt,
+            CASE WHEN (id + j) % 3 <> 2 AND (id + j) % 2 = 0
+              THEN 'a planted photo & the caption of doc ' || tgt
+                   || ' and slot ' || j
+              WHEN (id + j) % 3 <> 2
+              THEN 'le photo & la caption planted doc ' || tgt
+                   || ' slot ' || j
+              ELSE 'thumb' || tgt END AS caption
+          FROM pfig),
+        pok AS (SELECT c.id, c.j, c.tgt, c.caption
+          FROM pcap c JOIN allids i ON c.tgt = i.id
+          WHERE len(string_split(c.caption, ' ')) >= 3)
+        SELECT l.cluster_id AS canonical_image, count(*) AS n_pairs,
+               count(DISTINCT p.id) AS n_pages,
+               min(p.caption) AS first_caption,
+               CAST(l.cluster_id % 4 AS integer) AS shard
+        FROM pok p JOIN clab l ON p.tgt = l.id
+        GROUP BY l.cluster_id ORDER BY canonical_image""",
 
     // Three-modality interleaved twin: kept text blocks via the
     // blockExtract CTEs over the plain page, then image items (id%3

@@ -434,6 +434,57 @@ object ScaleSmoke {
           pqFixed.bc, spark).getField("code").as("c"))
         .agg(sum(bit_count(col("c")))).collect().length.toLong
     }, emb1, embN, "residualEncode(fixed)")
+    // Round-18 part 2: pair extraction is a narrow regex pass + a slim
+    // canonical-URL equi-join (media records synthesized closed-form so
+    // the exponent pins the PAIR operator, not the PNG codec measured
+    // above); the interleaved doc is the blockExtract-class alternation
+    // pass; hard negatives rank a FIXED 8-probe panel against the
+    // corpus signatures (linear in corpus, the p119 eval-class shape)
+    // on top of the capped CC labels.
+    bench2({ df =>
+      val pages = df.select(col("doc_id"),
+        Html.plantedPageWithFigures(col("doc_id"), col("text")).as("html"))
+      val media = df.filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id").as("image_id"),
+          Urls.plantedImageUrl(col("doc_id")).as("img_url"),
+          lit(true).as("decoded"))
+      Html.imageTextPairs(pages, "doc_id", "html",
+          media, "image_id", "img_url", "decoded")
+        .agg(sum(col("n_caption_words")),
+          sum(when(col("kept"), 1L).otherwise(0L)))
+        .collect().length.toLong
+    }, docs1, docsN, "imageTextPairs")
+    bench2({ df =>
+      val pages = df.select(col("doc_id"),
+        Html.plantedPageWithAllFigures(col("doc_id"), col("text"))
+          .as("html"))
+      Html.interleavedDoc(pages, "doc_id", "html", allModalities = true)
+        .agg(sum(col("n_words")), count(lit(1)))
+        .collect().length.toLong
+    }, docs1, docsN, "interleavedDoc(all)")
+    bench2({ df =>
+      import org.apache.spark.sql.expressions.Window
+      val sigs = ImageHash.dhashSignatures(Multimodal.plantPngsFp(df))
+        .filter(col("decoded"))
+      val labels = Dedup.connectedComponents(
+        sigs.select(col("media_id").as("id")),
+        ImageHash.nearDupPairs(sigs, maxBucketSize = 1000L))
+      val lab = sigs.select(col("media_id"), col("dhash"))
+        .join(labels.select(col("id").as("media_id"), col("cluster_id")),
+          Seq("media_id"))
+      val probes = broadcast(lab.orderBy(col("media_id")).limit(8)
+        .select(col("media_id").as("probe_id"), col("dhash").as("qh"),
+          col("cluster_id").as("qc")))
+      lab.join(probes, col("media_id") =!= col("probe_id") &&
+          col("cluster_id") =!= col("qc"))
+        .withColumn("dist",
+          bit_count(col("qh").bitwiseXOR(col("dhash"))).cast("int"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("probe_id"))
+            .orderBy(col("dist"), col("media_id"))))
+        .filter(col("rn") <= 3)
+        .agg(sum(col("dist"))).collect().length.toLong
+    }, docs1, docsN, "hardNegatives(fixed panel)")
     spark.stop()
   }
 }
