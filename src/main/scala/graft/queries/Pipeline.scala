@@ -3500,6 +3500,51 @@ object Pipeline {
       finally recs.unpersist(false)
       Layout.readCurated(s, out, shaped.schema)
         .orderBy(col("canonical_image"))
+    }),
+
+    // ---- per-host PAIR-YIELD funnel (the p73 monitoring class for the
+    // pair pipeline — the dashboard a crawl operator reads to decide
+    // which hosts are worth fetching): pages → figures → resolved
+    // (canonical-URL join landed + decoded) → caption-gated → English,
+    // each stage counted per page host. Slim rows only (host, flags)
+    // ever aggregate; the oracle recomputes every stage from the id
+    // arithmetic (host = id % 13). ----
+    "p154_pair_yield_funnel" -> ((s, dir) => {
+      val recs = Warc.parseWarc(Warc.plantPairedWarcs(docs(s, dir)))
+        .filter(col("ok") && col("warc_type") === "response")
+        .withColumn("kind",
+          Warc.contentKind(col("content_type"), col("payload")))
+      val pages = recs.filter(col("kind") === "html")
+        .select(col("media_id").as("page_id"),
+          col("target_uri").as("page_url"),
+          decode(col("payload"), "UTF-8").as("html"))
+      val imgRecs = recs.filter(col("kind") === "image")
+      val imgs = ImageHash.dhashSignatures(
+          imgRecs.select(col("media_id"), col("payload").as("data")))
+        .select(col("media_id").as("image_id"), col("decoded"))
+        .join(imgRecs.select(col("media_id").as("image_id"),
+          col("target_uri").as("img_url")), Seq("image_id"))
+      val ph = pages.select(col("page_id"),
+        Urls.hostOf(col("page_url")).as("host"))
+      val pairsH = Html.imageTextPairs(pages, "page_id", "html",
+          imgs, "image_id", "img_url", "decoded")
+        .join(ph, Seq("page_id"))
+      val st0 = ph.groupBy(col("host"))
+        .agg(count(lit(1)).as("n_pages"))
+      val st = pairsH.groupBy(col("host"))
+        .agg(count(lit(1)).as("n_figures"),
+          sum(when(col("decoded"), 1L).otherwise(0L)).as("n_resolved"),
+          sum(when(col("decoded") && col("kept"), 1L).otherwise(0L))
+            .as("n_kept"),
+          sum(when(col("decoded") && col("kept") &&
+            col("caption_lang") === "en", 1L).otherwise(0L)).as("n_en"))
+      st0.join(st, Seq("host"), "left")
+        .select(col("host"), col("n_pages"),
+          coalesce(col("n_figures"), lit(0L)).as("n_figures"),
+          coalesce(col("n_resolved"), lit(0L)).as("n_resolved"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("n_en"), lit(0L)).as("n_en"))
+        .orderBy(col("host"))
     })
   )
 
@@ -7663,6 +7708,49 @@ object Pipeline {
     // stream-static join against the landed media index produce exactly
     // the batch pairs).
     "p149_stream_pair_extract" -> OImageTextPairsSql,
+
+    // Pair-yield funnel twin: host = site(id%13).example.com, page
+    // counts per host, then the pair CTEs rolled up per stage —
+    // figures, resolved (tgt an existing image), caption-gated,
+    // English — all from id arithmetic.
+    "p154_pair_yield_funnel" ->
+      s"""WITH pfa AS (SELECT doc_id AS id,
+            'site' || (doc_id % 13) || '.example.com' AS host
+          FROM documents),
+        pfig AS (SELECT id, host, t.j AS j, (id - id % 4) + 4*t.j AS tgt
+          FROM pfa, unnest(range(0, id % 3)) AS t(j)),
+        pcap AS (SELECT id, host, j, tgt,
+            CASE WHEN (id + j) % 3 <> 2 AND (id + j) % 2 = 0
+              THEN 'a planted photo & the caption of doc ' || tgt
+                   || ' and slot ' || j
+              WHEN (id + j) % 3 <> 2
+              THEN 'le photo & la caption planted doc ' || tgt
+                   || ' slot ' || j
+              ELSE 'thumb' || tgt END AS caption
+          FROM pfig),
+        pimg AS (SELECT doc_id AS tgt FROM documents WHERE doc_id % 4 = 0),
+        pst AS (SELECT c.host,
+            count(*) AS n_figures,
+            sum(CASE WHEN i.tgt IS NOT NULL THEN 1 ELSE 0 END)
+              AS n_resolved,
+            sum(CASE WHEN i.tgt IS NOT NULL
+                  AND len(string_split(c.caption, ' ')) >= 3
+                THEN 1 ELSE 0 END) AS n_kept,
+            sum(CASE WHEN i.tgt IS NOT NULL
+                  AND len(string_split(c.caption, ' ')) >= 3
+                  AND (' ' || c.caption || ' ' LIKE '% the %'
+                    OR ' ' || c.caption || ' ' LIKE '% and %')
+                THEN 1 ELSE 0 END) AS n_en
+          FROM pcap c LEFT JOIN pimg i ON c.tgt = i.tgt
+          GROUP BY c.host),
+        pg AS (SELECT host, count(*) AS n_pages FROM pfa GROUP BY host)
+        SELECT pg.host, cast(pg.n_pages AS bigint) AS n_pages,
+               cast(coalesce(pst.n_figures, 0) AS bigint) AS n_figures,
+               cast(coalesce(pst.n_resolved, 0) AS bigint) AS n_resolved,
+               cast(coalesce(pst.n_kept, 0) AS bigint) AS n_kept,
+               cast(coalesce(pst.n_en, 0) AS bigint) AS n_en
+        FROM pg LEFT JOIN pst ON pg.host = pst.host
+        ORDER BY pg.host""",
 
     // Pair-deletion twin: a FROM-SCRATCH rebuild over the survivors —
     // allids excludes the deleted images (id % 12 = 0), words + CC run
