@@ -3574,6 +3574,98 @@ object Pipeline {
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           coalesce(col("n_en"), lit(0L)).as("n_en"))
         .orderBy(col("host"))
+    }),
+
+    // ---- the AUDIO paired capstone (p143's LAION chain for the
+    // AudioCaps shape): WARC → route → <audio>-figure pair extraction →
+    // caption gate → REAL WAV decode → perceptual clip dedup
+    // (fingerprint + CC under the (id/12)*12 copy rule) → captions
+    // aggregated per CANONICAL CLIP — one row per unique clip with its
+    // caption pool, landed through the curated sink. Oracle: planted
+    // pairs + fingerprint words + recursive CC, all closed-form. ----
+    "p155_audio_paired_capstone" -> ((s, dir) => {
+      val recs = Warc.parseWarc(Warc.plantAudioPairedWarcs(docs(s, dir)))
+        .filter(col("ok") && col("warc_type") === "response")
+        .withColumn("kind",
+          Warc.contentKind(col("content_type"), col("payload")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pages = recs.filter(col("kind") === "html")
+        .select(col("media_id").as("page_id"),
+          decode(col("payload"), "UTF-8").as("html"))
+      val audRecs = recs.filter(col("kind") === "audio")
+      val sigs = AudioHash.fingerprints(
+        audRecs.select(col("media_id"), col("payload").as("data")))
+      val clips = sigs.select(col("media_id").as("audio_id"), col("decoded"))
+        .join(audRecs.select(col("media_id").as("audio_id"),
+          col("target_uri").as("clip_url")), Seq("audio_id"))
+      val pairs = Html.audioTextPairs(pages, "page_id", "html",
+          clips, "audio_id", "clip_url", "decoded")
+        .filter(col("kept") && col("decoded"))
+      // uncapped pairs: oracle equality (the p91/p143 reasoning)
+      val labels = Dedup.connectedComponents(
+        sigs.filter(col("decoded")).select(col("media_id").as("id")),
+        AudioHash.nearDupPairs(sigs, maxBucketSize = Long.MaxValue))
+      val shaped = pairs
+        .join(labels.select(col("id").as("audio_id"), col("cluster_id")),
+          Seq("audio_id"))
+        .groupBy(col("cluster_id").as("canonical_clip"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("page_id")).as("n_pages"),
+          min(col("caption")).as("first_caption"))
+        .withColumn("shard",
+          pmod(col("canonical_clip"), lit(4L)).cast("int"))
+      val out = Layout.sinkRoot(s) + "/" + java.util.UUID
+        .nameUUIDFromBytes(("p155:" + dir).getBytes("UTF-8")).toString
+      try Layout.writeCurated(shaped, out, "shard", Seq("canonical_clip"))
+      finally recs.unpersist(false)
+      Layout.readCurated(s, out, shaped.schema)
+        .orderBy(col("canonical_clip"))
+    }),
+
+    // ---- the VIDEO paired capstone (the WebVid-shape end of the
+    // matrix — every modality now has extraction, streaming-or-capstone
+    // and dedup closure): WARC → magic-byte video rescue → <video>-
+    // figure pair extraction (both markup parities) → caption gate →
+    // REAL GIF demux+decode → temporal fingerprint dedup (majority-fold
+    // dHash + CC under the (id/10)*10 copy rule) → captions per
+    // canonical clip through the curated sink. ----
+    "p156_video_paired_capstone" -> ((s, dir) => {
+      val recs = Warc.parseWarc(Warc.plantVideoPairedWarcs(docs(s, dir)))
+        .filter(col("ok") && col("warc_type") === "response")
+        .withColumn("kind",
+          Warc.contentKind(col("content_type"), col("payload")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pages = recs.filter(col("kind") === "html")
+        .select(col("media_id").as("page_id"),
+          decode(col("payload"), "UTF-8").as("html"))
+      val vidRecs = recs.filter(col("kind") === "video")
+      val sigs = VideoHash.fingerprints(
+        vidRecs.select(col("media_id"), col("payload").as("data")),
+        everyN = 2)
+      val clips = sigs.select(col("media_id").as("video_id"), col("decoded"))
+        .join(vidRecs.select(col("media_id").as("video_id"),
+          col("target_uri").as("clip_url")), Seq("video_id"))
+      val pairs = Html.videoTextPairs(pages, "page_id", "html",
+          clips, "video_id", "clip_url", "decoded")
+        .filter(col("kept") && col("decoded"))
+      val labels = Dedup.connectedComponents(
+        sigs.filter(col("decoded")).select(col("media_id").as("id")),
+        VideoHash.nearDupPairs(sigs, maxBucketSize = Long.MaxValue))
+      val shaped = pairs
+        .join(labels.select(col("id").as("video_id"), col("cluster_id")),
+          Seq("video_id"))
+        .groupBy(col("cluster_id").as("canonical_clip"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("page_id")).as("n_pages"),
+          min(col("caption")).as("first_caption"))
+        .withColumn("shard",
+          pmod(col("canonical_clip"), lit(4L)).cast("int"))
+      val out = Layout.sinkRoot(s) + "/" + java.util.UUID
+        .nameUUIDFromBytes(("p156:" + dir).getBytes("UTF-8")).toString
+      try Layout.writeCurated(shaped, out, "shard", Seq("canonical_clip"))
+      finally recs.unpersist(false)
+      Layout.readCurated(s, out, shaped.schema)
+        .orderBy(col("canonical_clip"))
     })
   )
 
@@ -7737,6 +7829,90 @@ object Pipeline {
     // stream-static join against the landed media index produce exactly
     // the batch pairs).
     "p149_stream_pair_extract" -> OImageTextPairsSql,
+
+    // Video-paired-capstone twin: the p146 pair CTEs (id%3==2 pages,
+    // the next-clip-id target, the 3-word gate), the sampled-frame
+    // majority-fold words under the (id/10)*10 copy rule, recursive CC
+    // for the canonical clip, and the per-cluster caption pool.
+    "p156_video_paired_capstone" ->
+      s"""WITH RECURSIVE vids AS (
+          SELECT doc_id AS id, (doc_id // 10) * 10 AS src FROM documents
+          WHERE doc_id % 5 = 0),
+        $oVhashCtes,
+        vpr AS (SELECT a.id AS id_a, b.id AS id_b
+          FROM vwords a JOIN vwords b ON a.id < b.id
+          WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3),
+        ve AS (SELECT id_a AS s, id_b AS d FROM vpr
+               UNION ALL SELECT id_b, id_a FROM vpr),
+        vrec AS (
+          SELECT id, id AS reach FROM vids
+          UNION
+          SELECT ve.s, vrec.reach FROM ve JOIN vrec ON ve.d = vrec.id),
+        vlab AS (SELECT id, min(reach) AS cluster_id FROM vrec GROUP BY id),
+        vfa AS (SELECT doc_id AS id FROM documents WHERE doc_id % 3 = 2),
+        vcap AS (SELECT id, id - id % 5 + 5 AS tgt,
+            CASE WHEN id % 7 <> 4 AND id % 4 < 2
+              THEN 'der clip & ' || (id - id % 5 + 5)
+                   || ' und take ' || id
+              WHEN id % 7 <> 4
+              THEN 'el video & ' || (id - id % 5 + 5)
+                   || ' los frames ' || id
+              ELSE '' END AS caption
+          FROM vfa),
+        vpok AS (SELECT c.id, c.tgt, c.caption
+          FROM vcap c JOIN vids v ON c.tgt = v.id
+          WHERE c.caption <> ''
+            AND len(string_split(c.caption, ' ')) >= 3)
+        SELECT l.cluster_id AS canonical_clip, count(*) AS n_pairs,
+               count(DISTINCT p.id) AS n_pages,
+               min(p.caption) AS first_caption,
+               CAST(l.cluster_id % 4 AS integer) AS shard
+        FROM vpok p JOIN vlab l ON p.tgt = l.id
+        GROUP BY l.cluster_id ORDER BY canonical_clip""",
+
+    // Audio-paired-capstone twin: the p145 pair CTEs (odd pages, the
+    // next-clip-id target, the 3-word gate over non-empty captions),
+    // the fp-grade fingerprint words under the (id/12)*12 copy rule,
+    // recursive CC for the canonical clip, and the per-cluster caption
+    // pool — the whole AudioCaps chain recomputed without a parser or
+    // a codec.
+    "p155_audio_paired_capstone" ->
+      s"""WITH RECURSIVE aids AS (
+          SELECT doc_id AS id, (doc_id // 12) * 12 AS src FROM documents
+          WHERE doc_id % 6 = 0),
+        $oAfpFpCtes,
+        apr AS (SELECT a.id AS id_a, b.id AS id_b
+          FROM fwords a JOIN fwords b ON a.id < b.id
+          WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3),
+        ae AS (SELECT id_a AS s, id_b AS d FROM apr
+               UNION ALL SELECT id_b, id_a FROM apr),
+        arec AS (
+          SELECT id, id AS reach FROM aids
+          UNION
+          SELECT ae.s, arec.reach FROM ae JOIN arec ON ae.d = arec.id),
+        alab AS (SELECT id, min(reach) AS cluster_id FROM arec GROUP BY id),
+        afa AS (SELECT doc_id AS id FROM documents WHERE doc_id % 2 = 1),
+        acap AS (SELECT id, id - id % 6 + 6 AS tgt,
+            CASE WHEN id % 5 <> 3 AND id % 4 = 1
+              THEN 'a field recording & the clip ' || (id - id % 6 + 6)
+                   || ' and take ' || id
+              WHEN id % 5 <> 3
+              THEN 'le enregistrement & la clip ' || (id - id % 6 + 6)
+                   || ' take ' || id
+              ELSE '' END AS caption
+          FROM afa),
+        pok AS (SELECT c.id, c.tgt, c.caption
+          FROM acap c JOIN aids a ON c.tgt = a.id
+          WHERE c.caption <> ''
+            AND len(string_split(c.caption, ' ')) >= 3)
+        SELECT l.cluster_id AS canonical_clip, count(*) AS n_pairs,
+               count(DISTINCT p.id) AS n_pages,
+               min(p.caption) AS first_caption,
+               CAST(l.cluster_id % 4 AS integer) AS shard
+        FROM pok p JOIN alab l ON p.tgt = l.id
+        GROUP BY l.cluster_id ORDER BY canonical_clip""",
 
     // Pair-yield funnel twin: host = site(id%13).example.com, page
     // counts per host, then the pair CTEs rolled up per stage —
