@@ -240,6 +240,27 @@ object RetryProof {
             pmod(col("vec_id") * lit(2654435761L), lit(16L))
               .cast("bigint"))
         graft.operators.Similarity.semanticDedup(e, tau = 1.5)
+      }),
+      // image–text pair extraction (round 18): a retried assembly task
+      // must regenerate byte-identical paired WARCs -> identical figure
+      // srcs, captions and canonical-URL join keys, or the pair set
+      // (and every downstream capstone) silently shifts.
+      ("pair_extract", wrap => {
+        val recs = Warc.parseWarc(Warc.plantPairedWarcs(wrap(docs)))
+          .filter(col("ok") && col("warc_type") === "response")
+          .withColumn("kind",
+            Warc.contentKind(col("content_type"), col("payload")))
+        val pages = recs.filter(col("kind") === "html")
+          .select(col("media_id").as("page_id"),
+            decode(col("payload"), "UTF-8").as("html"))
+        val imgRecs = recs.filter(col("kind") === "image")
+        val imgs = ImageHash.dhashSignatures(
+            imgRecs.select(col("media_id"), col("payload").as("data")))
+          .select(col("media_id").as("image_id"), col("decoded"))
+          .join(imgRecs.select(col("media_id").as("image_id"),
+            col("target_uri").as("img_url")), Seq("image_id"))
+        Html.imageTextPairs(pages, "page_id", "html",
+          imgs, "image_id", "img_url", "decoded")
       }))
 
     val mapSide = cases.map { case (name, build) =>
