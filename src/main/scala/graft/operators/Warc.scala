@@ -181,15 +181,30 @@ object Warc {
   def plantVideoPairedWarcs(docs: DataFrame): DataFrame =
     plantWarcFiles(docs, withImages = false, pairedVideo = true)
 
+  /** The FULL paired crawl — every modality's pair fixture in ONE
+    * segment: pages carry all three figure families
+    * ([[Html.plantedPageWithAllFigures]]) and each file carries its
+    * id-rule's media records (image id%4, audio id%6, video id%5 —
+    * video still Content-Type-mislabeled) at their own messy URLs
+    * under the per-modality copy rules. The one-crawl-three-products
+    * router fixture.
+    */
+  def plantAllPairedWarcs(docs: DataFrame): DataFrame =
+    plantWarcFiles(docs, withImages = false, paired = true,
+      pairedAudio = true, pairedVideo = true, pairedAll = true)
+
   private def plantWarcFiles(docs: DataFrame, withImages: Boolean,
                              fpDedup: Boolean = false,
                              withVideo: Boolean = false,
                              paired: Boolean = false,
                              pairedAudio: Boolean = false,
-                             pairedVideo: Boolean = false): DataFrame = {
+                             pairedVideo: Boolean = false,
+                             pairedAll: Boolean = false): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(Multimodal.mediaSchema)
     val page =
-      if (paired) Html.plantedPageWithFigures(col("doc_id"), col("text"))
+      if (pairedAll)
+        Html.plantedPageWithAllFigures(col("doc_id"), col("text"))
+      else if (paired) Html.plantedPageWithFigures(col("doc_id"), col("text"))
       else if (pairedAudio)
         Html.plantedPageWithAudioFigures(col("doc_id"), col("text"))
       else if (pairedVideo)

@@ -3666,6 +3666,55 @@ object Pipeline {
       finally recs.unpersist(false)
       Layout.readCurated(s, out, shaped.schema)
         .orderBy(col("canonical_clip"))
+    }),
+
+    // ---- MIXED-modality pair router (one crawl, three pair
+    // products): pages carry ALL THREE figure families and the segment
+    // carries every modality's media records — parse ONCE, route by
+    // Content-Type/magic, decode each modality with its real codec,
+    // and extract all three pair streams in one pass. fig_idx is the
+    // PAGE-WIDE figure position (spec-pinned in HtmlSpec's
+    // mixed-modality routing case), so the three outputs interleave
+    // consistently. The oracle unions the three closed-form pair twins
+    // with the page-wide index arithmetic. ----
+    "p157_mixed_pair_router" -> ((s, dir) => {
+      val recs = Warc.parseWarc(Warc.plantAllPairedWarcs(docs(s, dir)))
+        .filter(col("ok") && col("warc_type") === "response")
+        .withColumn("kind",
+          Warc.contentKind(col("content_type"), col("payload")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pages = recs.filter(col("kind") === "html")
+        .select(col("media_id").as("page_id"),
+          decode(col("payload"), "UTF-8").as("html"))
+      def mediaOf(kind: String, idCol: String) = {
+        val m = recs.filter(col("kind") === kind)
+        val sigs = kind match {
+          case "image" => ImageHash.dhashSignatures(
+            m.select(col("media_id"), col("payload").as("data")))
+          case "audio" => AudioHash.fingerprints(
+            m.select(col("media_id"), col("payload").as("data")))
+          case _ => VideoHash.fingerprints(
+            m.select(col("media_id"), col("payload").as("data")), everyN = 2)
+        }
+        sigs.select(col("media_id").as(idCol), col("decoded"))
+          .join(m.select(col("media_id").as(idCol),
+            col("target_uri").as("m_url")), Seq(idCol))
+      }
+      def shaped(df: DataFrame, idCol: String, modality: String) =
+        df.select(lit(modality).as("modality"), col("page_id"),
+          col("fig_idx"), col(idCol).as("media_id"), col("caption"),
+          col("caption_lang"), col("n_caption_words"), col("kept"),
+          col("decoded"))
+      shaped(Html.imageTextPairs(pages, "page_id", "html",
+          mediaOf("image", "image_id"), "image_id", "m_url", "decoded"),
+          "image_id", "image")
+        .unionByName(shaped(Html.audioTextPairs(pages, "page_id", "html",
+          mediaOf("audio", "audio_id"), "audio_id", "m_url", "decoded"),
+          "audio_id", "audio"))
+        .unionByName(shaped(Html.videoTextPairs(pages, "page_id", "html",
+          mediaOf("video", "video_id"), "video_id", "m_url", "decoded"),
+          "video_id", "video"))
+        .orderBy(col("modality"), col("page_id"), col("fig_idx"))
     })
   )
 
@@ -7829,6 +7878,115 @@ object Pipeline {
     // stream-static join against the landed media index produce exactly
     // the batch pairs).
     "p149_stream_pair_extract" -> OImageTextPairsSql,
+
+    // Mixed-pair-router twin: the three modality pair twins unioned
+    // with the PAGE-WIDE figure-index arithmetic of the all-figures
+    // page — image slots at j, the audio figure at id%3, the video
+    // figure at id%3 + id%2 (present only under each family's id
+    // rule); per-modality caption/language/gate/join conventions
+    // exactly as in p142/p145/p146.
+    "p157_mixed_pair_router" ->
+      s"""WITH pfa AS (SELECT doc_id AS id FROM documents),
+        ifig AS (SELECT id, t.j AS j, (id - id % 4) + 4*t.j AS tgt
+          FROM pfa, unnest(range(0, id % 3)) AS t(j)),
+        icap AS (SELECT id, j, tgt,
+            CASE WHEN (id + j) % 3 <> 2 AND (id + j) % 2 = 0
+              THEN 'a planted photo & the caption of doc ' || tgt
+                   || ' and slot ' || j
+              WHEN (id + j) % 3 <> 2
+              THEN 'le photo & la caption planted doc ' || tgt
+                   || ' slot ' || j
+              ELSE 'thumb' || tgt END AS caption
+          FROM ifig),
+        ilng AS (SELECT id, j, tgt, caption,
+            CASE
+              WHEN ' ' || caption || ' ' LIKE '% the %'
+                OR ' ' || caption || ' ' LIKE '% and %' THEN 'en'
+              WHEN ' ' || caption || ' ' LIKE '% le %'
+                OR ' ' || caption || ' ' LIKE '% la %' THEN 'fr'
+              WHEN ' ' || caption || ' ' LIKE '% der %'
+                OR ' ' || caption || ' ' LIKE '% und %' THEN 'de'
+              WHEN ' ' || caption || ' ' LIKE '% el %'
+                OR ' ' || caption || ' ' LIKE '% los %' THEN 'es'
+              ELSE 'unknown' END AS caption_lang
+          FROM icap),
+        mimg AS (SELECT doc_id AS tgt FROM documents WHERE doc_id % 4 = 0),
+        irows AS (SELECT 'image' AS modality, c.id AS page_id,
+            CAST(c.j AS integer) AS fig_idx,
+            coalesce(i.tgt, -1) AS media_id, c.caption, c.caption_lang,
+            CAST(len(string_split(c.caption, ' ')) AS integer)
+              AS n_caption_words,
+            len(string_split(c.caption, ' ')) >= 3 AS kept,
+            i.tgt IS NOT NULL AS decoded
+          FROM ilng c LEFT JOIN mimg i ON c.tgt = i.tgt),
+        afa AS (SELECT doc_id AS id FROM documents WHERE doc_id % 2 = 1),
+        acap AS (SELECT id, id - id % 6 + 6 AS tgt,
+            CASE WHEN id % 5 <> 3 AND id % 4 = 1
+              THEN 'a field recording & the clip ' || (id - id % 6 + 6)
+                   || ' and take ' || id
+              WHEN id % 5 <> 3
+              THEN 'le enregistrement & la clip ' || (id - id % 6 + 6)
+                   || ' take ' || id
+              ELSE '' END AS caption
+          FROM afa),
+        alng AS (SELECT id, tgt, caption,
+            CASE
+              WHEN ' ' || caption || ' ' LIKE '% the %'
+                OR ' ' || caption || ' ' LIKE '% and %' THEN 'en'
+              WHEN ' ' || caption || ' ' LIKE '% le %'
+                OR ' ' || caption || ' ' LIKE '% la %' THEN 'fr'
+              WHEN ' ' || caption || ' ' LIKE '% der %'
+                OR ' ' || caption || ' ' LIKE '% und %' THEN 'de'
+              WHEN ' ' || caption || ' ' LIKE '% el %'
+                OR ' ' || caption || ' ' LIKE '% los %' THEN 'es'
+              ELSE 'unknown' END AS caption_lang,
+            CASE WHEN caption = '' THEN 0
+                 ELSE len(string_split(caption, ' ')) END AS nw
+          FROM acap),
+        maud AS (SELECT doc_id AS tgt FROM documents WHERE doc_id % 6 = 0),
+        arows AS (SELECT 'audio' AS modality, c.id AS page_id,
+            CAST(c.id % 3 AS integer) AS fig_idx,
+            coalesce(a.tgt, -1) AS media_id, c.caption, c.caption_lang,
+            CAST(c.nw AS integer) AS n_caption_words,
+            c.nw >= 3 AS kept,
+            a.tgt IS NOT NULL AS decoded
+          FROM alng c LEFT JOIN maud a ON c.tgt = a.tgt),
+        vfa AS (SELECT doc_id AS id FROM documents WHERE doc_id % 3 = 2),
+        vcap AS (SELECT id, id - id % 5 + 5 AS tgt,
+            CASE WHEN id % 7 <> 4 AND id % 4 < 2
+              THEN 'der clip & ' || (id - id % 5 + 5)
+                   || ' und take ' || id
+              WHEN id % 7 <> 4
+              THEN 'el video & ' || (id - id % 5 + 5)
+                   || ' los frames ' || id
+              ELSE '' END AS caption
+          FROM vfa),
+        vlng AS (SELECT id, tgt, caption,
+            CASE
+              WHEN ' ' || caption || ' ' LIKE '% the %'
+                OR ' ' || caption || ' ' LIKE '% and %' THEN 'en'
+              WHEN ' ' || caption || ' ' LIKE '% le %'
+                OR ' ' || caption || ' ' LIKE '% la %' THEN 'fr'
+              WHEN ' ' || caption || ' ' LIKE '% der %'
+                OR ' ' || caption || ' ' LIKE '% und %' THEN 'de'
+              WHEN ' ' || caption || ' ' LIKE '% el %'
+                OR ' ' || caption || ' ' LIKE '% los %' THEN 'es'
+              ELSE 'unknown' END AS caption_lang,
+            CASE WHEN caption = '' THEN 0
+                 ELSE len(string_split(caption, ' ')) END AS nw
+          FROM vcap),
+        mvid AS (SELECT doc_id AS tgt FROM documents WHERE doc_id % 5 = 0),
+        vrows AS (SELECT 'video' AS modality, c.id AS page_id,
+            CAST(c.id % 3 + c.id % 2 AS integer) AS fig_idx,
+            coalesce(v.tgt, -1) AS media_id, c.caption, c.caption_lang,
+            CAST(c.nw AS integer) AS n_caption_words,
+            c.nw >= 3 AS kept,
+            v.tgt IS NOT NULL AS decoded
+          FROM vlng c LEFT JOIN mvid v ON c.tgt = v.tgt)
+        SELECT * FROM (SELECT * FROM irows
+          UNION ALL SELECT * FROM arows
+          UNION ALL SELECT * FROM vrows)
+        ORDER BY modality, page_id, fig_idx""",
 
     // Video-paired-capstone twin: the p146 pair CTEs (id%3==2 pages,
     // the next-clip-id target, the 3-word gate), the sampled-frame
