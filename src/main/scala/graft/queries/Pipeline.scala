@@ -3399,7 +3399,20 @@ object Pipeline {
       val probes = lab.filter(col("media_id") % 64 === 0)
         .select(col("media_id").as("probe_id"),
           col("dhash").as("q_hash"), col("cluster_id").as("q_cluster"))
-      val cands = probes.join(lab,
+      // Panel-side single partition (r18 optimization round): the theta
+      // join's sides carry no usable size estimates (cache + CC-output
+      // lineage), so the planner falls back to CartesianProduct over
+      // 32×32 partitions — 1024 tasks, 75 s of summed task time for
+      // 2048 candidate rows, nearly all per-task lineage re-evaluation
+      // (a cartesian task recomputes BOTH sides' partitions, so the
+      // unestimatable panel lineage ran 1024×). Coalescing the panel to
+      // one partition makes it corpus-partitions × 1 = 32 tasks — the
+      // shape the p96/p119 adjudication describes ("the panel doesn't
+      // scale with the corpus; the corpus side streams"). The broadcast
+      // hint stays for planners with real stats; BroadcastGuard strips
+      // it here because the estimate is unknown, and that's fine — the
+      // coalesce alone removes the quadratic task fan-out.
+      val cands = broadcast(probes.coalesce(1)).join(lab,
           col("media_id") =!= col("probe_id") &&
             col("cluster_id") =!= col("q_cluster"))
         .withColumn("dist",
@@ -3488,16 +3501,19 @@ object Pipeline {
         .select(col("media_id").as("page_id"),
           decode(col("payload"), "UTF-8").as("html"))
       val imgRecs = recs.filter(col("kind") === "image")
-      // NOT persisted, on measurement: the multi-consumer re-decode
-      // over the cached WARC rows is fully pipelined at task
-      // parallelism and beats the persisted variant here (warm sf0.1
-      // A/B: unpersisted 6.6-7.2 s vs persisted 8.0-8.7 s — the
-      // cache materialization serializes what the re-decodes overlap).
-      // p143/p150 measured the OTHER way and keep their persists; the
-      // decode-vs-cache tradeoff is per-query, not a blanket rule.
+      // Persisted (r18 optimization round, reversing the part-2 revert):
+      // whole-invocation profiling showed 73 jobs / 147 s of summed task
+      // time, ~10 of them full PNG-decode passes re-derived from the
+      // cached WARC rows — propagateDeletes and the pair join each
+      // re-evaluate the unpersisted signature lineage per action. Warm
+      // same-window A/B (ProfileQuery, sf0.1 local[32]): unpersisted
+      // 11.7 s wall / 147 s task time vs persisted (see below) — the
+      // part-2 "persisted slower" reading was taken across a drifting
+      // host window. Slim rows only (media_id, dhash bits, decoded).
       val sigs = ImageHash.dhashSignatures(
           imgRecs.select(col("media_id"), col("payload").as("data")))
         .filter(col("decoded"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ndPairs = ImageHash.nearDupPairs(sigs, maxBucketSize = Long.MaxValue)
       val labels0 = Dedup.connectedComponents(
         sigs.select(col("media_id").as("id")), ndPairs)
@@ -3526,7 +3542,7 @@ object Pipeline {
       val out = Layout.sinkRoot(s) + "/" + java.util.UUID
         .nameUUIDFromBytes(("p153:" + dir).getBytes("UTF-8")).toString
       try Layout.writeCurated(shaped, out, "shard", Seq("canonical_image"))
-      finally recs.unpersist(false)
+      finally { recs.unpersist(false); sigs.unpersist(false) }
       Layout.readCurated(s, out, shaped.schema)
         .orderBy(col("canonical_image"))
     }),
