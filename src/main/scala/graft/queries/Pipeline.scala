@@ -3283,8 +3283,18 @@ object Pipeline {
     // so the plain-page CTEs apply) and appends the figure items from
     // the closed-form id arithmetic, numbering the merged sequence. ----
     "p147_interleaved_docs" -> ((s, dir) => {
-      val pages = docs(s, dir).select(col("doc_id"),
-        Html.plantedPageWithFigures(col("doc_id"), col("text")).as("html"))
+      // Fan out before the page plant (r18 optimization round): the
+      // documents parquet scans as ONE split at bench SF, pinning the
+      // page build + the interleave regex pass — the query's entire
+      // cost — to a single task (profiled 2.5 s single-threaded for a
+      // ~0.1 s 32-way span). Same rule as Multimodal.fanOutIds: hash on
+      // doc_id, width from defaultParallelism (scale-adaptive, not a
+      // constant); at 100 TB the scan splits naturally and this is a
+      // slim-row no-op-class shuffle.
+      val fan = s.sparkContext.defaultParallelism
+      val pages = docs(s, dir).repartition(fan, col("doc_id"))
+        .select(col("doc_id"),
+          Html.plantedPageWithFigures(col("doc_id"), col("text")).as("html"))
       Html.interleavedDoc(pages, "doc_id", "html")
         .orderBy(col("page_id"), col("seq_idx"))
     }),
@@ -3298,8 +3308,13 @@ object Pipeline {
     // and summarized from the read-back — the full multimodal
     // training-shard product. ----
     "p148_multimodal_shards" -> ((s, dir) => {
-      val pages = docs(s, dir).select(col("doc_id"),
-        Html.plantedPageWithFigures(col("doc_id"), col("text")).as("html"))
+      // fan-out before the page plant — the p147 rationale (one scan
+      // split otherwise single-threads the parse that dominates this
+      // query)
+      val pages = docs(s, dir)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"),
+          Html.plantedPageWithFigures(col("doc_id"), col("text")).as("html"))
       // Persist the per-page costs: packByBudget's two-phase prefix sum
       // evaluates its input twice and the sink write a third time —
       // without the cache the parse+extract stage (the expensive one)
@@ -3476,8 +3491,12 @@ object Pipeline {
     // appends image, then audio, then video items in document order
     // from the closed-form arithmetic. ----
     "p152_interleaved_multimodal" -> ((s, dir) => {
-      val pages = docs(s, dir).select(col("doc_id"),
-        Html.plantedPageWithAllFigures(col("doc_id"), col("text")).as("html"))
+      // fan-out before the page plant — the p147 rationale (one scan
+      // split otherwise single-threads the three-modality regex pass)
+      val pages = docs(s, dir)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"),
+          Html.plantedPageWithAllFigures(col("doc_id"), col("text")).as("html"))
       Html.interleavedDoc(pages, "doc_id", "html", allModalities = true)
         .orderBy(col("page_id"), col("seq_idx"))
     }),

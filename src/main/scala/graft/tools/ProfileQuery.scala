@@ -36,6 +36,7 @@ object ProfileQuery {
       catch { case _: Throwable => () }
       val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
       val stages = TrieMap.empty[Int, (Int, Long, Long, Long, Long)] // tasks, runMs, maxMs, shufRead, records
+      val names = TrieMap.empty[Int, String]
       val listener = new SparkListener {
         override def onJobStart(j: SparkListenerJobStart): Unit =
           jobs.incrementAndGet()
@@ -47,6 +48,12 @@ object ProfileQuery {
           stages.put(si.stageId, (si.numTasks, run, 0L,
             if (tm != null) tm.shuffleReadMetrics.totalBytesRead else 0L,
             if (tm != null) tm.inputMetrics.recordsRead else 0L))
+          names.put(si.stageId,
+            (si.name + " <- " + si.details.linesIterator
+              .filterNot(_.contains("org.apache.spark"))
+              .filterNot(_.startsWith("java"))
+              .filterNot(_.contains("scala.")).take(3).mkString(" <- "))
+              .take(220))
         }
       }
       spark.sparkContext.addSparkListener(listener)
@@ -63,7 +70,7 @@ object ProfileQuery {
         f"stages=${stages.size}%4d  taskRun=$totRun%7.2f s  span~$span%6.2f s  rows=$cnt")
       val top = stages.toSeq.sortBy(-_._2._2).take(8)
       top.foreach { case (id, (tasks, run, _, shuf, rec)) =>
-        println(f"    stage=$id%6d tasks=$tasks%5d runMs=$run%8d shufRead=$shuf%10d records=$rec%9d")
+        println(f"    stage=$id%6d tasks=$tasks%5d runMs=$run%8d shufRead=$shuf%10d records=$rec%9d  ${names.getOrElse(id, "")}")
       }
     }
     spark.stop()
