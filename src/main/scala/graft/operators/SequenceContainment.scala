@@ -95,9 +95,26 @@ object SequenceContainment {
                         maxBucketSize: Long, minSurvivingFrac: Double)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // localCheckpoint (r18 optimization round): three consumers read
+    // this subtree — the surviving-count aggregate and BOTH sides of the
+    // alignment self-join. Exchange reuse dedupes them only when AQE
+    // happens to canonicalize all three reads onto one exchange; at
+    // local[32] the profile showed the plant/decode/window upstream (the
+    // operator's dominant cost — 219 s summed task time for p100's GIF
+    // encode+demux) evaluated a SECOND time (+27.5 s). The rows here are
+    // slim (id, pos, n, hash, side) — hash-sized, never payloads — the
+    // same per-clip-cardinality class every signature table lands at
+    // 100 TB. localCheckpoint, NOT persist: a plan-keyed persist would
+    // survive into the next invocation of the same query (a bench
+    // iteration would read the previous iteration's cache — timing
+    // artifact, not engine speed); the checkpoint is scoped to THIS
+    // DataFrame instance, so every invocation recomputes the upstream
+    // exactly once and all three consumers share it. Lazy (eager=false):
+    // the caller's first action materializes it — no extra job.
     val capped = wins
       .withColumn("__bs", count(lit(1)).over(Window.partitionBy(col("__h"))))
       .filter(col("__bs") <= maxBucketSize).drop("__bs")
+      .localCheckpoint(false)
     // Per-id surviving counts: one slim row per clip. Small at fixture
     // scale but per-CLIP-cardinality at corpus scale, so NO forced
     // broadcast hint (the r17 verdict: a hint here rested on Catalyst's
