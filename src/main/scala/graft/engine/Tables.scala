@@ -81,6 +81,41 @@ object Tables {
     else spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Scale-adaptive fan-out for EXPENSIVE NARROW work over a small scan
+    * (r18 optimization round, guide §2.5 "input skew: one huge
+    * unsplittable file → repartition immediately after the read"): a
+    * single-row-group parquet file scans as ONE split no matter what
+    * `maxPartitionBytes` says, pinning every shingle/regex/vector kernel
+    * that follows to a single task — at bench SF the whole documents
+    * table is one split, so the text/vector operators ran 1-wide on a
+    * 32-core session. The condition derives from INPUT SIZE, not a local
+    * constant: fan out only when the scan's estimated split count is
+    * under half the session's parallelism — at 100 TB scans split
+    * naturally into thousands of tasks, the condition is false, and no
+    * payload shuffle is added. Hash on the id column (deterministic,
+    * retry-safe — never `rand()`, guide §2.5).
+    */
+  def fanOutIfNarrow(df: DataFrame, keyCol: String, fileBytes: Long): DataFrame = {
+    val spark = df.sparkSession
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val splits = math.max(1L, (fileBytes + maxSplit - 1) / maxSplit)
+    val target = spark.sparkContext.defaultParallelism
+    if (splits * 2 >= target) df
+    else df.repartition(target, col(keyCol))
+  }
+
+  /** [[load]] + [[fanOutIfNarrow]] keyed on `keyCol` — the entry point
+    * for corpora feeding expensive narrow operators (text shingling,
+    * vector math). Separate from [[load]] on purpose: relational queries
+    * shuffle at their first join/agg anyway, so fanning their scans
+    * would add an exchange for nothing.
+    */
+  def loadFanned(spark: SparkSession, dir: String, name: String,
+                 keyCol: String): DataFrame = {
+    val bytes = new java.io.File(s"$dir/$name.parquet").length
+    fanOutIfNarrow(load(spark, dir, name), keyCol, bytes)
+  }
+
   /** Register selected tables as temp views named after the table —
     * prefer this in query builders over [[registerAll]] so a query does not
     * pay schema reads for the 10-table catalog it doesn't touch.

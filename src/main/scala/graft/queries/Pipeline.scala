@@ -30,10 +30,19 @@ import graft.operators.{AudioHash, BpeTrain, Dedup, Html, ImageHash, Layout, Mp4
   */
 object Pipeline {
 
+  // loadFanned (r18 optimization round): both corpora are single-split
+  // scans at bench SF, which pinned every downstream shingle/regex/
+  // vector kernel to one task; the fan-out is size-derived and a no-op
+  // once the scan splits naturally (Tables.fanOutIfNarrow).
   private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.loadFanned(s, dir, "documents", "doc_id")
+  // Raw loader for MEDIA-PLANT call sites only: every plant entry point
+  // fans out internally (Multimodal.fanOutIds), so handing it the fanned
+  // docs would stack a second identical exchange on each of ~40 plans.
+  private def docsNarrow(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
   private def emb(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "embeddings")
+    Tables.loadFanned(s, dir, "embeddings", "vec_id")
 
   /** Shared p30 parameters — the Scala query and the SQL oracle derive
     * nBits from these with the SAME integer arithmetic
@@ -262,7 +271,7 @@ object Pipeline {
 
     // ---- multimodal binary plumbing: byte length + content hash ----
     "p06_multimodal_bytes" -> ((s, dir) => {
-      Multimodal.fromDocuments(docs(s, dir))
+      Multimodal.fromDocuments(docsNarrow(s, dir))
         .select(col("media_id"), col("modality"),
           length(col("data")).as("byte_len"),
           md5(col("data")).as("content_md5"),
@@ -388,7 +397,7 @@ object Pipeline {
     // derivable from payload length, so the plumbing is oracle-gated. ----
     "p16_frame_sampling" -> ((s, dir) => {
       Multimodal.sampleFrames(
-        Multimodal.fromDocuments(docs(s, dir)), frameBytes = 100, everyN = 2)
+        Multimodal.fromDocuments(docsNarrow(s, dir)), frameBytes = 100, everyN = 2)
         .groupBy(col("media_id"))
         .agg(count(lit(1)).as("n_frames"),
              sum(length(col("frame"))).as("total_frame_bytes"))
@@ -895,7 +904,7 @@ object Pipeline {
     // from the planted rule without owning a codec. `decoded` pins that
     // the codec path (not the stub fallback) produced every row. ----
     "p58_image_decode" -> ((s, dir) => {
-      Multimodal.decodeImageFeatures(Multimodal.plantPngs(docs(s, dir)))
+      Multimodal.decodeImageFeatures(Multimodal.plantPngs(docsNarrow(s, dir)))
         .select(col("media_id"), col("width"), col("height"),
           col("n_channels"), col("pixel_sum"), col("decoded"))
         .orderBy(col("media_id"))
@@ -907,7 +916,7 @@ object Pipeline {
     // encode->decode->resample->re-encode->decode chain is value-checked. ----
     "p59_image_resize" -> ((s, dir) => {
       Multimodal.decodeImageFeatures(
-        Multimodal.resizePooled(Multimodal.plantPngs(docs(s, dir)), 2))
+        Multimodal.resizePooled(Multimodal.plantPngs(docsNarrow(s, dir)), 2))
         .select(col("media_id"), col("width"), col("height"),
           col("pixel_sum"), col("decoded"))
         .orderBy(col("media_id"))
@@ -919,7 +928,7 @@ object Pipeline {
     // sum from the planted rule without owning a codec. `decoded` pins the
     // codec path produced every row. ----
     "p60_audio_decode" -> ((s, dir) => {
-      Multimodal.decodeAudioFeatures(Multimodal.plantWavs(docs(s, dir)))
+      Multimodal.decodeAudioFeatures(Multimodal.plantWavs(docsNarrow(s, dir)))
         .select(col("media_id"), col("sample_rate"), col("channels"),
           col("n_frames"), col("amp_sum"), col("decoded"))
         .orderBy(col("media_id"))
@@ -935,7 +944,7 @@ object Pipeline {
     // every feature closed-form, so a silent codec regression in EITHER
     // decoder breaks this row. ----
     "p61_multimodal_funnel" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = docsNarrow(s, dir)
       val img = Multimodal.decodeImageFeatures(
           Multimodal.plantPngs(d.filter(col("doc_id") % 3 === 0)))
         .select(col("media_id"), lit("image").as("modality"),
@@ -964,7 +973,7 @@ object Pipeline {
     // counts, dimensions AND per-frame pixel sums from the planted rule —
     // a full differential check through a real multi-frame codec. ----
     "p62_video_frames" -> ((s, dir) => {
-      Multimodal.sampleVideoFrames(Multimodal.plantGifs(docs(s, dir)), 2)
+      Multimodal.sampleVideoFrames(Multimodal.plantGifs(docsNarrow(s, dir)), 2)
         .select(col("media_id"), col("frame_idx"), col("n_frames"),
           col("width"), col("height"), col("pixel_sum"), col("decoded"))
         .orderBy(col("media_id"), col("frame_idx"))
@@ -978,7 +987,7 @@ object Pipeline {
     // sequence re-encode -> decode. ----
     "p63_video_resize" -> ((s, dir) => {
       Multimodal.sampleVideoFrames(
-          Multimodal.resizeVideoPooled(Multimodal.plantGifs(docs(s, dir)), 2), 1)
+          Multimodal.resizeVideoPooled(Multimodal.plantGifs(docsNarrow(s, dir)), 2), 1)
         .select(col("media_id"), col("frame_idx"), col("n_frames"),
           col("width"), col("height"), col("pixel_sum"), col("decoded"))
         .orderBy(col("media_id"), col("frame_idx"))
@@ -989,7 +998,7 @@ object Pipeline {
     // frames differ by a constant per-pixel phase shift, so the oracle
     // recomputes every delta closed-form. ----
     "p64_video_motion" -> ((s, dir) => {
-      Multimodal.videoMotionFeatures(Multimodal.plantGifs(docs(s, dir)))
+      Multimodal.videoMotionFeatures(Multimodal.plantGifs(docsNarrow(s, dir)))
         .select(col("media_id"), col("frame_idx"), col("n_frames"),
           col("motion_sum"), col("decoded"))
         .orderBy(col("media_id"), col("frame_idx"))
@@ -1001,7 +1010,7 @@ object Pipeline {
     // The oracle recomputes every output sample closed-form. ----
     "p65_audio_resample" -> ((s, dir) => {
       Multimodal.decodeAudioFeatures(
-          Multimodal.resampleAudioDecimated(Multimodal.plantWavs(docs(s, dir)), 2))
+          Multimodal.resampleAudioDecimated(Multimodal.plantWavs(docsNarrow(s, dir)), 2))
         .select(col("media_id"), col("sample_rate"), col("channels"),
           col("n_frames"), col("amp_sum"), col("decoded"))
         .orderBy(col("media_id"))
@@ -1022,7 +1031,7 @@ object Pipeline {
       // tools/mutation_check.sh asserts the gate catches.
       val amp =
         if (mutateGate) col("amp_sum").cast("double") else col("amp_sum")
-      Multimodal.decodeAudioFeatures(Multimodal.plantWavs16(docs(s, dir)))
+      Multimodal.decodeAudioFeatures(Multimodal.plantWavs16(docsNarrow(s, dir)))
         .select(col("media_id"), col("sample_rate"), col("channels"),
           col("n_frames"), amp.as("amp_sum"), col("decoded"))
         .orderBy(col("media_id"))
@@ -1038,7 +1047,7 @@ object Pipeline {
     // chain is value-checked. ----
     "p67_audio16_resample" -> ((s, dir) => {
       Multimodal.decodeAudioFeatures(
-          Multimodal.resampleAudioDecimated(Multimodal.plantWavs16(docs(s, dir)), 2))
+          Multimodal.resampleAudioDecimated(Multimodal.plantWavs16(docsNarrow(s, dir)), 2))
         .select(col("media_id"), col("sample_rate"), col("channels"),
           col("n_frames"), col("amp_sum"), col("decoded"))
         .orderBy(col("media_id"))
@@ -1053,7 +1062,7 @@ object Pipeline {
     // duration_ms (incl. the timescale division), track count and the
     // per-track codec fourccs closed-form. ----
     "p68_mp4_meta" -> ((s, dir) => {
-      Mp4Meta.parseMp4Meta(Mp4Meta.plantMp4s(docs(s, dir)))
+      Mp4Meta.parseMp4Meta(Mp4Meta.plantMp4s(docsNarrow(s, dir)))
         .select(col("media_id"), col("duration_ms"), col("timescale"),
           col("n_tracks"), col("codecs"), col("parsed"))
         .orderBy(col("media_id"))
@@ -1068,7 +1077,7 @@ object Pipeline {
     // kept) reaches the aggregation. Both branches recomputed closed-form
     // by the oracle. ----
     "p69_container_router" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = docsNarrow(s, dir)
       val gifStats = Multimodal
         .sampleVideoFrames(
           Multimodal.plantGifs(d.filter(col("doc_id") % 2 === 0)), 1)
@@ -1178,7 +1187,7 @@ object Pipeline {
     // side round-trips genuine PNG bytes. Narrow decode stage; only
     // (id, 4 small words) leaves it. ----
     "p74_image_dhash" -> ((s, dir) => {
-      ImageHash.dhashSignatures(Multimodal.plantPngs(docs(s, dir)))
+      ImageHash.dhashSignatures(Multimodal.plantPngs(docsNarrow(s, dir)))
         .select(col("media_id").as("id"), col("width"), col("height"),
           col("b0"), col("b1"), col("b2"), col("b3"))
         .orderBy(col("id"))
@@ -1197,7 +1206,7 @@ object Pipeline {
     // natural phase-twin pairs at sf0.1 — fixture artifact, not
     // operator workload (see plantPngsFp scaladoc). ----
     "p75_image_neardup_pairs" -> ((s, dir) => {
-      val base = Multimodal.plantPngsFp(docs(s, dir))
+      val base = Multimodal.plantPngsFp(docsNarrow(s, dir))
       val copies = Multimodal
         .resizePooled(base.filter(col("media_id") % 5 === 0), 1)
         .withColumn("media_id", col("media_id") + CopyIdOffset)
@@ -1217,7 +1226,7 @@ object Pipeline {
     // framing bytes on the Spark side, zero WARC code on the oracle side.
     // Narrow parse; payloads never shuffle. ----
     "p76_warc_records" -> ((s, dir) => {
-      Warc.parseWarc(Warc.plantWarcs(docs(s, dir)))
+      Warc.parseWarc(Warc.plantWarcs(docsNarrow(s, dir)))
         .select(col("media_id").as("id"), col("rec_idx"), col("warc_type"),
           col("target_uri"), col("content_length"),
           md5(col("payload")).as("payload_md5"), col("ok"))
@@ -1232,7 +1241,7 @@ object Pipeline {
     // parse/extract stages; only slim columns shuffle. ----
     "p77_warc_funnel" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val recs = Warc.parseWarc(Warc.plantWarcs(docs(s, dir)))
+      val recs = Warc.parseWarc(Warc.plantWarcs(docsNarrow(s, dir)))
         .filter(col("ok") && col("warc_type") === "response")
         .select(col("media_id").as("id"), col("target_uri").as("url"),
           decode(col("payload"), "UTF-8").as("html"))
@@ -1325,7 +1334,7 @@ object Pipeline {
     // pairs alone start: a re-encoded duplicate CLUSTER keeps exactly
     // one image. Oracle: all-pairs hamming graph + recursive-CTE CC. ----
     "p81_image_dedup_survivors" -> ((s, dir) => {
-      val base = Multimodal.plantPngsFp(docs(s, dir))
+      val base = Multimodal.plantPngsFp(docsNarrow(s, dir))
       val copies = Multimodal
         .resizePooled(base.filter(col("media_id") % 5 === 0), 1)
         .withColumn("media_id", col("media_id") + CopyIdOffset)
@@ -1368,7 +1377,7 @@ object Pipeline {
     // nothing. Payloads never shuffle; pair generation moves
     // O(clips x 4) slim rows. ----
     "p83_audio_neardup_pairs" -> ((s, dir) => {
-      val base = Multimodal.plantWavsFp(docs(s, dir))
+      val base = Multimodal.plantWavsFp(docsNarrow(s, dir))
       val copies = Multimodal
         .resampleAudioDecimated(base.filter(col("media_id") % 5 === 0), 1)
         .withColumn("media_id", col("media_id") + CopyIdOffset)
@@ -1387,7 +1396,7 @@ object Pipeline {
     // exactly one clip. Oracle: all-pairs hamming graph +
     // recursive-CTE CC. ----
     "p84_audio_dedup_survivors" -> ((s, dir) => {
-      val base = Multimodal.plantWavsFp(docs(s, dir))
+      val base = Multimodal.plantWavsFp(docsNarrow(s, dir))
       val copies = Multimodal
         .resampleAudioDecimated(base.filter(col("media_id") % 5 === 0), 1)
         .withColumn("media_id", col("media_id") + CopyIdOffset)
@@ -1412,7 +1421,7 @@ object Pipeline {
     // the closed-form extraction metrics. Payloads stay in the narrow
     // parse/decode stages; only slim columns shuffle. ----
     "p85_warc_multimodal" -> ((s, dir) => {
-      val recs = Warc.parseWarc(Warc.plantMixedWarcs(docs(s, dir)))
+      val recs = Warc.parseWarc(Warc.plantMixedWarcs(docsNarrow(s, dir)))
         .filter(col("ok") && col("warc_type") === "response")
         .withColumn("kind",
           Warc.contentKind(col("content_type"), col("payload")))
@@ -1509,7 +1518,7 @@ object Pipeline {
     // pairs that dominate a PAIR query's output — fixture artifact, not
     // operator workload (see plantPngsFp scaladoc). ----
     "p88_image_incremental_neardup" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = docsNarrow(s, dir)
       val corpus = ImageHash.dhashSignatures(Multimodal.plantPngsFp(d))
       val copies = Multimodal.resizePooled(
           Multimodal.plantPngsFp(d.filter(col("doc_id") % 7 === 0)), 1)
@@ -1536,7 +1545,7 @@ object Pipeline {
     // plantGifsFp (shape-varying pixel rule — the phase-twin lesson
     // applied from day one; see plantGifsFp scaladoc). ----
     "p89_video_neardup_pairs" -> ((s, dir) => {
-      val base = Multimodal.plantGifsFp(docs(s, dir))
+      val base = Multimodal.plantGifsFp(docsNarrow(s, dir))
       val copies = Multimodal.resizeVideoPooled(
           base.filter(col("media_id") % 5 === 0), 1)
         .withColumn("media_id", col("media_id") + CopyIdOffset)
@@ -1554,7 +1563,7 @@ object Pipeline {
     // Oracle: closed-form majority-fold words -> all-pairs hamming
     // graph -> recursive-CTE CC. ----
     "p90_video_dedup_survivors" -> ((s, dir) => {
-      val base = Multimodal.plantGifsFp(docs(s, dir))
+      val base = Multimodal.plantGifsFp(docsNarrow(s, dir))
       val copies = Multimodal.resizeVideoPooled(
           base.filter(col("media_id") % 5 === 0), 1)
         .withColumn("media_id", col("media_id") + CopyIdOffset)
@@ -1588,7 +1597,7 @@ object Pipeline {
       // re-executed per branch (at 100 TB you'd land the parsed records
       // once for the same reason; the eager sink write below lets the
       // cache release before the query returns).
-      val recs = Warc.parseWarc(Warc.plantMixedWarcsFp(docs(s, dir)))
+      val recs = Warc.parseWarc(Warc.plantMixedWarcsFp(docsNarrow(s, dir)))
         .filter(col("ok") && col("warc_type") === "response")
         .withColumn("kind",
           Warc.contentKind(col("content_type"), col("payload")))
@@ -1778,7 +1787,7 @@ object Pipeline {
     // included, so a window-indexing bug breaks per-row equality. ----
     "p97_audio_window_sigs" -> ((s, dir) => {
       AudioHash.windowFingerprints(
-          Multimodal.plantWavsSeg(docs(s, dir)), win = 130, hop = 26)
+          Multimodal.plantWavsSeg(docsNarrow(s, dir)), win = 130, hop = 26)
         .select(col("media_id"), col("n_frames"), col("n_wins"),
           col("win_idx"), col("w0"), col("w1"), col("w2"), col("w3"))
         .orderBy(col("media_id"), col("win_idx"))
@@ -1799,7 +1808,7 @@ object Pipeline {
       // production callers keep the default cap).
       AudioHash.containmentPairs(
           AudioHash.windowFingerprints(
-            Multimodal.plantWavsSeg(docs(s, dir)), win = 130, hop = 26),
+            Multimodal.plantWavsSeg(docsNarrow(s, dir)), win = 130, hop = 26),
           maxBucketSize = Long.MaxValue)
         .orderBy(col("inner_id"), col("outer_id"), col("offset_wins"))
     }),
@@ -1811,7 +1820,7 @@ object Pipeline {
     // band words recomputed closed-form in SQL, absolute-frame pixel
     // rule included. ----
     "p99_video_frame_sigs" -> ((s, dir) => {
-      VideoHash.frameHashes(Multimodal.plantGifsSeg(docs(s, dir)))
+      VideoHash.frameHashes(Multimodal.plantGifsSeg(docsNarrow(s, dir)))
         .select(col("media_id"), col("n_frames"), col("frame_idx"),
           col("w0"), col("w1"), col("w2"), col("w3"))
         .orderBy(col("media_id"), col("frame_idx"))
@@ -1827,7 +1836,7 @@ object Pipeline {
     "p100_video_containment" -> ((s, dir) => {
       // maxBucketSize explicit — same rationale as p98.
       VideoHash.containmentPairs(
-          VideoHash.frameHashes(Multimodal.plantGifsSeg(docs(s, dir))),
+          VideoHash.frameHashes(Multimodal.plantGifsSeg(docsNarrow(s, dir))),
           maxBucketSize = Long.MaxValue)
         .orderBy(col("inner_id"), col("outer_id"), col("offset_frames"))
     }),
@@ -1863,7 +1872,7 @@ object Pipeline {
     // majority-fold word CTEs under the (id/10)*10 copy rule +
     // recursive-CTE CC, zero knowledge of WARC framing or routing. ----
     "p102_crawl_video_dedup" -> ((s, dir) => {
-      val recs = Warc.parseWarc(Warc.plantVideoWarcs(docs(s, dir)))
+      val recs = Warc.parseWarc(Warc.plantVideoWarcs(docsNarrow(s, dir)))
         .filter(col("ok") && col("warc_type") === "response")
         .withColumn("kind",
           Warc.contentKind(col("content_type"), col("payload")))
@@ -2114,7 +2123,7 @@ object Pipeline {
     // slice derivation + the inner-side drop rule. ----
     "p112_containment_survivors" -> ((s, dir) => {
       val base = AudioHash.windowFingerprints(
-          Multimodal.plantWavsSeg(docs(s, dir)), win = 130, hop = 26)
+          Multimodal.plantWavsSeg(docsNarrow(s, dir)), win = 130, hop = 26)
         .filter(col("decoded") && col("win_idx").isNotNull)
         .select(col("media_id"), col("win_idx"), col("n_wins"), col("whash"))
       val sub = base
@@ -2141,7 +2150,7 @@ object Pipeline {
     // direction). ----
     "p113_incremental_containment" -> ((s, dir) => {
       val base = AudioHash.windowFingerprints(
-          Multimodal.plantWavsSeg(docs(s, dir)), win = 130, hop = 26)
+          Multimodal.plantWavsSeg(docsNarrow(s, dir)), win = 130, hop = 26)
       val slices = base
         .filter(col("decoded") && col("media_id") % 7 === 1 &&
           col("n_wins") >= 3 &&
@@ -2171,7 +2180,7 @@ object Pipeline {
     // or routing — including the temporal majority-fold video CTEs. ----
     "p114_crawl_capstone_full" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val recs = Warc.parseWarc(Warc.plantFullWarcsFp(docs(s, dir)))
+      val recs = Warc.parseWarc(Warc.plantFullWarcsFp(docsNarrow(s, dir)))
         .filter(col("ok") && col("warc_type") === "response")
         .withColumn("kind",
           Warc.contentKind(col("content_type"), col("payload")))
@@ -3101,7 +3110,7 @@ object Pipeline {
     // decoded caption, the alt fallback, the gate, and the join
     // closed-form from the id arithmetic — it never parses a page. ----
     "p142_image_text_pairs" -> ((s, dir) => {
-      val recs = Warc.parseWarc(Warc.plantPairedWarcs(docs(s, dir)))
+      val recs = Warc.parseWarc(Warc.plantPairedWarcs(docsNarrow(s, dir)))
         .filter(col("ok") && col("warc_type") === "response")
         .withColumn("kind",
           Warc.contentKind(col("content_type"), col("payload")))
@@ -3131,7 +3140,7 @@ object Pipeline {
     // pool. Oracle: planted pairs + dhash words + recursive CC, all
     // closed-form. ----
     "p143_paired_crawl_capstone" -> ((s, dir) => {
-      val recs = Warc.parseWarc(Warc.plantPairedWarcs(docs(s, dir)))
+      val recs = Warc.parseWarc(Warc.plantPairedWarcs(docsNarrow(s, dir)))
         .filter(col("ok") && col("warc_type") === "response")
         .withColumn("kind",
           Warc.contentKind(col("content_type"), col("payload")))
@@ -3220,7 +3229,7 @@ object Pipeline {
     // and joined on the canonical URL across two different messy
     // variants. The oracle recomputes everything closed-form. ----
     "p145_audio_text_pairs" -> ((s, dir) => {
-      val recs = Warc.parseWarc(Warc.plantAudioPairedWarcs(docs(s, dir)))
+      val recs = Warc.parseWarc(Warc.plantAudioPairedWarcs(docsNarrow(s, dir)))
         .filter(col("ok") && col("warc_type") === "response")
         .withColumn("kind",
           Warc.contentKind(col("content_type"), col("payload")))
@@ -3253,7 +3262,7 @@ object Pipeline {
     // on the canonical URL. The oracle recomputes everything
     // closed-form. ----
     "p146_video_text_pairs" -> ((s, dir) => {
-      val recs = Warc.parseWarc(Warc.plantVideoPairedWarcs(docs(s, dir)))
+      val recs = Warc.parseWarc(Warc.plantVideoPairedWarcs(docsNarrow(s, dir)))
         .filter(col("ok") && col("warc_type") === "response")
         .withColumn("kind",
           Warc.contentKind(col("content_type"), col("payload")))
@@ -3283,16 +3292,11 @@ object Pipeline {
     // so the plain-page CTEs apply) and appends the figure items from
     // the closed-form id arithmetic, numbering the merged sequence. ----
     "p147_interleaved_docs" -> ((s, dir) => {
-      // Fan out before the page plant (r18 optimization round): the
-      // documents parquet scans as ONE split at bench SF, pinning the
-      // page build + the interleave regex pass — the query's entire
-      // cost — to a single task (profiled 2.5 s single-threaded for a
-      // ~0.1 s 32-way span). Same rule as Multimodal.fanOutIds: hash on
-      // doc_id, width from defaultParallelism (scale-adaptive, not a
-      // constant); at 100 TB the scan splits naturally and this is a
-      // slim-row no-op-class shuffle.
-      val fan = s.sparkContext.defaultParallelism
-      val pages = docs(s, dir).repartition(fan, col("doc_id"))
+      // docs() fans out the single-split scan (Tables.fanOutIfNarrow),
+      // so the page build + interleave regex pass — the query's entire
+      // cost, profiled 2.5 s single-threaded before the fan-out — runs
+      // at session parallelism.
+      val pages = docs(s, dir)
         .select(col("doc_id"),
           Html.plantedPageWithFigures(col("doc_id"), col("text")).as("html"))
       Html.interleavedDoc(pages, "doc_id", "html")
@@ -3308,11 +3312,8 @@ object Pipeline {
     // and summarized from the read-back — the full multimodal
     // training-shard product. ----
     "p148_multimodal_shards" -> ((s, dir) => {
-      // fan-out before the page plant — the p147 rationale (one scan
-      // split otherwise single-threads the parse that dominates this
-      // query)
+      // docs() fans out the single-split scan — the p147 rationale
       val pages = docs(s, dir)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"),
           Html.plantedPageWithFigures(col("doc_id"), col("text")).as("html"))
       // Persist the per-page costs: packByBudget's two-phase prefix sum
@@ -3353,7 +3354,7 @@ object Pipeline {
     "p149_stream_pair_extract" -> ((s, dir) => {
       import graft.streaming.Streams
       import org.apache.spark.sql.streaming.OutputMode
-      val recs = Warc.parseWarc(Warc.plantPairedWarcs(docs(s, dir)))
+      val recs = Warc.parseWarc(Warc.plantPairedWarcs(docsNarrow(s, dir)))
         .filter(col("ok") && col("warc_type") === "response")
         .withColumn("kind",
           Warc.contentKind(col("content_type"), col("payload")))
@@ -3389,7 +3390,7 @@ object Pipeline {
     // CC + the full hamming ranking, closed-form. ----
     "p150_hard_negatives" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val recs = Warc.parseWarc(Warc.plantPairedWarcs(docs(s, dir)))
+      val recs = Warc.parseWarc(Warc.plantPairedWarcs(docsNarrow(s, dir)))
         .filter(col("ok") && col("warc_type") === "response")
         .withColumn("kind",
           Warc.contentKind(col("content_type"), col("payload")))
@@ -3458,7 +3459,7 @@ object Pipeline {
     // the per-language counts, sqrt reweighting, and the hash cutoff
     // closed-form. ----
     "p151_pair_language_mixture" -> ((s, dir) => {
-      val recs = Warc.parseWarc(Warc.plantPairedWarcs(docs(s, dir)))
+      val recs = Warc.parseWarc(Warc.plantPairedWarcs(docsNarrow(s, dir)))
         .filter(col("ok") && col("warc_type") === "response")
         .withColumn("kind",
           Warc.contentKind(col("content_type"), col("payload")))
@@ -3491,10 +3492,8 @@ object Pipeline {
     // appends image, then audio, then video items in document order
     // from the closed-form arithmetic. ----
     "p152_interleaved_multimodal" -> ((s, dir) => {
-      // fan-out before the page plant — the p147 rationale (one scan
-      // split otherwise single-threads the three-modality regex pass)
+      // docs() fans out the single-split scan — the p147 rationale
       val pages = docs(s, dir)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"),
           Html.plantedPageWithAllFigures(col("doc_id"), col("text")).as("html"))
       Html.interleavedDoc(pages, "doc_id", "html", allModalities = true)
@@ -3511,7 +3510,7 @@ object Pipeline {
     // FROM-SCRATCH rebuild over the survivors and must match the
     // incremental repair exactly. ----
     "p153_pair_deletion" -> ((s, dir) => {
-      val recs = Warc.parseWarc(Warc.plantPairedWarcs(docs(s, dir)))
+      val recs = Warc.parseWarc(Warc.plantPairedWarcs(docsNarrow(s, dir)))
         .filter(col("ok") && col("warc_type") === "response")
         .withColumn("kind",
           Warc.contentKind(col("content_type"), col("payload")))
@@ -3574,7 +3573,7 @@ object Pipeline {
     // ever aggregate; the oracle recomputes every stage from the id
     // arithmetic (host = id % 13). ----
     "p154_pair_yield_funnel" -> ((s, dir) => {
-      val recs = Warc.parseWarc(Warc.plantPairedWarcs(docs(s, dir)))
+      val recs = Warc.parseWarc(Warc.plantPairedWarcs(docsNarrow(s, dir)))
         .filter(col("ok") && col("warc_type") === "response")
         .withColumn("kind",
           Warc.contentKind(col("content_type"), col("payload")))
@@ -3619,7 +3618,7 @@ object Pipeline {
     // caption pool, landed through the curated sink. Oracle: planted
     // pairs + fingerprint words + recursive CC, all closed-form. ----
     "p155_audio_paired_capstone" -> ((s, dir) => {
-      val recs = Warc.parseWarc(Warc.plantAudioPairedWarcs(docs(s, dir)))
+      val recs = Warc.parseWarc(Warc.plantAudioPairedWarcs(docsNarrow(s, dir)))
         .filter(col("ok") && col("warc_type") === "response")
         .withColumn("kind",
           Warc.contentKind(col("content_type"), col("payload")))
@@ -3665,7 +3664,7 @@ object Pipeline {
     // dHash + CC under the (id/10)*10 copy rule) → captions per
     // canonical clip through the curated sink. ----
     "p156_video_paired_capstone" -> ((s, dir) => {
-      val recs = Warc.parseWarc(Warc.plantVideoPairedWarcs(docs(s, dir)))
+      val recs = Warc.parseWarc(Warc.plantVideoPairedWarcs(docsNarrow(s, dir)))
         .filter(col("ok") && col("warc_type") === "response")
         .withColumn("kind",
           Warc.contentKind(col("content_type"), col("payload")))
@@ -3713,7 +3712,7 @@ object Pipeline {
     // consistently. The oracle unions the three closed-form pair twins
     // with the page-wide index arithmetic. ----
     "p157_mixed_pair_router" -> ((s, dir) => {
-      val recs = Warc.parseWarc(Warc.plantAllPairedWarcs(docs(s, dir)))
+      val recs = Warc.parseWarc(Warc.plantAllPairedWarcs(docsNarrow(s, dir)))
         .filter(col("ok") && col("warc_type") === "response")
         .withColumn("kind",
           Warc.contentKind(col("content_type"), col("payload")))
@@ -4074,7 +4073,7 @@ object Pipeline {
     * dominates. p83/p84 plant [[Multimodal.plantWavsFp]] instead.
     */
   private def mixedWavs(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
+    val d = docsNarrow(s, dir)
     Multimodal.plantWavs(d.filter(col("doc_id") % 2 === 0))
       .unionByName(Multimodal.plantWavs16(d.filter(col("doc_id") % 2 =!= 0)))
   }
