@@ -3532,7 +3532,12 @@ object Pipeline {
           imgRecs.select(col("media_id"), col("payload").as("data")))
         .filter(col("decoded"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // ndPairs persisted too: both CC calls (labels0 and
+      // propagateDeletes' touched-cluster CC) materialize their own
+      // internal copy and release it on exit, so the banded-hamming
+      // self-join otherwise runs twice.
       val ndPairs = ImageHash.nearDupPairs(sigs, maxBucketSize = Long.MaxValue)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val labels0 = Dedup.connectedComponents(
         sigs.select(col("media_id").as("id")), ndPairs)
       val deletes = sigs.filter(col("media_id") % 12 === 0)
@@ -3560,7 +3565,7 @@ object Pipeline {
       val out = Layout.sinkRoot(s) + "/" + java.util.UUID
         .nameUUIDFromBytes(("p153:" + dir).getBytes("UTF-8")).toString
       try Layout.writeCurated(shaped, out, "shard", Seq("canonical_image"))
-      finally { recs.unpersist(false); sigs.unpersist(false) }
+      finally Seq(recs, sigs, ndPairs).foreach(_.unpersist(false))
       Layout.readCurated(s, out, shaped.schema)
         .orderBy(col("canonical_image"))
     }),
