@@ -694,12 +694,18 @@ object Dedup {
     // the heaviest pipeline of the round twice.
     def smallStar(df: DataFrame): DataFrame = {
       val wm = withM(sym(df))
+      // No inner distinct on the src-branch (r18 optimization round):
+      // the outer normalize() ends in a distinct over the SAME (u, v)
+      // key, and the union in between destroys the inner exchange's
+      // partitioning, so the dedupe ran the branch through an extra
+      // full exchange only to have its output reshuffled anyway — one
+      // wasted shuffle + stage per star round (rounds are the wall cost
+      // of the whole algorithm: p38 runs ~13 of them serially).
       normalize(wm
         .filter(col("dst") <= col("src") && col("dst") =!= col("__m"))
         .select(col("dst").as("u"), col("__m").as("v"))
         .union(wm.filter(col("src") =!= col("__m"))
-          .select(col("src").as("u"), col("__m").as("v"))
-          .distinct()))
+          .select(col("src").as("u"), col("__m").as("v"))))
     }
     // localCheckpoint (not persist): each round's plan references the prior
     // round's several times (sym twice per star op), so lineage grows
