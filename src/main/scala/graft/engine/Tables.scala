@@ -112,7 +112,19 @@ object Tables {
     */
   def loadFanned(spark: SparkSession, dir: String, name: String,
                  keyCol: String): DataFrame = {
-    val bytes = new java.io.File(s"$dir/$name.parquet").length
+    // Hadoop FileSystem, not java.io.File: the fixture dir may be any
+    // Hadoop-FS URI (file:/, hdfs:/, s3a:/ — the Streams.priorBatchDirs
+    // lesson), and a local-FS stat of a remote path reads 0 bytes, which
+    // would flip the fan-out condition the WRONG way at cluster scale.
+    // getContentSummary handles both a single parquet file and a
+    // directory-table of part files. Stat failure falls back to "wide"
+    // (no fan-out) — never add a shuffle on missing information.
+    val bytes =
+      try {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+      } catch { case _: Exception => Long.MaxValue }
     fanOutIfNarrow(load(spark, dir, name), keyCol, bytes)
   }
 
