@@ -97,6 +97,11 @@ object Tables {
     */
   def fanOutIfNarrow(df: DataFrame, keyCol: String, fileBytes: Long): DataFrame = {
     val spark = df.sparkSession
+    // A/B toggle (spark.graft.fanout.enabled, default on) — lets the
+    // interleaved same-JVM ConfAb harness measure this rule per query
+    // without code flips; production behavior is the default.
+    if (!spark.conf.getOption("spark.graft.fanout.enabled")
+          .forall(_.toBoolean)) return df
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
     val splits = math.max(1L, (fileBytes + maxSplit - 1) / maxSplit)
     val target = spark.sparkContext.defaultParallelism

@@ -30,19 +30,28 @@ import graft.operators.{AudioHash, BpeTrain, Dedup, Html, ImageHash, Layout, Mp4
   */
 object Pipeline {
 
-  // loadFanned (r18 optimization round): both corpora are single-split
-  // scans at bench SF, which pinned every downstream shingle/regex/
-  // vector kernel to one task; the fan-out is size-derived and a no-op
-  // once the scan splits naturally (Tables.fanOutIfNarrow).
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.loadFanned(s, dir, "documents", "doc_id")
-  // Raw loader for MEDIA-PLANT call sites only: every plant entry point
-  // fans out internally (Multimodal.fanOutIds), so handing it the fanned
-  // docs would stack a second identical exchange on each of ~40 plans.
+    Tables.load(s, dir, "documents")
+  // Alias kept from the blanket-fan-out experiment (media-plant call
+  // sites; plants fan out internally via Multimodal.fanOutIds).
   private def docsNarrow(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
+  // Fanned loader (r18 optimization round) for the queries where ONE
+  // expensive narrow pass dominates and the single-split scan pinned it
+  // to one task (Tables.fanOutIfNarrow; size-derived, no-op at scale).
+  // Applied ONLY where the interleaved same-JVM A/B (tools/ConfAb,
+  // spark.graft.fanout.enabled flip) measured a win: a blanket fan-out
+  // of docs()/emb() was measured NET NEGATIVE — queries that re-evaluate
+  // the corpus subtree several times (p01 0.42×, p17 0.43×, p21 0.48×,
+  // p50 0.50×, p27 0.56×, p57 0.63×, p13 0.64×, p40 0.76×) pay 32 tasks
+  // of fixed overhead per re-evaluation where one cheap scan task
+  // sufficed, and that swamps the parallelism win of the heavy-pass
+  // queries (p45 1.75×, p147 1.79×, p15 1.15×). Per-query, measured —
+  // the same discipline as the cache-vs-recompute calls.
+  private def docsFanned(s: SparkSession, dir: String): DataFrame =
+    Tables.loadFanned(s, dir, "documents", "doc_id")
   private def emb(s: SparkSession, dir: String): DataFrame =
-    Tables.loadFanned(s, dir, "embeddings", "vec_id")
+    Tables.load(s, dir, "embeddings")
 
   /** Shared p30 parameters — the Scala query and the SQL oracle derive
     * nBits from these with the SAME integer arithmetic
@@ -303,7 +312,7 @@ object Pipeline {
     // list itself is exact, so DuckDB derives every output column. ----
     "p09_simhash_sigs" -> ((s, dir) => {
       HashExpressions.register(s)
-      val pairs = Dedup.nearDupPairs(docs(s, dir), "doc_id", "text",
+      val pairs = Dedup.nearDupPairs(docsFanned(s, dir), "doc_id", "text",
         shingleLen = 5, threshold = 0.5, k = 64, r = 2)
       val sigs = Dedup.simhashSignatures(docs(s, dir), "doc_id", "text")
       pairs
@@ -374,7 +383,7 @@ object Pipeline {
       // too so the a-side and b-side joins share one evaluation — at
       // 100 TB this is the floor: one corpus pass for pair generation,
       // one corpus scan for the semi-join, winnowing |pair-docs| texts.
-      val pairs = Dedup.nearDupPairs(docs(s, dir), "doc_id", "text",
+      val pairs = Dedup.nearDupPairs(docsFanned(s, dir), "doc_id", "text",
         shingleLen = 5, threshold = 0.5).localCheckpoint()
       val ids = pairs.select(explode(array(col("id_a"), col("id_b")))
         .as("doc_id")).distinct()
@@ -754,7 +763,7 @@ object Pipeline {
     // ---- exact-substring span cutting (Lee et al. 2022): duplicated
     // 8-token spans removed everywhere but their first-occurrence doc ----
     "p45_span_cut" -> ((s, dir) => {
-      Dedup.cutDuplicateSpans(docs(s, dir), "doc_id", "text", windowLen = 8)
+      Dedup.cutDuplicateSpans(docsFanned(s, dir), "doc_id", "text", windowLen = 8)
         // Always-true guard that CONSUMES clean_text: without it a bare
         // count() (Bench) lets Catalyst eliminate the outer joins carrying
         // the cut, timing an empty plan. No effect on the result set.
@@ -777,7 +786,7 @@ object Pipeline {
       // Hash surface is integer-only (llr_micro = exact decimal LLR sum
       // ×10^6): the derived double mean is engine/version-fragile under
       // round() and lives on the operator, not the comparison surface.
-      TextOps.importanceWeights(docs(s, dir), "doc_id", "text",
+      TextOps.importanceWeights(docsFanned(s, dir), "doc_id", "text",
         isTarget = col("lang") === "en", alpha = 0.5)
         .select(col("id"), col("n_bigrams"), col("llr_micro"))
         .orderBy(col("id"))
@@ -3292,11 +3301,10 @@ object Pipeline {
     // so the plain-page CTEs apply) and appends the figure items from
     // the closed-form id arithmetic, numbering the merged sequence. ----
     "p147_interleaved_docs" -> ((s, dir) => {
-      // docs() fans out the single-split scan (Tables.fanOutIfNarrow),
-      // so the page build + interleave regex pass — the query's entire
-      // cost, profiled 2.5 s single-threaded before the fan-out — runs
-      // at session parallelism.
-      val pages = docs(s, dir)
+      // docsFanned: the page build + interleave regex pass — the
+      // query's entire cost, profiled 2.5 s single-threaded on the
+      // single-split scan — runs at session parallelism (ConfAb 1.79×).
+      val pages = docsFanned(s, dir)
         .select(col("doc_id"),
           Html.plantedPageWithFigures(col("doc_id"), col("text")).as("html"))
       Html.interleavedDoc(pages, "doc_id", "html")
@@ -3312,8 +3320,8 @@ object Pipeline {
     // and summarized from the read-back — the full multimodal
     // training-shard product. ----
     "p148_multimodal_shards" -> ((s, dir) => {
-      // docs() fans out the single-split scan — the p147 rationale
-      val pages = docs(s, dir)
+      // docsFanned — the p147 rationale (parse dominates this query)
+      val pages = docsFanned(s, dir)
         .select(col("doc_id"),
           Html.plantedPageWithFigures(col("doc_id"), col("text")).as("html"))
       // Persist the per-page costs: packByBudget's two-phase prefix sum
@@ -3492,8 +3500,8 @@ object Pipeline {
     // appends image, then audio, then video items in document order
     // from the closed-form arithmetic. ----
     "p152_interleaved_multimodal" -> ((s, dir) => {
-      // docs() fans out the single-split scan — the p147 rationale
-      val pages = docs(s, dir)
+      // docsFanned — the p147 rationale (three-modality regex pass)
+      val pages = docsFanned(s, dir)
         .select(col("doc_id"),
           Html.plantedPageWithAllFigures(col("doc_id"), col("text")).as("html"))
       Html.interleavedDoc(pages, "doc_id", "html", allModalities = true)
