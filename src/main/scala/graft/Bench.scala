@@ -143,7 +143,12 @@ object Bench {
     // metrics that distinguish "plan is expensive" (run_ms concentrated in
     // one stage, shuffle/spill bytes) from "machine noise" (wall time >>
     // sum of stage run time).
-    val slowest = results.filter(_._2 > 0).sortBy(-_._2).take(5)
+    // Widened 5 → 25 in r19 (additions-only — the timed loop above is
+    // untouched): BENCH_r17/r18 both carried 2–5× phantom deltas on
+    // sub-2 s queries (r18: p07/p08/p13/p17/q59, all code-untouched) that
+    // were never rerun because only the top-5 got a breakdown. The extra
+    // runs happen AFTER the timed loop and cost ~30 s of untimed tail.
+    val slowest = results.filter(_._2 > 0).sortBy(-_._2).take(25)
     // Contention self-labeling: a timed wall far above the in-run rerun
     // (same plan, moments later) is machine noise, not engine time — two
     // rounds of judge forensics went to proving exactly that for
@@ -177,7 +182,11 @@ object Bench {
         math.max(1.0, scala.util.Try(cpus.toDouble).getOrElse(4.0))
       val stageSpanSec = stages.map(st =>
         math.max(st.maxMs.toDouble, st.runTimeMs / slots)).sum / 1000.0
-      if (wallSec > 1.0 &&
+      // Wall floor 1.0 → 0.25 s (r19): the r18 PERF carried 0.19–0.43×
+      // "regressions" on 0.2–1.6 s untouched queries — real contention
+      // deltas on sub-1 s rows slipped the old floor. 0.25 s still skips
+      // noise-on-noise (scheduler jitter is ~10s of ms).
+      if (wallSec > 0.25 &&
           ((rerun > 0 && wallSec > 3 * rerun) ||
            (stageSpanSec > 0 && wallSec > 3 * stageSpanSec &&
             rerun > 0 && rerun < wallSec / 2))) suspects += name

@@ -100,8 +100,10 @@ object Tables {
     // A/B toggle (spark.graft.fanout.enabled, default on) — lets the
     // interleaved same-JVM ConfAb harness measure this rule per query
     // without code flips; production behavior is the default.
-    if (!spark.conf.getOption("spark.graft.fanout.enabled")
-          .forall(_.toBoolean)) return df
+    // Tolerant parse: a malformed conf value ("1", "TRUE ") degrades to
+    // the default instead of throwing mid-plan-construction (r18 ADVICE).
+    if (spark.conf.getOption("spark.graft.fanout.enabled")
+          .exists(v => !v.trim.equalsIgnoreCase("true"))) return df
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
     val splits = math.max(1L, (fileBytes + maxSplit - 1) / maxSplit)
     val target = spark.sparkContext.defaultParallelism

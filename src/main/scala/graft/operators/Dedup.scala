@@ -286,16 +286,34 @@ object Dedup {
   def admitToClusters(corpusLabels: DataFrame, batchIds: DataFrame,
                       crossPairs: DataFrame,
                       batchPairs: DataFrame): DataFrame = {
+    // Contracted cross edges, materialized ONCE (r19 pass fusion): this
+    // subtree — whose lineage is the caller's banded candidate join, the
+    // admission's dominant cost — is read by THREE independent consumers
+    // (bridgeEdges via CC's edge count, and bridgeNodes on both of
+    // bridgeLabels' uses below), so without the cut the banded join ran
+    // three times per admission (ProfileQuery: 32 jobs / 65 s summed task
+    // time for 7.4 k output rows on p92). Rows are slim (two longs,
+    // O(touched clusters + batch) — never corpus-sized). localCheckpoint,
+    // not persist, for the standard reason: a plan-keyed persist would
+    // serve one invocation's rows to the next. Lazy: CC's internal edge
+    // count is the materializing action. Blocks are reclaimed by the
+    // ContextCleaner once the returned frame is dropped (no end-of-
+    // invocation action inside this pure function to hang a release on).
     val bridgeCross = crossPairs
       .join(corpusLabels.select(col("id").as("corpus_id"), col("cluster_id")),
         Seq("corpus_id"))
       .select(col("cluster_id").as("id_a"), col("batch_id").as("id_b"))
+      .localCheckpoint(false)
     val bridgeEdges =
       bridgeCross.unionByName(batchPairs.select(col("id_a"), col("id_b")))
     val bridgeNodes = batchIds.select(col("id"))
       .unionByName(bridgeCross.select(col("id_a").as("id")))
       .distinct()
+    // Same cut on the bridge labels: consumed by BOTH the relabel map and
+    // batchOut — un-truncated, each re-evaluates bridgeNodes' distinct
+    // and (absent the cut above) the banded join under it.
     val bridgeLabels = connectedComponents(bridgeNodes, bridgeEdges)
+      .localCheckpoint(false)
     // Relabel map: bridge nodes that ARE corpus cluster labels, keyed by
     // the old label. O(touched clusters) rows -> broadcast.
     val relabel = bridgeLabels
@@ -341,9 +359,16 @@ object Dedup {
     val (touched, _) = graft.engine.NdvSizing.measuredBroadcast(
       labels.join(del, Seq("id")).select(col("cluster_id")).distinct())
     val untouched = labels.join(touched, Seq("cluster_id"), "left_anti")
+    // Touched-cluster survivors, materialized once (r19 pass fusion):
+    // consumed THREE times (both endpoint filters of `e` plus the CC node
+    // set), each evaluation re-running the labels⋈touched⋈deletes chain —
+    // on p153 that chain bottoms out in the caller's CC-output lineage.
+    // Slim (one id column, O(touched-cluster members)); lazy checkpoint,
+    // materialized by CC's internal edge count; ContextCleaner reclaims.
     val tsurv = labels.join(touched, Seq("cluster_id"))
       .join(del, Seq("id"), "left_anti")
       .select(col("id"))
+      .localCheckpoint(false)
     // Edge list restricted to touched-cluster SURVIVORS on both ends:
     // the only edges whose components can have changed.
     val e = pairs.select(col("id_a"), col("id_b"))

@@ -56,16 +56,28 @@ object SequenceContainment {
     */
   val DefaultMinSurvivingFrac = 0.5
 
-  /** See object doc. `df` columns: idCol, posCol, nCol, hashCol. */
+  /** See object doc. `df` columns: idCol, posCol, nCol, hashCol.
+    *
+    * `shareUpstream` (default true): materialize the capped-window rows
+    * once (localCheckpoint) so the three internal consumers share a
+    * single evaluation of the caller's upstream — right when that
+    * upstream is expensive (media decode). A caller whose upstream is
+    * CHEAP relative to the rows it yields (p112: synthesized audio
+    * windows re-sliced in SQL) passes false: there the materialization
+    * job costs more than the re-evaluations it saves (measured 0.48 →
+    * 1.17 s in round 18; split per entry point in round 19).
+    */
   def pairs(df: DataFrame, idCol: String, posCol: String, nCol: String,
             hashCol: String,
             maxBucketSize: Long = BandedHamming.DefaultMaxBucketSize,
-            minSurvivingFrac: Double = DefaultMinSurvivingFrac)
+            minSurvivingFrac: Double = DefaultMinSurvivingFrac,
+            shareUpstream: Boolean = true)
       : DataFrame =
     pairsFrom(
       df.select(col(idCol).as("__id"), col(posCol).as("__pos"),
         col(nCol).as("__n"), col(hashCol).as("__h"), lit(0).as("__side")),
-      crossSidesOnly = false, maxBucketSize, minSurvivingFrac)
+      crossSidesOnly = false, maxBucketSize, minSurvivingFrac,
+      shareUpstream)
 
   /** Batch-vs-corpus refresh pairs (the [[BandedHamming.incrementalPairs]]
     * shape for alignment search — the daily-slice segment-search plan):
@@ -82,17 +94,20 @@ object SequenceContainment {
   def incrementalPairs(corpus: DataFrame, batch: DataFrame,
             idCol: String, posCol: String, nCol: String, hashCol: String,
             maxBucketSize: Long = BandedHamming.DefaultMaxBucketSize,
-            minSurvivingFrac: Double = DefaultMinSurvivingFrac)
+            minSurvivingFrac: Double = DefaultMinSurvivingFrac,
+            shareUpstream: Boolean = true)
       : DataFrame = {
     def side(d: DataFrame, s: Int) =
       d.select(col(idCol).as("__id"), col(posCol).as("__pos"),
         col(nCol).as("__n"), col(hashCol).as("__h"), lit(s).as("__side"))
     pairsFrom(side(corpus, 0).unionByName(side(batch, 1)),
-      crossSidesOnly = true, maxBucketSize, minSurvivingFrac)
+      crossSidesOnly = true, maxBucketSize, minSurvivingFrac,
+      shareUpstream)
   }
 
   private def pairsFrom(wins: DataFrame, crossSidesOnly: Boolean,
-                        maxBucketSize: Long, minSurvivingFrac: Double)
+                        maxBucketSize: Long, minSurvivingFrac: Double,
+                        shareUpstream: Boolean)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // localCheckpoint (r18 optimization round): three consumers read
@@ -111,10 +126,23 @@ object SequenceContainment {
     // DataFrame instance, so every invocation recomputes the upstream
     // exactly once and all three consumers share it. Lazy (eager=false):
     // the caller's first action materializes it — no extra job.
-    val capped = wins
+    // Gated on `shareUpstream` (r19): a cheap-upstream caller skips the
+    // materialization barrier entirely — see [[pairs]].
+    // Checkpoint blocks are NOT explicitly released (there is no "end of
+    // invocation" action inside this pure function to hang a release on);
+    // rows are slim (id, pos, n, hash, side — per-element-hash, never
+    // payloads) and the ContextCleaner reclaims them once the returned
+    // frame is unreferenced. Fleet-scale note: localCheckpoint blocks
+    // live on executor storage only — on executor loss this query fails
+    // and is re-run rather than recomputed from lineage, acceptable here
+    // because the checkpoint is invocation-scoped (minutes, not a
+    // long-lived intermediate) and the alternative is paying the decode
+    // upstream 3× per invocation on every run.
+    val cappedRaw = wins
       .withColumn("__bs", count(lit(1)).over(Window.partitionBy(col("__h"))))
       .filter(col("__bs") <= maxBucketSize).drop("__bs")
-      .localCheckpoint(false)
+    val capped =
+      if (shareUpstream) cappedRaw.localCheckpoint(false) else cappedRaw
     // Per-id surviving counts: one slim row per clip. Small at fixture
     // scale but per-CLIP-cardinality at corpus scale, so NO forced
     // broadcast hint (the r17 verdict: a hint here rested on Catalyst's

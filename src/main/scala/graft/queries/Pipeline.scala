@@ -312,7 +312,13 @@ object Pipeline {
     // list itself is exact, so DuckDB derives every output column. ----
     "p09_simhash_sigs" -> ((s, dir) => {
       HashExpressions.register(s)
-      val pairs = Dedup.nearDupPairs(docsFanned(s, dir), "doc_id", "text",
+      // Raw scan, NOT docsFanned (r19): p09 is a multi-evaluation shape —
+      // nearDupPairs plus a second simhashSignatures pass over the same
+      // corpus — exactly the class the r18 fan-out A/B measured as losing
+      // (32 tasks of fixed overhead per re-evaluation). The r18 close left
+      // this one call site fanned by mistake; it regressed 1.48× in the
+      // builder's own detail and 0.80× in the driver bench.
+      val pairs = Dedup.nearDupPairs(docs(s, dir), "doc_id", "text",
         shingleLen = 5, threshold = 0.5, k = 64, r = 2)
       val sigs = Dedup.simhashSignatures(docs(s, dir), "doc_id", "text")
       pairs
@@ -2142,9 +2148,15 @@ object Pipeline {
           (col("win_idx") - 1).as("win_idx"),
           (col("n_wins") - 2).as("n_wins"), col("whash"))
       val all = base.unionByName(sub)
+      // shareUpstream=false (r19): this caller's upstream is synthesized
+      // audio windows re-sliced in SQL — cheap relative to the capped-row
+      // materialization job the checkpoint adds (r18 measured the
+      // unconditional checkpoint at 0.48 → 1.17 s here while p100/p113's
+      // decode-heavy paths won). The decode-heavy wrappers
+      // (AudioHash/VideoHash.containmentPairs) keep the default.
       val pairList = graft.operators.SequenceContainment.pairs(all,
         "media_id", "win_idx", "n_wins", "whash",
-        maxBucketSize = Long.MaxValue)
+        maxBucketSize = Long.MaxValue, shareUpstream = false)
       graft.operators.SequenceContainment.survivors(
           all.select(col("media_id").as("id")).distinct(), pairList)
         .orderBy(col("id"))
@@ -3420,23 +3432,37 @@ object Pipeline {
       val lab = sigs
         .join(labels.select(col("id").as("media_id"), col("cluster_id")),
           Seq("media_id"))
-      val probes = lab.filter(col("media_id") % 64 === 0)
+      val probes0 = lab.filter(col("media_id") % 64 === 0)
         .select(col("media_id").as("probe_id"),
           col("dhash").as("q_hash"), col("cluster_id").as("q_cluster"))
-      // Panel-side single partition (r18 optimization round): the theta
+      // Landed probe panel (r19, replacing r18's coalesce(1)): the theta
       // join's sides carry no usable size estimates (cache + CC-output
-      // lineage), so the planner falls back to CartesianProduct over
-      // 32×32 partitions — 1024 tasks, 75 s of summed task time for
-      // 2048 candidate rows, nearly all per-task lineage re-evaluation
-      // (a cartesian task recomputes BOTH sides' partitions, so the
-      // unestimatable panel lineage ran 1024×). Coalescing the panel to
-      // one partition makes it corpus-partitions × 1 = 32 tasks — the
-      // shape the p96/p119 adjudication describes ("the panel doesn't
-      // scale with the corpus; the corpus side streams"). The broadcast
-      // hint stays for planners with real stats; BroadcastGuard strips
-      // it here because the estimate is unknown, and that's fine — the
-      // coalesce alone removes the quadratic task fan-out.
-      val cands = broadcast(probes.coalesce(1)).join(lab,
+      // lineage, Catalyst guesses ~868 GB), so the r18 plan fell back to
+      // CartesianProduct — first over 32×32 = 1024 tasks each re-running
+      // the panel lineage, then (r18) over a coalesce(1) panel, which
+      // fixed the task fan-out but embedded a scale assumption: probes
+      // is a media_id % 64 sample of the CORPUS, so the single panel
+      // partition grows with N/64 — one straggler/memory-heavy partition
+      // at 100 TB (r18 verdict + ADVICE). Landing the slim panel rows
+      // (24 bytes/row) to parquet and reading them back gives the
+      // planner REAL stats instead: at fixture scale the file is KB, the
+      // broadcast hint survives BroadcastGuard, and the join plans as
+      // BroadcastNestedLoopJoin over the corpus's partitions (≤32 tasks,
+      // no single-partition panel anywhere). At 100 TB the panel file is
+      // ~100s of MB: the guard strips the hint and the cartesian streams
+      // a NATURALLY-SPLIT parquet panel — per-task re-evaluation is a
+      // column scan, not a lineage re-execution, and no partition holds
+      // the whole panel. localCheckpoint was measured and rejected for
+      // this: LogicalRDD.fromDataset carries the ORIGIN plan's stats
+      // forward, so the checkpointed panel keeps the 868 GB estimate and
+      // the hint still dies. Write is per-invocation (overwrite,
+      // UUID-keyed per fixture dir — the p86/p101 sink discipline), so
+      // nothing is served across bench runs.
+      val panelPath = Layout.sinkRoot(s) + "/" + java.util.UUID
+        .nameUUIDFromBytes(("p150panel:" + dir).getBytes("UTF-8")) + "/panel"
+      probes0.write.mode("overwrite").parquet(panelPath)
+      val probes = s.read.schema(probes0.schema).parquet(panelPath)
+      val cands = broadcast(probes).join(lab,
           col("media_id") =!= col("probe_id") &&
             col("cluster_id") =!= col("q_cluster"))
         .withColumn("dist",
@@ -3540,6 +3566,21 @@ object Pipeline {
           imgRecs.select(col("media_id"), col("payload").as("data")))
         .filter(col("decoded"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Residual task-time attribution (r19, measured, left as-is): the
+      // first action here is CC's edge count over the banded self-join,
+      // whose plan reads `sigs` three times (buckets + both exact-verify
+      // sides). AQE materializes those exchanges CONCURRENTLY, and an
+      // unpopulated cache is no barrier — each materialization finds a
+      // cache miss and re-runs the WARC plant+parse+PNG-decode upstream
+      // itself (ProfileQuery: five 3.8–10.7 s stages each re-reading the
+      // 32 planted WARC groups; ~100 s summed task time against a ~45 s
+      // single-pass inventory). A serial pre-populate (`sigs.count()`
+      // before the first action) removes the redundant passes but was
+      // measured SLOWER on wall: interleaved same-JVM ConfAb, 3 reps,
+      // populate-on A=8.44 s vs populate-off B=7.44 s (B/A 0.88) — at
+      // local[32] the concurrent duplicate passes land on otherwise-idle
+      // cores, while the populate's single-chain pass is pure added
+      // critical path. The redundancy costs CPU, not wall; rejected.
       // ndPairs persisted too: both CC calls (labels0 and
       // propagateDeletes' touched-cluster CC) materialize their own
       // internal copy and release it on exit, so the banded-hamming

@@ -43,18 +43,28 @@ object ConfAb {
             setB(); SparkEntry.queries(n)(spark, sfDir).count() }
       catch { case _: Throwable => () }
       val (ta, tb) = (Array.newBuilder[Double], Array.newBuilder[Double])
-      (1 to reps).foreach { _ =>
-        setA()
-        val a0 = System.nanoTime(); SparkEntry.queries(n)(spark, sfDir).count()
-        ta += (System.nanoTime() - a0) / 1e9
-        setB()
-        val b0 = System.nanoTime(); SparkEntry.queries(n)(spark, sfDir).count()
-        tb += (System.nanoTime() - b0) / 1e9
+      // Guarded per query (r18 ADVICE): a query that fails after warmup
+      // must not abort the whole tool run — print the failure, move on.
+      try {
+        (1 to reps).foreach { _ =>
+          setA()
+          val a0 = System.nanoTime(); SparkEntry.queries(n)(spark, sfDir).count()
+          ta += (System.nanoTime() - a0) / 1e9
+          setB()
+          val b0 = System.nanoTime(); SparkEntry.queries(n)(spark, sfDir).count()
+          tb += (System.nanoTime() - b0) / 1e9
+        }
+      } catch { case e: Throwable =>
+        println(s"[conf-ab] $n FAILED: ${e.getClass.getSimpleName}: " +
+          s"${Option(e.getMessage).getOrElse("").take(160)}")
       }
       setA()
       def med(xs: Array[Double]) = { val s = xs.sorted; s(s.length / 2) }
-      val (ma, mb) = (med(ta.result()), med(tb.result()))
-      println(f"[conf-ab] $n%-34s A=$ma%7.3f s  B=$mb%7.3f s  B/A=${mb / ma}%5.2f")
+      val (ra, rb) = (ta.result(), tb.result())
+      if (ra.nonEmpty && rb.nonEmpty) {
+        val (ma, mb) = (med(ra), med(rb))
+        println(f"[conf-ab] $n%-34s A=$ma%7.3f s  B=$mb%7.3f s  B/A=${mb / ma}%5.2f")
+      }
     }
     spark.stop()
   }

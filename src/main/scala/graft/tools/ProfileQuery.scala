@@ -36,7 +36,9 @@ object ProfileQuery {
       catch { case _: Throwable => () }
       val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
       val stages = TrieMap.empty[Int, (Int, Long, Long, Long, Long)] // tasks, runMs, maxMs, shufRead, records
-      val names = TrieMap.empty[Int, String]
+      // stageNames, not `names` (r18 ADVICE: the old name shadowed the
+      // query-name args inside names.foreach)
+      val stageNames = TrieMap.empty[Int, String]
       val listener = new SparkListener {
         override def onJobStart(j: SparkListenerJobStart): Unit =
           jobs.incrementAndGet()
@@ -45,10 +47,15 @@ object ProfileQuery {
           val si = s.stageInfo
           val tm = si.taskMetrics
           val run = if (tm != null) tm.executorRunTime else 0L
-          stages.put(si.stageId, (si.numTasks, run, 0L,
-            if (tm != null) tm.shuffleReadMetrics.totalBytesRead else 0L,
-            if (tm != null) tm.inputMetrics.recordsRead else 0L))
-          names.put(si.stageId,
+          // Accumulate across stage ATTEMPTS (r18 ADVICE): a retried
+          // stage re-reports under the same stageId; a plain put would
+          // silently drop the earlier attempt's task time from totals.
+          val prev = stages.getOrElse(si.stageId, (0, 0L, 0L, 0L, 0L))
+          stages.put(si.stageId, (math.max(prev._1, si.numTasks),
+            prev._2 + run, 0L,
+            prev._4 + (if (tm != null) tm.shuffleReadMetrics.totalBytesRead else 0L),
+            prev._5 + (if (tm != null) tm.inputMetrics.recordsRead else 0L)))
+          stageNames.put(si.stageId,
             (si.name + " <- " + si.details.linesIterator
               .filterNot(_.contains("org.apache.spark"))
               .filterNot(_.startsWith("java"))
@@ -70,7 +77,7 @@ object ProfileQuery {
         f"stages=${stages.size}%4d  taskRun=$totRun%7.2f s  span~$span%6.2f s  rows=$cnt")
       val top = stages.toSeq.sortBy(-_._2._2).take(8)
       top.foreach { case (id, (tasks, run, _, shuf, rec)) =>
-        println(f"    stage=$id%6d tasks=$tasks%5d runMs=$run%8d shufRead=$shuf%10d records=$rec%9d  ${names.getOrElse(id, "")}")
+        println(f"    stage=$id%6d tasks=$tasks%5d runMs=$run%8d shufRead=$shuf%10d records=$rec%9d  ${stageNames.getOrElse(id, "")}")
       }
     }
     spark.stop()

@@ -147,6 +147,31 @@ class SequenceContainmentSpec extends AnyFunSuite {
     assert(got == Seq((100L, 1L, 1L, 2L)), s"got $got")
   }
 
+  test("shareUpstream regimes (r19): the default materializes the capped " +
+    "windows once (checkpoint scan in the plan); shareUpstream=false " +
+    "keeps the un-truncated lineage — and both compute the same pairs") {
+    val rows = clip(1L, (0 until 8).map(p => 100L + p)) ++
+      clip(2L, (100L + 3 to 100L + 5)) // 2 ⊂ 1 at offset 3
+    def plan(share: Boolean) =
+      SequenceContainment.pairs(df(rows), "id", "pos", "n", "hash",
+          maxBucketSize = Long.MaxValue, shareUpstream = share)
+        .queryExecution.optimizedPlan.toString
+    // default (decode-heavy callers): one materialized evaluation shared
+    // by all three consumers — the plan reads a checkpointed RDD scan.
+    assert(plan(share = true).contains("LogicalRDD"),
+      s"shared plan must read the checkpointed rows:\n${plan(share = true)}")
+    // cheap-upstream callers (p112): no materialization barrier at all.
+    assert(!plan(share = false).contains("LogicalRDD"),
+      s"unshared plan must keep raw lineage:\n${plan(share = false)}")
+    def got(share: Boolean) =
+      SequenceContainment.pairs(df(rows), "id", "pos", "n", "hash",
+          maxBucketSize = Long.MaxValue, shareUpstream = share)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sorted.toSeq
+    assert(got(share = true) == got(share = false) &&
+      got(share = false) == Seq((2L, 1L, 3L, 3L)))
+  }
+
   test("broadcast gating (r17 verdict): no FORCED hint in the containment " +
     "plans (AQE gates on measured runtime sizes instead), and the " +
     "explicit measured gate helper works for cheap-upstream callers") {
