@@ -20,9 +20,16 @@ object PlanDump {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, suffix, rest @ _*) = args.toSeq.toArray[String]
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.builder(s"local[$cpus]", "graft-plandump")
+    val b = GraftSession.builder(s"local[$cpus]", "graft-plandump")
       .config("spark.sql.shuffle.partitions", cpus)
-      .getOrCreate()
+    // Same override hook as Verify: lets a conf-gated optimization's
+    // BEFORE plan be dumped by flipping its toggle (r19).
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        b.config(k, v)
+      })
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))
     rest.foreach { n =>
