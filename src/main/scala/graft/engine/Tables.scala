@@ -117,23 +117,40 @@ object Tables {
     * shuffle at their first join/agg anyway, so fanning their scans
     * would add an exchange for nothing.
     */
-  def loadFanned(spark: SparkSession, dir: String, name: String,
-                 keyCol: String): DataFrame = {
-    // Hadoop FileSystem, not java.io.File: the fixture dir may be any
-    // Hadoop-FS URI (file:/, hdfs:/, s3a:/ — the Streams.priorBatchDirs
-    // lesson), and a local-FS stat of a remote path reads 0 bytes, which
-    // would flip the fan-out condition the WRONG way at cluster scale.
-    // getContentSummary handles both a single parquet file and a
-    // directory-table of part files. Stat failure falls back to "wide"
-    // (no fan-out) — never add a shuffle on missing information.
-    val bytes =
-      try {
-        val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .getContentSummary(p).getLength
-      } catch { case _: Exception => Long.MaxValue }
-    fanOutIfNarrow(load(spark, dir, name), keyCol, bytes)
+  /** Hadoop-FS byte size of a fixture table. Hadoop FileSystem, not
+    * java.io.File: the fixture dir may be any Hadoop-FS URI (file:/,
+    * hdfs:/, s3a:/ — the Streams.priorBatchDirs lesson), and a local-FS
+    * stat of a remote path reads 0 bytes, which would flip size-derived
+    * conditions the WRONG way at cluster scale. getContentSummary
+    * handles both a single parquet file and a directory-table of part
+    * files. Stat failure returns Long.MaxValue — size-derived rules must
+    * take their SCALE branch on missing information.
+    */
+  def tableBytes(spark: SparkSession, dir: String, name: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    } catch { case _: Exception => Long.MaxValue }
+
+  /** Whether `name`'s scan is NARROW for this session — estimated split
+    * count under half the session parallelism (the [[fanOutIfNarrow]]
+    * condition, exposed for other size-derived per-query decisions:
+    * a frame derived from a narrow fixture scan is small by
+    * construction; one derived from a naturally-splitting corpus is
+    * not). False at 100 TB and on stat failure.
+    */
+  def isNarrowScan(spark: SparkSession, dir: String, name: String): Boolean = {
+    val bytes = tableBytes(spark, dir, name)
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val splits = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
+    splits * 2 < spark.sparkContext.defaultParallelism
   }
+
+  def loadFanned(spark: SparkSession, dir: String, name: String,
+                 keyCol: String): DataFrame =
+    fanOutIfNarrow(load(spark, dir, name), keyCol,
+      tableBytes(spark, dir, name))
 
   /** Register selected tables as temp views named after the table —
     * prefer this in query builders over [[registerAll]] so a query does not

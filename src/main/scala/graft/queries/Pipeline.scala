@@ -329,13 +329,17 @@ object Pipeline {
     // list itself is exact, so DuckDB derives every output column. ----
     "p09_simhash_sigs" -> ((s, dir) => {
       HashExpressions.register(s)
-      // Raw scan, NOT docsFanned (r19): p09 is a multi-evaluation shape —
-      // nearDupPairs plus a second simhashSignatures pass over the same
-      // corpus — exactly the class the r18 fan-out A/B measured as losing
-      // (32 tasks of fixed overhead per re-evaluation). The r18 close left
-      // this one call site fanned by mistake; it regressed 1.48× in the
-      // builder's own detail and 0.80× in the driver bench.
-      val pairs = Dedup.nearDupPairs(docs(s, dir), "doc_id", "text",
+      // docsFanned KEPT (r19, re-adjudicated with data): the r18 verdict
+      // flagged this call as an unrestored fan-out loser (driver 0.80×,
+      // builder detail 1.48× slower) and r19 duly applied the revert —
+      // then re-measured it with the drift-immune interleaved ConfAb in
+      // a quiet window: fanned A=1.62 s vs raw B=1.76 s at 32 cores
+      // (B/A 1.09, 5 reps) and A=1.39 vs B=1.75 at 8 cores (B/A 1.26).
+      // Clean-window cross-run benches agree (fanned 1.09 s vs raw
+      // 1.30 s). Both r18 readings were window contamination; the
+      // shingle pass under nearDupPairs dominates p09 and parallelizes,
+      // so this is a heavy-single-pass shape after all.
+      val pairs = Dedup.nearDupPairs(docsFanned(s, dir), "doc_id", "text",
         shingleLen = 5, threshold = 0.5, k = 64, r = 2)
       val sigs = Dedup.simhashSignatures(docs(s, dir), "doc_id", "text")
       pairs
@@ -3482,10 +3486,31 @@ object Pipeline {
       // the hint still dies. Write is per-invocation (overwrite,
       // UUID-keyed per fixture dir — the p86/p101 sink discipline), so
       // nothing is served across bench runs.
+      // Size-derived panel strategy (r19): the probe panel is a corpus/64
+      // sample, so its safe physical shape depends on CORPUS size, not a
+      // constant. Narrow fixture scan (the fanOutIfNarrow condition) ⇒
+      // the panel is KBs by construction and a single partition is the
+      // cheapest correct shape (interleaved ConfAb: landing it anyway
+      // costs ~10% — A=4.36 s vs B=3.92 s — pure write+read overhead at
+      // this scale). Naturally-splitting corpus (100 TB; also the stat-
+      // failure default) ⇒ LAND the slim panel to per-invocation parquet
+      // and read it back: the planner gets REAL file stats, the broadcast
+      // hint survives BroadcastGuard while the panel is genuinely small,
+      // and past the guard's ceiling the cartesian streams a multi-split
+      // parquet panel — no single partition grows with N anywhere.
+      // (localCheckpoint cannot do this: LogicalRDD.fromDataset carries
+      // the ORIGIN plan's 868 GB estimate into the checkpoint node, so
+      // the hint still dies. Conf toggle spark.graft.p150.land pins the
+      // scale branch for A/Bs and specs.)
+      val landPanel = s.conf.getOption("spark.graft.p150.land")
+        .map(_.trim.equalsIgnoreCase("true"))
+        .getOrElse(!graft.engine.Tables.isNarrowScan(s, dir, "documents"))
       val panelPath = Layout.sinkRoot(s) + "/" + java.util.UUID
         .nameUUIDFromBytes(("p150panel:" + dir).getBytes("UTF-8")) + "/panel"
-      probes0.write.mode("overwrite").parquet(panelPath)
-      val probes = s.read.schema(probes0.schema).parquet(panelPath)
+      if (landPanel) probes0.write.mode("overwrite").parquet(panelPath)
+      val probes =
+        if (landPanel) s.read.schema(probes0.schema).parquet(panelPath)
+        else probes0.coalesce(1)
       val cands = broadcast(probes).join(lab,
           col("media_id") =!= col("probe_id") &&
             col("cluster_id") =!= col("q_cluster"))
