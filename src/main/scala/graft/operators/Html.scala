@@ -474,11 +474,38 @@ object Html {
     mediaFigures(df, idCol, htmlCol, "video", altFallback = false,
       nestedSource = true)
 
-  private def mediaFigures(df: DataFrame, idCol: String, htmlCol: String,
-                           tag: String, altFallback: Boolean,
-                           nestedSource: Boolean = false): DataFrame = {
+  /** The tag-AGNOSTIC front half of [[mediaFigures]]: segment every
+    * `<figure>` block of every page and posexplode to one row per
+    * figure — `(page_id, fig_idx, __fig)` where `__fig` is the raw
+    * figure snippet. This scan of the FULL page HTML is identical for
+    * every modality (the per-tag caption/src regexes run on the small
+    * snippets afterwards), so a caller extracting several modalities
+    * from the same pages (p157) can compute it once, materialize it,
+    * and feed each modality's back half — instead of re-scanning the
+    * whole corpus' HTML per modality.
+    */
+  def figureSpans(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
     val figs = regexp_extract_all(col(htmlCol),
       lit("(?s)<figure(?:\\s[^>]*)?>.*?</figure\\s*>"), lit(0))
+    df.select(col(idCol).as("page_id"),
+      posexplode(figs).as(Seq("fig_idx", "__fig")))
+  }
+
+  private def mediaFigures(df: DataFrame, idCol: String, htmlCol: String,
+                           tag: String, altFallback: Boolean,
+                           nestedSource: Boolean = false): DataFrame =
+    mediaFiguresFrom(figureSpans(df, idCol, htmlCol), tag, altFallback,
+      nestedSource)
+
+  /** The per-tag back half of [[mediaFigures]], over a pre-exploded
+    * [[figureSpans]] frame: caption/src extraction and the
+    * other-modality drop run on the figure SNIPPETS, never the full
+    * page. Same expressions as always — [[mediaFigures]] delegates
+    * here, so the single-modality call sites' plans are unchanged.
+    */
+  private[graft] def mediaFiguresFrom(spans: DataFrame,
+                           tag: String, altFallback: Boolean,
+                           nestedSource: Boolean = false): DataFrame = {
     val caption = {
       val figcap = regexp_extract(col("__fig"),
         "(?s)<figcaption(?:\\s[^>]*)?>(.*?)</figcaption\\s*>", 1)
@@ -502,8 +529,7 @@ object Html {
         when(direct =!= "", direct).otherwise(nested)
       }
     }
-    df.select(col(idCol).as("page_id"),
-        posexplode(figs).as(Seq("fig_idx", "__fig")))
+    spans
       .select(col("page_id"), col("fig_idx"),
         src.as("src"),
         caption.as("caption"))
@@ -535,6 +561,35 @@ object Html {
                      decodedCol: String): DataFrame =
     mediaTextPairs(imageFigures(pages, idCol, htmlCol), "image_id",
       images, imgIdCol, imgUrlCol, decodedCol)
+
+  /** [[imageTextPairs]] over a pre-exploded (and typically
+    * materialized) [[figureSpans]] frame — the multi-modality router's
+    * entry (p157): the full-HTML figure scan is paid once for all
+    * three modalities instead of once per modality. Identical
+    * expressions to [[imageTextPairs]] by construction (both delegate
+    * to the same back halves).
+    */
+  def imageTextPairsFrom(spans: DataFrame,
+                     images: DataFrame, imgIdCol: String, imgUrlCol: String,
+                     decodedCol: String): DataFrame =
+    mediaTextPairs(mediaFiguresFrom(spans, "img", altFallback = true),
+      "image_id", images, imgIdCol, imgUrlCol, decodedCol)
+
+  /** [[imageTextPairsFrom]] for the audio modality. */
+  def audioTextPairsFrom(spans: DataFrame,
+                     clips: DataFrame, clipIdCol: String, clipUrlCol: String,
+                     decodedCol: String): DataFrame =
+    mediaTextPairs(mediaFiguresFrom(spans, "audio", altFallback = false),
+      "audio_id", clips, clipIdCol, clipUrlCol, decodedCol)
+
+  /** [[imageTextPairsFrom]] for the video modality (direct-src or
+    * nested-`<source>`). */
+  def videoTextPairsFrom(spans: DataFrame,
+                     clips: DataFrame, clipIdCol: String, clipUrlCol: String,
+                     decodedCol: String): DataFrame =
+    mediaTextPairs(mediaFiguresFrom(spans, "video", altFallback = false,
+      nestedSource = true), "video_id", clips, clipIdCol, clipUrlCol,
+      decodedCol)
 
   /** [[imageTextPairs]] for the audio modality: `<audio src>` figures
     * joined to the crawl's decoded audio records — the AudioCaps-shape

@@ -61,10 +61,14 @@ object Pipeline {
   // so the media decode runs four times per modality). localCheckpoint
   // collapses them onto one RDD whose partitions compute once — the
   // SequenceContainment/p100 recipe; NOT a plan-keyed persist, which
-  // would serve one bench iteration's rows to the next. Rows are slim
-  // (id + 4 band words + flags). Applied per query where the
-  // interleaved ConfAb A/B (spark.graft.capstone.ckpt flip) measured a
-  // win; blocks are invocation-scoped, reclaimed by the ContextCleaner.
+  // would serve one bench iteration's rows to the next. Signature rows
+  // are slim (id + 4 band words + flags); the parsed-WARC call sites
+  // (p142/p145/p146/p151 — the 3-consumer plant+parse class) checkpoint
+  // payload-bearing rows, bounded by the planted corpus slice exactly
+  // like the sibling queries' MEMORY_AND_DISK persists (p143/p157/p114).
+  // Applied per query where the interleaved ConfAb A/B
+  // (spark.graft.capstone.ckpt flip) measured a win; blocks are
+  // invocation-scoped, reclaimed by the ContextCleaner.
   private def ckSigs(s: SparkSession, df: DataFrame): DataFrame =
     if (s.conf.getOption("spark.graft.capstone.ckpt")
           .forall(_.trim.equalsIgnoreCase("true"))) df.localCheckpoint(false)
@@ -3159,10 +3163,15 @@ object Pipeline {
     // decoded caption, the alt fallback, the gate, and the join
     // closed-form from the id arithmetic — it never parses a page. ----
     "p142_image_text_pairs" -> ((s, dir) => {
-      val recs = Warc.parseWarc(Warc.plantPairedWarcs(docsNarrow(s, dir)))
+      // ckSigs on the parsed-WARC frame (r19): three consumers (pages'
+      // html decode, the dhash decode side, the target-uri join side)
+      // each re-ran the WARC plant+parse — same cut as p157's recs
+      // persist, conf-gated for the interleaved A/B.
+      val recs = ckSigs(s,
+        Warc.parseWarc(Warc.plantPairedWarcs(docsNarrow(s, dir)))
         .filter(col("ok") && col("warc_type") === "response")
         .withColumn("kind",
-          Warc.contentKind(col("content_type"), col("payload")))
+          Warc.contentKind(col("content_type"), col("payload"))))
       val pages = recs.filter(col("kind") === "html")
         .select(col("media_id").as("page_id"),
           decode(col("payload"), "UTF-8").as("html"))
@@ -3278,10 +3287,12 @@ object Pipeline {
     // and joined on the canonical URL across two different messy
     // variants. The oracle recomputes everything closed-form. ----
     "p145_audio_text_pairs" -> ((s, dir) => {
-      val recs = Warc.parseWarc(Warc.plantAudioPairedWarcs(docsNarrow(s, dir)))
+      // ckSigs on the parsed-WARC frame — the p142 rationale.
+      val recs = ckSigs(s,
+        Warc.parseWarc(Warc.plantAudioPairedWarcs(docsNarrow(s, dir)))
         .filter(col("ok") && col("warc_type") === "response")
         .withColumn("kind",
-          Warc.contentKind(col("content_type"), col("payload")))
+          Warc.contentKind(col("content_type"), col("payload"))))
       val pages = recs.filter(col("kind") === "html")
         .select(col("media_id").as("page_id"),
           decode(col("payload"), "UTF-8").as("html"))
@@ -3311,10 +3322,12 @@ object Pipeline {
     // on the canonical URL. The oracle recomputes everything
     // closed-form. ----
     "p146_video_text_pairs" -> ((s, dir) => {
-      val recs = Warc.parseWarc(Warc.plantVideoPairedWarcs(docsNarrow(s, dir)))
+      // ckSigs on the parsed-WARC frame — the p142 rationale.
+      val recs = ckSigs(s,
+        Warc.parseWarc(Warc.plantVideoPairedWarcs(docsNarrow(s, dir)))
         .filter(col("ok") && col("warc_type") === "response")
         .withColumn("kind",
-          Warc.contentKind(col("content_type"), col("payload")))
+          Warc.contentKind(col("content_type"), col("payload"))))
       val pages = recs.filter(col("kind") === "html")
         .select(col("media_id").as("page_id"),
           decode(col("payload"), "UTF-8").as("html"))
@@ -3542,10 +3555,12 @@ object Pipeline {
     // the per-language counts, sqrt reweighting, and the hash cutoff
     // closed-form. ----
     "p151_pair_language_mixture" -> ((s, dir) => {
-      val recs = Warc.parseWarc(Warc.plantPairedWarcs(docsNarrow(s, dir)))
+      // ckSigs on the parsed-WARC frame — the p142 rationale.
+      val recs = ckSigs(s,
+        Warc.parseWarc(Warc.plantPairedWarcs(docsNarrow(s, dir)))
         .filter(col("ok") && col("warc_type") === "response")
         .withColumn("kind",
-          Warc.contentKind(col("content_type"), col("payload")))
+          Warc.contentKind(col("content_type"), col("payload"))))
       val pages = recs.filter(col("kind") === "html")
         .select(col("media_id").as("page_id"),
           decode(col("payload"), "UTF-8").as("html"))
@@ -3842,13 +3857,23 @@ object Pipeline {
           col("fig_idx"), col(idCol).as("media_id"), col("caption"),
           col("caption_lang"), col("n_caption_words"), col("kept"),
           col("decoded"))
-      shaped(Html.imageTextPairs(pages, "page_id", "html",
+      // Shared figure spans (r19, guide §2.4 shared evaluation): the
+      // <figure> splitter regex scans the FULL page HTML and is
+      // tag-agnostic — identical across the three modality branches —
+      // so without a cut each branch re-scanned every page's HTML
+      // (ProfileQuery: three ~5-9 s 32-task figure stages out of six
+      // heavy leaf stages / ~50 s summed task time). Exploded spans are
+      // figure SNIPPETS (captions + media tags, not whole pages);
+      // ckSigs-gated lazy localCheckpoint, same A/B toggle and
+      // invocation-scoped lifetime as the §6 signature checkpoints.
+      val spans = ckSigs(s, Html.figureSpans(pages, "page_id", "html"))
+      shaped(Html.imageTextPairsFrom(spans,
           mediaOf("image", "image_id"), "image_id", "m_url", "decoded"),
           "image_id", "image")
-        .unionByName(shaped(Html.audioTextPairs(pages, "page_id", "html",
+        .unionByName(shaped(Html.audioTextPairsFrom(spans,
           mediaOf("audio", "audio_id"), "audio_id", "m_url", "decoded"),
           "audio_id", "audio"))
-        .unionByName(shaped(Html.videoTextPairs(pages, "page_id", "html",
+        .unionByName(shaped(Html.videoTextPairsFrom(spans,
           mediaOf("video", "video_id"), "video_id", "m_url", "decoded"),
           "video_id", "video"))
         .orderBy(col("modality"), col("page_id"), col("fig_idx"))
