@@ -3420,6 +3420,14 @@ object Pipeline {
         .withColumn("kind",
           Warc.contentKind(col("content_type"), col("payload")))
       val imgRecs = recs.filter(col("kind") === "image")
+      // Static side left UNMATERIALIZED (r19, measured): the incremental
+      // planner does re-evaluate this subtree per micro-batch (~27 s
+      // summed task time vs 3.5 s wall), but a ckSigs checkpoint
+      // measured a consistent LOSS in the interleaved A/B — B/A 0.98 at
+      // 32 cores, 0.92 at 8 (5 reps each): the serial materialization
+      // barrier delays the first batch more than the per-batch
+      // re-evaluations cost, which overlap stream processing on
+      // otherwise-idle cores (the p153 pre-populate lesson, §5).
       val imgs = ImageHash.dhashSignatures(
           imgRecs.select(col("media_id"), col("payload").as("data")))
         .select(col("media_id").as("image_id"), col("decoded"))
